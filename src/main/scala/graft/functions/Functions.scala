@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Scalar-function library — the engine's equivalents of the reference's
+  * SQL built-in usage (SURVEY.md §2.9, reference `/root/reference/`):
+  * European decimal parsing (`transaction.py:77`), NULL-skipping name
+  * concat (`report.py:23`), null-safe change detection
+  * (`terminals.py:128-131`), interval arithmetic as epoch math
+  * (`report.py:99,112`), plus portable 64-bit hashing used by the
+  * dedup/similarity extensions.
+  *
+  * Everything here stays inside Catalyst built-ins (codegen'd,
+  * whole-stage-friendly) — no Scala UDFs, so plans remain optimizable
+  * and predicates remain pushable at 100 TB scale.
+  */
+object Functions {
+
+  /** SCD2 "open version" sentinel (reference `main.ddl:88-89`,
+    * `to_date('9999-12-31','YYYY-MM-DD')`). */
+  val InfinityTs: Column = to_timestamp(lit("9999-12-31 00:00:00"))
+  val InfinityDate: Column = to_date(lit("9999-12-31"))
+
+  /** Parse a European-format decimal string "1.234,56" → 1234.56
+    * (reference `transaction.py:77`:
+    * `cast(replace(replace(amount,'.',''),',','.') as DECIMAL(15,2))`). */
+  def parseEuroDecimal(c: Column, precision: Int = 15, scale: Int = 2): Column =
+    regexp_replace(regexp_replace(c, "\\.", ""), ",", ".")
+      .cast(DecimalType(precision, scale))
+
+  /** Render a decimal as a European-format string (inverse of
+    * [[parseEuroDecimal]], used to build test fixtures). */
+  def toEuroString(c: Column): Column =
+    regexp_replace(c.cast(StringType), "\\.", ",")
+
+  /** Postgres-`concat` semantics: NULL args are skipped, not
+    * NULL-propagated (reference `report.py:23` builds `fio` this way).
+    * Spark's `concat` would return NULL — `concat_ws` matches PG. */
+  def fio(parts: Column*): Column = concat_ws(" ", parts: _*)
+
+  /** Null-safe "attribute changed" predicate: the reference's 3-term
+    * OR-chain per tracked column (`terminals.py:128-131`) collapses to
+    * a single negated null-safe equality. */
+  def changed(a: Column, b: Column): Column = !(a <=> b)
+
+  /** OR-fold of [[changed]] across tracked column pairs — the SCD2
+    * "any tracked attribute differs" predicate (`clients.py:156-163`). */
+  def anyChanged(pairs: Seq[(Column, Column)]): Column =
+    pairs.map { case (a, b) => changed(a, b) }.reduce(_ || _)
+
+  /** Epoch seconds (truncated). Portable: DuckDB `epoch(ts)`. */
+  def epochSec(c: Column): Column = c.cast(LongType)
+
+  /** Epoch microseconds. Portable: DuckDB `epoch_us(ts)`. */
+  def epochUs(c: Column): Column = unix_micros(c)
+
+  /** `a - b <= n seconds` with both operands timestamps — the
+    * reference's interval comparisons (`report.py:99,112`) expressed as
+    * epoch arithmetic so the same predicate runs on any engine. */
+  def withinSeconds(a: Column, b: Column, seconds: Long): Column =
+    epochUs(a) - epochUs(b) <= seconds * 1000000L
+
+  /** `ts - INTERVAL '1 second'` — SCD2 version-closing timestamp
+    * (reference `terminals.py:134`, `cards.py:126`). */
+  def minusOneSecond(c: Column): Column = c - expr("INTERVAL 1 SECOND")
+
+  /** Deterministic, engine-portable 64-bit (60-bit) hash of a string:
+    * first 15 hex chars of md5 as an unsigned int. Identical in DuckDB
+    * as `('0x' || substr(md5(s), 1, 15))::BIGINT`. Used by MinHash /
+    * SimHash / fingerprint extensions where the oracle must agree
+    * bit-for-bit; stock `xxhash64`/`hash` are engine-specific. */
+  def portableHash64(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  /** Family of portable hash functions for MinHash: h_i(x) =
+    * (a_i * h(x) + b_i) mod p, with p = 2^31-1 (Mersenne prime) and
+    * (a_i, b_i) derived deterministically from the seed index. */
+  def minhashFn(base: Column, i: Int): Column = {
+    val p = 2147483647L // 2^31 - 1
+    val a = 1103515245L * (i + 1) % p
+    val b = 12345L * (i * i + 1) % p
+    pmod(lit(a) * pmod(base, lit(p)) + lit(b), lit(p))
+  }
+
+  /** Dot product of two equal-length numeric arrays, deterministic
+    * left-to-right fold (portable to DuckDB `list_reduce(list_zip …)`
+    * or a generated expression). Inputs cast to double first. */
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  /** L2 norm of a numeric array (deterministic fold + sqrt). */
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0),
+      (acc, v) => acc + v.cast(DoubleType) * v.cast(DoubleType)))
+
+  /** Cosine similarity of two embedding arrays. */
+  def cosineSim(a: Column, b: Column): Column =
+    dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
+}

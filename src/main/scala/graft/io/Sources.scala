@@ -1,0 +1,109 @@
+package graft.io
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Source layer — the engine's readers (SURVEY.md §2.1).
+  *
+  * The reference ingests three source kinds (CSV `.txt`, Excel `.xlsx`,
+  * JDBC Postgres — `transaction.py:57`, `terminals.py:54`,
+  * `cards.py:50-56`). Spark-first mapping: `spark.read` with explicit
+  * schemas (staging parity = never infer), filename-date extraction as a
+  * Catalyst expression over `input_file_name()`, and incremental JDBC
+  * extraction expressed as a pushed-down predicate. The test harness
+  * serves all tables as parquet; the CSV/JDBC readers are exercised by
+  * unit specs on generated fixtures.
+  */
+object Sources {
+
+  /** Harness tables (TESTDATA.md). */
+  val tableNames: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+
+  /** Read one harness table from an sf dir.
+    *
+    * `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which
+    * Spark has no native type for — read it as nanos-since-epoch
+    * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to
+    * microseconds with integral division (ns epoch values exceed
+    * 2^53, so float division would corrupt them). Matches DuckDB's
+    * µs truncation of the same column. */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+
+  /** Semicolon-delimited CSV with header and explicit schema — the
+    * reference's `transactions_DDMMYYYY.txt` shape (`transaction.py:57`,
+    * `pd.read_csv(..., sep=';')`). Never `inferSchema`: staging is
+    * deliberately stringly-typed; promotion applies casts. */
+  def csv(spark: SparkSession, path: String, schema: StructType,
+          sep: String = ";"): DataFrame =
+    spark.read
+      .option("sep", sep)
+      .option("header", "true")
+      .schema(schema)
+      .csv(path)
+
+  /** All-string schema helper for staging-parity CSV reads. */
+  def stringSchema(cols: String*): StructType =
+    StructType(cols.map(c => StructField(c, StringType, nullable = true)))
+
+  /** Extract the `DDMMYYYY` date embedded in a source filename and
+    * stamp every row with it (reference `transaction.py:49-50` +
+    * `terminals.py:55`) — done as a Catalyst expression so it runs
+    * distributed, not driver-side. */
+  def withFileDate(df: DataFrame, colName: String = "file_date"): DataFrame =
+    df.withColumn(colName,
+      to_date(regexp_extract(input_file_name(), "(\\d{8})", 1), "ddMMyyyy"))
+
+  /** Driver-side file discovery in chronological order: glob by mask,
+    * sort by the DDMMYYYY date embedded in the name (reference
+    * `transaction.py:26-28` sorts on a YYYYMMDD key). */
+  def listFilesChronological(dir: String, maskRegex: String): Seq[Path] = {
+    import scala.jdk.CollectionConverters._
+    val re = maskRegex.r
+    val dateRe = "(\\d{2})(\\d{2})(\\d{4})".r
+    if (!Files.isDirectory(Paths.get(dir))) return Seq.empty
+    val stream = Files.list(Paths.get(dir))
+    try {
+      stream.iterator().asScala
+        .filter(p => re.findFirstIn(p.getFileName.toString).isDefined)
+        .toSeq
+        .sortBy { p =>
+          dateRe.findFirstMatchIn(p.getFileName.toString) match {
+            case Some(m) => m.group(3) + m.group(2) + m.group(1) // YYYYMMDD
+            case None    => p.getFileName.toString
+          }
+        }
+    } finally stream.close()
+  }
+
+  /** Filename `DDMMYYYY` → ISO `YYYY-MM-DD` (reference
+    * `transaction.py:49-50`). */
+  def fileNameDateIso(fileName: String): Option[String] =
+    "(\\d{2})(\\d{2})(\\d{4})".r.findFirstMatchIn(fileName)
+      .map(m => s"${m.group(3)}-${m.group(2)}-${m.group(1)}")
+
+  /** Archive a processed source file (reference `transaction.py:88`:
+    * `os.rename(f, 'archive/<f>.backup')`). */
+  def archive(file: Path): Path = {
+    val archiveDir = file.getParent.resolve("archive")
+    Files.createDirectories(archiveDir)
+    val target = archiveDir.resolve(file.getFileName.toString + ".backup")
+    Files.move(file, target, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Incremental extract: push the watermark predicate into the scan
+    * (reference `cards.py:50-56` runs the filter inside the source DB;
+    * here Catalyst pushes it into the parquet/JDBC scan). */
+  def incremental(src: DataFrame, updateCol: String, createCol: String,
+                  watermark: java.sql.Timestamp): DataFrame =
+    src.filter(coalesce(col(updateCol), col(createCol)) > lit(watermark))
+}

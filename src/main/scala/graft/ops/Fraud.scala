@@ -44,9 +44,11 @@ object Fraud {
         to_timestamp(lit("2024-01-10 00:00:00")).as("entry_dt"))
     // Account-expiry analog (report.py rule 2's valid_to): every 4th
     // user expires 2024-01-20, everyone else end-of-year.
+    // No broadcast hints: customer (and the blacklist derived from it)
+    // scales with the data; AQE broadcasts at runtime when small.
     events
-      .join(broadcast(customer), events("user_id") === customer("c_custkey"), "left")
-      .join(broadcast(blacklist), events("user_id") === col("bl_key"), "left")
+      .join(customer, events("user_id") === customer("c_custkey"), "left")
+      .join(blacklist, events("user_id") === col("bl_key"), "left")
       .withColumn("fio", fio(lit("Customer"), col("c_name"), col("c_mktsegment")))
       .withColumn("valid_to",
         when(col("user_id") % 4 === 0, to_timestamp(lit("2024-01-20 00:00:00")))

@@ -10,9 +10,11 @@ import org.apache.spark.sql.functions._
   * `trans_date > effective_from AND trans_date < effective_to AND
   * deleted_flg = 'N'`. Spark-first mapping: keep the equi key so the
   * join hashes; the range terms become join residuals evaluated inside
-  * the hash join — never a cartesian. SCD2 dimensions are small
-  * relative to facts, so the dim side is broadcast (explicit hint; AQE
-  * would find it anyway at runtime).
+  * the hash join — never a cartesian. No broadcast hint by default: a
+  * hint overrides AQE's size check, and an SCD2 dimension grows with
+  * the data — at 100 TB a forced broadcast OOMs. AQE converts to
+  * broadcast at runtime when the dim really is small; callers may force
+  * it only for provably bounded frames.
   */
 object Temporal {
 
@@ -25,7 +27,7 @@ object Temporal {
                liveOnly: Boolean = true,
                strictFrom: Boolean = true, strictTo: Boolean = true,
                joinType: String = "left",
-               broadcastDim: Boolean = true): DataFrame = {
+               broadcastDim: Boolean = false): DataFrame = {
     val f = Option(from).getOrElse(dim("effective_from"))
     val t = Option(to).getOrElse(dim("effective_to"))
     val lower = if (strictFrom) factTs > f else factTs >= f

@@ -227,10 +227,13 @@ object ParityQueries {
         |FROM events e LEFT JOIN dim d ON trim(d.padded_key) = e.event_type""".stripMargin) {
       (s, d) =>
         val e = table(s, d, "events")
+        // No broadcast hint: dim is derived FROM the fact table, so its
+        // size scales with the data — AQE picks broadcast at runtime
+        // when it actually is small.
         val dim = e.select(
           concat(lit("  "), col("event_type"), lit("  ")).as("padded_key"),
           upper(col("event_type")).as("label")).distinct()
-        e.join(broadcast(dim), trim(dim("padded_key")) === e("event_type"), "left")
+        e.join(dim, trim(dim("padded_key")) === e("event_type"), "left")
           .select(e("event_id"), e("event_type"), dim("label"))
     },
 
@@ -251,8 +254,10 @@ object ParityQueries {
         val c = table(s, d, "customer")
         val n = table(s, d, "nation")
         val r = table(s, d, "region")
+        // Hints only on provably bounded frames (nation=25, region=5
+        // rows at any SF); customer scales with the data → AQE decides.
         l.join(o, l("l_orderkey") === o("o_orderkey"), "left")
-          .join(broadcast(c), o("o_custkey") === c("c_custkey"), "left")
+          .join(c, o("o_custkey") === c("c_custkey"), "left")
           .join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "left")
           .join(broadcast(r), n("n_regionkey") === r("r_regionkey"), "left")
           .groupBy(r("r_name"), n("n_name"))
@@ -336,10 +341,12 @@ object ParityQueries {
     },
 
     // F5/F13 — European decimal parsing round-trip
-    // (transaction.py:77): "1.234,56" → 1234.56.
+    // (transaction.py:77): "1.234,56" → 1234.56. Output as exact integer
+    // cents: decimal128 rendering differs between engines' hashers, so
+    // the parse is verified through a hash-stable bigint.
     Q("q13_decimal_parse",
       """SELECT l_orderkey, l_linenumber,
-        |       CAST(replace(replace(eur, '.', ''), ',', '.') AS DECIMAL(15,2)) AS amt
+        |       CAST(CAST(replace(replace(eur, '.', ''), ',', '.') AS DECIMAL(15,2)) * 100 AS BIGINT) AS amt_cents
         |FROM (SELECT l_orderkey, l_linenumber,
         |             replace(CAST(CAST(l_extendedprice AS DECIMAL(15,2)) AS VARCHAR), '.', ',') AS eur
         |      FROM lineitem)""".stripMargin) {
@@ -348,7 +355,7 @@ object ParityQueries {
           .select(col("l_orderkey"), col("l_linenumber"),
             toEuroString(col("l_extendedprice").cast(DecimalType(15, 2))).as("eur"))
           .select(col("l_orderkey"), col("l_linenumber"),
-            parseEuroDecimal(col("eur")).as("amt"))
+            (parseEuroDecimal(col("eur")) * 100).cast("bigint").as("amt_cents"))
     },
 
     // F7 — NULL-skipping full-name concat (report.py:23): PG concat

@@ -13,7 +13,8 @@ import graft.queries.{ParityQueries, Q}
 object SparkEntry {
 
   private def registry: Seq[Q] =
-    ParityQueries.all ++ graft.queries.ExtensionQueries.all
+    ParityQueries.all ++ graft.queries.ExtensionQueries.all ++
+      graft.queries.LlmQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,141 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Functions.{minhashFn, portableHash64}
+
+/** Document deduplication for large-scale training-data pipelines:
+  * exact (hash-groupBy), MinHash + banded LSH (near-dup without
+  * all-pairs), and SimHash (bit-sampled fingerprints with bucketed
+  * Hamming search).
+  *
+  * Scale design (100 TB): every per-document step here is a pure
+  * array expression (tokenize → shingle → hash → signature) that runs
+  * inside whole-stage codegen with NO shuffle and NO explode — one
+  * map pass over the corpus, however large. The only shuffles are
+  * (a) the groupBy on the 64-bit content hash for exact dedup
+  * (map-side combine applies) and (b) the equi-joins on band
+  * signatures for LSH candidates — which is the whole point of LSH:
+  * candidate generation is a hash join on band keys, never an
+  * all-pairs comparison. SimHash aggregates per-token ±1 votes in a
+  * single hash aggregate (partial aggregation applies).
+  *
+  * No UDFs anywhere: higher-order functions + md5/conv keep the hash
+  * engine-portable (the DuckDB oracle computes identical 64-bit
+  * values), so correctness is verifiable bit-for-bit.
+  */
+object Dedup {
+
+  /** MinHash modulus: Mersenne prime 2^31-1. */
+  val P: Long = 2147483647L
+
+  /** Number of MinHash functions and LSH band width (12 = 4 bands x 3
+    * rows: P[candidate] = 1-(1-j^3)^4 — steep around j≈0.6). */
+  val NumHashes = 12
+  val BandRows = 3
+  val NumBands: Int = NumHashes / BandRows
+
+  /** Whitespace tokens of a document. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Distinct word n-gram shingles of a token array. Empty for
+    * documents shorter than n tokens (guarded: Spark's `sequence`
+    * would otherwise generate a DESCENDING range for size < n). */
+  def shingles(ws: Column, n: Int = 3): Column =
+    when(size(ws) >= n,
+      array_distinct(transform(
+        sequence(lit(0), size(ws) - n),
+        i => concat_ws(" ", (1 to n).map(k => element_at(ws, i + k)): _*))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Portable 64-bit hash of every shingle. */
+  def shingleHashes(shs: Column): Column =
+    transform(shs, s => portableHash64(s))
+
+  /** MinHash signature element i over a shingle-hash array: min of
+    * the i-th universal hash over the set. Pure array expression —
+    * no explode, no shuffle. */
+  def minhashSig(hs: Column, i: Int): Column =
+    array_min(transform(hs, h => minhashFn(h, i)))
+
+  /** (doc id, text) → one row per doc with minhash signature columns
+    * mh0..mh{n-1}. Documents with fewer than `shingleN` tokens drop
+    * out (no shingles → no signature). */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 3): DataFrame = {
+    val withHs = docs
+      .withColumn("__ws", tokens(col(textCol)))
+      .filter(size(col("__ws")) >= shingleN)
+      .withColumn("__hs", shingleHashes(shingles(col("__ws"), shingleN)))
+    (0 until NumHashes)
+      .foldLeft(withHs) { (df, i) => df.withColumn(s"mh$i", minhashSig(col("__hs"), i)) }
+      .drop("__ws")
+  }
+
+  /** LSH candidate pairs: docs agreeing on ALL rows of at least one
+    * band. One equi join per band on the band's signature columns —
+    * hash joins on narrow keys, never all-pairs. Returns distinct
+    * (d1, d2) with d1 < d2. */
+  def lshCandidates(sigs: DataFrame, idCol: String): DataFrame = {
+    val bands = (0 until NumBands).map { b =>
+      val cols = (b * BandRows until (b + 1) * BandRows).map(i => s"mh$i")
+      val left = sigs.select((idCol +: cols).map(col): _*)
+      val right =
+        sigs.select(col(idCol).as("__d2") +: cols.map(c => col(c).as(s"__r_$c")): _*)
+      left.join(right,
+          cols.map(c => col(c) === col(s"__r_$c")).reduce(_ && _) &&
+            col(idCol) < col("__d2"))
+        .select(col(idCol).as("d1"), col("__d2").as("d2"))
+    }
+    bands.reduce(_ unionByName _).distinct()
+  }
+
+  /** Exact Jaccard over two distinct-element arrays. */
+  def jaccardParts(s1: Column, s2: Column): (Column, Column) =
+    (size(array_intersect(s1, s2)), size(array_union(s1, s2)))
+
+  /** 32-bit SimHash over per-token hashes: per bit j, sum ±1 votes
+    * across tokens; bit set iff the sum is positive. Input: one row
+    * per (doc, token hash); output: one row per doc. Single hash
+    * aggregate — partial (map-side) aggregation applies, so the
+    * shuffle carries 32 ints per doc, not the tokens. */
+  def simhash32(tokenHashes: DataFrame, idCol: String, hashCol: String): DataFrame = {
+    val votes = (0 until 32).map { j =>
+      sum(when(shiftright(col(hashCol), j).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"__s$j")
+    }
+    tokenHashes.groupBy(col(idCol))
+      .agg(votes.head, votes.tail: _*)
+      .select(col(idCol),
+        (0 until 32).map(j =>
+          when(col(s"__s$j") > 0, lit(1L << j)).otherwise(0L)).reduce(_ + _)
+          .as("simhash"))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: bucket by 8-bit bands (a pair within
+    * Hamming distance 3 of a 32-bit hash must agree exactly on at
+    * least one of its four bytes — pigeonhole), join per band, then
+    * verify the true Hamming distance. Candidate generation is 4 hash
+    * joins on one-byte keys; never all-pairs. */
+  def simhashPairs(fps: DataFrame, idCol: String, fpCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val withBands = (0 until 4).foldLeft(fps) { (df, k) =>
+      df.withColumn(s"__b$k", shiftright(col(fpCol), k * 8).bitwiseAND(lit(255L)))
+    }
+    val right = withBands.select(
+      col(idCol).as("__d2") +: col(fpCol).as("__fp2") +:
+        (0 until 4).map(k => col(s"__b$k").as(s"__rb$k")): _*)
+    val bands = (0 until 4).map { k =>
+      withBands.join(right,
+          col(s"__b$k") === col(s"__rb$k") && col(idCol) < col("__d2"))
+        .select(col(idCol).as("d1"), col("__d2").as("d2"),
+          col(fpCol).as("fp1"), col("__fp2").as("fp2"))
+    }
+    bands.reduce(_ unionByName _).distinct()
+      .withColumn("hamming", hamming(col("fp1"), col("fp2")).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.functions.Functions.portableHash64
+
+/** Text analysis for training-data pipelines: token counting
+  * (whitespace + a BPE-ish regex), quality scoring (length / token /
+  * stopword ratios), a deterministic language-ID heuristic (character
+  * n-gram marker scoring), and content fingerprints (polynomial
+  * rolling hash over the token stream).
+  *
+  * Scale design: every operator here is a scalar/array expression per
+  * document — a single codegen'd map pass, no shuffle, no UDF. The
+  * only shuffles in the declared queries are the final per-source
+  * rollups (partial aggregation applies). All functions are
+  * engine-portable: the DuckDB oracle evaluates the same expressions
+  * (same regexes, same fold order) and must agree bit-for-bit.
+  */
+object TextAnalysis {
+
+  /** Rolling-hash modulus (Mersenne prime 2^31-1). */
+  val P: Long = 2147483647L
+
+  /** English stopword markers used by the quality score. */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  /** BPE-ish tokenizer regex: letter runs, digit runs, single
+    * punctuation marks. Alternatives are applied left-to-right at
+    * each position in both engines (all engines' regex scans are
+    * non-overlapping leftmost), so counts agree. */
+  val BpeIshRegex = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  /** Whitespace token count. */
+  def wsTokenCount(text: Column): Column = size(split(text, " "))
+
+  /** BPE-ish token count (regex token stream length). */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeIshRegex), lit(0)))
+
+  /** Count of tokens that are stopwords. */
+  def stopwordCount(ws: Column): Column =
+    size(filter(ws, w => w.isin(Stopwords: _*)))
+
+  /** Non-space character count (for avg token length). */
+  def nonSpaceChars(text: Column): Column =
+    length(regexp_replace(text, " ", ""))
+
+  /** Language-ID marker profiles: per language, a fixed alternation
+    * of character bigrams; the score is the count of non-overlapping
+    * occurrences. Deterministic and engine-portable (fixed-width
+    * alternatives ⇒ identical counts on any regex engine). Ordered
+    * alphabetically — the prediction tie-break follows this order. */
+  val LangProfiles: Seq[(String, String)] = Seq(
+    "de" -> "ch|ei|de|en|sch",
+    "en" -> "th|he|in|er|re",
+    "es" -> "os|la|el|as|do",
+    "fr" -> "le|ou|es|on|eu",
+    "zh" -> "zh|sh|ng|xi|ua")
+
+  /** Marker score for one language profile. */
+  def langScore(text: Column, profile: String): Column =
+    size(regexp_extract_all(text, lit(profile), lit(0)))
+
+  /** Predicted language: first language (alphabetical) achieving the
+    * maximum marker score. `scores` must align with [[LangProfiles]]. */
+  def langPredict(scores: Seq[Column]): Column = {
+    val m = greatest(scores: _*)
+    LangProfiles.map(_._1).zip(scores).foldRight(lit(null).cast("string")) {
+      case ((lang, s), rest) => when(s === m, lit(lang)).otherwise(rest)
+    }
+  }
+
+  /** Polynomial rolling hash of the token stream (order-sensitive
+    * content fingerprint): fold h = (31*h + hash64(w) mod P) mod P
+    * left-to-right. DuckDB computes the identical fold via
+    * `list_reduce(list_prepend(0, hashes), ...)`. */
+  def rollingFingerprint(ws: Column): Column =
+    aggregate(ws, lit(0L),
+      (acc, w) => pmod(acc * 31 + pmod(portableHash64(w), lit(P)), lit(P)))
+}

@@ -1,0 +1,303 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.Functions._
+import graft.io.Sources.table
+import graft.ops.{Dedup, TextAnalysis}
+
+/** LLM-training-data pipeline operators over the `documents` table:
+  * exact dedup, MinHash-LSH near-dup, SimHash, n-gram Jaccard, text
+  * quality scoring, token counting, language ID, and content
+  * fingerprinting. Every query is paired with a DuckDB oracle that
+  * evaluates the *identical* arithmetic (same md5-based 64-bit hash,
+  * same fold order, same regexes), so results match bit-for-bit.
+  *
+  * Scale stance (these run on the 100 TB corpus, not just the test
+  * tables): per-document work is pure array expressions — one
+  * codegen'd map pass, no explode except where an aggregation
+  * genuinely needs rows (SimHash votes), no UDFs. Candidate
+  * generation for near-dup detection is banded LSH (equi joins on
+  * band signatures) — never an all-pairs cross join.
+  */
+object LlmQueries {
+
+  private val P = Dedup.P
+
+  /** Portable 64-bit hash, DuckDB side (must mirror
+    * [[graft.functions.Functions.portableHash64]]). */
+  private def h64(expr: String): String =
+    s"('0x' || substr(md5($expr),1,15))::BIGINT"
+
+  /** (a_i, b_i) of the MinHash family — mirrors
+    * [[graft.functions.Functions.minhashFn]]. */
+  private val ab: Seq[(Long, Long)] = (0 until Dedup.NumHashes).map { i =>
+    ((1103515245L * (i + 1)) % P, (12345L * (i.toLong * i + 1)) % P)
+  }
+
+  /** Shared oracle CTEs: tokens → distinct 3-gram shingles → shingle
+    * hashes, from a `corpus(doc_id, text)` relation. */
+  private val shingleCtes =
+    s"""tok AS (SELECT doc_id, string_split(text,' ') AS ws FROM corpus),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws)-1),
+       |         i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS shs
+       |       FROM tok WHERE len(ws) >= 3),
+       |hst AS (SELECT doc_id, list_transform(shs, s -> ${h64("s")}) AS hs FROM sh)""".stripMargin
+
+  private val rawCorpus = "corpus AS (SELECT doc_id, text FROM documents)"
+
+  /** MinHash signature columns, oracle side. */
+  private val mhColsSql: String = ab.zipWithIndex.map { case ((a, b), i) =>
+    s"list_min(list_transform(hs, h -> ($a*(h % $P) + $b) % $P)) AS mh$i"
+  }.mkString(",\n")
+
+  /** Banded candidate join, oracle side (UNION dedupes across bands
+    * like the Spark side's distinct). */
+  private val bandJoinSql: String = (0 until Dedup.NumBands).map { bnd =>
+    val conds = (bnd * Dedup.BandRows until (bnd + 1) * Dedup.BandRows)
+      .map(i => s"a.mh$i=b.mh$i").mkString(" AND ")
+    s"SELECT a.doc_id AS d1, b.doc_id AS d2 FROM sig a JOIN sig b ON $conds AND a.doc_id < b.doc_id"
+  }.mkString("\nUNION\n")
+
+  /** SimHash fingerprint select over a `th(doc_id, h)` relation,
+    * oracle side — 32 unrolled ±1 vote sums, then bit assembly. */
+  private val simhashSql: String = {
+    val votes = (0 until 32)
+      .map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
+      .mkString(", ")
+    val assemble = (0 until 32)
+      .map(j => s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END")
+      .mkString(" + ")
+    s"""votes AS (SELECT doc_id, $votes FROM th GROUP BY doc_id),
+       |fp AS (SELECT doc_id, $assemble AS simhash FROM votes)""".stripMargin
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // Exact dedup: 64-bit content hash → groupBy → keep the smallest
+    // doc_id per group. Deterministic survivor choice (a groupBy-min,
+    // not dropDuplicates, whose surviving row is undefined). The
+    // corpus injects an exact copy of every 10th doc to exercise the
+    // collapse. One shuffle on the hash; map-side combine applies.
+    Q("q30_exact_dedup",
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0)
+         |SELECT min(doc_id) AS keep_id, ${h64("text")} AS fp, count(*) AS n_copies
+         |FROM corpus GROUP BY fp""".stripMargin) {
+      (s, d) =>
+        val docs = table(s, d, "documents")
+        val corpus = docs.select("doc_id", "text").unionByName(
+          docs.filter(col("doc_id") % 10 === 0)
+            .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+        corpus.withColumn("fp", portableHash64(col("text")))
+          .groupBy("fp")
+          .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+          .select("keep_id", "fp", "n_copies")
+    },
+
+    // MinHash-LSH near-dup: shingle → 12 minhashes → 4 bands of 3 →
+    // band-equality hash joins for candidates → exact Jaccard verify
+    // within candidates only. The test corpus contains organic
+    // near-duplicates; threshold 0.4 keeps verified pairs. Never
+    // all-pairs: candidates come from equi joins on band signatures.
+    Q("q31_minhash_lsh",
+      s"""WITH $rawCorpus,
+         |$shingleCtes,
+         |sig AS (SELECT doc_id, hs, $mhColsSql FROM hst),
+         |cand AS ($bandJoinSql),
+         |pairs AS (SELECT c.d1, c.d2, a.hs AS hs1, b.hs AS hs2
+         |          FROM cand c JOIN sig a ON a.doc_id = c.d1 JOIN sig b ON b.doc_id = c.d2)
+         |SELECT d1, d2, len(list_intersect(hs1,hs2)) AS inter_cnt,
+         |       len(list_distinct(hs1||hs2)) AS union_cnt,
+         |       round(len(list_intersect(hs1,hs2))::DOUBLE / len(list_distinct(hs1||hs2)), 6) AS jac
+         |FROM pairs
+         |WHERE len(list_intersect(hs1,hs2))::DOUBLE / len(list_distinct(hs1||hs2)) >= 0.4""".stripMargin) {
+      (s, d) =>
+        val sigs = Dedup.minhashSignatures(
+          table(s, d, "documents").select("doc_id", "text"), "doc_id", "text")
+        val cands = Dedup.lshCandidates(sigs, "doc_id")
+        val withSets = cands
+          .join(sigs.select(col("doc_id").as("d1"), col("__hs").as("hs1")), "d1")
+          .join(sigs.select(col("doc_id").as("d2"), col("__hs").as("hs2")), "d2")
+        val (inter, uni) = Dedup.jaccardParts(col("hs1"), col("hs2"))
+        withSets
+          .withColumn("inter_cnt", inter).withColumn("union_cnt", uni)
+          .withColumn("jac", round(col("inter_cnt").cast("double") / col("union_cnt"), 6))
+          .filter(col("inter_cnt").cast("double") / col("union_cnt") >= 0.4)
+          .select("d1", "d2", "inter_cnt", "union_cnt", "jac")
+    },
+
+    // SimHash: 32-bit bit-sampled fingerprint over distinct 3-gram
+    // shingles — one explode + one hash aggregate (partial agg:
+    // the shuffle carries 32 ints per doc, not the shingles).
+    Q("q32_simhash",
+      s"""WITH $rawCorpus,
+         |$shingleCtes,
+         |th AS (SELECT doc_id, unnest(hs) AS h FROM hst),
+         |$simhashSql
+         |SELECT doc_id, simhash FROM fp""".stripMargin) {
+      (s, d) =>
+        val sh = table(s, d, "documents")
+          .select(col("doc_id"), Dedup.tokens(col("text")).as("ws"))
+          .filter(size(col("ws")) >= 3)
+          .select(col("doc_id"),
+            explode(Dedup.shingleHashes(Dedup.shingles(col("ws")))).as("h"))
+        Dedup.simhash32(sh, "doc_id", "h")
+    },
+
+    // SimHash near-dup pairs: bucket fingerprints by 8-bit bytes
+    // (pigeonhole: Hamming ≤ 3 over 32 bits ⇒ ≥ 1 of 4 bytes equal),
+    // join per byte-band, verify true Hamming ≤ 3. Exact for the
+    // radius — and candidate generation stays a hash join.
+    Q("q33_simhash_neardup",
+      s"""WITH $rawCorpus,
+         |$shingleCtes,
+         |th AS (SELECT doc_id, unnest(hs) AS h FROM hst),
+         |$simhashSql,
+         |bands AS (SELECT doc_id, simhash,
+         |            (simhash >> 0) & 255 AS b0, (simhash >> 8) & 255 AS b1,
+         |            (simhash >> 16) & 255 AS b2, (simhash >> 24) & 255 AS b3 FROM fp),
+         |cand AS (${(0 until 4).map(k =>
+             s"SELECT a.doc_id AS d1, b.doc_id AS d2, a.simhash AS fp1, b.simhash AS fp2 " +
+             s"FROM bands a JOIN bands b ON a.b$k = b.b$k AND a.doc_id < b.doc_id")
+             .mkString("\nUNION\n")})
+         |SELECT d1, d2, fp1, fp2, bit_count(xor(fp1, fp2))::INT AS hamming
+         |FROM cand WHERE bit_count(xor(fp1, fp2)) <= 3""".stripMargin) {
+      (s, d) =>
+        val sh = table(s, d, "documents")
+          .select(col("doc_id"), Dedup.tokens(col("text")).as("ws"))
+          .filter(size(col("ws")) >= 3)
+          .select(col("doc_id"),
+            explode(Dedup.shingleHashes(Dedup.shingles(col("ws")))).as("h"))
+        Dedup.simhashPairs(Dedup.simhash32(sh, "doc_id", "h"), "doc_id", "simhash")
+          .select("d1", "d2", "fp1", "fp2", "hamming")
+    },
+
+    // n-gram Jaccard with bucket pruning: exact shingle Jaccard, but
+    // only within same-`source` buckets (a bounded candidate space —
+    // the exact-verify complement to q31's probabilistic candidates).
+    Q("q34_ngram_jaccard",
+      s"""WITH corpus AS (SELECT doc_id, text, source FROM documents),
+         |$shingleCtes,
+         |hsrc AS (SELECT h.doc_id, h.hs, c.source FROM hst h JOIN corpus c ON h.doc_id = c.doc_id)
+         |SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |       len(list_intersect(a.hs, b.hs)) AS inter_cnt,
+         |       len(list_distinct(a.hs || b.hs)) AS union_cnt
+         |FROM hsrc a JOIN hsrc b ON a.source = b.source AND a.doc_id < b.doc_id
+         |WHERE len(list_intersect(a.hs, b.hs))::DOUBLE / len(list_distinct(a.hs || b.hs)) >= 0.4""".stripMargin) {
+      (s, d) =>
+        val hs = table(s, d, "documents")
+          .select(col("doc_id"), col("source"), Dedup.tokens(col("text")).as("ws"))
+          .filter(size(col("ws")) >= 3)
+          .select(col("doc_id"), col("source"),
+            Dedup.shingleHashes(Dedup.shingles(col("ws"))).as("hs"))
+        val right = hs.select(col("doc_id").as("d2"), col("source").as("src2"),
+          col("hs").as("hs2"))
+        val (inter, uni) = Dedup.jaccardParts(col("hs"), col("hs2"))
+        hs.join(right, col("source") === col("src2") && col("doc_id") < col("d2"))
+          .withColumn("inter_cnt", inter).withColumn("union_cnt", uni)
+          .filter(col("inter_cnt").cast("double") / col("union_cnt") >= 0.4)
+          .select(col("doc_id").as("d1"), col("d2"), col("inter_cnt"), col("union_cnt"))
+    },
+
+    // Text quality scoring: token/length stats, stopword ratio, and a
+    // rule-based keep flag. Pure per-doc expressions — one map pass.
+    Q("q35_text_quality",
+      s"""SELECT doc_id,
+         |  length(text) AS n_chars_m,
+         |  len(string_split(text,' ')) AS n_tok,
+         |  round(length(replace(text,' ',''))::DOUBLE / len(string_split(text,' ')), 4) AS avg_tok_len,
+         |  len(list_filter(string_split(text,' '), w -> w IN (${TextAnalysis.Stopwords.map("'" + _ + "'").mkString(",")}))) AS stop_cnt,
+         |  round(len(list_filter(string_split(text,' '), w -> w IN (${TextAnalysis.Stopwords.map("'" + _ + "'").mkString(",")})))::DOUBLE
+         |        / len(string_split(text,' ')), 6) AS stop_ratio,
+         |  CASE WHEN len(string_split(text,' ')) BETWEEN 20 AND 200
+         |        AND len(list_filter(string_split(text,' '), w -> w IN (${TextAnalysis.Stopwords.map("'" + _ + "'").mkString(",")})))::DOUBLE
+         |            / len(string_split(text,' ')) <= 0.4
+         |       THEN 1 ELSE 0 END AS is_quality
+         |FROM documents""".stripMargin) {
+      (s, d) =>
+        val ws = Dedup.tokens(col("text"))
+        val stopCnt = TextAnalysis.stopwordCount(ws)
+        table(s, d, "documents").select(
+          col("doc_id"),
+          length(col("text")).as("n_chars_m"),
+          size(ws).as("n_tok"),
+          round(TextAnalysis.nonSpaceChars(col("text")).cast("double") / size(ws), 4)
+            .as("avg_tok_len"),
+          stopCnt.as("stop_cnt"),
+          round(stopCnt.cast("double") / size(ws), 6).as("stop_ratio"),
+          when(size(ws).between(20, 200) &&
+               stopCnt.cast("double") / size(ws) <= 0.4, 1).otherwise(0)
+            .as("is_quality"))
+    },
+
+    // Token counting rolled up per source: whitespace tokens and a
+    // BPE-ish regex token stream. Per-doc map pass + one partial-agg
+    // shuffle on the 20 source keys.
+    Q("q36_token_count",
+      s"""SELECT source, count(*) AS n_docs,
+         |  sum(len(string_split(text,' '))) AS ws_tokens,
+         |  sum(len(regexp_extract_all(text, '${TextAnalysis.BpeIshRegex}'))) AS bpe_tokens,
+         |  max(len(string_split(text,' '))) AS max_doc_tokens
+         |FROM documents GROUP BY source""".stripMargin) {
+      (s, d) =>
+        table(s, d, "documents").groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.wsTokenCount(col("text"))).as("ws_tokens"),
+          sum(TextAnalysis.bpeTokenCount(col("text"))).as("bpe_tokens"),
+          max(TextAnalysis.wsTokenCount(col("text"))).as("max_doc_tokens"))
+    },
+
+    // Language ID: fixed character-bigram marker profiles per
+    // language, argmax with alphabetical tie-break, compared against
+    // the labeled `lang`. Fixed-width alternations ⇒ identical
+    // non-overlapping match counts on any regex engine.
+    Q("q37_lang_id", {
+      val scoreCols = TextAnalysis.LangProfiles.map { case (l, prof) =>
+        s"len(regexp_extract_all(text, '$prof')) AS s_$l"
+      }.mkString(",\n  ")
+      val langs = TextAnalysis.LangProfiles.map(_._1)
+      val m = s"greatest(${langs.map("s_" + _).mkString(",")})"
+      val pred = langs.map(l => s"WHEN s_$l = $m THEN '$l'")
+        .mkString("CASE ", " ", " END")
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang, $scoreCols FROM documents)
+         |SELECT doc_id, ${langs.map("s_" + _).mkString(", ")},
+         |       $pred AS pred, lang,
+         |       CASE WHEN ($pred) = lang THEN 1 ELSE 0 END AS correct
+         |FROM scored""".stripMargin
+    }) {
+      (s, d) =>
+        val scores = TextAnalysis.LangProfiles.map { case (l, prof) =>
+          TextAnalysis.langScore(col("text"), prof).as(s"s_$l")
+        }
+        val scored = table(s, d, "documents")
+          .select(col("doc_id") +: col("lang") +: scores: _*)
+        val scoreRefs = TextAnalysis.LangProfiles.map(p => col(s"s_${p._1}"))
+        val pred = TextAnalysis.langPredict(scoreRefs)
+        scored.select(
+          col("doc_id") +: scoreRefs :+ pred.as("pred") :+ col("lang") :+
+            when(pred === col("lang"), 1).otherwise(0).as("correct"): _*)
+    },
+
+    // Content fingerprinting: order-sensitive polynomial rolling hash
+    // over the token stream + order-insensitive min token hash.
+    // Identical left-to-right fold in both engines.
+    Q("q38_doc_fingerprint",
+      s"""WITH tok AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents)
+         |SELECT doc_id,
+         |  list_reduce(list_prepend(0::BIGINT, list_transform(ws, w -> ${h64("w")} % $P)),
+         |              (a, b) -> (a * 31 + b) % $P) AS rolling_fp,
+         |  list_min(list_transform(ws, w -> ${h64("w")})) AS min_tok_fp,
+         |  len(ws) AS n_tok
+         |FROM tok""".stripMargin) {
+      (s, d) =>
+        val ws = Dedup.tokens(col("text"))
+        table(s, d, "documents").select(
+          col("doc_id"),
+          TextAnalysis.rollingFingerprint(ws).as("rolling_fp"),
+          array_min(transform(ws, w => portableHash64(w))).as("min_tok_fp"),
+          size(ws).as("n_tok"))
+    }
+  )
+}

@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Functions.{cosineSim, dotProduct, l2Norm}
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Two shapes:
+  *   - [[bruteForceKnn]]: the exact baseline — broadcast the (bounded)
+  *     query batch against the corpus scan, score every vector, rank
+  *     per query. One pass over the corpus; correct at any scale in
+  *     corpus size, linear cost per query.
+  *   - [[ivfKnn]]: the scale path — assign every vector to its nearest
+  *     of k fixed centroids (broadcast join against k rows), then
+  *     search only the query's own cell. The corpus-side work drops
+  *     from |corpus| to |cell| per query; the assignment is one
+  *     broadcast pass, amortized across queries (and in a real
+  *     pipeline, materialized once).
+  *
+  * All scoring is `zip_with`/`aggregate` higher-order expressions
+  * (codegen'd, no UDFs) with a deterministic left-to-right fold, so
+  * the DuckDB oracle reproduces the same IEEE double bit-for-bit;
+  * ranks order by the 6-decimal-rounded score with id tie-breaks,
+  * making top-k fully deterministic.
+  */
+object Similarity {
+
+  /** Cosine similarity rounded to 6 decimals (hash-stable output and
+    * deterministic ordering key). */
+  def cosRounded(a: Column, b: Column): Column = round(cosineSim(a, b), 6)
+
+  /** Exact top-k: broadcast `queries` (a bounded query batch by
+    * contract) against the corpus; rank per query by rounded cosine
+    * desc, id asc. Excludes self-matches. */
+  def bruteForceKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+    val scored = corpus.select(col(idCol), col(vecCol))
+      .join(broadcast(q), col(idCol) =!= col("qid"))
+      .withColumn("cos_r", cosRounded(col("qvec"), col(vecCol)))
+    val w = Window.partitionBy("qid").orderBy(col("cos_r").desc, col(idCol))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col(idCol), col("rnk"), col("cos_r"))
+  }
+
+  /** Assign each vector to its nearest centroid (broadcast join on k
+    * fixed centroid rows; ties broken by centroid id). */
+  def assignCells(corpus: DataFrame, centroids: DataFrame,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = centroids.select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__ccos").desc, col("cid"))
+    corpus.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(c))
+      .withColumn("__ccos", cosRounded(col(vecCol), col("cvec")))
+      .withColumn("__crnk", row_number().over(w))
+      .filter(col("__crnk") === 1)
+      .select(col(idCol), col(vecCol), col("cid"))
+  }
+
+  /** IVF top-k: score only vectors sharing the query's cell. */
+  def ivfKnn(corpus: DataFrame, centroids: DataFrame, queries: DataFrame, k: Int,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cells = assignCells(corpus, centroids, idCol, vecCol)
+    val qCells = cells.join(queries.select(col(idCol)), Seq(idCol), "left_semi")
+      .select(col(idCol).as("qid"), col(vecCol).as("qvec"), col("cid"))
+    val scored = cells
+      .join(broadcast(qCells), col("cid") === qCells("cid") && col(idCol) =!= col("qid"))
+      .withColumn("cos_r", cosRounded(col("qvec"), col(vecCol)))
+    val w = Window.partitionBy("qid").orderBy(col("cos_r").desc, col(idCol))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col(idCol), col("rnk"), col("cos_r"))
+  }
+}

@@ -1,0 +1,73 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.io.Sources.table
+import graft.ops.Similarity
+
+/** Approximate-nearest-neighbor search over `embeddings.embedding`
+  * (`Array[Float]`, 64-dim): brute-force cosine top-k as the exact
+  * baseline, and an IVF-bucketed variant as the 100 TB scale path.
+  * The DuckDB oracles evaluate the identical left-to-right fold
+  * (products in double, sequential sum), so scores agree bit-for-bit
+  * before the 6-decimal rounding that makes ranking deterministic.
+  */
+object SimilarityQueries {
+
+  /** DuckDB-side deterministic fold mirrors of
+    * [[graft.functions.Functions.dotProduct]] / `l2Norm`. */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip($a, $b), p -> p[1]::DOUBLE * p[2]::DOUBLE)), (x, y) -> x + y)"
+  private def normSql(a: String): String =
+    s"sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform($a, v -> v::DOUBLE * v::DOUBLE)), (x, y) -> x + y))"
+  private def cosSql(a: String, b: String): String =
+    s"round(${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)}), 6)"
+
+  val all: Seq[Q] = Seq(
+
+    // Brute-force exact cosine top-5 for a bounded query batch
+    // (every 50th vector). Baseline for the IVF variant below.
+    Q("q40_cosine_knn",
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id % 50 = 0),
+         |scored AS (
+         |  SELECT q.qid, e.vec_id, ${cosSql("q.qvec", "e.embedding")} AS cos_r
+         |  FROM embeddings e JOIN q ON e.vec_id <> q.qid),
+         |ranked AS (
+         |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY cos_r DESC, vec_id) AS rnk, cos_r
+         |  FROM scored)
+         |SELECT qid, vec_id, CAST(rnk AS BIGINT) AS rnk, cos_r FROM ranked WHERE rnk <= 5""".stripMargin) {
+      (s, d) =>
+        val e = table(s, d, "embeddings")
+        Similarity.bruteForceKnn(e, e.filter(col("vec_id") % 50 === 0), k = 5)
+          .withColumn("rnk", col("rnk").cast("bigint"))
+    },
+
+    // IVF-bucketed ANN: vectors assigned to the nearest of ~k fixed
+    // centroids (every 37th vector offset 1), queries probe only
+    // their own cell. The oracle reproduces assignment + in-cell
+    // ranking exactly.
+    Q("q41_ann_ivf",
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id % 37 = 1),
+         |assigned AS (
+         |  SELECT vec_id, embedding, cid, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY ${cosSql("embedding", "cvec")} DESC, cid) AS crnk
+         |  FROM embeddings CROSS JOIN c),
+         |cells AS (SELECT vec_id, embedding, cid FROM assigned WHERE crnk = 1),
+         |qc AS (SELECT vec_id AS qid, embedding AS qvec, cid FROM cells WHERE vec_id % 50 = 0),
+         |scored AS (
+         |  SELECT qc.qid, cells.vec_id, ${cosSql("qc.qvec", "cells.embedding")} AS cos_r
+         |  FROM cells JOIN qc ON cells.cid = qc.cid AND cells.vec_id <> qc.qid),
+         |ranked AS (
+         |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY cos_r DESC, vec_id) AS rnk, cos_r
+         |  FROM scored)
+         |SELECT qid, vec_id, CAST(rnk AS BIGINT) AS rnk, cos_r FROM ranked WHERE rnk <= 3""".stripMargin) {
+      (s, d) =>
+        val e = table(s, d, "embeddings")
+        Similarity.ivfKnn(
+          corpus = e,
+          centroids = e.filter(col("vec_id") % 37 === 1),
+          queries = e.filter(col("vec_id") % 50 === 0),
+          k = 3)
+          .withColumn("rnk", col("rnk").cast("bigint"))
+    }
+  )
+}

@@ -1,7 +1,12 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's t2 gate: run after `graft.Verify`
 dumps query results, compare each result parquet against its DuckDB
-oracle (EXCEPT ALL in both directions, columns sorted by name).
+oracle (schema via DESCRIBE, then EXCEPT ALL in both directions,
+columns sorted by name).
+
+Iterates the DECLARED keys of oracle_sql.json (not just existing output
+dirs), so a query that errored inside Verify shows up as FAIL instead of
+silently vanishing. Also reports Verify's _failures.json marker.
 
 Usage: python3 dev/compare.py [sf_dir] [verify_out]
 """
@@ -17,11 +22,25 @@ for t in ("region nation customer supplier part orders lineitem events "
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
 
 oracle = json.load(open(f"{out}/oracle_sql.json"))
+try:
+    markers = json.load(open(f"{out}/_failures.json"))
+except Exception:
+    markers = {}
+
+out_dirs = {os.path.basename(d.rstrip("/")) for d in glob.glob(f"{out}/*/")}
 fails, passes, noracle = [], [], []
-for qdir in sorted(glob.glob(f"{out}/*/")):
-    name = os.path.basename(qdir.rstrip("/"))
-    parts = glob.glob(f"{qdir}/*.parquet")
-    if not parts:
+
+for name, msg in markers.items():
+    fails.append((name, f"verify-time failure: {msg}"))
+
+for name in sorted(set(oracle) | out_dirs):
+    if name in markers:
+        continue
+    if name not in out_dirs:
+        fails.append((name, "declared in oracle_sql.json but no output dir"))
+        continue
+    qdir = f"{out}/{name}"
+    if not glob.glob(f"{qdir}/*.parquet"):
         fails.append((name, "no parquet output"))
         continue
     spark_rel = f"read_parquet('{qdir}/*.parquet')"
@@ -30,10 +49,16 @@ for qdir in sorted(glob.glob(f"{out}/*/")):
         noracle.append((name, n_spark))
         continue
     try:
-        cols = [r[0] for r in con.sql(
-            f"DESCRIBE SELECT * FROM {spark_rel}").fetchall()]
-        sel = ", ".join(f'"{c}"' for c in sorted(cols))
         osql = oracle[name]
+        s_schema = sorted((r[0], r[1]) for r in con.sql(
+            f"DESCRIBE SELECT * FROM {spark_rel}").fetchall())
+        o_schema = sorted((r[0], r[1]) for r in con.sql(
+            f"DESCRIBE SELECT * FROM ({osql})").fetchall())
+        if s_schema != o_schema:
+            fails.append((name, f"schema spark={s_schema} oracle={o_schema}"))
+            continue
+        cols = [c for c, _ in s_schema]
+        sel = ", ".join(f'"{c}"' for c in cols)
         n_oracle = con.sql(f"SELECT count(*) FROM ({osql})").fetchone()[0]
         d1 = con.sql(f"(SELECT {sel} FROM {spark_rel}) EXCEPT ALL "
                      f"(SELECT {sel} FROM ({osql}))").fetchmany(3)

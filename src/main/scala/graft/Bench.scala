@@ -31,21 +31,23 @@ object Bench {
     def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).queryExecution.toRdd.count(): Unit
 
-    // Warmup pass: every query once, failures recorded but not timed.
+    // Warmup pass: every query once, failures tolerated (the timed pass
+    // is authoritative for errors — a warmup-only hiccup must not fail
+    // the bench if the timed run succeeds).
     queries.foreach { case (name, fn) =>
-      try run(name, fn)
-      catch { case e: Throwable =>
-        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
-      }
+      try run(name, fn) catch { case _: Throwable => () }
     }
 
-    val results = queries.map { case (name, fn) =>
+    // Timed pass. A failed query reports time=null and contributes
+    // nothing to the total — partial elapsed-to-failure time would skew
+    // round-over-round comparison.
+    val results: Seq[(String, Option[Double])] = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try run(name, fn)
+      try { run(name, fn); name -> Some((System.nanoTime() - t0) / 1e9) }
       catch { case e: Throwable =>
         errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
+        name -> None
       }
-      name -> (System.nanoTime() - t0) / 1e9
     }
 
     def jstr(s: String): String =
@@ -53,9 +55,10 @@ object Bench {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v) =>
+      jstr(k) + ":" + v.fold("null")(_.toString) }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.flatMap(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":${jstr(sfDir)}}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)

@@ -1,9 +1,29 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** Dump-side timestamp canonicalization. Spark's `TimestampType` is
+    * tz-adjusted: parquet gets `isAdjustedToUTC=true`, which DuckDB /
+    * pyarrow read as TIMESTAMPTZ — while the DuckDB oracle emits naive
+    * TIMESTAMP, failing the driver's schema compare (every
+    * timestamp-bearing query went schema_match=false in r2). Session TZ
+    * is pinned UTC, so casting to `TimestampNTZType` is value-identity
+    * and writes naive µs parquet that matches the oracle type exactly
+    * (µs also holds the 9999-12-31 SCD2 sentinel, unlike INT96-as-ns). */
+  def canonTimestamps(df: DataFrame): DataFrame = {
+    val needs = df.schema.fields.exists(_.dataType == TimestampType)
+    if (!needs) df
+    else df.select(df.schema.fields.map { f =>
+      if (f.dataType == TimestampType) col(f.name).cast(TimestampNTZType).as(f.name)
+      else col(f.name)
+    }.toIndexedSeq: _*)
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -20,10 +40,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      try canonTimestamps(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failures(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -42,6 +64,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Failure marker: a query that errors must not silently vanish from
+    // the correctness gate (compare iterates declared keys and reads
+    // this) — exit stays 0 so the driver still runs the compare.
+    val fj = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_failures.json"), fj)
+    if (failures.nonEmpty)
+      System.err.println(s"[verify] ${failures.size} queries FAILED: ${failures.keys.mkString(", ")}")
     spark.stop()
   }
 }

@@ -64,10 +64,12 @@ object Similarity {
   def ivfKnn(corpus: DataFrame, centroids: DataFrame, queries: DataFrame, k: Int,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val cells = assignCells(corpus, centroids, idCol, vecCol)
+    // Rename every query-side column: qCells derives from cells, so an
+    // unqualified col("cid") on both sides of the join is ambiguous.
     val qCells = cells.join(queries.select(col(idCol)), Seq(idCol), "left_semi")
-      .select(col(idCol).as("qid"), col(vecCol).as("qvec"), col("cid"))
+      .select(col(idCol).as("qid"), col(vecCol).as("qvec"), col("cid").as("qcid"))
     val scored = cells
-      .join(broadcast(qCells), col("cid") === qCells("cid") && col(idCol) =!= col("qid"))
+      .join(broadcast(qCells), col("cid") === col("qcid") && col(idCol) =!= col("qid"))
       .withColumn("cos_r", cosRounded(col("qvec"), col(vecCol)))
     val w = Window.partitionBy("qid").orderBy(col("cos_r").desc, col(idCol))
     scored.withColumn("rnk", row_number().over(w))

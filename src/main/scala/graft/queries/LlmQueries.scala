@@ -121,7 +121,8 @@ object LlmQueries {
           .join(sigs.select(col("doc_id").as("d2"), col("__hs").as("hs2")), "d2")
         val (inter, uni) = Dedup.jaccardParts(col("hs1"), col("hs2"))
         withSets
-          .withColumn("inter_cnt", inter).withColumn("union_cnt", uni)
+          .withColumn("inter_cnt", inter.cast("bigint"))
+          .withColumn("union_cnt", uni.cast("bigint"))
           .withColumn("jac", round(col("inter_cnt").cast("double") / col("union_cnt"), 6))
           .filter(col("inter_cnt").cast("double") / col("union_cnt") >= 0.4)
           .select("d1", "d2", "inter_cnt", "union_cnt", "jac")
@@ -195,7 +196,8 @@ object LlmQueries {
           col("hs").as("hs2"))
         val (inter, uni) = Dedup.jaccardParts(col("hs"), col("hs2"))
         hs.join(right, col("source") === col("src2") && col("doc_id") < col("d2"))
-          .withColumn("inter_cnt", inter).withColumn("union_cnt", uni)
+          .withColumn("inter_cnt", inter.cast("bigint"))
+          .withColumn("union_cnt", uni.cast("bigint"))
           .filter(col("inter_cnt").cast("double") / col("union_cnt") >= 0.4)
           .select(col("doc_id").as("d1"), col("d2"), col("inter_cnt"), col("union_cnt"))
     },
@@ -220,11 +222,11 @@ object LlmQueries {
         val stopCnt = TextAnalysis.stopwordCount(ws)
         table(s, d, "documents").select(
           col("doc_id"),
-          length(col("text")).as("n_chars_m"),
-          size(ws).as("n_tok"),
+          length(col("text")).cast("bigint").as("n_chars_m"),
+          size(ws).cast("bigint").as("n_tok"),
           round(TextAnalysis.nonSpaceChars(col("text")).cast("double") / size(ws), 4)
             .as("avg_tok_len"),
-          stopCnt.as("stop_cnt"),
+          stopCnt.cast("bigint").as("stop_cnt"),
           round(stopCnt.cast("double") / size(ws), 6).as("stop_ratio"),
           when(size(ws).between(20, 200) &&
                stopCnt.cast("double") / size(ws) <= 0.4, 1).otherwise(0)
@@ -234,18 +236,21 @@ object LlmQueries {
     // Token counting rolled up per source: whitespace tokens and a
     // BPE-ish regex token stream. Per-doc map pass + one partial-agg
     // shuffle on the 20 source keys.
+    // DuckDB sum() over BIGINT yields HUGEINT (int128) — cast every
+    // aggregate to BIGINT so the driver's hasher sees the same int64
+    // values the Spark side emits (r2: hash_match=false on exactly this).
     Q("q36_token_count",
       s"""SELECT source, count(*) AS n_docs,
-         |  sum(len(string_split(text,' '))) AS ws_tokens,
-         |  sum(len(regexp_extract_all(text, '${TextAnalysis.BpeIshRegex}'))) AS bpe_tokens,
-         |  max(len(string_split(text,' '))) AS max_doc_tokens
+         |  CAST(sum(len(string_split(text,' '))) AS BIGINT) AS ws_tokens,
+         |  CAST(sum(len(regexp_extract_all(text, '${TextAnalysis.BpeIshRegex}'))) AS BIGINT) AS bpe_tokens,
+         |  CAST(max(len(string_split(text,' '))) AS BIGINT) AS max_doc_tokens
          |FROM documents GROUP BY source""".stripMargin) {
       (s, d) =>
         table(s, d, "documents").groupBy("source").agg(
           count(lit(1)).as("n_docs"),
           sum(TextAnalysis.wsTokenCount(col("text"))).as("ws_tokens"),
           sum(TextAnalysis.bpeTokenCount(col("text"))).as("bpe_tokens"),
-          max(TextAnalysis.wsTokenCount(col("text"))).as("max_doc_tokens"))
+          max(TextAnalysis.wsTokenCount(col("text"))).cast("bigint").as("max_doc_tokens"))
     },
 
     // Language ID: fixed character-bigram marker profiles per
@@ -269,7 +274,7 @@ object LlmQueries {
     }) {
       (s, d) =>
         val scores = TextAnalysis.LangProfiles.map { case (l, prof) =>
-          TextAnalysis.langScore(col("text"), prof).as(s"s_$l")
+          TextAnalysis.langScore(col("text"), prof).cast("bigint").as(s"s_$l")
         }
         val scored = table(s, d, "documents")
           .select(col("doc_id") +: col("lang") +: scores: _*)
@@ -297,7 +302,7 @@ object LlmQueries {
           col("doc_id"),
           TextAnalysis.rollingFingerprint(ws).as("rolling_fp"),
           array_min(transform(ws, w => portableHash64(w))).as("min_tok_fp"),
-          size(ws).as("n_tok"))
+          size(ws).cast("bigint").as("n_tok"))
     }
   )
 }

@@ -28,8 +28,13 @@ object Bench {
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
 
-    def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+    def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
       fn(spark, sfDir).queryExecution.toRdd.count(): Unit
+      // Queries may cache intermediate frames (LSH signatures); drop
+      // them so later queries aren't measured under another query's
+      // memory pressure.
+      spark.catalog.clearCache()
+    }
 
     // Warmup pass: every query once, failures tolerated (the timed pass
     // is authoritative for errors — a warmup-only hiccup must not fail

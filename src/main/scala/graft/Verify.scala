@@ -42,9 +42,11 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try canonTimestamps(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        canonTimestamps(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        spark.catalog.clearCache() // drop query-local caches (LSH signatures)
+      } catch { case e: Throwable =>
         failures(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -73,21 +73,28 @@ object Dedup {
   }
 
   /** LSH candidate pairs: docs agreeing on ALL rows of at least one
-    * band. One equi join per band on the band's signature columns —
-    * hash joins on narrow keys, never all-pairs. Returns distinct
+    * band. Each doc explodes into one (band_id, band_signature) row
+    * per band; ONE self equi join on that pair yields all candidates —
+    * a single shuffle over narrow keys, never all-pairs, instead of
+    * NumBands separate joins each rescanning the signature pipeline
+    * (at 100 TB the signature scan is the dominant cost, so scan
+    * count, not join count, is what matters). Returns distinct
     * (d1, d2) with d1 < d2. */
   def lshCandidates(sigs: DataFrame, idCol: String): DataFrame = {
-    val bands = (0 until NumBands).map { b =>
-      val cols = (b * BandRows until (b + 1) * BandRows).map(i => s"mh$i")
-      val left = sigs.select((idCol +: cols).map(col): _*)
-      val right =
-        sigs.select(col(idCol).as("__d2") +: cols.map(c => col(c).as(s"__r_$c")): _*)
-      left.join(right,
-          cols.map(c => col(c) === col(s"__r_$c")).reduce(_ && _) &&
-            col(idCol) < col("__d2"))
-        .select(col(idCol).as("d1"), col("__d2").as("d2"))
+    val bandStructs = (0 until NumBands).map { b =>
+      // Field names must agree across bands or `array` rejects the
+      // struct types as different.
+      struct((0 until BandRows).map(r => col(s"mh${b * BandRows + r}").as(s"v$r")): _*)
     }
-    bands.reduce(_ unionByName _).distinct()
+    val rows = sigs.select(col(idCol),
+      posexplode(array(bandStructs: _*)).as(Seq("__band", "__bsig")))
+    val right = rows.select(col(idCol).as("__d2"),
+      col("__band").as("__rband"), col("__bsig").as("__rbsig"))
+    rows.join(right,
+        col("__band") === col("__rband") && col("__bsig") === col("__rbsig") &&
+          col(idCol) < col("__d2"))
+      .select(col(idCol).as("d1"), col("__d2").as("d2"))
+      .distinct()
   }
 
   /** Exact Jaccard over two distinct-element arrays. */
@@ -122,19 +129,22 @@ object Dedup {
     * joins on one-byte keys; never all-pairs. */
   def simhashPairs(fps: DataFrame, idCol: String, fpCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    val withBands = (0 until 4).foldLeft(fps) { (df, k) =>
-      df.withColumn(s"__b$k", shiftright(col(fpCol), k * 8).bitwiseAND(lit(255L)))
-    }
-    val right = withBands.select(
-      col(idCol).as("__d2") +: col(fpCol).as("__fp2") +:
-        (0 until 4).map(k => col(s"__b$k").as(s"__rb$k")): _*)
-    val bands = (0 until 4).map { k =>
-      withBands.join(right,
-          col(s"__b$k") === col(s"__rb$k") && col(idCol) < col("__d2"))
-        .select(col(idCol).as("d1"), col("__d2").as("d2"),
-          col(fpCol).as("fp1"), col("__fp2").as("fp2"))
-    }
-    bands.reduce(_ unionByName _).distinct()
+    // One (byte_band_id, byte_value) row per doc per band, ONE self
+    // equi join — same single-scan/single-shuffle shape as
+    // [[lshCandidates]]; the fingerprint source is scanned twice, not
+    // 8 times.
+    val rows = fps.select(col(idCol), col(fpCol),
+      posexplode(array((0 until 4).map(k =>
+        shiftright(col(fpCol), k * 8).bitwiseAND(lit(255L))): _*))
+        .as(Seq("__band", "__bv")))
+    val right = rows.select(col(idCol).as("__d2"), col(fpCol).as("__fp2"),
+      col("__band").as("__rband"), col("__bv").as("__rbv"))
+    rows.join(right,
+        col("__band") === col("__rband") && col("__bv") === col("__rbv") &&
+          col(idCol) < col("__d2"))
+      .select(col(idCol).as("d1"), col("__d2").as("d2"),
+        col(fpCol).as("fp1"), col("__fp2").as("fp2"))
+      .distinct()
       .withColumn("hamming", hamming(col("fp1"), col("fp2")).cast("int"))
       .filter(col("hamming") <= maxHamming)
   }

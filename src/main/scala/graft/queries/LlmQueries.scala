@@ -113,8 +113,13 @@ object LlmQueries {
          |FROM pairs
          |WHERE len(list_intersect(hs1,hs2))::DOUBLE / len(list_distinct(hs1||hs2)) >= 0.4""".stripMargin) {
       (s, d) =>
+        // Cache the signatures: the candidate join and the verify joins
+        // reference them 3× — without caching, every reference re-runs
+        // the md5-shingle pipeline (the dominant cost). In a production
+        // pipeline signatures are materialized to storage once; cache
+        // is the single-job equivalent.
         val sigs = Dedup.minhashSignatures(
-          table(s, d, "documents").select("doc_id", "text"), "doc_id", "text")
+          table(s, d, "documents").select("doc_id", "text"), "doc_id", "text").cache()
         val cands = Dedup.lshCandidates(sigs, "doc_id")
         val withSets = cands
           .join(sigs.select(col("doc_id").as("d1"), col("__hs").as("hs1")), "d1")
@@ -170,13 +175,24 @@ object LlmQueries {
           .filter(size(col("ws")) >= 3)
           .select(col("doc_id"),
             explode(Dedup.shingleHashes(Dedup.shingles(col("ws")))).as("h"))
-        Dedup.simhashPairs(Dedup.simhash32(sh, "doc_id", "h"), "doc_id", "simhash")
+        // Cache the per-doc fingerprints: the byte-band candidate joins
+        // reference them repeatedly — uncached, each reference re-runs
+        // the explode + simhash aggregation.
+        val fps = Dedup.simhash32(sh, "doc_id", "h").cache()
+        Dedup.simhashPairs(fps, "doc_id", "simhash")
           .select("d1", "d2", "fp1", "fp2", "hamming")
     },
 
     // n-gram Jaccard with bucket pruning: exact shingle Jaccard, but
     // only within same-`source` buckets (a bounded candidate space —
     // the exact-verify complement to q31's probabilistic candidates).
+    // Spark plan: inverted index, not all-pairs — explode to
+    // (source, shingle_hash, doc) rows and self-join on the hash, so a
+    // pair materializes once per SHARED shingle and pairs with zero
+    // overlap never exist; |intersection| is then a count per pair and
+    // |union| = n1 + n2 − |intersection|. At 100 TB the within-bucket
+    // all-pairs intersect is quadratic in bucket size; this is linear
+    // in total overlap.
     Q("q34_ngram_jaccard",
       s"""WITH corpus AS (SELECT doc_id, text, source FROM documents),
          |$shingleCtes,
@@ -187,19 +203,29 @@ object LlmQueries {
          |FROM hsrc a JOIN hsrc b ON a.source = b.source AND a.doc_id < b.doc_id
          |WHERE len(list_intersect(a.hs, b.hs))::DOUBLE / len(list_distinct(a.hs || b.hs)) >= 0.4""".stripMargin) {
       (s, d) =>
+        // Cached: the size lookup and the inverted index both read this —
+        // uncached, the md5-shingle pipeline runs twice over the corpus.
         val hs = table(s, d, "documents")
           .select(col("doc_id"), col("source"), Dedup.tokens(col("text")).as("ws"))
           .filter(size(col("ws")) >= 3)
           .select(col("doc_id"), col("source"),
             Dedup.shingleHashes(Dedup.shingles(col("ws"))).as("hs"))
-        val right = hs.select(col("doc_id").as("d2"), col("source").as("src2"),
-          col("hs").as("hs2"))
-        val (inter, uni) = Dedup.jaccardParts(col("hs"), col("hs2"))
-        hs.join(right, col("source") === col("src2") && col("doc_id") < col("d2"))
-          .withColumn("inter_cnt", inter.cast("bigint"))
-          .withColumn("union_cnt", uni.cast("bigint"))
+          .cache()
+        val sizes = hs.select(col("doc_id"), size(col("hs")).cast("bigint").as("n"))
+        val inv = hs.select(col("doc_id"), col("source"), explode(col("hs")).as("h"))
+        val inter = inv
+          .join(inv.select(col("doc_id").as("d2"), col("source").as("src2"),
+            col("h").as("h2")),
+            col("source") === col("src2") && col("h") === col("h2") &&
+              col("doc_id") < col("d2"))
+          .groupBy(col("doc_id").as("d1"), col("d2"))
+          .agg(count(lit(1)).as("inter_cnt"))
+        inter
+          .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+          .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+          .withColumn("union_cnt", col("n1") + col("n2") - col("inter_cnt"))
           .filter(col("inter_cnt").cast("double") / col("union_cnt") >= 0.4)
-          .select(col("doc_id").as("d1"), col("d2"), col("inter_cnt"), col("union_cnt"))
+          .select(col("d1"), col("d2"), col("inter_cnt"), col("union_cnt"))
     },
 
     // Text quality scoring: token/length stats, stopword ratio, and a

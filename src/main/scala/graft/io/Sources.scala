@@ -60,8 +60,11 @@ object Sources {
     * `terminals.py:55`) — done as a Catalyst expression so it runs
     * distributed, not driver-side. */
   def withFileDate(df: DataFrame, colName: String = "file_date"): DataFrame =
+    // Extract from the basename, not the full path — a parent directory
+    // containing 8+ digits would otherwise match first.
     df.withColumn(colName,
-      to_date(regexp_extract(input_file_name(), "(\\d{8})", 1), "ddMMyyyy"))
+      to_date(regexp_extract(
+        substring_index(input_file_name(), "/", -1), "(\\d{8})", 1), "ddMMyyyy"))
 
   /** Driver-side file discovery in chronological order: glob by mask,
     * sort by the DDMMYYYY date embedded in the name (reference

@@ -1,0 +1,101 @@
+package graft.functions
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.functions.Functions._
+
+class FunctionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("parseEuroDecimal truth table (reference transaction.py:77)") {
+    val in = Seq("1.234,56", "0,99", "1.000.000,00", "42", null)
+    val out = in.toDF("s")
+      .select(parseEuroDecimal(col("s")).cast("string"))
+      .collect().map(r => Option(r.getString(0)))
+    assert(out.toSeq === Seq(Some("1234.56"), Some("0.99"),
+      Some("1000000.00"), Some("42.00"), None))
+  }
+
+  test("toEuroString inverts parseEuroDecimal for plain decimals") {
+    val out = Seq("12,34").toDF("s")
+      .select(toEuroString(parseEuroDecimal(col("s"))))
+      .collect().head.getString(0)
+    assert(out === "12,34")
+  }
+
+  test("fio skips NULLs like Postgres concat (report.py:23)") {
+    val out = Seq(("Ivanov", null: String, "Ivanovich"))
+      .toDF("l", "f", "p")
+      .select(fio(col("l"), col("f"), col("p")))
+      .collect().head.getString(0)
+    assert(out === "Ivanov Ivanovich")
+  }
+
+  test("changed: null-safe inequality truth table (terminals.py:128-131)") {
+    val cases = Seq(
+      ("a", "a", false), ("a", "b", true),
+      (null, "a", true), ("a", null, true), (null, null, false))
+    val out = cases.map(c => (c._1, c._2)).toDF("x", "y")
+      .select(changed(col("x"), col("y"))).collect().map(_.getBoolean(0))
+    assert(out.toSeq === cases.map(_._3))
+  }
+
+  test("anyChanged ORs across tracked pairs (clients.py:156-163)") {
+    val df = Seq(("a", "a", "b", "b"), ("a", "z", "b", "b"), ("a", "a", "b", "z"))
+      .toDF("a1", "a2", "b1", "b2")
+    val out = df.select(anyChanged(Seq(col("a1") -> col("a2"), col("b1") -> col("b2"))))
+      .collect().map(_.getBoolean(0))
+    assert(out.toSeq === Seq(false, true, true))
+  }
+
+  test("withinSeconds is inclusive epoch arithmetic (report.py:99,112)") {
+    val a = Timestamp.valueOf("2024-01-01 01:00:00")
+    val in = Seq(
+      (a, Timestamp.valueOf("2024-01-01 00:00:00")), // exactly 3600s
+      (a, Timestamp.valueOf("2024-01-01 00:00:01")), // 3599s
+      (a, Timestamp.valueOf("2023-12-31 23:59:59"))) // 3601s
+    val out = in.toDF("a", "b")
+      .select(withinSeconds(col("a"), col("b"), 3600))
+      .collect().map(_.getBoolean(0))
+    assert(out.toSeq === Seq(true, true, false))
+  }
+
+  test("minusOneSecond closes versions an instant before the successor (cards.py:126)") {
+    val out = Seq(Timestamp.valueOf("2024-02-01 00:00:00")).toDF("t")
+      .select(minusOneSecond(col("t"))).collect().head.getTimestamp(0)
+    assert(out === Timestamp.valueOf("2024-01-31 23:59:59"))
+  }
+
+  test("portableHash64 equals the first 15 md5 hex digits as int64") {
+    // md5("abc") = 900150983cd24fb0d6963f7d28e17f72 → first 15 hex digits.
+    val expected = java.lang.Long.parseLong("900150983cd24fb", 16)
+    val out = Seq("abc").toDF("s")
+      .select(portableHash64(col("s"))).collect().head.getLong(0)
+    assert(out === expected)
+  }
+
+  test("minhashFn family: deterministic, within [0, p)") {
+    val p = 2147483647L
+    val base = Seq(1234567890123L, 0L, p - 1).toDF("h")
+    (0 until 12).foreach { i =>
+      val vals = base.select(minhashFn(col("h"), i)).collect().map(_.getLong(0))
+      assert(vals.forall(v => v >= 0 && v < p), s"fn $i out of range")
+    }
+    // Distinct functions must disagree somewhere.
+    val v0 = base.select(minhashFn(col("h"), 0)).collect().map(_.getLong(0)).toSeq
+    val v1 = base.select(minhashFn(col("h"), 1)).collect().map(_.getLong(0)).toSeq
+    assert(v0 !== v1)
+  }
+
+  test("cosineSim: orthogonal = 0, identical = 1") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+      (Array(1.0f, 2.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+    val out = df.select(round(cosineSim(col("a"), col("b")), 9))
+      .collect().map(_.getDouble(0))
+    assert(out.toSeq === Seq(0.0, 1.0))
+  }
+}

@@ -1,0 +1,73 @@
+package graft.io
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class SourcesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("fileNameDateIso: DDMMYYYY -> ISO (transaction.py:49-50)") {
+    assert(Sources.fileNameDateIso("transactions_03032021.txt") === Some("2021-03-03"))
+    assert(Sources.fileNameDateIso("terminals_31122020.xlsx") === Some("2020-12-31"))
+    assert(Sources.fileNameDateIso("no_date_here.txt") === None)
+  }
+
+  test("listFilesChronological sorts by embedded date, not name (transaction.py:26-28)") {
+    val dir = Files.createTempDirectory("graft_files")
+    // Lexicographic name order differs from chronological date order.
+    Seq("tx_01022021.txt", "tx_15012021.txt", "tx_31122020.txt", "noise.csv")
+      .foreach(f => Files.createFile(dir.resolve(f)))
+    val got = Sources.listFilesChronological(dir.toString, "tx_\\d{8}\\.txt")
+      .map(_.getFileName.toString)
+    assert(got === Seq("tx_31122020.txt", "tx_15012021.txt", "tx_01022021.txt"))
+  }
+
+  test("listFilesChronological on a missing dir is empty, not an error") {
+    assert(Sources.listFilesChronological("/nonexistent_dir_xyz", ".*") === Seq.empty)
+  }
+
+  test("csv reads semicolon-separated with explicit all-string schema (transaction.py:57)") {
+    val dir = Files.createTempDirectory("graft_csv")
+    val f = dir.resolve("transactions_03032021.txt")
+    Files.writeString(f,
+      "transaction_id;transaction_date;amount\n1;2021-03-03 10:00:00;1.234,56\n")
+    val df = Sources.csv(spark, f.toString,
+      Sources.stringSchema("transaction_id", "transaction_date", "amount"))
+    assert(df.schema.fields.forall(_.dataType.typeName == "string"))
+    val row = df.collect().head
+    assert(row.getString(0) === "1" && row.getString(2) === "1.234,56")
+  }
+
+  test("withFileDate stamps the filename-embedded date distributed (terminals.py:55)") {
+    val dir = Files.createTempDirectory("graft_fd")
+    val f = dir.resolve("transactions_03032021.txt")
+    Files.writeString(f, "id\n1\n")
+    val df = Sources.withFileDate(
+      Sources.csv(spark, f.toString, Sources.stringSchema("id")))
+    assert(df.collect().head.getDate(1).toString === "2021-03-03")
+  }
+
+  test("archive moves a processed file to archive/<name>.backup (transaction.py:88)") {
+    val dir = Files.createTempDirectory("graft_arch")
+    val f = Files.createFile(dir.resolve("tx_01012021.txt"))
+    val moved = Sources.archive(f)
+    assert(!Files.exists(f))
+    assert(moved === dir.resolve("archive/tx_01012021.txt.backup"))
+    assert(Files.exists(moved))
+  }
+
+  test("incremental pushes the coalesce watermark predicate (cards.py:50-56)") {
+    val wm = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+    val df = Seq(
+      (1, java.sql.Timestamp.valueOf("2024-01-20 00:00:00"), null.asInstanceOf[java.sql.Timestamp]),
+      (2, null.asInstanceOf[java.sql.Timestamp], java.sql.Timestamp.valueOf("2024-01-10 00:00:00")),
+      (3, null.asInstanceOf[java.sql.Timestamp], java.sql.Timestamp.valueOf("2024-01-16 00:00:00")))
+      .toDF("id", "update_dt", "create_dt")
+    val got = Sources.incremental(df, "update_dt", "create_dt", wm)
+      .select("id").as[Int].collect().toSet
+    assert(got === Set(1, 3))
+  }
+}

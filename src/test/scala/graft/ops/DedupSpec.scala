@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("shingles: distinct 3-gram word shingles, empty below 3 tokens") {
+    val df = Seq("a b c d", "a b", "x x x x x").toDF("t")
+      .select(Dedup.shingles(Dedup.tokens(col("t"))).as("s"))
+    val got = df.collect().map(_.getSeq[String](0).toSeq).toSeq
+    assert(got(0) === Seq("a b c", "b c d"))
+    assert(got(1) === Seq.empty)
+    assert(got(2) === Seq("x x x")) // distinct collapses repeats
+  }
+
+  test("jaccardParts computes |intersection| and |union| of hash sets") {
+    val df = Seq((Array(1L, 2L, 3L), Array(2L, 3L, 4L))).toDF("a", "b")
+    val (i, u) = Dedup.jaccardParts(col("a"), col("b"))
+    val row = df.select(i, u).collect().head
+    assert((row.getInt(0), row.getInt(1)) === ((2, 4)))
+  }
+
+  test("lshCandidates finds near-identical docs, never self-pairs, d1 < d2") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs away fast"),
+      (2L, "the quick brown fox jumps over the lazy dog and runs away quickly"),
+      (3L, "completely different text about spark query engines and nothing else here"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
+    val pairs = Dedup.lshCandidates(sigs, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"expected near-dup pair, got $pairs")
+    assert(pairs.forall { case (a, b) => a < b })
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("simhash32: deterministic, bounded to 32 bits, near-dups close in Hamming space") {
+    def fp(texts: (Long, String)*): Map[Long, Long] = {
+      val sh = texts.toSeq.toDF("doc_id", "text")
+        .select(col("doc_id"), Dedup.tokens(col("text")).as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .select(col("doc_id"),
+          explode(Dedup.shingleHashes(Dedup.shingles(col("ws")))).as("h"))
+      Dedup.simhash32(sh, "doc_id", "h")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val a = "the quick brown fox jumps over the lazy dog and runs away fast"
+    val b = "the quick brown fox jumps over the lazy dog and walks away fast"
+    val c = "completely different text about spark query engines and nothing else"
+    val m = fp(1L -> a, 2L -> b, 3L -> c)
+    assert(m === fp(1L -> a, 2L -> b, 3L -> c)) // deterministic
+    assert(m.values.forall(v => v >= 0 && v <= 0xFFFFFFFFL))
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(m(1L), m(2L)) < ham(m(1L), m(3L)))
+  }
+
+  test("simhashPairs: byte-band candidates verify true Hamming radius") {
+    // Fingerprints chosen so (1,2) differ in 2 bits (same low bytes),
+    // (1,3) differ in many bits across all bytes.
+    val fps = Seq(
+      (1L, 0x000000FFL), (2L, 0x000300FFL), (3L, 0x5A5A5A00L))
+      .toDF("doc_id", "simhash")
+    val got = Dedup.simhashPairs(fps, "doc_id", "simhash")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(4))).toSet
+    assert(got === Set((1L, 2L, 2)))
+  }
+}

@@ -1,0 +1,71 @@
+package graft.io
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Parquet-directory table catalog — the engine's sink layer
+  * (SURVEY.md §2.2; reference `main.ddl` tables in Postgres).
+  *
+  * Three write disciplines map the reference's statements:
+  *   - [[overwrite]]  = K1 truncate-and-reload staging
+  *     (`transaction.py:54`);
+  *   - [[append]]     = K2/K3/K6 bulk append of facts / report rows
+  *     (`transaction.py:69-84`, `report.py:63-113`);
+  *   - [[swapSnapshot]] = K4's in-place `UPDATE` equivalent for SCD2
+  *     dimensions: parquet is immutable, so the merged snapshot is
+  *     fully materialized to a scratch directory first, then swapped
+  *     in with filesystem renames (`terminals.py:133-155`).
+  *
+  * The swap matters for a second reason: the merged snapshot READS
+  * the directory it replaces. Spark cannot overwrite a path it is
+  * reading in the same job — materialize-then-rename is the safe
+  * order, and on HDFS-like filesystems the rename is atomic per
+  * directory (object stores without atomic rename want a
+  * manifest/table format instead — Delta/Iceberg in production).
+  *
+  * Scale notes: append-mode parquet adds files without rewriting
+  * existing data (bounded work per batch regardless of table size);
+  * a snapshot swap rewrites only the dimension, never the facts.
+  */
+final class TableStore(spark: SparkSession, root: String) {
+
+  def path(name: String): String = s"$root/$name"
+
+  private def fs: FileSystem =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def exists(name: String): Boolean = fs.exists(new Path(path(name)))
+
+  def read(name: String): DataFrame = spark.read.parquet(path(name))
+
+  /** Read, or an empty frame with the given schema if the table has
+    * never been written (first pipeline run). */
+  def readOr(name: String, schema: StructType): DataFrame =
+    if (exists(name)) read(name)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  /** K1: truncate-and-reload (staging). The target must not feed `df`. */
+  def overwrite(name: String, df: DataFrame): Unit =
+    df.write.mode("overwrite").parquet(path(name))
+
+  /** K2/K3/K6: bulk append (facts, report). */
+  def append(name: String, df: DataFrame): Unit =
+    df.write.mode("append").parquet(path(name))
+
+  /** K4: replace a dimension snapshot that `df` may itself read.
+    * Materializes to `<name>.__tmp`, then renames old → `.__old`,
+    * tmp → live, and drops the old generation. */
+  def swapSnapshot(name: String, df: DataFrame): Unit = {
+    val live = new Path(path(name))
+    val tmp = new Path(path(name + ".__tmp"))
+    val old = new Path(path(name + ".__old"))
+    df.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(live) && !fs.rename(live, old))
+      throw new java.io.IOException(s"swapSnapshot: cannot retire $live")
+    if (!fs.rename(tmp, live))
+      throw new java.io.IOException(s"swapSnapshot: cannot promote $tmp")
+    fs.delete(old, true): Unit
+  }
+}

@@ -1,0 +1,168 @@
+package graft.ops
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.Functions._
+import graft.io.{Sources, TableStore}
+
+/** End-to-end pipeline orchestration — the engine's counterpart of the
+  * reference's `main.py:47-50` stage chain: CSV facts → staging →
+  * idempotent warehouse append; full-snapshot dimension files → SCD2
+  * merge; then the windowed fraud report appended per run. One
+  * SparkSession drives every stage in dependency order (the reference's
+  * process-per-stage boundary disappears; SURVEY.md §3.1).
+  *
+  * Faithfully kept observable semantics:
+  *   - per-file watermark gate `file_date > watermark`
+  *     (`transaction.py:51`) with the watermark advanced to the LAST
+  *     processed file's max — not "next date" (`transaction.py:102`,
+  *     SURVEY.md §7.4f);
+  *   - skip-if-no-rows guards (`cards.py:71,196-197`);
+  *   - anti-join insert makes fact replay duplicate-free (J1) while the
+  *     report append is deliberately NOT idempotent (`report.py:63-69`,
+  *     SURVEY.md §5.1) — re-running the report stage appends again;
+  *   - the terminals-style delete clock = the file date
+  *     (`terminals.py:172`).
+  *
+  * Scale notes: each stage is one lineage DAG ending in one write; the
+  * only shuffles are the SCD2 key joins and the report window. Staging
+  * is truncate-reload (bounded), facts are append-only (no rewrite of
+  * history), and the dimension swap rewrites only the dimension.
+  */
+object Pipeline {
+
+  val TxSchema: Seq[String] =
+    Seq("transaction_id", "transaction_date", "amount", "card_num", "terminal")
+  val TermSchema: Seq[String] = Seq("terminal_id", "terminal_type", "terminal_city")
+
+  private val dimStruct = StructType(Seq(
+    StructField("terminal_id", StringType),
+    StructField("terminal_type", StringType),
+    StructField("terminal_city", StringType),
+    StructField("effective_from", TimestampType),
+    StructField("effective_to", TimestampType),
+    StructField("deleted_flg", StringType)))
+
+  private val factStruct = StructType(Seq(
+    StructField("transaction_id", StringType),
+    StructField("transaction_date", TimestampType),
+    StructField("amount", DecimalType(15, 2)),
+    StructField("card_num", StringType),
+    StructField("terminal", StringType)))
+
+  private val metaStruct = StructType(Seq(
+    StructField("schema_name", StringType),
+    StructField("table_name", StringType),
+    StructField("max_update_dt", TimestampType)))
+
+  private def meta(store: TableStore): DataFrame =
+    store.readOr("meta_date", metaStruct)
+
+  private def isoToTs(iso: String): Timestamp = Timestamp.valueOf(s"$iso 00:00:00")
+
+  /** Fact stage (`transaction.py` analog): discover
+    * `transactions_DDMMYYYY.txt` newer than the watermark in
+    * chronological order; per file: truncate-reload staging, promote
+    * typed rows, anti-join append into the fact table, advance the
+    * watermark, optionally archive the file. */
+  def runTransactions(spark: SparkSession, store: TableStore, srcDir: String,
+                      archive: Boolean = false): Unit = {
+    val wmIso = Incremental
+      .readWatermark(meta(store), "stg", "transactions").toString.take(10)
+    val files = Sources.listFilesChronological(srcDir, "transactions_\\d{8}\\.txt")
+    files.foreach { f =>
+      val fileDate = Sources.fileNameDateIso(f.getFileName.toString).get
+      if (fileDate > wmIso) { // F12: ISO strings compare chronologically
+        val stg = Sources.csv(spark, f.toString, Sources.stringSchema(TxSchema: _*))
+        store.overwrite("stg_transactions", stg)
+        val staged = store.read("stg_transactions")
+        if (staged.limit(1).count() > 0) { // A3 guard (cards.py:71)
+          val typed = staged.select(
+            col("transaction_id"),
+            col("transaction_date").cast(TimestampType).as("transaction_date"),
+            parseEuroDecimal(col("amount")).as("amount"),
+            col("card_num"), col("terminal"))
+          val fact = store.readOr("fact_transactions", factStruct)
+          store.append("fact_transactions",
+            AntiInsert.newRows(typed, fact, Seq("transaction_id")))
+          // Watermark = max over THIS file's staging (the reference's
+          // truncate-per-file loop makes it the last file's max).
+          val newMax = typed.agg(max(to_date(col("transaction_date"))))
+            .first().getDate(0)
+          store.swapSnapshot("meta_date", Incremental.advance(
+            meta(store), "stg", "transactions", isoToTs(newMax.toString)))
+        }
+        if (archive) Sources.archive(f): Unit
+      }
+    }
+  }
+
+  /** Dimension stage (`terminals.py` analog): each full-snapshot file
+    * newer than the watermark is staged and SCD2-merged; the file date
+    * is both the version-open timestamp and the delete clock. */
+  def runTerminals(spark: SparkSession, store: TableStore, srcDir: String,
+                  archive: Boolean = false): Unit = {
+    val wmIso = Incremental
+      .readWatermark(meta(store), "stg", "terminals").toString.take(10)
+    val files = Sources.listFilesChronological(srcDir, "terminals_\\d{8}\\.txt")
+    files.foreach { f =>
+      val fileDate = Sources.fileNameDateIso(f.getFileName.toString).get
+      if (fileDate > wmIso) {
+        store.overwrite("stg_terminals",
+          Sources.csv(spark, f.toString, Sources.stringSchema(TermSchema: _*)))
+        val batch = store.read("stg_terminals")
+        if (batch.limit(1).count() > 0) {
+          val ts = lit(isoToTs(fileDate))
+          val dim = store.readOr("dim_terminals_hist", dimStruct)
+          store.swapSnapshot("dim_terminals_hist",
+            Scd2.merge(dim, batch, Seq("terminal_id"), TermSchema.tail,
+              batchTs = ts,
+              deleteKeys = Some(batch.select("terminal_id")),
+              deleteTs = Some(ts)))
+          store.swapSnapshot("meta_date", Incremental.advance(
+            meta(store), "stg", "terminals", isoToTs(fileDate)))
+        }
+        if (archive) Sources.archive(f): Unit
+      }
+    }
+  }
+
+  /** Report stage (`report.py` analog): as-of join facts to the live
+    * dimension version valid at transaction time (J6, strict bounds),
+    * lag the city per card (W1), flag city hops within one hour (P9),
+    * append — deliberately non-idempotent, like the reference. */
+  def runReport(spark: SparkSession, store: TableStore,
+                reportDt: Timestamp): Unit = {
+    val facts = store.readOr("fact_transactions", factStruct)
+    val dim = store.readOr("dim_terminals_hist", dimStruct)
+    val joined = Temporal.asOfJoin(facts, dim,
+      factKey = facts("terminal"), dimKey = dim("terminal_id"),
+      factTs = facts("transaction_date"))
+    val w = Window.partitionBy(col("card_num")).orderBy(col("transaction_date"))
+    val lagged = joined
+      .withColumn("lag_city", lag(col("terminal_city"), 1).over(w))
+      .withColumn("gap_us", epochUs(col("transaction_date")) -
+        epochUs(lag(col("transaction_date"), 1).over(w)))
+    val hops = lagged.filter(
+      col("lag_city").isNotNull && col("terminal_city") =!= col("lag_city") &&
+        col("gap_us") <= 3600L * 1000000L)
+      .select(
+        col("transaction_date").as("event_dt"),
+        col("card_num"),
+        col("terminal_city").as("city"),
+        col("lag_city").as("prev_city"),
+        lit(reportDt).as("report_dt"))
+    store.append("rep_fraud", hops)
+  }
+
+  /** Full run in dependency order (`main.py:47-50`). */
+  def run(spark: SparkSession, store: TableStore, srcDir: String,
+          reportDt: Timestamp, archive: Boolean = false): Unit = {
+    runTransactions(spark, store, srcDir, archive)
+    runTerminals(spark, store, srcDir, archive)
+    runReport(spark, store, reportDt)
+  }
+}

@@ -407,6 +407,69 @@ object ParityQueries {
           when(epochUs(anchor) - epochUs(col("ts")) <= 3600L * 1000000L &&
                epochUs(anchor) - epochUs(col("ts")) >= 0, 1).otherwise(0)
             .cast(IntegerType).as("within_hour"))
+    },
+
+    // ⚠ Faithful report fan-out (SURVEY.md §2.4 note; report.py:42-49):
+    // only the terminals-analog join is time-bounded (J6, strict);
+    // the cards-analog J7 trim join hits ALL SCD2 versions — a key with
+    // N versions fans every fact row out N ways, and the lag window
+    // (report.py:50-62) runs over that fanned rowset. Reproduced
+    // verbatim because it is the reference's observable output;
+    // deterministic lag order via an explicit version tiebreak.
+    Q("q17_report_fanout",
+      s"""WITH base AS (${Fixtures.custBaseSql}),
+         |tdim AS (${Fixtures.temporalDimSql.replace("\n", " ")}),
+         |cdim0 AS (${Fixtures.scd2DimSql.replace("\n", " ")}),
+         |cdim AS (SELECT '  ' || CAST(k AS VARCHAR) || '  ' AS padded,
+         |                seg AS c_seg, effective_from AS c_from FROM cdim0),
+         |cl AS (
+         |  SELECT e.event_id, e.user_id, e.ts, e.value, t.seg AS t_seg,
+         |         c.c_seg, c.c_from
+         |  FROM events e
+         |  LEFT JOIN tdim t ON e.user_id = t.k
+         |    AND e.ts > t.effective_from AND e.ts < t.effective_to
+         |    AND t.deleted_flg = 'N'
+         |  LEFT JOIN cdim c ON trim(c.padded) = CAST(e.user_id AS VARCHAR))
+         |SELECT event_id, user_id, ts, t_seg, c_seg, c_from, value,
+         |       lag(value) OVER (PARTITION BY user_id
+         |         ORDER BY ts, event_id,
+         |                  coalesce(c_from, TIMESTAMP '1900-01-01 00:00:00')) AS prev_value
+         |FROM cl""".stripMargin) {
+      (s, d) =>
+        val e = table(s, d, "events")
+        val t = Fixtures.temporalDim(s, d).select(
+          col("k").as("tk"), col("seg").as("t_seg"),
+          col("effective_from").as("t_from"), col("effective_to").as("t_to"),
+          col("deleted_flg").as("t_flg"))
+        val c = Fixtures.scd2Dim(s, d).select(
+          concat(lit("  "), col("k").cast("string"), lit("  ")).as("padded"),
+          col("seg").as("c_seg"), col("effective_from").as("c_from"))
+        val cl = e
+          .join(t, e("user_id") === col("tk") &&
+            e("ts") > col("t_from") && e("ts") < col("t_to") &&
+            col("t_flg") === "N", "left")
+          .join(c, trim(col("padded")) === e("user_id").cast("string"), "left")
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"),
+          coalesce(col("c_from"), to_timestamp(lit("1900-01-01 00:00:00"))))
+        cl.select(e("event_id"), e("user_id"), e("ts"),
+            col("t_seg"), col("c_seg"), col("c_from"), e("value"))
+          .withColumn("prev_value", lag(col("value"), 1).over(w))
+    },
+
+    // A2/A3 — degenerate max of a constant (black_list.py:97: the
+    // watermark folded into SQL as a literal, constant-folded through
+    // the agg) and the row-count flow-control guard (cards.py:68-71).
+    Q("q18_flow_guards",
+      """SELECT event_type,
+        |       max(TIMESTAMP '2024-01-15 00:00:00') AS const_wm,
+        |       count(*) AS n_rows,
+        |       CAST(CASE WHEN count(*) > 0 THEN 1 ELSE 0 END AS INT) AS has_rows
+        |FROM events GROUP BY event_type""".stripMargin) {
+      (s, d) =>
+        table(s, d, "events").groupBy("event_type").agg(
+          max(to_timestamp(lit("2024-01-15 00:00:00"))).as("const_wm"),
+          count(lit(1)).as("n_rows"),
+          when(count(lit(1)) > 0, 1).otherwise(0).cast(IntegerType).as("has_rows"))
     }
   )
 }

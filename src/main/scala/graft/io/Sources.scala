@@ -109,4 +109,94 @@ object Sources {
   def incremental(src: DataFrame, updateCol: String, createCol: String,
                   watermark: java.sql.Timestamp): DataFrame =
     src.filter(coalesce(col(updateCol), col(createCol)) > lit(watermark))
+
+  // ── JDBC source (reference `connect.py:5-15` + `cards.py:50-56`) ──
+  //
+  // The sandbox has no database and no JDBC driver jar, so `.load()`
+  // is not exercisable here — the option-building below pins the
+  // design and is unit-tested; the reader is one `.load()` away.
+
+  /** JDBC connection + parallelism parameters. `partitionColumn`
+    * (with bounds) splits the extract into `numPartitions` range
+    * predicates executed as parallel source queries — without it a
+    * JDBC read is a single-connection serial pull, which is the
+    * 100 TB-scale mistake. */
+  final case class JdbcSpec(
+      url: String,
+      table: String,
+      user: String,
+      password: String,
+      driver: String = "org.postgresql.Driver",
+      partitionColumn: Option[String] = None,
+      lowerBound: Option[String] = None,
+      upperBound: Option[String] = None,
+      numPartitions: Int = 8,
+      fetchSize: Int = 10000)
+
+  /** The `spark.read.format("jdbc")` option map for a spec —
+    * `dbtable` + Catalyst filter pushdown carries the incremental
+    * predicate into the source database (the reference embeds it in
+    * the SQL text; DataSource v2 JDBC pushes `coalesce` comparisons). */
+  def jdbcOptions(spec: JdbcSpec): Map[String, String] = {
+    val base = Map(
+      "url" -> spec.url,
+      "dbtable" -> spec.table,
+      "user" -> spec.user,
+      "password" -> spec.password,
+      "driver" -> spec.driver,
+      "fetchsize" -> spec.fetchSize.toString)
+    val part = (spec.partitionColumn, spec.lowerBound, spec.upperBound) match {
+      case (Some(c), Some(lo), Some(hi)) => Map(
+        "partitionColumn" -> c, "lowerBound" -> lo, "upperBound" -> hi,
+        "numPartitions" -> spec.numPartitions.toString)
+      case _ => Map.empty[String, String]
+    }
+    base ++ part
+  }
+
+  /** Reference-parity incremental source SQL (`cards.py:50-56`): the
+    * watermark predicate inlined into the pushed-down query text, for
+    * engines/drivers where `coalesce` does not push through `dbtable`.
+    * Use via `option("query", incrementalQuery(...))`. */
+  def incrementalQuery(table: String, columns: Seq[String], updateCol: String,
+                       createCol: String, watermarkIso: String): String =
+    s"SELECT ${columns.mkString(", ")} FROM $table " +
+      s"WHERE coalesce($updateCol, $createCol) > TIMESTAMP '$watermarkIso'"
+
+  /** Fully-configured JDBC reader; `.load()` connects. */
+  def jdbcReader(spark: SparkSession, spec: JdbcSpec): org.apache.spark.sql.DataFrameReader =
+    jdbcOptions(spec).foldLeft(spark.read.format("jdbc")) {
+      case (r, (k, v)) => r.option(k, v)
+    }
+
+  // ── Excel source (reference `terminals.py:54`, `black_list.py:57`) ──
+
+  /** Excel scan shim. Core Spark has no xlsx reader; the strategy is:
+    *   1. if an excel connector (`spark-excel`) is on the classpath,
+    *      use it with the given sheet;
+    *   2. otherwise read the pre-converted sibling
+    *      `<name>.<sheet>.csv` produced by an upstream
+    *      xlsx→csv step (the documented offline path — conversion is
+    *      a driver-side concern, the engine's scan contract is
+    *      identical either way).
+    * Never `inferSchema` (staging parity, like [[csv]]). */
+  def excel(spark: SparkSession, path: String, sheet: String,
+            schema: StructType, sep: String = ";"): DataFrame = {
+    val connector = "com.crealytics.spark.excel.DefaultSource"
+    val hasConnector =
+      try { Class.forName(connector); true } catch { case _: Throwable => false }
+    if (hasConnector)
+      spark.read.format("com.crealytics.spark.excel")
+        .option("dataAddress", s"'$sheet'!A1")
+        .option("header", "true")
+        .schema(schema)
+        .load(path)
+    else {
+      val converted = path.replaceAll("\\.xlsx$", s".$sheet.csv")
+      if (!Files.exists(Paths.get(converted)))
+        throw new java.io.FileNotFoundException(
+          s"no excel connector on classpath and no pre-converted $converted")
+      csv(spark, converted, schema, sep)
+    }
+  }
 }

@@ -59,6 +59,42 @@ class SourcesSpec extends AnyFunSuite {
     assert(Files.exists(moved))
   }
 
+  test("jdbcOptions: dbtable + driver + fetchsize; partition options only when bounded") {
+    val spec = Sources.JdbcSpec("jdbc:postgresql://host/db", "info.cards", "u", "p")
+    val opts = Sources.jdbcOptions(spec)
+    assert(opts("dbtable") === "info.cards" && opts("fetchsize") === "10000")
+    assert(!opts.contains("partitionColumn"))
+    val par = Sources.jdbcOptions(spec.copy(
+      partitionColumn = Some("card_num"), lowerBound = Some("0"),
+      upperBound = Some("1000000"), numPartitions = 16))
+    assert(par("partitionColumn") === "card_num" && par("numPartitions") === "16")
+  }
+
+  test("incrementalQuery inlines the coalesce watermark predicate (cards.py:50-56)") {
+    val q = Sources.incrementalQuery("info.cards",
+      Seq("card_num", "account_num"), "update_dt", "create_dt", "2021-03-03 00:00:00")
+    assert(q === "SELECT card_num, account_num FROM info.cards " +
+      "WHERE coalesce(update_dt, create_dt) > TIMESTAMP '2021-03-03 00:00:00'")
+  }
+
+  test("excel shim falls back to the pre-converted <name>.<sheet>.csv") {
+    val dir = Files.createTempDirectory("graft_xlsx")
+    Files.writeString(dir.resolve("terminals_01012021.terminals.csv"),
+      "terminal_id;terminal_city\nT1;Moscow\n")
+    val df = Sources.excel(spark, dir.resolve("terminals_01012021.xlsx").toString,
+      "terminals", Sources.stringSchema("terminal_id", "terminal_city"))
+    assert(df.collect().map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("T1", "Moscow")))
+  }
+
+  test("excel shim fails clearly when neither connector nor conversion exists") {
+    val ex = intercept[java.io.FileNotFoundException] {
+      Sources.excel(spark, "/nope/black_list_01012021.xlsx", "blacklist",
+        Sources.stringSchema("passport"))
+    }
+    assert(ex.getMessage.contains("pre-converted"))
+  }
+
   test("incremental pushes the coalesce watermark predicate (cards.py:50-56)") {
     val wm = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
     val df = Seq(

@@ -1,0 +1,112 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming counterparts of the reference's hand-rolled
+  * incremental machinery (SURVEY.md §2.10): what `main.cron` + the
+  * watermark table + chronological file processing do by hand, the
+  * file-source stream does with checkpointed offsets.
+  *
+  *   - [[fileSource]] + [[ingest]]: `readStream` over the landing
+  *     directory with `Trigger.AvailableNow` — each invocation drains
+  *     exactly the files not yet committed to the checkpoint (the
+  *     `vean_meta_date` watermark + `file_date > meta` gate,
+  *     `transaction.py:31-51`, for free), then stops: cron-compatible,
+  *     restart-safe, exactly-once into the parquet sink.
+  *     `cleanSource=archive` replaces `os.rename` archiving
+  *     (`transaction.py:88`).
+  *   - [[dedupStream]]: the J1 anti-join's streaming analog — keyed
+  *     duplicate suppression with watermark-bounded state (without the
+  *     watermark, dedup state grows forever; the event-time bound is
+  *     what makes it run at 100 TB/day).
+  *   - [[windowedCounts]]: event-time tumbling/sliding aggregation with
+  *     late-data eviction — the capability the reference's daily-batch
+  *     design approximates with cron.
+  *   - [[changeEvents]]: `flatMapGroupsWithState` per-key
+  *     current-version tracking — the streaming face of the SCD2 merge:
+  *     each state transition emits a change event (old → new at ts),
+  *     which is exactly the row the batch merge would close/open.
+  *
+  * Scale notes: state stores shard by key across executors; every
+  * stateful op here bounds its state (watermark eviction, or one small
+  * record per live key for the version tracker). The file source lists
+  * incrementally (`maxFilesPerTrigger`) rather than globbing the world.
+  */
+object Streaming {
+
+  /** Streaming CSV file source over a landing directory (the
+    * `transactions_*.txt` drop box). */
+  def fileSource(spark: SparkSession, dir: String, schema: StructType,
+                 sep: String = ";", maxFilesPerTrigger: Int = 100,
+                 archiveDir: Option[String] = None): DataFrame = {
+    val base = spark.readStream
+      .option("sep", sep)
+      .option("header", "true")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .schema(schema)
+    val withArchive = archiveDir.fold(base) { ad =>
+      base.option("cleanSource", "archive").option("sourceArchiveDir", ad)
+    }
+    withArchive.csv(dir)
+  }
+
+  /** Drain all currently-available input into a parquet sink and stop
+    * (`Trigger.AvailableNow`): the cron-batch execution model with
+    * checkpointed exactly-once instead of a hand-kept watermark. */
+  def ingest(df: DataFrame, path: String, checkpoint: String): StreamingQuery =
+    df.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Keyed streaming dedup with watermark-bounded state (T3: late and
+    * duplicate handling). Duplicates of a key arriving within
+    * `delay` of the watermark are dropped; state for older keys is
+    * evicted. */
+  def dedupStream(df: DataFrame, tsCol: String, keys: Seq[String],
+                  delay: String): DataFrame =
+    df.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(keys)
+
+  /** Event-time windowed counts/sums with late-data eviction. */
+  def windowedCounts(df: DataFrame, tsCol: String, keyCol: String,
+                     windowDur: String, slide: String, delay: String): DataFrame =
+    df.withWatermark(tsCol, delay)
+      .groupBy(window(col(tsCol), windowDur, slide), col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
+        col(keyCol), col("n"), col("sum_value"))
+
+  final case class KeyUpdate(k: String, v: String, ts: Timestamp)
+  final case class VersionState(v: String, since: Timestamp)
+  final case class ChangeEvent(k: String, prev_v: String, curr_v: String, ts: Timestamp)
+
+  /** Per-key current-version tracker: emits one [[ChangeEvent]] per
+    * observed value transition, holding one [[VersionState]] per live
+    * key. The streaming analog of the SCD2 close/open pair — a
+    * downstream batch job can fold the change stream into `*_hist`. */
+  def changeEvents(updates: Dataset[KeyUpdate]): Dataset[ChangeEvent] = {
+    import updates.sparkSession.implicits._
+    updates
+      .groupByKey(_.k)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, batch: Iterator[KeyUpdate], state: GroupState[VersionState]) =>
+          val ordered = batch.toSeq.sortBy(_.ts.getTime)
+          var cur = state.getOption
+          val out = Seq.newBuilder[ChangeEvent]
+          ordered.foreach { u =>
+            if (!cur.exists(_.v == u.v)) {
+              out += ChangeEvent(key, cur.map(_.v).orNull, u.v, u.ts)
+              cur = Some(VersionState(u.v, u.ts))
+            }
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
+}

@@ -1,0 +1,110 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path}
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.io.Sources
+import graft.streaming.Streaming.KeyUpdate
+
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def writeTx(dir: Path, name: String, rows: String*): Unit =
+    Files.writeString(dir.resolve(name),
+      ("transaction_id;amount" +: rows).mkString("\n") + "\n"): Unit
+
+  test("AvailableNow file ingest is incremental and exactly-once across restarts") {
+    val src = Files.createTempDirectory("graft_stream_src")
+    val sink = Files.createTempDirectory("graft_stream_sink").resolve("facts")
+    val ckpt = Files.createTempDirectory("graft_stream_ckpt")
+    writeTx(src, "transactions_01012024.txt", "1;10", "2;20")
+
+    def drain(): Unit = {
+      val q = Streaming.ingest(
+        Streaming.fileSource(spark, src.toString,
+          Sources.stringSchema("transaction_id", "amount")),
+        sink.toString, ckpt.toString)
+      q.awaitTermination(60000); ()
+    }
+
+    drain()
+    assert(spark.read.parquet(sink.toString).count() === 2)
+    // Restart with one NEW file: the checkpoint replaces the hand-kept
+    // watermark — only the new file's rows land, nothing re-ingested.
+    writeTx(src, "transactions_02012024.txt", "3;30")
+    drain()
+    val got = spark.read.parquet(sink.toString)
+      .select("transaction_id").as[String].collect().sorted
+    assert(got.toSeq === Seq("1", "2", "3"))
+  }
+
+  test("windowedCounts: event-time tumbling windows via MemoryStream") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, String, Double)]
+    val df = ms.toDF().toDF("ts", "event_type", "value")
+    val q = Streaming.windowedCounts(df, "ts", "event_type",
+        "10 minutes", "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode("complete").start()
+    ms.addData(
+      (ts("2024-01-01 10:01:00"), "click", 1.0),
+      (ts("2024-01-01 10:04:00"), "click", 2.0),
+      (ts("2024-01-01 10:11:00"), "click", 4.0),
+      (ts("2024-01-01 10:02:00"), "view", 8.0))
+    q.processAllAvailable()
+    val rows = spark.table("win_counts")
+      .select("win_start", "event_type", "n", "sum_value")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    q.stop()
+    assert(rows === Set(
+      (ts("2024-01-01 10:00:00"), "click", 2L, 3.0),
+      (ts("2024-01-01 10:10:00"), "click", 1L, 4.0),
+      (ts("2024-01-01 10:00:00"), "view", 1L, 8.0)))
+  }
+
+  test("dedupStream drops same-key duplicates across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(String, Timestamp, String)]
+    val df = ms.toDF().toDF("txn_id", "ts", "payload")
+    val q = Streaming.dedupStream(df, "ts", Seq("txn_id"), "10 minutes")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    ms.addData(("t1", ts("2024-01-01 10:00:00"), "a"),
+               ("t2", ts("2024-01-01 10:00:30"), "b"))
+    q.processAllAvailable()
+    ms.addData(("t1", ts("2024-01-01 10:01:00"), "a-replay"), // dup key
+               ("t3", ts("2024-01-01 10:02:00"), "c"))
+    q.processAllAvailable()
+    val ids = spark.table("dedup_out").select("txn_id").as[String].collect().sorted
+    q.stop()
+    assert(ids.toSeq === Seq("t1", "t2", "t3"))
+  }
+
+  test("changeEvents: per-key version tracking persists state across batches") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[KeyUpdate]
+    val q = Streaming.changeEvents(ms.toDS())
+      .writeStream.format("memory").queryName("chg_out")
+      .outputMode("append").start()
+    ms.addData(KeyUpdate("k1", "a", ts("2024-01-01 00:00:00")),
+               KeyUpdate("k2", "x", ts("2024-01-01 00:00:00")))
+    q.processAllAvailable()
+    // k1 unchanged (no event), then changed; k2 silent; k3 appears.
+    ms.addData(KeyUpdate("k1", "a", ts("2024-01-02 00:00:00")),
+               KeyUpdate("k1", "b", ts("2024-01-03 00:00:00")),
+               KeyUpdate("k3", "z", ts("2024-01-02 00:00:00")))
+    q.processAllAvailable()
+    val events = spark.table("chg_out")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    q.stop()
+    assert(events === Set(
+      ("k1", null, "a"), ("k2", null, "x"),
+      ("k1", "a", "b"), ("k3", null, "z")))
+  }
+}

@@ -68,6 +68,30 @@ object SimilarityQueries {
           queries = e.filter(col("vec_id") % 50 === 0),
           k = 3)
           .withColumn("rnk", col("rnk").cast("bigint"))
+    },
+
+    // Embedding-cosine near-dup: pairs above a cosine threshold,
+    // candidate-pruned to same-cluster buckets (the `label` column is
+    // the precomputed IVF/cluster assignment) — the embedding-space
+    // member of the dedup family. Never all-pairs: the self-join is an
+    // equi join on the bucket key, and pair scoring happens only
+    // within buckets. At 100 TB the bucket assignment comes from the
+    // IVF pass ([[graft.ops.Similarity.assignCells]]) materialized
+    // once; here the harness ships it as `label`.
+    Q("q42_embed_neardup",
+      s"""SELECT a.vec_id AS v1, b.vec_id AS v2, a.label,
+         |       ${cosSql("a.embedding", "b.embedding")} AS cos_r
+         |FROM embeddings a JOIN embeddings b
+         |  ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.35""".stripMargin) {
+      (s, d) =>
+        val e = table(s, d, "embeddings")
+        val right = e.select(col("vec_id").as("v2"), col("label").as("lbl2"),
+          col("embedding").as("emb2"))
+        e.join(right, col("label") === col("lbl2") && col("vec_id") < col("v2"))
+          .withColumn("cos_r", Similarity.cosRounded(col("embedding"), col("emb2")))
+          .filter(col("cos_r") >= 0.35)
+          .select(col("vec_id").as("v1"), col("v2"), col("label"), col("cos_r"))
     }
   )
 }

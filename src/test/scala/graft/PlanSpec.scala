@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan discipline checks (the properties that decide whether
+  * a plan survives a 100× scale-up): predicate pushdown reaching the
+  * parquet scan, column pruning in the read schema, bounded-dim
+  * broadcasts, all nine report lags in ONE window exec, and no
+  * cartesian products anywhere in the declared query set. */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q20: shipdate filter is pushed to the parquet scan") {
+    val plan = planOf("q20_pricing_summary")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"no pushed filter in:\n${plan.take(2000)}")
+  }
+
+  test("q20: scan reads only the five referenced lineitem columns") {
+    val plan = planOf("q20_pricing_summary")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(Seq("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+      "l_discount", "l_shipdate").forall(readSchema.contains), readSchema)
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_orderkey"),
+      s"column pruning failed: $readSchema")
+  }
+
+  test("q10: bounded dims (nation, region) broadcast; no cartesian join") {
+    val plan = planOf("q10_star_enrich")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q11: all nine lags evaluate in a single Window exec (one shuffle)") {
+    val plan = planOf("q11_window_lags")
+    val windowExecs = plan.linesIterator.count(l => l.trim.startsWith("Window ") ||
+      l.trim.matches("^[+:\\-\\s]*Window \\[.*"))
+    assert(windowExecs === 1, s"expected 1 Window exec, got $windowExecs")
+    val shuffles = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles === 1, s"expected 1 hash exchange, got $shuffles")
+  }
+
+  test("q12: the four fraud rules reuse one window subtree, not four") {
+    val plan = planOf("q12_fraud_rules")
+    // Catalyst either reuses the exchange or collapses the branches; at
+    // minimum the plan must not contain a cartesian or nested-loop join.
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("no declared query plans a cartesian product") {
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
+      planOf(name).contains("CartesianProduct")
+    }
+    // q41's centroid assignment is a deliberate k-row broadcast cross
+    // join (k centroids, bounded by construction) — everything else
+    // must be join-keyed.
+    assert(offenders.forall(_.startsWith("q41")), s"cartesians in: $offenders")
+  }
+}

@@ -31,15 +31,27 @@ object Similarity {
     * deterministic ordering key). */
   def cosRounded(a: Column, b: Column): Column = round(cosineSim(a, b), 6)
 
+  /** Cosine from a pair dot product and PREcomputed per-side norms.
+    * Each pair comparison then traverses the arrays once (the dot)
+    * instead of three times — at N×M pair scale the norms are the
+    * cheap per-row part and the pair loop is the hot path. The norm is
+    * the identical fold either way, so scores stay bit-for-bit equal
+    * to the inline form (and to the oracle). */
+  def cosRoundedPre(a: Column, b: Column, normA: Column, normB: Column): Column =
+    round(dotProduct(a, b) / (normA * normB), 6)
+
   /** Exact top-k: broadcast `queries` (a bounded query batch by
     * contract) against the corpus; rank per query by rounded cosine
     * desc, id asc. Excludes self-matches. */
   def bruteForceKnn(corpus: DataFrame, queries: DataFrame, k: Int,
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
-    val scored = corpus.select(col(idCol), col(vecCol))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+      l2Norm(col(vecCol)).as("qnorm"))
+    val scored = corpus
+      .select(col(idCol), col(vecCol), l2Norm(col(vecCol)).as("__norm"))
       .join(broadcast(q), col(idCol) =!= col("qid"))
-      .withColumn("cos_r", cosRounded(col("qvec"), col(vecCol)))
+      .withColumn("cos_r",
+        cosRoundedPre(col("qvec"), col(vecCol), col("qnorm"), col("__norm")))
     val w = Window.partitionBy("qid").orderBy(col("cos_r").desc, col(idCol))
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
@@ -50,11 +62,13 @@ object Similarity {
     * fixed centroid rows; ties broken by centroid id). */
   def assignCells(corpus: DataFrame, centroids: DataFrame,
                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = centroids.select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+    val c = centroids.select(col(idCol).as("cid"), col(vecCol).as("cvec"),
+      l2Norm(col(vecCol)).as("__cnorm"))
     val w = Window.partitionBy(col(idCol)).orderBy(col("__ccos").desc, col("cid"))
-    corpus.select(col(idCol), col(vecCol))
+    corpus.select(col(idCol), col(vecCol), l2Norm(col(vecCol)).as("__norm"))
       .crossJoin(broadcast(c))
-      .withColumn("__ccos", cosRounded(col(vecCol), col("cvec")))
+      .withColumn("__ccos",
+        cosRoundedPre(col(vecCol), col("cvec"), col("__norm"), col("__cnorm")))
       .withColumn("__crnk", row_number().over(w))
       .filter(col("__crnk") === 1)
       .select(col(idCol), col(vecCol), col("cid"))
@@ -67,10 +81,13 @@ object Similarity {
     // Rename every query-side column: qCells derives from cells, so an
     // unqualified col("cid") on both sides of the join is ambiguous.
     val qCells = cells.join(queries.select(col(idCol)), Seq(idCol), "left_semi")
-      .select(col(idCol).as("qid"), col(vecCol).as("qvec"), col("cid").as("qcid"))
+      .select(col(idCol).as("qid"), col(vecCol).as("qvec"), col("cid").as("qcid"),
+        l2Norm(col(vecCol)).as("qnorm"))
     val scored = cells
+      .withColumn("__norm", l2Norm(col(vecCol)))
       .join(broadcast(qCells), col("cid") === col("qcid") && col(idCol) =!= col("qid"))
-      .withColumn("cos_r", cosRounded(col("qvec"), col(vecCol)))
+      .withColumn("cos_r",
+        cosRoundedPre(col("qvec"), col(vecCol), col("qnorm"), col("__norm")))
     val w = Window.partitionBy("qid").orderBy(col("cos_r").desc, col(idCol))
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)

@@ -53,6 +53,21 @@ final class TableStore(spark: SparkSession, root: String) {
   def append(name: String, df: DataFrame): Unit =
     df.write.mode("append").parquet(path(name))
 
+  /** Hive-style partitioned overwrite: readers filtering on the
+    * partition columns scan only matching directories (partition
+    * pruning — at 100 TB, the difference between touching one day and
+    * touching the table). Partition by low-cardinality, always-filtered
+    * columns (load date, source); never by a high-cardinality key. */
+  def overwritePartitioned(name: String, df: DataFrame,
+                           partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path(name))
+
+  /** Partition-pruned append: adds files only under the incoming
+    * rows' partition directories. */
+  def appendPartitioned(name: String, df: DataFrame,
+                        partitionCols: Seq[String]): Unit =
+    df.write.mode("append").partitionBy(partitionCols: _*).parquet(path(name))
+
   /** K4: replace a dimension snapshot that `df` may itself read.
     * Materializes to `<name>.__tmp`, then renames old → `.__old`,
     * tmp → live, and drops the old generation. */

@@ -12,6 +12,51 @@ object ExtensionQueries {
 
   val all: Seq[Q] = Seq(
 
+    // Salted skew join: the hot-key mitigation (one hot key = one
+    // straggler task at 100 TB). The oracle is the PLAIN join — the
+    // whole point is that salting spreads rows without changing the
+    // result, and the compare proves it row-for-row.
+    Q("q19_salted_join",
+      """SELECT e.event_id, e.user_id, c.c_mktsegment, e.event_type
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey""".stripMargin) {
+      (s, d) =>
+        import graft.io.Sources.table
+        val e = table(s, d, "events")
+        val dim = table(s, d, "customer")
+          .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+        graft.ops.Skew.saltedJoin(e, dim, "user_id",
+            saltBy = col("event_id"), salts = 8)
+          .select(col("event_id"), col("user_id"), col("c_mktsegment"),
+            col("event_type"))
+    },
+
+    // Exact distinct aggregation (oracle-checked); the sketch variant
+    // is q22 (rows-only — HLL++ and DuckDB's sketch differ by design).
+    Q("q21_distinct_exact",
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+        |       count(*) AS n_events
+        |FROM events GROUP BY event_type""".stripMargin) {
+      (s, d) =>
+        import graft.io.Sources.table
+        table(s, d, "events").groupBy("event_type").agg(
+          countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+    },
+
+    // Mergeable-sketch aggregates: HLL++ distinct estimate and
+    // approximate percentiles — the sub-linear-state path for 100 TB
+    // rollups (exact distinct shuffles every key; the sketch shuffles
+    // ~kilobytes per group). Rows-only: sketch internals are
+    // engine-specific, so no bit-exact oracle exists by construction.
+    Q.noOracle("q22_sketches") {
+      (s, d) =>
+        import graft.io.Sources.table
+        table(s, d, "events").groupBy("event_type").agg(
+          approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
+          percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50_value"),
+          percentile_approx(col("value"), lit(0.95), lit(10000)).as("p95_value"))
+    },
+
     Q("q20_pricing_summary",
       """SELECT l_returnflag, l_linestatus,
         |       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,

@@ -1,0 +1,51 @@
+package graft.io
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class TableStoreSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def newStore() =
+    new TableStore(spark, Files.createTempDirectory("graft_store").toString)
+
+  test("overwrite / append / read round-trip") {
+    val store = newStore()
+    store.overwrite("t", Seq((1, "a")).toDF("id", "v"))
+    store.append("t", Seq((2, "b")).toDF("id", "v"))
+    assert(store.read("t").collect().map(_.getInt(0)).sorted.toSeq === Seq(1, 2))
+  }
+
+  test("readOr returns an empty typed frame for a never-written table") {
+    val store = newStore()
+    val df = store.readOr("missing", Seq.empty[(Int, String)].toDF("id", "v").schema)
+    assert(df.count() === 0 && df.columns.toSeq === Seq("id", "v"))
+  }
+
+  test("swapSnapshot replaces a table that the new snapshot reads") {
+    val store = newStore()
+    store.overwrite("dim", Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    val merged = store.read("dim").withColumn("v", upper(col("v")))
+    store.swapSnapshot("dim", merged) // would fail with plain overwrite
+    assert(store.read("dim").collect().map(_.getString(1)).sorted.toSeq === Seq("A", "B"))
+    assert(!store.exists("dim.__tmp") && !store.exists("dim.__old"))
+  }
+
+  test("partitioned write prunes partitions under a partition-column filter") {
+    val store = newStore()
+    val df = Seq(("2024-01-01", 1), ("2024-01-01", 2), ("2024-01-02", 3))
+      .toDF("load_date", "n")
+    store.overwritePartitioned("facts", df, Seq("load_date"))
+    val q = store.read("facts").filter(col("load_date") === "2024-01-01")
+    assert(q.count() === 2)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(load_date"),
+      s"no partition pruning in:\n${plan.take(1200)}")
+    store.appendPartitioned("facts",
+      Seq(("2024-01-03", 4)).toDF("load_date", "n"), Seq("load_date"))
+    assert(store.read("facts").count() === 4)
+  }
+}

@@ -20,16 +20,23 @@ import graft.functions.Functions._
   * current version is 'Y' that shows up in the batch opens a fresh 'N'
   * version).
   *
-  * Scale notes: one equi-shuffle on the key feeds every join here; all
-  * five legs (new/changed/closed/deleted/untouched) derive from the
-  * same `current` frame, so Catalyst reuses the exchange. The batch
-  * side is typically small → AQE broadcasts it. No driver-side
-  * collection, no per-row updates — this is a set-based MERGE that
-  * scales with the dimension's partition count.
+  * Scale notes: SINGLE-PASS formulation. The naive translation — one
+  * join per leg (new/changed/closed/deleted/untouched) — re-scans the
+  * dimension per leg (measured: ~7 scans, which at 100 TB is the whole
+  * job cost). Instead: ONE full-outer join of `current` ↔ `batch` on
+  * the key (plus a membership flag from the delete snapshot), per-key
+  * case logic deciding each key's fate, and an `explode` emitting the
+  * 0–2 output rows that fate implies (closed predecessor and/or opened
+  * successor). The dimension is scanned exactly twice (current +
+  * history split), the batch once, the delete snapshot once; one key
+  * shuffle total, and AQE broadcasts the typically-small batch side.
+  * No driver-side collection, no per-row updates.
   *
   * Dimension frame contract: `key` columns + `tracked` columns +
   * `effective_from`, `effective_to` (timestamp, 9999-12-31 = open) +
   * `deleted_flg` ('N'/'Y'). Batch frame: `key` + `tracked` columns.
+  * A key present in `batch` is never delete-marked, regardless of the
+  * snapshot (batch membership wins).
   */
 object Scd2 {
 
@@ -58,71 +65,72 @@ object Scd2 {
             deleteTs: Option[Column] = None): DataFrame = {
     val delTs = deleteTs.getOrElse(batchTs)
     val dimCols = dim.columns.toSeq
-    def proj(df: DataFrame): DataFrame = df.select(dimCols.map(col): _*)
+    val attrCols = dimCols.filterNot(
+      Seq("effective_from", "effective_to", "deleted_flg").contains)
 
-    val current = dim.filter(col("effective_to") === InfinityTs)
     val history = dim.filter(col("effective_to") =!= InfinityTs)
-
-    // J1: keys never seen in ANY version of the dimension → first version.
-    val newRows = proj(
-      batch.join(dim.select(keys.map(col): _*), keys, "left_anti")
-        .withColumn("effective_from", batchTs)
-        .withColumn("effective_to", InfinityTs)
-        .withColumn("deleted_flg", lit("N")))
-
-    // J2 + P4: batch rows whose current version differs on any tracked
-    // attribute (null-safe), or whose current version is a 'Y' marker
-    // (reappearing key) → new open version.
-    val curForCompare = current.select(
-      keys.map(col) ++
-        tracked.map(c => col(c).as(s"__cur_$c")) :+
-        col("deleted_flg").as("__cur_deleted_flg"): _*)
-    val changedPred = tracked
-      .map(c => !(col(c) <=> col(s"__cur_$c")))
-      .foldLeft(col("__cur_deleted_flg") === "Y")(_ || _)
-    val changedBatch = batch.join(curForCompare, keys, "inner")
-      .filter(changedPred)
-    val changedKeys = changedBatch.select(keys.map(col): _*)
-    val changedRows = proj(
-      changedBatch.select(batch.columns.map(col).toSeq: _*)
-        .withColumn("effective_from", batchTs)
-        .withColumn("effective_to", InfinityTs)
-        .withColumn("deleted_flg", lit("N")))
-
-    // J4: live current keys missing from the source's full key snapshot
-    // → 'Y' marker rows carrying the last known attribute values.
-    val deletedCurrent = deleteKeys match {
-      case Some(dk) =>
-        current.filter(col("deleted_flg") === "N")
-          .join(dk.select(keys.map(col): _*), keys, "left_anti")
-      case None => current.limit(0)
+    // Under the SCD2 invariant (exactly one open version per key),
+    // "key unseen in any version" ≡ "key unseen in current" — so the
+    // whole merge needs only the current slice plus the batch.
+    val current = dim.filter(col("effective_to") === InfinityTs)
+      .select(keys.map(col) ++
+        attrCols.filterNot(keys.contains).map(c => col(c).as(s"__cur_$c")) ++
+        Seq(col("effective_from").as("__cur_from"),
+          col("deleted_flg").as("__cur_flg"),
+          lit(true).as("__in_cur")): _*)
+    val batchSide = batch
+      .select(keys.map(col) ++ tracked.map(col) :+ lit(true).as("__in_batch"): _*)
+    val snapSide = deleteKeys match {
+      case Some(dk) => dk.select(keys.map(col): _*).distinct()
+        .withColumn("__in_snap", lit(true))
+      case None => null
     }
-    val deletedRows = proj(
-      deletedCurrent
-        .withColumn("effective_from", delTs)
-        .withColumn("effective_to", InfinityTs)
-        .withColumn("deleted_flg", lit("Y")))
 
-    // J5 + F10: close the superseded current versions one second before
-    // their replacement opens.
-    val closedForChange = proj(
-      current.join(changedKeys, keys, "left_semi")
-        .withColumn("effective_to", minusOneSecond(batchTs)))
-    val closedForDelete = proj(
-      deletedCurrent
-        .withColumn("effective_to", minusOneSecond(delTs)))
+    // The one key-wide join of the merge.
+    val joined0 = current.join(batchSide, keys, "full_outer")
+    val joined = Option(snapSide).fold(joined0.withColumn("__in_snap", lit(true)))(
+      sk => joined0.join(sk, keys, "left"))
 
-    // Current versions not superseded by anything this batch.
-    val untouched = current
-      .join(changedKeys, keys, "left_anti")
-      .join(deletedCurrent.select(keys.map(col): _*), keys, "left_anti")
+    val inCur = coalesce(col("__in_cur"), lit(false))
+    val inBatch = coalesce(col("__in_batch"), lit(false))
+    val inSnap = coalesce(col("__in_snap"), lit(false))
+    // J2 + P4: any tracked attribute differs null-safely, or the
+    // current version is a 'Y' marker (reappearing key).
+    val changed = inCur && inBatch &&
+      tracked.map(c => !(col(c) <=> col(s"__cur_$c")))
+        .foldLeft(col("__cur_flg") === "Y")(_ || _)
+    // J4: live current key absent from the source's full snapshot.
+    val deleted = inCur && !inBatch && col("__cur_flg") === "N" && !inSnap
 
-    proj(history)
-      .unionByName(proj(untouched))
-      .unionByName(closedForChange)
-      .unionByName(closedForDelete)
-      .unionByName(newRows)
-      .unionByName(changedRows)
-      .unionByName(deletedRows)
+    // Per-key fate → 0-2 output rows, built as dim-shaped structs.
+    def shape(attr: String => Column, from: Column, to: Column,
+              flg: Column): Column =
+      struct(dimCols.map {
+        case "effective_from" => from.as("effective_from")
+        case "effective_to" => to.as("effective_to")
+        case "deleted_flg" => flg.as("deleted_flg")
+        case k if keys.contains(k) => col(k).as(k)
+        case c => attr(c).as(c)
+      }: _*)
+    val curAttr = (c: String) => col(s"__cur_$c")
+    val batchAttr = (c: String) => col(c)
+
+    // Fate of the existing current row: closed (F10: one second before
+    // the successor opens), or carried through untouched.
+    val slot1 =
+      when(changed, shape(curAttr, col("__cur_from"), minusOneSecond(batchTs), col("__cur_flg")))
+        .when(deleted, shape(curAttr, col("__cur_from"), minusOneSecond(delTs), col("__cur_flg")))
+        .when(inCur, shape(curAttr, col("__cur_from"), InfinityTs, col("__cur_flg")))
+    // Newly opened row: replacement version, first version (J1), or
+    // the 'Y' marker carrying the last known attribute values.
+    val slot2 =
+      when(changed || (inBatch && !inCur), shape(batchAttr, batchTs, InfinityTs, lit("N")))
+        .when(deleted, shape(curAttr, delTs, InfinityTs, lit("Y")))
+
+    val merged = joined
+      .select(explode(filter(array(slot1, slot2), s => s.isNotNull)).as("__out"))
+      .select(col("__out.*"))
+
+    history.select(dimCols.map(col): _*).unionByName(merged)
   }
 }

@@ -51,6 +51,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q07: single-pass SCD2 merge bounds dimension scans") {
+    // The naive per-leg formulation planned 32 scans of the input; the
+    // full-outer+explode merge needs one per logical input slice (the
+    // fixture itself derives dim/batch/snapshot from `customer`, so 8
+    // is this query's floor). Regressing above that means a merge leg
+    // started re-scanning again.
+    val scans = planOf("q07_scd2_merge").linesIterator.count(_.contains("Scan parquet"))
+    assert(scans <= 8, s"q07 scans regressed to $scans")
+  }
+
   test("no declared query plans a cartesian product") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
       planOf(name).contains("CartesianProduct")

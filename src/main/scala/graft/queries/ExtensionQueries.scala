@@ -30,6 +30,37 @@ object ExtensionQueries {
             col("event_type"))
     },
 
+    // Gap-based sessionization: lag marks session starts, a running
+    // sum numbers them — two stacked windows over ONE key shuffle,
+    // then the per-session rollup. Money/value as integer cents so the
+    // per-group sum is associative (hash-stable across engines).
+    Q("q23_sessionize",
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id, value,
+        |         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) IS NULL
+        |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 86400000000
+        |              THEN 1 ELSE 0 END AS is_start
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT *, sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM marked)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        |       min(ts) AS session_start, max(ts) AS session_end,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+        |FROM sess GROUP BY user_id, session_seq""".stripMargin) {
+      (s, d) =>
+        import graft.io.Sources.table
+        val e = table(s, d, "events")
+          .withColumn("value_cents", round(col("value") * 100).cast("bigint"))
+        graft.ops.Sessionize.sessionStats(e, "user_id", "ts",
+            tieBreak = col("event_id"), gapSeconds = 86400L, valueCol = "value_cents")
+          .select(col("user_id"), col("session_seq"),
+            col("session_start"), col("session_end"), col("n_events"),
+            col("sum_value").as("sum_value_cents"))
+    },
+
     // Exact distinct aggregation (oracle-checked); the sketch variant
     // is q22 (rows-only — HLL++ and DuckDB's sketch differ by design).
     Q("q21_distinct_exact",

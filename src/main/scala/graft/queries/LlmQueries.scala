@@ -311,6 +311,44 @@ object LlmQueries {
             when(pred === col("lang"), 1).otherwise(0).as("correct"): _*)
     },
 
+    // End-to-end corpus preparation: quality gate → exact dedup with
+    // deterministic survivor choice → survivors with their stats. The
+    // composition a training-data pipeline actually runs, as one
+    // lineage: per-doc map pass (quality), one hash shuffle (dedup),
+    // one join back for survivor stats.
+    Q("q39_corpus_prep", {
+      val stopList = TextAnalysis.Stopwords.map("'" + _ + "'").mkString(",")
+      s"""WITH q AS (
+         |  SELECT doc_id, text,
+         |         CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok,
+         |         len(list_filter(string_split(text,' '), w -> w IN ($stopList)))::DOUBLE
+         |           / len(string_split(text,' ')) AS stop_ratio
+         |  FROM documents),
+         |kept AS (
+         |  SELECT doc_id, text, n_tok FROM q
+         |  WHERE n_tok BETWEEN 20 AND 200 AND stop_ratio <= 0.4),
+         |ded AS (
+         |  SELECT min(doc_id) AS doc_id, ${h64("text")} AS fp,
+         |         count(*) AS n_copies
+         |  FROM kept GROUP BY fp)
+         |SELECT d.doc_id, d.fp, d.n_copies, k.n_tok
+         |FROM ded d JOIN kept k ON d.doc_id = k.doc_id""".stripMargin
+    }) {
+      (s, d) =>
+        val ws = Dedup.tokens(col("text"))
+        val stopCnt = TextAnalysis.stopwordCount(ws)
+        val kept = table(s, d, "documents").select(
+            col("doc_id"), col("text"),
+            size(ws).cast("bigint").as("n_tok"),
+            (stopCnt.cast("double") / size(ws)).as("stop_ratio"))
+          .filter(col("n_tok").between(20, 200) && col("stop_ratio") <= 0.4)
+        val ded = kept.withColumn("fp", portableHash64(col("text")))
+          .groupBy("fp")
+          .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+        ded.join(kept.select(col("doc_id"), col("n_tok")), "doc_id")
+          .select(col("doc_id"), col("fp"), col("n_copies"), col("n_tok"))
+    },
+
     // Content fingerprinting: order-sensitive polynomial rolling hash
     // over the token stream + order-insensitive min token hash.
     // Identical left-to-right fold in both engines.

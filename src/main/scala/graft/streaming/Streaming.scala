@@ -82,6 +82,19 @@ object Streaming {
       .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
         col(keyCol), col("n"), col("sum_value"))
 
+  /** Session windows: per-key activity bursts separated by `gap` of
+    * quiet become one window (the streaming counterpart of
+    * [[graft.ops.Sessionize]]'s batch formulation — state closes and
+    * emits when the watermark passes a session's gap). */
+  def sessionCounts(df: DataFrame, tsCol: String, keyCol: String,
+                    gap: String, delay: String): DataFrame =
+    df.withWatermark(tsCol, delay)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"),
+        col(keyCol), col("n"), col("sum_value"))
+
   final case class KeyUpdate(k: String, v: String, ts: Timestamp)
   final case class VersionState(v: String, since: Timestamp)
   final case class ChangeEvent(k: String, prev_v: String, curr_v: String, ts: Timestamp)

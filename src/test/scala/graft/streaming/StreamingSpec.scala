@@ -86,6 +86,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids.toSeq === Seq("t1", "t2", "t3"))
   }
 
+  test("sessionCounts: session windows close on the gap") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, String, Double)]
+    val df = ms.toDF().toDF("ts", "user", "value")
+    val q = Streaming.sessionCounts(df, "ts", "user", "5 minutes", "1 minute")
+      .writeStream.format("memory").queryName("sess_counts")
+      .outputMode("complete").start()
+    ms.addData(
+      (ts("2024-01-01 10:00:00"), "u1", 1.0), // session A
+      (ts("2024-01-01 10:03:00"), "u1", 2.0), // still A (3 min gap)
+      (ts("2024-01-01 10:20:00"), "u1", 4.0)) // new session B
+    q.processAllAvailable()
+    val rows = spark.table("sess_counts")
+      .collect().map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(3), r.getDouble(4)))
+      .toSet
+    q.stop()
+    assert(rows === Set(
+      (ts("2024-01-01 10:00:00"), ts("2024-01-01 10:08:00"), 2L, 3.0),
+      (ts("2024-01-01 10:20:00"), ts("2024-01-01 10:25:00"), 1L, 4.0)))
+  }
+
   test("changeEvents: per-key version tracking persists state across batches") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[KeyUpdate]

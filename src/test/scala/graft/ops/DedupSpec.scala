@@ -58,6 +58,21 @@ class DedupSpec extends AnyFunSuite {
     assert(ham(m(1L), m(2L)) < ham(m(1L), m(3L)))
   }
 
+  test("minhash property: identical docs always collide, signature is content-determined") {
+    val dup = "exact duplicate content that appears twice in the corpus today"
+    val docs = Seq((10L, dup), (20L, dup),
+      (30L, "entirely unrelated words about something else altogether now"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
+    val rows = sigs.collect().map(r =>
+      r.getLong(0) -> (0 until Dedup.NumHashes).map(i => r.getAs[Long](s"mh$i")))
+      .toMap
+    assert(rows(10L) === rows(20L)) // identical text ⇒ identical signature
+    val pairs = Dedup.lshCandidates(sigs, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((10L, 20L))) // ⇒ guaranteed candidate pair
+  }
+
   test("simhashPairs: byte-band candidates verify true Hamming radius") {
     // Fingerprints chosen so (1,2) differ in 2 bits (same low bytes),
     // (1,3) differ in many bits across all bytes.

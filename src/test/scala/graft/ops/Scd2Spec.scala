@@ -82,6 +82,22 @@ class Scd2Spec extends AnyFunSuite {
     assert(snapshot(once) === snapshot(twice))
   }
 
+  test("composite natural keys: fate decided per (k1,k2) pair") {
+    val d = Seq(
+      ("a", 1, "v", t0, INF, "N"),
+      ("a", 2, "v", t0, INF, "N"))
+      .toDF("k1", "k2", "a", "effective_from", "effective_to", "deleted_flg")
+    val b = Seq(("a", 1, "v2"), ("b", 1, "w")).toDF("k1", "k2", "a")
+    val dk = Seq(("a", 1), ("b", 1)).toDF("k1", "k2")
+    val out = Scd2.merge(d, b, Seq("k1", "k2"), Seq("a"), lit(t1), Some(dk))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getTimestamp(4), r.getString(5))).toSet
+    assert(out === Set(
+      ("a", 1, "v", t1Close, "N"), ("a", 1, "v2", INF, "N"), // changed
+      ("a", 2, "v", t1Close, "N"), ("a", 2, "v", INF, "Y"), // deleted
+      ("b", 1, "w", INF, "N"))) // new
+  }
+
   test("separate deleteTs clock (terminals file-date vs cards now() split)") {
     val t2 = ts("2024-03-01 00:00:00")
     val d = dim(("gone", "v", t0, INF, "N"))

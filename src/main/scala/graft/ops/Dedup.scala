@@ -101,6 +101,29 @@ object Dedup {
   def jaccardParts(s1: Column, s2: Column): (Column, Column) =
     (size(array_intersect(s1, s2)), size(array_union(s1, s2)))
 
+  /** Incremental LSH near-dup: candidates between a NEW batch and an
+    * EXISTING corpus signature index — the at-scale flow (the corpus
+    * index is materialized once and re-probed per batch; self-joining
+    * the world per batch is the anti-pattern). Same banded equi-join
+    * shape as [[lshCandidates]], but the join is batch × corpus, so
+    * per-batch work scales with the batch, not the corpus. Returns
+    * (batch id as d1, corpus id as d2). */
+  def lshCandidatesAgainst(batchSigs: DataFrame, corpusSigs: DataFrame,
+                           idCol: String): DataFrame = {
+    def bandRows(sigs: DataFrame, idAs: String): DataFrame = {
+      val bandStructs = (0 until NumBands).map { b =>
+        struct((0 until BandRows).map(r => col(s"mh${b * BandRows + r}").as(s"v$r")): _*)
+      }
+      sigs.select(col(idCol).as(idAs),
+        posexplode(array(bandStructs: _*)).as(Seq(s"__band_$idAs", s"__bsig_$idAs")))
+    }
+    bandRows(batchSigs, "d1")
+      .join(bandRows(corpusSigs, "d2"),
+        col("__band_d1") === col("__band_d2") && col("__bsig_d1") === col("__bsig_d2"))
+      .select(col("d1"), col("d2"))
+      .distinct()
+  }
+
   /** 32-bit SimHash over per-token hashes: per bit j, sum ±1 votes
     * across tokens; bit set iff the sum is positive. Input: one row
     * per (doc, token hash); output: one row per doc. Single hash

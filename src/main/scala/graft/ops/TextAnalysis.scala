@@ -78,4 +78,30 @@ object TextAnalysis {
   def rollingFingerprint(ws: Column): Column =
     aggregate(ws, lit(0L),
       (acc, w) => pmod(acc * 31 + pmod(portableHash64(w), lit(P)), lit(P)))
+
+  /** Corpus-cleaning normalization: lowercase, strip everything but
+    * `[a-z0-9 ]`, collapse whitespace runs, trim. Deliberately plain
+    * regex built-ins (codegen'd, engine-portable) — normalization runs
+    * over every byte of a 100 TB corpus, so it must stay inside
+    * whole-stage codegen. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** PII redaction patterns (emails, international-ish phone numbers,
+    * 13-16-digit card numbers) → fixed placeholder tokens. Fixed-form
+    * regexes chosen to match identically across regex engines. */
+  val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val PhoneRe = "\\+?[0-9][0-9()\\- ]{7,}[0-9]"
+  val CardRe = "[0-9]{13,16}"
+
+  /** Redact PII in order: emails first (their digits must never
+    * half-match the phone pattern), then card numbers (a 13-16-digit
+    * run also satisfies the looser phone pattern, so cards must win),
+    * then phones. */
+  def scrubPii(text: Column): Column = {
+    val noEmail = regexp_replace(text, EmailRe, "<EMAIL>")
+    val noCard = regexp_replace(noEmail, CardRe, "<CARD>")
+    regexp_replace(noCard, PhoneRe, "<PHONE>")
+  }
 }

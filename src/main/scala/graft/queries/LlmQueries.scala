@@ -311,6 +311,119 @@ object LlmQueries {
             when(pred === col("lang"), 1).otherwise(0).as("correct"): _*)
     },
 
+    // Incremental LSH near-dup: a NEW batch (every 10th doc with one
+    // appended token) probed against the EXISTING corpus index — the
+    // at-scale flow where per-batch work scales with the batch, never
+    // the corpus. Candidates from banded batch×corpus equi joins, then
+    // exact Jaccard verify within candidates only.
+    Q("q43_incremental_neardup", {
+      val bShingleCtes = shingleCtes
+        .replace("tok AS", "btok AS").replace("sh AS", "bsh AS")
+        .replace("hst AS", "bhst AS")
+        .replace("FROM corpus", "FROM batch0")
+        .replace("FROM tok", "FROM btok").replace("FROM sh", "FROM bsh")
+      val crossBandJoin = (0 until Dedup.NumBands).map { bnd =>
+        val conds = (bnd * Dedup.BandRows until (bnd + 1) * Dedup.BandRows)
+          .map(i => s"a.mh$i=b.mh$i").mkString(" AND ")
+        s"SELECT a.doc_id AS d1, b.doc_id AS d2 FROM bsig a JOIN sig b ON $conds"
+      }.mkString("\nUNION\n")
+      s"""WITH $rawCorpus,
+         |$shingleCtes,
+         |sig AS (SELECT doc_id, hs, $mhColsSql FROM hst),
+         |batch0 AS (SELECT doc_id + 1000000 AS doc_id, text || ' extracontent' AS text
+         |           FROM documents WHERE doc_id % 10 = 0),
+         |$bShingleCtes,
+         |bsig AS (SELECT doc_id, hs, $mhColsSql FROM bhst),
+         |cand AS ($crossBandJoin),
+         |pairs AS (SELECT c.d1, c.d2, a.hs AS hs1, b.hs AS hs2
+         |          FROM cand c JOIN bsig a ON a.doc_id = c.d1 JOIN sig b ON b.doc_id = c.d2)
+         |SELECT d1, d2,
+         |       CAST(len(list_intersect(hs1,hs2)) AS BIGINT) AS inter_cnt,
+         |       CAST(len(list_distinct(hs1||hs2)) AS BIGINT) AS union_cnt,
+         |       round(len(list_intersect(hs1,hs2))::DOUBLE / len(list_distinct(hs1||hs2)), 6) AS jac
+         |FROM pairs
+         |WHERE len(list_intersect(hs1,hs2))::DOUBLE / len(list_distinct(hs1||hs2)) >= 0.4""".stripMargin
+    }) {
+      (s, d) =>
+        val docs = table(s, d, "documents").select("doc_id", "text")
+        val corpusSigs = Dedup.minhashSignatures(docs, "doc_id", "text").cache()
+        val batch = docs.filter(col("doc_id") % 10 === 0).select(
+          (col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" extracontent")).as("text"))
+        val batchSigs = Dedup.minhashSignatures(batch, "doc_id", "text").cache()
+        val cands = Dedup.lshCandidatesAgainst(batchSigs, corpusSigs, "doc_id")
+        val withSets = cands
+          .join(batchSigs.select(col("doc_id").as("d1"), col("__hs").as("hs1")), "d1")
+          .join(corpusSigs.select(col("doc_id").as("d2"), col("__hs").as("hs2")), "d2")
+        val (inter, uni) = Dedup.jaccardParts(col("hs1"), col("hs2"))
+        withSets
+          .withColumn("inter_cnt", inter.cast("bigint"))
+          .withColumn("union_cnt", uni.cast("bigint"))
+          .withColumn("jac", round(col("inter_cnt").cast("double") / col("union_cnt"), 6))
+          .filter(col("inter_cnt").cast("double") / col("union_cnt") >= 0.4)
+          .select("d1", "d2", "inter_cnt", "union_cnt", "jac")
+    },
+
+    // Corpus-cleaning normalization over deterministically dirtied
+    // text (case noise, punctuation, an id suffix): lowercase → strip
+    // non-alphanumerics → collapse whitespace → trim. One codegen'd
+    // map pass — normalization touches every byte of the corpus, so
+    // nothing here may leave whole-stage codegen.
+    Q("q44_normalize",
+      """WITH dirty AS (
+        |  SELECT doc_id,
+        |         upper(substring(text, 1, 10)) || '!!  ' || substring(text, 11) ||
+        |           ' ## ' || CAST(doc_id AS VARCHAR) AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |                           ' +', ' ', 'g')) AS norm_text,
+        |       CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |                                       ' +', ' ', 'g'))) AS BIGINT) AS norm_len
+        |FROM dirty""".stripMargin) {
+      (s, d) =>
+        val dirty = table(s, d, "documents").select(
+          col("doc_id"),
+          concat(upper(substring(col("text"), 1, 10)), lit("!!  "),
+            expr("substring(text, 11)"), lit(" ## "),
+            col("doc_id").cast("string")).as("text"))
+        dirty.select(col("doc_id"),
+          TextAnalysis.normalize(col("text")).as("norm_text"),
+          length(TextAnalysis.normalize(col("text"))).cast("bigint").as("norm_len"))
+    },
+
+    // PII scrubbing over deterministically injected emails, phones,
+    // and card numbers; redaction order is part of the contract
+    // (emails, then cards — which also satisfy the looser phone
+    // pattern — then phones).
+    Q("q45_pii_scrub",
+      // The Scala pattern strings embed verbatim: SQL single-quoted
+      // strings pass backslashes through to the regex engine untouched.
+      s"""WITH seeded AS (
+         |  SELECT doc_id,
+         |         substring(text, 1, 40) || ' contact user' || CAST(doc_id AS VARCHAR) ||
+         |           '@example.com or +7 (900) 123-45-' ||
+         |           lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') ||
+         |           ' card 4111111111111111 end' AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |       regexp_replace(
+         |         regexp_replace(
+         |           regexp_replace(text, '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
+         |           '${TextAnalysis.CardRe}', '<CARD>', 'g'),
+         |         '${TextAnalysis.PhoneRe}', '<PHONE>', 'g') AS clean_text
+         |FROM seeded""".stripMargin) {
+      (s, d) =>
+        val seeded = table(s, d, "documents").select(
+          col("doc_id"),
+          concat(substring(col("text"), 1, 40), lit(" contact user"),
+            col("doc_id").cast("string"), lit("@example.com or +7 (900) 123-45-"),
+            lpad((col("doc_id") % 100).cast("string"), 2, "0"),
+            lit(" card 4111111111111111 end")).as("text"))
+        seeded.select(col("doc_id"),
+          TextAnalysis.scrubPii(col("text")).as("clean_text"))
+    },
+
     // End-to-end corpus preparation: quality gate → exact dedup with
     // deterministic survivor choice → survivors with their stats. The
     // composition a training-data pipeline actually runs, as one

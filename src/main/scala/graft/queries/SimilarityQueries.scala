@@ -85,12 +85,12 @@ object SimilarityQueries {
          |  ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.35""".stripMargin) {
       (s, d) =>
-        import graft.functions.Functions.l2Norm
+        import graft.functions.VectorExpressions.normF
         val e = table(s, d, "embeddings")
         val left = e.select(col("vec_id"), col("label"), col("embedding"),
-          l2Norm(col("embedding")).as("n1"))
+          normF(col("embedding")).as("n1"))
         val right = e.select(col("vec_id").as("v2"), col("label").as("lbl2"),
-          col("embedding").as("emb2"), l2Norm(col("embedding")).as("n2"))
+          col("embedding").as("emb2"), normF(col("embedding")).as("n2"))
         left.join(right, col("label") === col("lbl2") && col("vec_id") < col("v2"))
           .withColumn("cos_r", Similarity.cosRoundedPre(
             col("embedding"), col("emb2"), col("n1"), col("n2")))

@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.functions.VectorExpressions.{dotF, normF}
+
+class VectorExpressionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (1L, Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+    (2L, Array(0.1f, 0.2f), Array(0.3f, 0.4f)),
+    (3L, Array.empty[Float], Array.empty[Float]))
+    .toDF("id", "a", "b")
+
+  test("dot product values and null propagation") {
+    val out = vecs.select(dotF(col("a"), col("b"))).collect().map(_.getDouble(0))
+    assert(out(0) === 32.0)
+    assert(out(2) === 0.0)
+    val nulls = Seq((1L, null.asInstanceOf[Array[Float]], Array(1.0f)))
+      .toDF("id", "a", "b")
+      .select(dotF(col("a"), col("b"))).collect()
+    assert(nulls.head.isNullAt(0))
+  }
+
+  test("bit-for-bit parity with the higher-order-function fold") {
+    // The oracle contract rests on this: the native kernel must produce
+    // the exact double the aggregate(zip_with(...)) fold produces.
+    val both = vecs.filter(size(col("a")) > 0).select(
+      dotF(col("a"), col("b")).as("native"),
+      Functions.dotProduct(col("a"), col("b")).as("hof"),
+      normF(col("a")).as("native_norm"),
+      Functions.l2Norm(col("a")).as("hof_norm"))
+    both.collect().foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))
+    }
+  }
+
+  test("callable from SQL through the session extension") {
+    vecs.createOrReplaceTempView("vx")
+    val out = spark.sql(
+      s"SELECT ${DotProductFloat.Name}(a, b) FROM vx WHERE id = 1")
+      .collect().head.getDouble(0)
+    assert(out === 32.0)
+  }
+
+  test("participates in whole-stage codegen (no fallback)") {
+    // A local relation pre-evaluates to LocalTableScan, so drive the
+    // expression through a real parquet scan.
+    val e = graft.io.Sources.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val df = e.select(dotF(col("embedding"), col("embedding")).as("d"))
+      .filter(col("d") >= 0)
+    val plan = df.queryExecution.executedPlan.toString
+    // `*(n)` prefixes mark operators fused into a WholeStageCodegen
+    // stage; the project and filter carrying the expression must be in.
+    assert(plan.linesIterator.exists(l =>
+      l.contains("*(1) Project [dot_product_float")), plan.take(800))
+    assert(df.count() > 0)
+  }
+}

@@ -88,6 +88,101 @@ object ExtensionQueries {
           percentile_approx(col("value"), lit(0.95), lit(10000)).as("p95_value"))
     },
 
+    // Full-outer join with side flags — the join type the reference
+    // never uses but any engine must have (and the SCD2 single-pass
+    // merge is built on).
+    Q("q24_outer_join",
+      """WITH l AS (SELECT c_custkey AS k, c_mktsegment AS seg FROM customer WHERE c_custkey % 2 = 0),
+        |r AS (SELECT c_custkey AS k, c_nationkey AS nat FROM customer WHERE c_custkey % 3 = 0)
+        |SELECT coalesce(l.k, r.k) AS k, l.seg, r.nat,
+        |       CAST(CASE WHEN l.k IS NOT NULL THEN 1 ELSE 0 END AS INT) AS in_left,
+        |       CAST(CASE WHEN r.k IS NOT NULL THEN 1 ELSE 0 END AS INT) AS in_right
+        |FROM l FULL OUTER JOIN r ON l.k = r.k""".stripMargin) {
+      (s, d) =>
+        import graft.io.Sources.table
+        val c = table(s, d, "customer")
+        val l = c.filter(col("c_custkey") % 2 === 0)
+          .select(col("c_custkey").as("lk"), col("c_mktsegment").as("seg"))
+        val r = c.filter(col("c_custkey") % 3 === 0)
+          .select(col("c_custkey").as("rk"), col("c_nationkey").as("nat"))
+        l.join(r, col("lk") === col("rk"), "full_outer")
+          .select(coalesce(col("lk"), col("rk")).as("k"), col("seg"), col("nat"),
+            when(col("lk").isNotNull, 1).otherwise(0).cast("int").as("in_left"),
+            when(col("rk").isNotNull, 1).otherwise(0).cast("int").as("in_right"))
+    },
+
+    // ROLLUP subtotals: region/nation revenue with grand totals —
+    // multi-level aggregation in one pass (partial agg applies per
+    // grouping set; no extra scans).
+    Q("q25_rollup",
+      """SELECT r.r_name, n.n_name,
+        |       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents,
+        |       count(*) AS n_orders
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        |JOIN region r   ON n.n_regionkey = r.r_regionkey
+        |GROUP BY ROLLUP(r.r_name, n.n_name)""".stripMargin) {
+      (s, d) =>
+        import graft.io.Sources.table
+        val o = table(s, d, "orders")
+        val c = table(s, d, "customer")
+        val n = table(s, d, "nation")
+        val r = table(s, d, "region")
+        o.join(c, o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          // Project to unqualified names before rollup: the broadcast
+          // wrapper re-wraps the frame, making dataset-qualified refs
+          // ambiguous under the self-join check.
+          .select(col("r_name"), col("n_name"), col("o_totalprice"))
+          .rollup(col("r_name"), col("n_name"))
+          .agg(sum(round(col("o_totalprice") * 100).cast("bigint")).cast("bigint")
+            .as("rev_cents"), count(lit(1)).as("n_orders"))
+    },
+
+    // Pivot: per-user event-type counts as fixed columns (explicit
+    // value list — at scale an unbounded pivot is a driver-side
+    // distinct; the fixed list keeps it a single pass).
+    Q("q26_pivot",
+      """SELECT user_id,
+        |       CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+        |       CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view,
+        |       CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase
+        |FROM events GROUP BY user_id""".stripMargin) {
+      (s, d) =>
+        import graft.io.Sources.table
+        table(s, d, "events")
+          .groupBy("user_id")
+          .pivot("event_type", Seq("click", "view", "purchase"))
+          .agg(count(lit(1)))
+          .na.fill(0L, Seq("click", "view", "purchase"))
+    },
+
+    // Deterministic top-k per group: rank with explicit tiebreak,
+    // keep k — one window shuffle, no global sort.
+    Q("q27_topk_per_group",
+      """WITH ranked AS (
+        |  SELECT o_orderpriority, o_orderkey,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+        |         row_number() OVER (PARTITION BY o_orderpriority
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders)
+        |SELECT o_orderpriority, o_orderkey, price_cents, CAST(rnk AS BIGINT) AS rnk
+        |FROM ranked WHERE rnk <= 3""".stripMargin) {
+      (s, d) =>
+        import graft.io.Sources.table
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        table(s, d, "orders")
+          .withColumn("rnk", row_number().over(w).cast("bigint"))
+          .filter(col("rnk") <= 3)
+          .select(col("o_orderpriority"), col("o_orderkey"),
+            round(col("o_totalprice") * 100).cast("bigint").as("price_cents"),
+            col("rnk"))
+    },
+
     Q("q20_pricing_summary",
       """SELECT l_returnflag, l_linestatus,
         |       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,

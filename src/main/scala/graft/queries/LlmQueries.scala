@@ -462,6 +462,46 @@ object LlmQueries {
           .select(col("doc_id"), col("fp"), col("n_copies"), col("n_tok"))
     },
 
+    // Repetition-based quality filter: within-document duplicate
+    // 3-gram ratio (1 − distinct/total shingles) — the repetition
+    // signal used to drop boilerplate/spam from training corpora.
+    // Pure integer counts and one int/int division, so the ratio is
+    // bit-identical on any engine; one map pass, no shuffle.
+    Q("q47_repetition",
+      """WITH tok AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id,
+        |              list_transform(range(1, len(ws)-1),
+        |                i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]) AS all_shs
+        |       FROM tok WHERE len(ws) >= 3)
+        |SELECT doc_id,
+        |       CAST(len(all_shs) AS BIGINT) AS total_shingles,
+        |       CAST(len(list_distinct(all_shs)) AS BIGINT) AS distinct_shingles,
+        |       round(1.0 - len(list_distinct(all_shs))::DOUBLE / len(all_shs), 6) AS dup_ratio,
+        |       CAST(CASE WHEN 1.0 - len(list_distinct(all_shs))::DOUBLE / len(all_shs) > 0.2
+        |            THEN 1 ELSE 0 END AS INT) AS is_repetitive
+        |FROM sh""".stripMargin) {
+      (s, d) =>
+        val ws = Dedup.tokens(col("text"))
+        // ALL shingles (with repeats) — Dedup.shingles dedups, so build
+        // the raw windows here.
+        val allShs = transform(
+          sequence(lit(0), size(col("ws")) - 3),
+          i => concat_ws(" ", element_at(col("ws"), i + 1),
+            element_at(col("ws"), i + 2), element_at(col("ws"), i + 3)))
+        val base = table(s, d, "documents")
+          .select(col("doc_id"), ws.as("ws"))
+          .filter(size(col("ws")) >= 3)
+          .select(col("doc_id"), allShs.as("all_shs"))
+        val total = size(col("all_shs")).cast("bigint")
+        val dist = size(array_distinct(col("all_shs"))).cast("bigint")
+        val ratio = lit(1.0) - dist.cast("double") / total
+        base.select(col("doc_id"),
+          total.as("total_shingles"),
+          dist.as("distinct_shingles"),
+          round(ratio, 6).as("dup_ratio"),
+          when(ratio > 0.2, 1).otherwise(0).cast("int").as("is_repetitive"))
+    },
+
     // Deterministic dataset splitting: hash-bucket each doc id into
     // train/val/test (90/5/5) — replayable on any engine (never
     // rand(): a retried task must re-derive the same split), rolled

@@ -68,6 +68,21 @@ final class TableStore(spark: SparkSession, root: String) {
                         partitionCols: Seq[String]): Unit =
     df.write.mode("append").partitionBy(partitionCols: _*).parquet(path(name))
 
+  /** Bucketed catalog table: rows hash-distributed into `buckets`
+    * files by the bucket columns and sorted within each. Two tables
+    * bucketed the same way join WITHOUT a shuffle — at 100 TB,
+    * pre-bucketing the fact and its dimensions on the join key turns
+    * every pipeline join into a local merge. Requires the session
+    * catalog (bucket metadata lives in the metastore, not parquet),
+    * so these are `saveAsTable` tables addressed by name, not path. */
+  def saveBucketed(table: String, df: DataFrame, bucketCols: Seq[String],
+                   buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** K4: replace a dimension snapshot that `df` may itself read.
     * Materializes to `<name>.__tmp`, then renames old → `.__old`,
     * tmp → live, and drops the old generation. */

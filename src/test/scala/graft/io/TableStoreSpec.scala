@@ -34,6 +34,23 @@ class TableStoreSpec extends AnyFunSuite {
     assert(!store.exists("dim.__tmp") && !store.exists("dim.__old"))
   }
 
+  test("co-bucketed tables join without a shuffle exchange") {
+    val store = newStore()
+    val facts = (1 to 1000).map(i => (i.toLong % 50, s"f$i")).toDF("k", "fv")
+    val dim = (0L until 50L).map(k => (k, s"d$k")).toDF("k", "dv")
+    store.saveBucketed("b_facts", facts, Seq("k"), buckets = 4)
+    store.saveBucketed("b_dim", dim, Seq("k"), buckets = 4)
+    // Disable broadcast so the join must pick a shuffle-or-bucket plan.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_facts").join(spark.table("b_dim"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n${plan.take(1500)}")
+      assert(joined.count() === 1000)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("partitioned write prunes partitions under a partition-column filter") {
     val store = newStore()
     val df = Seq(("2024-01-01", 1), ("2024-01-01", 2), ("2024-01-02", 3))

@@ -100,6 +100,33 @@ object Pipeline {
     }
   }
 
+  /** Streaming variant of the fact stage: the file-source checkpoint
+    * replaces the hand-kept watermark (new files only, restart-safe),
+    * staging lands via `Trigger.AvailableNow`, and promotion is the
+    * same typed anti-join append as the batch path. Late/duplicate
+    * files remain harmless — the checkpoint skips re-delivered paths
+    * and the anti-join drops re-delivered rows. */
+  def runTransactionsStreaming(spark: SparkSession, store: TableStore,
+                               srcDir: String): Unit = {
+    val q = graft.streaming.Streaming.ingest(
+      graft.streaming.Streaming.fileSource(spark, s"$srcDir/transactions_*.txt",
+        graft.io.Sources.stringSchema(TxSchema: _*)),
+      store.path("stg_transactions_stream"),
+      store.path("_ckpt_transactions"))
+    q.awaitTermination()
+    val staged = store.read("stg_transactions_stream")
+    if (staged.limit(1).count() > 0) {
+      val typed = staged.select(
+        col("transaction_id"),
+        col("transaction_date").cast(TimestampType).as("transaction_date"),
+        parseEuroDecimal(col("amount")).as("amount"),
+        col("card_num"), col("terminal"))
+      val fact = store.readOr("fact_transactions", factStruct)
+      store.append("fact_transactions",
+        AntiInsert.newRows(typed, fact, Seq("transaction_id")))
+    }
+  }
+
   /** Dimension stage (`terminals.py` analog): each full-snapshot file
     * newer than the watermark is staged and SCD2-merged; the file date
     * is both the version-open timestamp and the delete clock. */

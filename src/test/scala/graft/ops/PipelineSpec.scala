@@ -99,6 +99,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(amt.toPlainString === "1234.56")
   }
 
+  test("streaming fact stage: checkpointed ingest + anti-join promotion") {
+    val src = Files.createTempDirectory("graft_pipe_stream")
+    val store = new TableStore(spark, Files.createTempDirectory("graft_pipe_wh3").toString)
+    day1(src)
+    Pipeline.runTransactionsStreaming(spark, store, src.toString)
+    assert(count(store, "fact_transactions") === 3)
+    // Second invocation: checkpoint skips the already-ingested file; a
+    // day-2 delivery with a replayed duplicate row adds only new facts.
+    Pipeline.runTransactionsStreaming(spark, store, src.toString)
+    assert(count(store, "fact_transactions") === 3)
+    day2(src)
+    Pipeline.runTransactionsStreaming(spark, store, src.toString)
+    assert(count(store, "fact_transactions") === 5)
+  }
+
   test("archive=true moves processed files so reruns see an empty source") {
     val src = Files.createTempDirectory("graft_pipe_arch")
     val store = new TableStore(spark, Files.createTempDirectory("graft_pipe_wh2").toString)

@@ -83,6 +83,25 @@ final class TableStore(spark: SparkSession, root: String) {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Compact an append-only table's accumulated small files: every
+    * batch append adds files, and file count — not data size — is what
+    * degrades scan planning and shuffle fan-out over time. Rewrites
+    * the table into `targetFiles` files via the snapshot swap (the
+    * rewrite reads the directory it replaces). Run periodically, not
+    * per batch: the rewrite costs one pass over the table. */
+  def compact(name: String, targetFiles: Int): Unit =
+    swapSnapshot(name, read(name).repartition(targetFiles))
+
+  /** Data files currently backing a table (maintenance telemetry). */
+  def fileCount(name: String): Int = {
+    val it = fs.listFiles(new Path(path(name)), true)
+    var n = 0
+    while (it.hasNext) {
+      if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+    }
+    n
+  }
+
   /** K4: replace a dimension snapshot that `df` may itself read.
     * Materializes to `<name>.__tmp`, then renames old → `.__old`,
     * tmp → live, and drops the old generation. */

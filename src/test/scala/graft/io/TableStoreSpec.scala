@@ -34,6 +34,18 @@ class TableStoreSpec extends AnyFunSuite {
     assert(!store.exists("dim.__tmp") && !store.exists("dim.__old"))
   }
 
+  test("compact rewrites accumulated append files without changing contents") {
+    val store = newStore()
+    (1 to 6).foreach { i =>
+      store.append("facts", Seq((i, s"v$i")).toDF("id", "v").repartition(2))
+    }
+    assert(store.fileCount("facts") >= 6)
+    val before = store.read("facts").collect().toSet
+    store.compact("facts", targetFiles = 1)
+    assert(store.fileCount("facts") === 1)
+    assert(store.read("facts").collect().toSet === before)
+  }
+
   test("co-bucketed tables join without a shuffle exchange") {
     val store = newStore()
     val facts = (1 to 1000).map(i => (i.toLong % 50, s"f$i")).toDF("k", "fv")

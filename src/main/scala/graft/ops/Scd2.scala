@@ -133,4 +133,34 @@ object Scd2 {
 
     history.select(dimCols.map(col): _*).unionByName(merged)
   }
+
+  /** Build a full SCD2 history from a change log (CDC ingestion — the
+    * inverse of [[merge]], and the batch consumer of
+    * [[graft.streaming.Streaming.changeEvents]]): per key, consecutive
+    * rows with identical tracked values collapse into one version;
+    * each version runs from its first observation to one second before
+    * the next change (open = 9999-12-31). Two stacked windows over ONE
+    * key shuffle (same partitioning — lag for change detection, lead
+    * for version close), no joins at all.
+    *
+    * @param log      one row per observation: keys + tracked + event time
+    * @param tieBreak deterministic total order within equal timestamps
+    */
+  def fromChangeLog(log: DataFrame, keys: Seq[String], tracked: Seq[String],
+                    tsCol: String, tieBreak: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol), tieBreak)
+    val state = struct(tracked.map(col): _*)
+    val isChange = !(state <=> lag(state, 1).over(w))
+    val changes = log
+      .withColumn("__chg", isChange)
+      .filter(col("__chg"))
+    val wc = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol), tieBreak)
+    changes.select(
+      keys.map(col) ++ tracked.map(col) ++ Seq(
+        col(tsCol).as("effective_from"),
+        coalesce(minusOneSecond(lead(col(tsCol), 1).over(wc)), InfinityTs)
+          .as("effective_to"),
+        lit("N").as("deleted_flg")): _*)
+  }
 }

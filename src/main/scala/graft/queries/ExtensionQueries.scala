@@ -61,6 +61,32 @@ object ExtensionQueries {
             col("sum_value").as("sum_value_cents"))
     },
 
+    // CDC change log → SCD2 history: consecutive same-value rows
+    // collapse into versions bounded [first observation, next change −
+    // 1 s), open version = infinity. Two stacked windows, one key
+    // shuffle, no joins — the batch consumer of a change-event stream.
+    Q("q28_cdc_to_scd2",
+      """WITH chg AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |         CASE WHEN event_type IS DISTINCT FROM lag(event_type) OVER w
+        |              THEN 1 ELSE 0 END AS is_chg
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, event_type, ts AS effective_from,
+        |       coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |                  - INTERVAL 1 SECOND,
+        |                TIMESTAMP '9999-12-31 00:00:00') AS effective_to,
+        |       'N' AS deleted_flg
+        |FROM chg WHERE is_chg = 1""".stripMargin) {
+      (s, d) =>
+        import graft.io.Sources.table
+        graft.ops.Scd2.fromChangeLog(
+          table(s, d, "events").select("user_id", "event_type", "ts", "event_id"),
+          keys = Seq("user_id"), tracked = Seq("event_type"),
+          tsCol = "ts", tieBreak = col("event_id"))
+          .select("user_id", "event_type", "effective_from", "effective_to",
+            "deleted_flg")
+    },
+
     // Exact distinct aggregation (oracle-checked); the sketch variant
     // is q22 (rows-only — HLL++ and DuckDB's sketch differ by design).
     Q("q21_distinct_exact",

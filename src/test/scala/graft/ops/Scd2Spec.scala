@@ -98,6 +98,24 @@ class Scd2Spec extends AnyFunSuite {
       ("b", 1, "w", INF, "N"))) // new
   }
 
+  test("fromChangeLog: consecutive duplicates collapse, versions tile the timeline") {
+    val log = Seq(
+      ("k1", "a", ts("2024-01-01 00:00:00"), 1L),
+      ("k1", "a", ts("2024-01-02 00:00:00"), 2L), // no change → collapsed
+      ("k1", "b", ts("2024-01-03 00:00:00"), 3L),
+      ("k1", "a", ts("2024-01-05 00:00:00"), 4L), // back to a → new version
+      ("k2", "x", ts("2024-01-04 00:00:00"), 5L))
+      .toDF("k", "a", "ts", "seq")
+    val out = Scd2.fromChangeLog(log, Seq("k"), Seq("a"), "ts", col("seq"))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getTimestamp(2), r.getTimestamp(3))).toSet
+    assert(out === Set(
+      ("k1", "a", ts("2024-01-01 00:00:00"), ts("2024-01-02 23:59:59")),
+      ("k1", "b", ts("2024-01-03 00:00:00"), ts("2024-01-04 23:59:59")),
+      ("k1", "a", ts("2024-01-05 00:00:00"), INF),
+      ("k2", "x", ts("2024-01-04 00:00:00"), INF)))
+  }
+
   test("separate deleteTs clock (terminals file-date vs cards now() split)") {
     val t2 = ts("2024-03-01 00:00:00")
     val d = dim(("gone", "v", t0, INF, "N"))

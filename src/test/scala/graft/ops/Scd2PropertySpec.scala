@@ -80,6 +80,38 @@ class Scd2PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("fromChangeLog invariants: versions tile the timeline, one open per key") {
+    val genLog: Gen[List[(String, String, Int)]] = for {
+      n <- Gen.choose(1, 20)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.oneOf(keyUniverse)
+        v <- Gen.oneOf(values.filter(_ != null))
+      } yield (k, v))
+    } yield rows.zipWithIndex.map { case ((k, v), i) => (k, v, i) }
+
+    check(Prop.forAll(genLog) { log =>
+      val df = log.map { case (k, v, i) => (k, v, dayTs(i), i.toLong) }
+        .toDF("k", "v", "ts", "seq")
+      val hist = Scd2.fromChangeLog(df, Seq("k"), Seq("v"), "ts", col("seq"))
+        .collect().map(r => (r.getString(0), r.getString(1),
+          r.getTimestamp(2), r.getTimestamp(3)))
+      val perKey = hist.groupBy(_._1)
+      val oneOpen = Prop(perKey.values.forall(_.count(_._4 == INF) == 1)) :| "one open"
+      val tiled = Prop(perKey.values.forall { vs =>
+        val sorted = vs.sortBy(_._3.getTime)
+        sorted.zip(sorted.tail).forall { case (prev, next) =>
+          // closed exactly one second before the successor opens
+          prev._4.getTime == next._3.getTime - 1000L
+        }
+      }) :| "versions tile with 1s closure"
+      val collapsed = Prop(perKey.values.forall { vs =>
+        val sorted = vs.sortBy(_._3.getTime)
+        sorted.zip(sorted.tail).forall { case (prev, next) => prev._2 != next._2 }
+      }) :| "no consecutive duplicate versions"
+      oneOpen && tiled && collapsed
+    })
+  }
+
   test("delete then reappear: 'Y' marker then fresh 'N' version") {
     val d0 = applyBatch(emptyDim, Batch(Map("k0" -> "v")), 0)
     val d1 = applyBatch(d0, Batch(Map.empty), 1) // k0 vanishes

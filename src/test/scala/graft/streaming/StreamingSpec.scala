@@ -107,6 +107,44 @@ class StreamingSpec extends AnyFunSuite {
       (ts("2024-01-01 10:20:00"), ts("2024-01-01 10:25:00"), 1L, 4.0)))
   }
 
+  test("streaming change events fold into the same history the batch builder derives") {
+    // The two CDC faces must agree: changeEvents (streaming, stateful)
+    // emits one event per transition; fromChangeLog (batch, windowed)
+    // collapses the raw log directly. Versions built from either must
+    // be identical.
+    implicit val ctx = spark.sqlContext
+    val raw = Seq(
+      KeyUpdate("k1", "a", ts("2024-01-01 00:00:00")),
+      KeyUpdate("k1", "a", ts("2024-01-02 00:00:00")),
+      KeyUpdate("k1", "b", ts("2024-01-03 00:00:00")),
+      KeyUpdate("k2", "x", ts("2024-01-01 12:00:00")),
+      KeyUpdate("k2", "y", ts("2024-01-04 00:00:00")))
+    val ms = MemoryStream[KeyUpdate]
+    val q = Streaming.changeEvents(ms.toDS())
+      .writeStream.format("memory").queryName("cdc_consistency")
+      .outputMode("append").start()
+    ms.addData(raw.take(2): _*)
+    q.processAllAvailable()
+    ms.addData(raw.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+    import org.apache.spark.sql.functions.col
+    val fromStream = graft.ops.Scd2.fromChangeLog(
+      spark.table("cdc_consistency")
+        .selectExpr("k", "curr_v AS v", "ts", "monotonically_increasing_id() AS seq"),
+      Seq("k"), Seq("v"), "ts", col("seq"))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getTimestamp(2), r.getTimestamp(3))).toSet
+    val fromBatch = graft.ops.Scd2.fromChangeLog(
+      spark.createDataFrame(raw).withColumn("seq",
+        org.apache.spark.sql.functions.monotonically_increasing_id()),
+      Seq("k"), Seq("v"), "ts", col("seq"))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getTimestamp(2), r.getTimestamp(3))).toSet
+    assert(fromStream === fromBatch)
+    assert(fromBatch.count(_._4.toString.startsWith("9999")) === 2) // one open per key
+  }
+
   test("changeEvents: per-key version tracking persists state across batches") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[KeyUpdate]

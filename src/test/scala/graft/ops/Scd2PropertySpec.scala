@@ -112,6 +112,36 @@ class Scd2PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("cross-validation: folding merge over per-tick batches equals fromChangeLog") {
+    // Two independent implementations of SCD2 version history — the
+    // incremental full-outer merge and the windowed change-log builder
+    // — must derive identical snapshots from the same observation
+    // sequence (no deletes involved).
+    val genLog: Gen[List[(String, String, Int)]] = for {
+      n <- Gen.choose(1, 10)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.oneOf(keyUniverse.take(3))
+        v <- Gen.oneOf(values.filter(_ != null))
+      } yield (k, v))
+    } yield rows.zipWithIndex.map { case ((k, v), i) => (k, v, i) }
+
+    check(Prop.forAll(genLog) { log =>
+      val folded = log.foldLeft(emptyDim) { case (dim, (k, v, i)) =>
+        Scd2.merge(dim, Seq((k, v)).toDF("k", "a"), Seq("k"), Seq("a"),
+          lit(dayTs(i)))
+      }
+      val viaMerge = rows(folded).map(t => (t._1, t._2, t._3, t._4)).toSet
+      val viaLog = Scd2.fromChangeLog(
+          log.map { case (k, v, i) => (k, v, dayTs(i), i.toLong) }
+            .toDF("k", "a", "ts", "seq"),
+          Seq("k"), Seq("a"), "ts", col("seq"))
+        .collect().map(r => (r.getString(0), r.getString(1),
+          r.getTimestamp(2), r.getTimestamp(3))).toSet
+      Prop(viaMerge == viaLog) :|
+        s"merge-fold $viaMerge != change-log $viaLog"
+    })
+  }
+
   test("delete then reappear: 'Y' marker then fresh 'N' version") {
     val d0 = applyBatch(emptyDim, Batch(Map("k0" -> "v")), 0)
     val d1 = applyBatch(d0, Batch(Map.empty), 1) // k0 vanishes

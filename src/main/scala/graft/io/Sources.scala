@@ -80,10 +80,14 @@ object Sources {
         .filter(p => re.findFirstIn(p.getFileName.toString).isDefined)
         .toSeq
         .sortBy { p =>
-          dateRe.findFirstMatchIn(p.getFileName.toString) match {
+          val name = p.getFileName.toString
+          val key = dateRe.findFirstMatchIn(name) match {
             case Some(m) => m.group(3) + m.group(2) + m.group(1) // YYYYMMDD
-            case None    => p.getFileName.toString
+            case None    => name
           }
+          // Name tiebreak: directory listing order is unspecified, so
+          // same-date files must still process deterministically.
+          (key, name)
         }
     } finally stream.close()
   }

@@ -25,6 +25,15 @@ class SourcesSpec extends AnyFunSuite {
     assert(got === Seq("tx_31122020.txt", "tx_15012021.txt", "tx_01022021.txt"))
   }
 
+  test("listFilesChronological: same-date files order by name (deterministic)") {
+    val dir = Files.createTempDirectory("graft_samedate")
+    Seq("b_15012021.txt", "a_15012021.txt", "c_14012021.txt")
+      .foreach(f => Files.createFile(dir.resolve(f)))
+    val got = Sources.listFilesChronological(dir.toString, ".*_\\d{8}\\.txt")
+      .map(_.getFileName.toString)
+    assert(got === Seq("c_14012021.txt", "a_15012021.txt", "b_15012021.txt"))
+  }
+
   test("listFilesChronological on a missing dir is empty, not an error") {
     assert(Sources.listFilesChronological("/nonexistent_dir_xyz", ".*") === Seq.empty)
   }

@@ -37,6 +37,7 @@ object Pipeline {
   val TxSchema: Seq[String] =
     Seq("transaction_id", "transaction_date", "amount", "card_num", "terminal")
   val TermSchema: Seq[String] = Seq("terminal_id", "terminal_type", "terminal_city")
+  val BlacklistSchema: Seq[String] = Seq("card_num", "entry_dt")
 
   private val dimStruct = StructType(Seq(
     StructField("terminal_id", StringType),
@@ -57,6 +58,10 @@ object Pipeline {
     StructField("schema_name", StringType),
     StructField("table_name", StringType),
     StructField("max_update_dt", TimestampType)))
+
+  private val blacklistStruct = StructType(Seq(
+    StructField("card_num", StringType),
+    StructField("entry_dt", DateType)))
 
   private def meta(store: TableStore): DataFrame =
     store.readOr("meta_date", metaStruct)
@@ -94,6 +99,36 @@ object Pipeline {
             .first().getDate(0)
           store.swapSnapshot("meta_date", Incremental.advance(
             meta(store), "stg", "transactions", isoToTs(newMax.toString)))
+        }
+        if (archive) Sources.archive(f): Unit
+      }
+    }
+  }
+
+  /** Blacklist stage (`black_list.py` analog): Excel snapshots through
+    * the [[graft.io.Sources.excel]] shim, anti-join append, and the
+    * A2 watermark semantics — the file date folded in as a constant
+    * (`black_list.py:97`), NOT max over staging. */
+  def runBlacklist(spark: SparkSession, store: TableStore, srcDir: String,
+                   archive: Boolean = false): Unit = {
+    val wmIso = Incremental
+      .readWatermark(meta(store), "stg", "blacklist").toString.take(10)
+    val files = Sources.listFilesChronological(srcDir, "black_list_\\d{8}\\.xlsx")
+    files.foreach { f =>
+      val fileDate = Sources.fileNameDateIso(f.getFileName.toString).get
+      if (fileDate > wmIso) {
+        store.overwrite("stg_blacklist",
+          Sources.excel(spark, f.toString, "blacklist",
+            Sources.stringSchema(BlacklistSchema: _*)))
+        val staged = store.read("stg_blacklist")
+        if (staged.limit(1).count() > 0) {
+          val typed = staged.select(col("card_num"),
+            col("entry_dt").cast(DateType).as("entry_dt"))
+          val fact = store.readOr("fact_blacklist", blacklistStruct)
+          store.append("fact_blacklist",
+            AntiInsert.newRows(typed, fact, Seq("card_num")))
+          store.swapSnapshot("meta_date", Incremental.advance(
+            meta(store), "stg", "blacklist", isoToTs(fileDate)))
         }
         if (archive) Sources.archive(f): Unit
       }
@@ -159,36 +194,45 @@ object Pipeline {
 
   /** Report stage (`report.py` analog): as-of join facts to the live
     * dimension version valid at transaction time (J6, strict bounds),
-    * lag the city per card (W1), flag city hops within one hour (P9),
-    * append — deliberately non-idempotent, like the reference. */
+    * one lag window per card (W1), two rule branches UNION ALL'd —
+    * blacklisted card active on/after its entry date (P7-style,
+    * rule 1) and city hop within one hour (P9, rule 3) — appended,
+    * deliberately non-idempotent like the reference. */
   def runReport(spark: SparkSession, store: TableStore,
                 reportDt: Timestamp): Unit = {
     val facts = store.readOr("fact_transactions", factStruct)
     val dim = store.readOr("dim_terminals_hist", dimStruct)
+    val bl = store.readOr("fact_blacklist", blacklistStruct)
+      .select(col("card_num").as("bl_card"), col("entry_dt"))
     val joined = Temporal.asOfJoin(facts, dim,
-      factKey = facts("terminal"), dimKey = dim("terminal_id"),
-      factTs = facts("transaction_date"))
+        factKey = facts("terminal"), dimKey = dim("terminal_id"),
+        factTs = facts("transaction_date"))
+      .join(bl, facts("card_num") === col("bl_card"), "left")
     val w = Window.partitionBy(col("card_num")).orderBy(col("transaction_date"))
     val lagged = joined
       .withColumn("lag_city", lag(col("terminal_city"), 1).over(w))
       .withColumn("gap_us", epochUs(col("transaction_date")) -
         epochUs(lag(col("transaction_date"), 1).over(w)))
-    val hops = lagged.filter(
+    def shape(df: org.apache.spark.sql.DataFrame, rule: Int) = df.select(
+      col("transaction_date").as("event_dt"),
+      col("card_num"),
+      lit(rule).as("rule"),
+      col("terminal_city").as("city"),
+      col("lag_city").as("prev_city"),
+      lit(reportDt).as("report_dt"))
+    val r1 = shape(lagged.filter(col("bl_card").isNotNull &&
+      col("transaction_date") >= col("entry_dt").cast(TimestampType)), 1)
+    val r3 = shape(lagged.filter(
       col("lag_city").isNotNull && col("terminal_city") =!= col("lag_city") &&
-        col("gap_us") <= 3600L * 1000000L)
-      .select(
-        col("transaction_date").as("event_dt"),
-        col("card_num"),
-        col("terminal_city").as("city"),
-        col("lag_city").as("prev_city"),
-        lit(reportDt).as("report_dt"))
-    store.append("rep_fraud", hops)
+        col("gap_us") <= 3600L * 1000000L), 3)
+    store.append("rep_fraud", r1.unionByName(r3))
   }
 
   /** Full run in dependency order (`main.py:47-50`). */
   def run(spark: SparkSession, store: TableStore, srcDir: String,
           reportDt: Timestamp, archive: Boolean = false): Unit = {
     runTransactions(spark, store, srcDir, archive)
+    runBlacklist(spark, store, srcDir, archive)
     runTerminals(spark, store, srcDir, archive)
     runReport(spark, store, reportDt)
   }

@@ -31,6 +31,12 @@ class PipelineSpec extends AnyFunSuite {
       "terminal_id;terminal_type;terminal_city",
       "T1;ATM;Moscow",
       "T2;POS;Perm")
+    // Excel blacklist: dummy .xlsx (no connector offline) + the
+    // pre-converted sheet sibling the shim reads.
+    Files.createFile(src.resolve("black_list_01012024.xlsx"))
+    write(src, "black_list_01012024.blacklist.csv",
+      "card_num;entry_dt",
+      "C3;2024-01-01")
   }
 
   private def day2(src: Path): Unit = {
@@ -55,17 +61,19 @@ class PipelineSpec extends AnyFunSuite {
 
     Pipeline.run(spark, store, src.toString, reportDt)
     assert(count(store, "fact_transactions") === 3)
+    assert(count(store, "fact_blacklist") === 1)
     assert(count(store, "dim_terminals_hist") === 2)
-    assert(count(store, "rep_fraud") === 1) // C1's hop
+    assert(count(store, "rep_fraud") === 2) // C1's hop (rule 3) + C3 blacklisted (rule 1)
     val factsAfter1 = store.read("fact_transactions").collect().toSet
     val dimAfter1 = store.read("dim_terminals_hist").collect().toSet
 
-    // Run 2, same inputs: watermark gate skips both files; facts and dim
+    // Run 2, same inputs: watermark gate skips all files; facts and dim
     // unchanged; the report appends again (reference parity).
     Pipeline.run(spark, store, src.toString, reportDt)
     assert(store.read("fact_transactions").collect().toSet === factsAfter1)
     assert(store.read("dim_terminals_hist").collect().toSet === dimAfter1)
-    assert(count(store, "rep_fraud") === 2)
+    assert(count(store, "fact_blacklist") === 1)
+    assert(count(store, "rep_fraud") === 4)
 
     // Day-2 delivery: duplicate fact suppressed, two new facts land,
     // SCD2 closes/opens/deletes, report recomputes over the full state.
@@ -86,11 +94,15 @@ class PipelineSpec extends AnyFunSuite {
       ("T2", "Perm", d2, INF, "Y"), // marker keeps last attributes
       ("T3", "Omsk", d2, INF, "N")))
 
-    // Report run 3 sees C1's day-1 hop and C2's day-2 hop → +2 rows.
-    assert(count(store, "rep_fraud") === 4)
-    val hops = store.read("rep_fraud").collect()
-      .map(r => (r.getString(1), r.getString(2), r.getString(3))).toSet
-    assert(hops === Set(("C1", "Perm", "Moscow"), ("C2", "Omsk", "Kazan")))
+    // Report run 3 recomputes over the full state: C3 rule-1, C1 and
+    // C2 rule-3 hops → +3 rows.
+    assert(count(store, "rep_fraud") === 7)
+    val flagged = store.read("rep_fraud").collect()
+      .map(r => (r.getString(1), r.getInt(2), r.getString(3), r.getString(4))).toSet
+    assert(flagged === Set(
+      ("C3", 1, "Moscow", null), // blacklisted card, no prior txn
+      ("C1", 3, "Perm", "Moscow"),
+      ("C2", 3, "Omsk", "Kazan")))
 
     // European decimal promotion survived staging → warehouse.
     val amt = store.read("fact_transactions")
@@ -121,6 +133,7 @@ class PipelineSpec extends AnyFunSuite {
     Pipeline.run(spark, store, src.toString, reportDt, archive = true)
     assert(Files.exists(src.resolve("archive/transactions_01012024.txt.backup")))
     assert(Files.exists(src.resolve("archive/terminals_01012024.txt.backup")))
+    assert(Files.exists(src.resolve("archive/black_list_01012024.xlsx.backup")))
     assert(!Files.exists(src.resolve("transactions_01012024.txt")))
     assert(count(store, "fact_transactions") === 3)
   }

@@ -46,10 +46,13 @@ object Verify {
       try {
         canonTimestamps(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
-        spark.catalog.clearCache() // drop query-local caches (LSH signatures)
       } catch { case e: Throwable =>
         failures(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      } finally {
+        // Even a FAILED query may have populated caches (LSH
+        // signatures) — drop them so later queries run unpolluted.
+        spark.catalog.clearCache()
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

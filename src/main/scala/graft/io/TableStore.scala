@@ -89,8 +89,14 @@ final class TableStore(spark: SparkSession, root: String) {
     * the table into `targetFiles` files via the snapshot swap (the
     * rewrite reads the directory it replaces). Run periodically, not
     * per batch: the rewrite costs one pass over the table. */
-  def compact(name: String, targetFiles: Int): Unit =
+  def compact(name: String, targetFiles: Int): Unit = {
+    // A Hive-partitioned layout would be silently flattened by a plain
+    // rewrite (and partition-column types re-inferred) — refuse.
+    val sub = fs.listStatus(new Path(path(name)))
+    require(!sub.exists(st => st.isDirectory && st.getPath.getName.contains("=")),
+      s"compact: $name is Hive-partitioned; rewrite per partition instead")
     swapSnapshot(name, read(name).repartition(targetFiles))
+  }
 
   /** Data files currently backing a table (maintenance telemetry). */
   def fileCount(name: String): Int = {

@@ -72,6 +72,18 @@ object Dedup {
       .drop("__ws")
   }
 
+  /** One (band_id, band_signature) row per doc per band — the shared
+    * exploded shape both candidate generators join on. Field names must
+    * agree across bands or `array` rejects the struct types as
+    * different. */
+  private def bandRows(sigs: DataFrame, idCol: String, idAs: String): DataFrame = {
+    val bandStructs = (0 until NumBands).map { b =>
+      struct((0 until BandRows).map(r => col(s"mh${b * BandRows + r}").as(s"v$r")): _*)
+    }
+    sigs.select(col(idCol).as(idAs),
+      posexplode(array(bandStructs: _*)).as(Seq(s"__band_$idAs", s"__bsig_$idAs")))
+  }
+
   /** LSH candidate pairs: docs agreeing on ALL rows of at least one
     * band. Each doc explodes into one (band_id, band_signature) row
     * per band; ONE self equi join on that pair yields all candidates —
@@ -80,22 +92,13 @@ object Dedup {
     * (at 100 TB the signature scan is the dominant cost, so scan
     * count, not join count, is what matters). Returns distinct
     * (d1, d2) with d1 < d2. */
-  def lshCandidates(sigs: DataFrame, idCol: String): DataFrame = {
-    val bandStructs = (0 until NumBands).map { b =>
-      // Field names must agree across bands or `array` rejects the
-      // struct types as different.
-      struct((0 until BandRows).map(r => col(s"mh${b * BandRows + r}").as(s"v$r")): _*)
-    }
-    val rows = sigs.select(col(idCol),
-      posexplode(array(bandStructs: _*)).as(Seq("__band", "__bsig")))
-    val right = rows.select(col(idCol).as("__d2"),
-      col("__band").as("__rband"), col("__bsig").as("__rbsig"))
-    rows.join(right,
-        col("__band") === col("__rband") && col("__bsig") === col("__rbsig") &&
-          col(idCol) < col("__d2"))
-      .select(col(idCol).as("d1"), col("__d2").as("d2"))
+  def lshCandidates(sigs: DataFrame, idCol: String): DataFrame =
+    bandRows(sigs, idCol, "d1")
+      .join(bandRows(sigs, idCol, "d2"),
+        col("__band_d1") === col("__band_d2") && col("__bsig_d1") === col("__bsig_d2") &&
+          col("d1") < col("d2"))
+      .select(col("d1"), col("d2"))
       .distinct()
-  }
 
   /** Exact Jaccard over two distinct-element arrays. */
   def jaccardParts(s1: Column, s2: Column): (Column, Column) =
@@ -109,20 +112,12 @@ object Dedup {
     * per-batch work scales with the batch, not the corpus. Returns
     * (batch id as d1, corpus id as d2). */
   def lshCandidatesAgainst(batchSigs: DataFrame, corpusSigs: DataFrame,
-                           idCol: String): DataFrame = {
-    def bandRows(sigs: DataFrame, idAs: String): DataFrame = {
-      val bandStructs = (0 until NumBands).map { b =>
-        struct((0 until BandRows).map(r => col(s"mh${b * BandRows + r}").as(s"v$r")): _*)
-      }
-      sigs.select(col(idCol).as(idAs),
-        posexplode(array(bandStructs: _*)).as(Seq(s"__band_$idAs", s"__bsig_$idAs")))
-    }
-    bandRows(batchSigs, "d1")
-      .join(bandRows(corpusSigs, "d2"),
+                           idCol: String): DataFrame =
+    bandRows(batchSigs, idCol, "d1")
+      .join(bandRows(corpusSigs, idCol, "d2"),
         col("__band_d1") === col("__band_d2") && col("__bsig_d1") === col("__bsig_d2"))
       .select(col("d1"), col("d2"))
       .distinct()
-  }
 
   /** 32-bit SimHash over per-token hashes: per bit j, sum ±1 votes
     * across tokens; bit set iff the sum is positive. Input: one row

@@ -68,89 +68,46 @@ object Pipeline {
 
   private def isoToTs(iso: String): Timestamp = Timestamp.valueOf(s"$iso 00:00:00")
 
-  /** Fact stage (`transaction.py` analog): discover
-    * `transactions_DDMMYYYY.txt` newer than the watermark in
-    * chronological order; per file: truncate-reload staging, promote
-    * typed rows, anti-join append into the fact table, advance the
-    * watermark, optionally archive the file. */
-  def runTransactions(spark: SparkSession, store: TableStore, srcDir: String,
-                      archive: Boolean = false): Unit = {
+  /** Shared stage skeleton: discover mask-matching files newer than
+    * the `wmKey` watermark in chronological order; per file, stage it
+    * and hand (stagedFrame, fileDateIso) to the stage body, which
+    * returns the watermark value to advance to (None = file had no
+    * usable rows → watermark untouched). The A3 skip-if-no-rows guard
+    * and archiving live here once. */
+  private def processFiles(spark: SparkSession, store: TableStore,
+                           srcDir: String, mask: String, wmKey: String,
+                           stgTable: String, archive: Boolean)
+                          (stage: (String, SparkSession) => org.apache.spark.sql.DataFrame)
+                          (body: (org.apache.spark.sql.DataFrame, String) => Option[Timestamp]): Unit = {
     val wmIso = Incremental
-      .readWatermark(meta(store), "stg", "transactions").toString.take(10)
-    val files = Sources.listFilesChronological(srcDir, "transactions_\\d{8}\\.txt")
-    files.foreach { f =>
+      .readWatermark(meta(store), "stg", wmKey).toString.take(10)
+    Sources.listFilesChronological(srcDir, mask).foreach { f =>
       val fileDate = Sources.fileNameDateIso(f.getFileName.toString).get
       if (fileDate > wmIso) { // F12: ISO strings compare chronologically
-        val stg = Sources.csv(spark, f.toString, Sources.stringSchema(TxSchema: _*))
-        store.overwrite("stg_transactions", stg)
-        val staged = store.read("stg_transactions")
+        store.overwrite(stgTable, stage(f.toString, spark))
+        val staged = store.read(stgTable)
         if (staged.limit(1).count() > 0) { // A3 guard (cards.py:71)
-          val typed = staged.select(
-            col("transaction_id"),
-            col("transaction_date").cast(TimestampType).as("transaction_date"),
-            parseEuroDecimal(col("amount")).as("amount"),
-            col("card_num"), col("terminal"))
-          val fact = store.readOr("fact_transactions", factStruct)
-          store.append("fact_transactions",
-            AntiInsert.newRows(typed, fact, Seq("transaction_id")))
-          // Watermark = max over THIS file's staging (the reference's
-          // truncate-per-file loop makes it the last file's max).
-          val newMax = typed.agg(max(to_date(col("transaction_date"))))
-            .first().getDate(0)
-          store.swapSnapshot("meta_date", Incremental.advance(
-            meta(store), "stg", "transactions", isoToTs(newMax.toString)))
+          body(staged, fileDate).foreach { newWm =>
+            store.swapSnapshot("meta_date",
+              Incremental.advance(meta(store), "stg", wmKey, newWm))
+          }
         }
         if (archive) Sources.archive(f): Unit
       }
     }
   }
 
-  /** Blacklist stage (`black_list.py` analog): Excel snapshots through
-    * the [[graft.io.Sources.excel]] shim, anti-join append, and the
-    * A2 watermark semantics — the file date folded in as a constant
-    * (`black_list.py:97`), NOT max over staging. */
-  def runBlacklist(spark: SparkSession, store: TableStore, srcDir: String,
-                   archive: Boolean = false): Unit = {
-    val wmIso = Incremental
-      .readWatermark(meta(store), "stg", "blacklist").toString.take(10)
-    val files = Sources.listFilesChronological(srcDir, "black_list_\\d{8}\\.xlsx")
-    files.foreach { f =>
-      val fileDate = Sources.fileNameDateIso(f.getFileName.toString).get
-      if (fileDate > wmIso) {
-        store.overwrite("stg_blacklist",
-          Sources.excel(spark, f.toString, "blacklist",
-            Sources.stringSchema(BlacklistSchema: _*)))
-        val staged = store.read("stg_blacklist")
-        if (staged.limit(1).count() > 0) {
-          val typed = staged.select(col("card_num"),
-            col("entry_dt").cast(DateType).as("entry_dt"))
-          val fact = store.readOr("fact_blacklist", blacklistStruct)
-          store.append("fact_blacklist",
-            AntiInsert.newRows(typed, fact, Seq("card_num")))
-          store.swapSnapshot("meta_date", Incremental.advance(
-            meta(store), "stg", "blacklist", isoToTs(fileDate)))
-        }
-        if (archive) Sources.archive(f): Unit
-      }
-    }
-  }
-
-  /** Streaming variant of the fact stage: the file-source checkpoint
-    * replaces the hand-kept watermark (new files only, restart-safe),
-    * staging lands via `Trigger.AvailableNow`, and promotion is the
-    * same typed anti-join append as the batch path. Late/duplicate
-    * files remain harmless — the checkpoint skips re-delivered paths
-    * and the anti-join drops re-delivered rows. */
-  def runTransactionsStreaming(spark: SparkSession, store: TableStore,
-                               srcDir: String): Unit = {
-    val q = graft.streaming.Streaming.ingest(
-      graft.streaming.Streaming.fileSource(spark, s"$srcDir/transactions_*.txt",
-        graft.io.Sources.stringSchema(TxSchema: _*)),
-      store.path("stg_transactions_stream"),
-      store.path("_ckpt_transactions"))
-    q.awaitTermination()
-    val staged = store.read("stg_transactions_stream")
-    if (staged.limit(1).count() > 0) {
+  /** Fact stage (`transaction.py` analog): per file, promote typed
+    * rows via anti-join append; watermark = max(transaction_date) over
+    * THIS file's staging (the reference's truncate-per-file loop makes
+    * it the last file's max), falling back to the file date when no
+    * row carries a parseable date. */
+  def runTransactions(spark: SparkSession, store: TableStore, srcDir: String,
+                      archive: Boolean = false): Unit =
+    processFiles(spark, store, srcDir, "transactions_\\d{8}\\.txt",
+        "transactions", "stg_transactions", archive) {
+      (path, s) => Sources.csv(s, path, Sources.stringSchema(TxSchema: _*))
+    } { (staged, fileDate) =>
       val typed = staged.select(
         col("transaction_id"),
         col("transaction_date").cast(TimestampType).as("transaction_date"),
@@ -159,38 +116,81 @@ object Pipeline {
       val fact = store.readOr("fact_transactions", factStruct)
       store.append("fact_transactions",
         AntiInsert.newRows(typed, fact, Seq("transaction_id")))
+      val newMax = typed.agg(max(to_date(col("transaction_date")))).first()
+      // All-malformed dates → null max; advance to the file's nominal
+      // date rather than NPE-ing the run.
+      Some(if (newMax.isNullAt(0)) isoToTs(fileDate)
+           else isoToTs(newMax.getDate(0).toString))
     }
+
+  /** Blacklist stage (`black_list.py` analog): Excel snapshots through
+    * the [[graft.io.Sources.excel]] shim, anti-join append, and the
+    * A2 watermark semantics — the file date folded in as a constant
+    * (`black_list.py:97`), NOT max over staging. */
+  def runBlacklist(spark: SparkSession, store: TableStore, srcDir: String,
+                   archive: Boolean = false): Unit =
+    processFiles(spark, store, srcDir, "black_list_\\d{8}\\.xlsx",
+        "blacklist", "stg_blacklist", archive) {
+      (path, s) => Sources.excel(s, path, "blacklist",
+        Sources.stringSchema(BlacklistSchema: _*))
+    } { (staged, fileDate) =>
+      val typed = staged.select(col("card_num"),
+        col("entry_dt").cast(DateType).as("entry_dt"))
+      val fact = store.readOr("fact_blacklist", blacklistStruct)
+      store.append("fact_blacklist",
+        AntiInsert.newRows(typed, fact, Seq("card_num")))
+      Some(isoToTs(fileDate)) // A2: file date as a folded constant
+    }
+
+  /** Streaming variant of the fact stage: the file-source checkpoint
+    * replaces the hand-kept watermark (new files only, restart-safe);
+    * each `Trigger.AvailableNow` micro-batch is promoted directly via
+    * `foreachBatch` with the batch path's typed anti-join append.
+    * Late/duplicate files remain harmless — the checkpoint skips
+    * re-delivered paths and the anti-join drops re-delivered rows. */
+  def runTransactionsStreaming(spark: SparkSession, store: TableStore,
+                               srcDir: String): Unit = {
+    val src = graft.streaming.Streaming.fileSource(spark,
+      s"$srcDir/transactions_*.txt", graft.io.Sources.stringSchema(TxSchema: _*))
+    // foreachBatch promotion: each micro-batch is typed and anti-join
+    // appended directly — per-run work scales with the NEW files only
+    // (no cumulative staging to re-read), and an empty source simply
+    // yields no batches.
+    val q = src.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val typed = batch.select(
+          col("transaction_id"),
+          col("transaction_date").cast(TimestampType).as("transaction_date"),
+          parseEuroDecimal(col("amount")).as("amount"),
+          col("card_num"), col("terminal"))
+        val fact = store.readOr("fact_transactions", factStruct)
+        store.append("fact_transactions",
+          AntiInsert.newRows(typed, fact, Seq("transaction_id")))
+      }
+      .option("checkpointLocation", store.path("_ckpt_transactions"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
   }
 
   /** Dimension stage (`terminals.py` analog): each full-snapshot file
     * newer than the watermark is staged and SCD2-merged; the file date
     * is both the version-open timestamp and the delete clock. */
   def runTerminals(spark: SparkSession, store: TableStore, srcDir: String,
-                  archive: Boolean = false): Unit = {
-    val wmIso = Incremental
-      .readWatermark(meta(store), "stg", "terminals").toString.take(10)
-    val files = Sources.listFilesChronological(srcDir, "terminals_\\d{8}\\.txt")
-    files.foreach { f =>
-      val fileDate = Sources.fileNameDateIso(f.getFileName.toString).get
-      if (fileDate > wmIso) {
-        store.overwrite("stg_terminals",
-          Sources.csv(spark, f.toString, Sources.stringSchema(TermSchema: _*)))
-        val batch = store.read("stg_terminals")
-        if (batch.limit(1).count() > 0) {
-          val ts = lit(isoToTs(fileDate))
-          val dim = store.readOr("dim_terminals_hist", dimStruct)
-          store.swapSnapshot("dim_terminals_hist",
-            Scd2.merge(dim, batch, Seq("terminal_id"), TermSchema.tail,
-              batchTs = ts,
-              deleteKeys = Some(batch.select("terminal_id")),
-              deleteTs = Some(ts)))
-          store.swapSnapshot("meta_date", Incremental.advance(
-            meta(store), "stg", "terminals", isoToTs(fileDate)))
-        }
-        if (archive) Sources.archive(f): Unit
-      }
+                  archive: Boolean = false): Unit =
+    processFiles(spark, store, srcDir, "terminals_\\d{8}\\.txt",
+        "terminals", "stg_terminals", archive) {
+      (path, s) => Sources.csv(s, path, Sources.stringSchema(TermSchema: _*))
+    } { (batch, fileDate) =>
+      val ts = lit(isoToTs(fileDate))
+      val dim = store.readOr("dim_terminals_hist", dimStruct)
+      store.swapSnapshot("dim_terminals_hist",
+        Scd2.merge(dim, batch, Seq("terminal_id"), TermSchema.tail,
+          batchTs = ts,
+          deleteKeys = Some(batch.select("terminal_id")),
+          deleteTs = Some(ts)))
+      Some(isoToTs(fileDate))
     }
-  }
 
   /** Report stage (`report.py` analog): as-of join facts to the live
     * dimension version valid at transaction time (J6, strict bounds),
@@ -208,7 +208,10 @@ object Pipeline {
         factKey = facts("terminal"), dimKey = dim("terminal_id"),
         factTs = facts("transaction_date"))
       .join(bl, facts("card_num") === col("bl_card"), "left")
-    val w = Window.partitionBy(col("card_num")).orderBy(col("transaction_date"))
+    // transaction_id tiebreak: equal-timestamp transactions must lag
+    // deterministically (retried tasks must re-produce identical rows).
+    val w = Window.partitionBy(col("card_num"))
+      .orderBy(col("transaction_date"), col("transaction_id"))
     val lagged = joined
       .withColumn("lag_city", lag(col("terminal_city"), 1).over(w))
       .withColumn("gap_us", epochUs(col("transaction_date")) -

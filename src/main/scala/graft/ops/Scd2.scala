@@ -155,11 +155,10 @@ object Scd2 {
     val changes = log
       .withColumn("__chg", isChange)
       .filter(col("__chg"))
-    val wc = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol), tieBreak)
     changes.select(
       keys.map(col) ++ tracked.map(col) ++ Seq(
         col(tsCol).as("effective_from"),
-        coalesce(minusOneSecond(lead(col(tsCol), 1).over(wc)), InfinityTs)
+        coalesce(minusOneSecond(lead(col(tsCol), 1).over(w)), InfinityTs)
           .as("effective_to"),
         lit("N").as("deleted_flg")): _*)
   }

@@ -23,6 +23,12 @@ class VectorExpressionsSpec extends AnyFunSuite {
       .toDF("id", "a", "b")
       .select(dotF(col("a"), col("b"))).collect()
     assert(nulls.head.isNullAt(0))
+    // Mismatched lengths (a truncated embedding) must yield null like
+    // the HOF form — never a silently-wrong finite score.
+    val mismatch = Seq((1L, Array(1.0f, 2.0f), Array(1.0f)))
+      .toDF("id", "a", "b")
+      .select(dotF(col("a"), col("b"))).collect()
+    assert(mismatch.head.isNullAt(0))
   }
 
   test("bit-for-bit parity with the higher-order-function fold") {

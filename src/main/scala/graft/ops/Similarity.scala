@@ -61,19 +61,62 @@ object Similarity {
       .select(col("qid"), col(idCol), col("rnk"), col("cos_r"))
   }
 
-  /** Assign each vector to its nearest centroid (broadcast join on k
-    * fixed centroid rows; ties broken by centroid id). */
+  /** Hard ceiling on the centroid codebook size for the literal-array
+    * assignment path (a plan-embedded literal must stay small; real
+    * IVF codebooks are 2^10..2^13 cells). */
+  val MaxCentroids = 8192
+
+  /** Assign each vector to its nearest centroid (ties broken by
+    * smallest centroid id).
+    *
+    * Shuffle-free by construction: the codebook is bounded (k
+    * centroids, trained upfront), so it is collected ONCE at
+    * plan-build time into a literal array of (cid, cvec, cnorm)
+    * structs, and the nearest-centroid pick is a pure `aggregate` fold
+    * over that array — an argmax that never leaves the map side. The
+    * previous formulation (broadcast cross join against k centroid
+    * rows + `row_number` window) shuffled k×|corpus| rows by vec id
+    * just to keep 1-of-k; at 100 TB that exchange IS the job. Here the
+    * assignment pipelines inside the scan stage: no join, no window,
+    * no exchange.
+    *
+    * Scores are the identical rounded fold the oracle computes
+    * ([[cosRoundedPre]]): centroid norms use the same sequential
+    * float→double square-sum, so assignment agrees bit-for-bit with
+    * the window formulation. A vector whose cosine is null against
+    * every centroid (mismatched length) gets no cell. */
   def assignCells(corpus: DataFrame, centroids: DataFrame,
                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = centroids.select(col(idCol).as("cid"), col(vecCol).as("cvec"),
-      normF(col(vecCol)).as("__cnorm"))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("__ccos").desc, col("cid"))
-    corpus.select(col(idCol), col(vecCol), normF(col(vecCol)).as("__norm"))
-      .crossJoin(broadcast(c))
-      .withColumn("__ccos",
-        cosRoundedPre(col(vecCol), col("cvec"), col("__norm"), col("__cnorm")))
-      .withColumn("__crnk", row_number().over(w))
-      .filter(col("__crnk") === 1)
+    val cidType = centroids.select(col(idCol)).schema.head.dataType
+    val cents = centroids.select(col(idCol), col(vecCol)).collect()
+    require(cents.length <= MaxCentroids,
+      s"assignCells: ${cents.length} centroids exceed the literal-array bound $MaxCentroids")
+    val withNorm = corpus.select(col(idCol), col(vecCol), normF(col(vecCol)).as("__norm"))
+    if (cents.isEmpty) {
+      // No codebook → no assignments (the join formulation's behavior).
+      return withNorm.select(col(idCol), col(vecCol),
+        lit(null).cast(cidType).as("cid")).filter(lit(false))
+    }
+    val centArr = array(cents.map { r =>
+      val cvec = r.getSeq[Float](1)
+      // The same strict left-to-right float→double fold normF/the
+      // oracle compute, evaluated driver-side on the literal.
+      val cnorm = math.sqrt(cvec.foldLeft(0.0)((s, v) => s + v.toDouble * v.toDouble))
+      struct(lit(r.get(0)).as("cid"), typedlit(cvec.toSeq).as("cvec"),
+        lit(cnorm).as("cnorm"))
+    }: _*)
+    val init = struct(lit(-2.0d).as("cos"), lit(null).cast(cidType).as("cid"))
+    val best = aggregate(centArr, init, (acc, c) => {
+      val cos = round(dotF(col(vecCol), c("cvec")) / (col("__norm") * c("cnorm")), 6)
+      // Strictly-better cosine wins; equal cosine keeps the smaller
+      // cid — exactly ORDER BY cos DESC, cid ASC. A null cosine fails
+      // every comparison and keeps the accumulator.
+      when(cos > acc("cos") || (cos === acc("cos") && c("cid") < acc("cid")),
+        struct(cos.as("cos"), c("cid").as("cid"))).otherwise(acc)
+    })
+    withNorm
+      .withColumn("cid", best.getField("cid"))
+      .filter(col("cid").isNotNull)
       .select(col(idCol), col(vecCol), col("cid"))
   }
 

@@ -65,9 +65,21 @@ class PlanSpec extends AnyFunSuite {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
       planOf(name).contains("CartesianProduct")
     }
-    // q41's centroid assignment is a deliberate k-row broadcast cross
-    // join (k centroids, bounded by construction) — everything else
-    // must be join-keyed.
-    assert(offenders.forall(_.startsWith("q41")), s"cartesians in: $offenders")
+    // Since the centroid assignment became a literal-array fold, even
+    // q41 is join-keyed: NOTHING may plan a cartesian.
+    assert(offenders.isEmpty, s"cartesians in: $offenders")
+  }
+
+  test("q41: centroid assignment subtree plans no exchange at all") {
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val plan = graft.ops.Similarity
+      .assignCells(e, e.filter(col("vec_id") % 37 === 1))
+      .queryExecution.executedPlan.toString
+    // The nearest-centroid argmax must stay map-side: one scan, one
+    // project/filter, no join, no window, no shuffle of any kind.
+    assert(!plan.contains("Exchange"), s"assignment shuffles:\n${plan.take(2000)}")
+    assert(!plan.contains("Window"), plan.take(1000))
+    assert(!plan.contains("Join"), plan.take(1000))
   }
 }

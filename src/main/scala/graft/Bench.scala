@@ -26,7 +26,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // SPARK_GRAFT_ONLY=q10_star_enrich,q12_fraud_rules → time just
+    // those (iteration aid; the driver never sets it).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
 
     def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {

@@ -66,6 +66,36 @@ object Functions {
     * (reference `terminals.py:134`, `cards.py:126`). */
   def minusOneSecond(c: Column): Column = c - expr("INTERVAL 1 SECOND")
 
+  /** Fast exact equivalent of `round(x)` (scale 0, HALF_UP) for
+    * doubles with |x| < 2^51, returned as BIGINT.
+    *
+    * Spark's `Round` on DoubleType allocates a `java.math.BigDecimal`
+    * per row (≈2× the cost of the whole projection in the money-cents
+    * hot paths). For |x| < 2^51, `x + 0.5` is exact in IEEE double
+    * (ulp ≤ 0.5, so the sum is representable), hence
+    * `sign(x) * floor(|x| + 0.5)` reproduces BigDecimal HALF_UP
+    * (round half away from zero) bit-for-bit — including exact .5
+    * ties and negative values. Money-to-cents values are far below
+    * 2^51, so every cents conversion in the engine uses this; the
+    * DuckDB oracles keep their `round()` spelling (same semantics).
+    *
+    * One boundary needs an explicit guard: for |x| just below 0.5
+    * (e.g. 0.49999999999999994), x sits in a finer binade than
+    * x + 0.5, the sum misrounds up to exactly 1.0, and floor would
+    * round to 1 where HALF_UP gives 0. At every other integer
+    * boundary x and x + 0.5 share a binade (ulp ≤ 0.5 there), the sum
+    * is exact, and no misround can occur — pinned adversarially in
+    * FunctionsSpec. Fractional-scale rounding (`round(x, 6)`) is NOT
+    * covered — multiplying by 10^s first would change which ties
+    * exist. */
+  def roundToLong(x: Column): Column =
+    when(abs(x) < 0.5d, lit(0L))
+      .otherwise(when(x >= 0, floor(x + 0.5d)).otherwise(-floor(-x + 0.5d)))
+
+  /** Money-to-integer-cents: the engine's hash-stable money
+    * representation (exact bigint, no decimal/double drift). */
+  def cents(x: Column): Column = roundToLong(x * 100)
+
   /** Deterministic, engine-portable 64-bit (60-bit) hash of a string:
     * first 15 hex chars of md5 as an unsigned int. Identical in DuckDB
     * as `('0x' || substr(md5(s), 1, 15))::BIGINT`. Used by MinHash /

@@ -53,7 +53,7 @@ object ExtensionQueries {
       (s, d) =>
         import graft.io.Sources.table
         val e = table(s, d, "events")
-          .withColumn("value_cents", round(col("value") * 100).cast("bigint"))
+          .withColumn("value_cents", graft.functions.Functions.cents(col("value")))
         graft.ops.Sessionize.sessionStats(e, "user_id", "ts",
             tieBreak = col("event_id"), gapSeconds = 86400L, valueCol = "value_cents")
           .select(col("user_id"), col("session_seq"),
@@ -163,7 +163,7 @@ object ExtensionQueries {
           // ambiguous under the self-join check.
           .select(col("r_name"), col("n_name"), col("o_totalprice"))
           .rollup(col("r_name"), col("n_name"))
-          .agg(sum(round(col("o_totalprice") * 100).cast("bigint")).cast("bigint")
+          .agg(sum(graft.functions.Functions.cents(col("o_totalprice"))).cast("bigint")
             .as("rev_cents"), count(lit(1)).as("n_orders"))
     },
 
@@ -205,7 +205,7 @@ object ExtensionQueries {
           .withColumn("rnk", row_number().over(w).cast("bigint"))
           .filter(col("rnk") <= 3)
           .select(col("o_orderpriority"), col("o_orderkey"),
-            round(col("o_totalprice") * 100).cast("bigint").as("price_cents"),
+            graft.functions.Functions.cents(col("o_totalprice")).as("price_cents"),
             col("rnk"))
     },
 
@@ -223,12 +223,13 @@ object ExtensionQueries {
           .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
-            sum(round(col("l_quantity") * 100).cast("bigint")).cast("bigint")
+            sum(graft.functions.Functions.cents(col("l_quantity"))).cast("bigint")
               .as("sum_qty_cents"),
-            sum(round(col("l_extendedprice") * 100).cast("bigint")).cast("bigint")
+            sum(graft.functions.Functions.cents(col("l_extendedprice"))).cast("bigint")
               .as("sum_base_cents"),
-            sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
-              .cast("bigint")).cast("bigint").as("sum_disc_cents"),
+            sum(graft.functions.Functions.cents(
+              col("l_extendedprice") * (lit(1) - col("l_discount")))).cast("bigint")
+              .as("sum_disc_cents"),
             count(lit(1)).as("count_order"))
     }
   )

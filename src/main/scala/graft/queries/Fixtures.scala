@@ -19,7 +19,7 @@ object Fixtures {
     Sources.table(spark, sfDir, "customer").select(
       col("c_custkey").as("k"),
       col("c_mktsegment").as("seg"),
-      round(col("c_acctbal") * 100).cast("bigint").as("bal_cents"))
+      graft.functions.Functions.cents(col("c_acctbal")).as("bal_cents"))
 
   /** SCD2 dimension snapshot: keys k%10≠0 get one open version; of
     * those, keys k%9=0 also carry one closed historical version. */

@@ -114,7 +114,7 @@ object ParityQueries {
         |WHERE (d.seg IS DISTINCT FROM b.seg) OR (d.bal_cents IS DISTINCT FROM b.bal_cents)""".stripMargin) {
       (s, d) =>
         val c = table(s, d, "customer")
-        val cents = round(col("c_acctbal") * 100).cast("bigint")
+        val cents = graft.functions.Functions.cents(col("c_acctbal"))
         val dim = c.select(col("c_custkey").as("k"),
           when(col("c_custkey") % 11 === 0, lit(null)).otherwise(col("c_mktsegment")).as("seg"),
           cents.as("bal_cents"))
@@ -262,8 +262,9 @@ object ParityQueries {
           .join(broadcast(r), n("n_regionkey") === r("r_regionkey"), "left")
           .groupBy(r("r_name"), n("n_name"))
           .agg(count(lit(1)).as("n_items"),
-            sum(round(l("l_extendedprice") * (lit(1) - l("l_discount")) * 100)
-              .cast("bigint")).cast("bigint").as("revenue_cents"))
+            sum(graft.functions.Functions.cents(
+              l("l_extendedprice") * (lit(1) - l("l_discount"))))
+              .cast("bigint").as("revenue_cents"))
     },
 
     // W1–W5 — the lag-window family over one shared WindowSpec

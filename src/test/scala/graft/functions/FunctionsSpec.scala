@@ -34,6 +34,28 @@ class FunctionsSpec extends AnyFunSuite {
     assert(out === "Ivanov Ivanovich")
   }
 
+  test("roundToLong is bit-exact with round() incl. ties and negatives") {
+    // Adversarial cases: exact .5 ties both signs, representation-error
+    // neighbors of ties, large magnitudes near the 2^51 bound, and a
+    // money-cents random sweep. round() is the BigDecimal HALF_UP
+    // reference being replaced in the hot paths.
+    val adversarial = Seq(
+      0.0, 0.5, -0.5, 1.5, -1.5, 2.5, -2.5, 2.675, -2.675,
+      2.4999999999999996, 2.5000000000000004, -2.4999999999999996,
+      0.49999999999999994, 1e15 + 0.5, -(1e15 + 0.5),
+      2251799813685247.5, // 2^51 - 0.5: largest guaranteed-exact tie
+      123456.78901, -98765.43210, 1.0e-12, -1.0e-12)
+    val rng = new scala.util.Random(42)
+    val money = Seq.fill(2000)((rng.nextDouble() - 0.5) * 2e7)
+    val rows = (adversarial ++ money).toDF("x")
+      .select(col("x"), roundToLong(col("x")).as("fast"),
+        round(col("x")).cast("bigint").as("ref"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) === r.getLong(2), s"mismatch at x=${r.getDouble(0)}")
+    }
+  }
+
   test("changed: null-safe inequality truth table (terminals.py:128-131)") {
     val cases = Seq(
       ("a", "a", false), ("a", "b", true),

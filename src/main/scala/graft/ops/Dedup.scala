@@ -84,6 +84,37 @@ object Dedup {
       posexplode(array(bandStructs: _*)).as(Seq(s"__band_$idAs", s"__bsig_$idAs")))
   }
 
+  /** Band buckets exceeding `maxFreq` members — the degenerate keys a
+    * frequency cap drops (e.g. near-empty documents all sharing one
+    * band signature). Tiny by construction (a bucket must beat the
+    * cap to appear), so callers can count/log it cheaply before a
+    * capped candidate run: `hotBands(sigs, "doc_id", 50).count()`. */
+  def hotBands(sigs: DataFrame, idCol: String, maxFreq: Int): DataFrame =
+    bandRows(sigs, idCol, "d")
+      .groupBy(col("__band_d").as("band"), col("__bsig_d").as("bsig"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > maxFreq)
+
+  /** Band rows with hot buckets removed: a (band, signature) bucket of
+    * b docs yields b·(b−1)/2 candidate pairs, so ONE degenerate
+    * signature shared by a million near-empty docs is a 5·10^11-pair
+    * straggler. Standard LSH practice caps bucket frequency: docs in a
+    * bucket larger than `maxFreq` are so generic the bucket carries no
+    * discriminating signal (they still pair through their other
+    * bands). The hot-key set is tiny, so the prune is a broadcast
+    * anti join — no extra shuffle of the band rows. */
+  private def cappedBandRows(sigs: DataFrame, idCol: String, idAs: String,
+                             maxBandFreq: Option[Int]): DataFrame = {
+    val rows = bandRows(sigs, idCol, idAs)
+    maxBandFreq.fold(rows) { cap =>
+      val hot = hotBands(sigs, idCol, cap)
+        .select(col("band").as("__hb"), col("bsig").as("__hs"))
+      rows.join(broadcast(hot),
+        col(s"__band_$idAs") === col("__hb") && col(s"__bsig_$idAs") === col("__hs"),
+        "left_anti")
+    }
+  }
+
   /** LSH candidate pairs: docs agreeing on ALL rows of at least one
     * band. Each doc explodes into one (band_id, band_signature) row
     * per band; ONE self equi join on that pair yields all candidates —
@@ -91,10 +122,16 @@ object Dedup {
     * NumBands separate joins each rescanning the signature pipeline
     * (at 100 TB the signature scan is the dominant cost, so scan
     * count, not join count, is what matters). Returns distinct
-    * (d1, d2) with d1 < d2. */
-  def lshCandidates(sigs: DataFrame, idCol: String): DataFrame =
-    bandRows(sigs, idCol, "d1")
-      .join(bandRows(sigs, idCol, "d2"),
+    * (d1, d2) with d1 < d2.
+    *
+    * `maxBandFreq` (None = uncapped) drops band buckets with more
+    * members than the cap before the join — see [[cappedBandRows]];
+    * at scale ALWAYS set it (one degenerate signature is one
+    * quadratic straggler task). */
+  def lshCandidates(sigs: DataFrame, idCol: String,
+                    maxBandFreq: Option[Int] = None): DataFrame =
+    cappedBandRows(sigs, idCol, "d1", maxBandFreq)
+      .join(cappedBandRows(sigs, idCol, "d2", maxBandFreq),
         col("__band_d1") === col("__band_d2") && col("__bsig_d1") === col("__bsig_d2") &&
           col("d1") < col("d2"))
       .select(col("d1"), col("d2"))
@@ -112,9 +149,12 @@ object Dedup {
     * per-batch work scales with the batch, not the corpus. Returns
     * (batch id as d1, corpus id as d2). */
   def lshCandidatesAgainst(batchSigs: DataFrame, corpusSigs: DataFrame,
-                           idCol: String): DataFrame =
+                           idCol: String,
+                           maxBandFreq: Option[Int] = None): DataFrame =
+    // The cap is keyed on the CORPUS index (that's where a degenerate
+    // bucket accumulates over batches); the batch side probes pruned.
     bandRows(batchSigs, idCol, "d1")
-      .join(bandRows(corpusSigs, idCol, "d2"),
+      .join(cappedBandRows(corpusSigs, idCol, "d2", maxBandFreq),
         col("__band_d1") === col("__band_d2") && col("__bsig_d1") === col("__bsig_d2"))
       .select(col("d1"), col("d2"))
       .distinct()

@@ -37,4 +37,56 @@ object Skew {
     val out = saltedFact.join(saltedDim, Seq(key, "__salt"), joinType)
     out.drop("__salt")
   }
+
+  /** Within-bucket self pair join (`id < id_2`) with BOUNDED per-task
+    * pair work — the straggler fix for pair scoring over skewed
+    * buckets (embedding near-dup, candidate verification).
+    *
+    * A plain self equi join on the bucket key does b·(b−1)/2
+    * comparisons for a b-row bucket ON ONE TASK — quadratic in the
+    * hottest bucket, which at 100 TB is the whole job's wall clock. A
+    * bucket over `cap` rows is split into s = ⌈b/cap⌉ sub-groups by a
+    * DETERMINISTIC hash of the id (never rand(): retried tasks must
+    * reproduce identical output), and each (sub i, sub j) cell becomes
+    * its own join task: each side is replicated s ways so the pair
+    * (x∈i, y∈j) meets at exactly one key (bucket, i, j). Per-task work
+    * drops to ≈cap², at the cost of s× shuffle replication — the
+    * standard fragment-replicate triangle trade.
+    *
+    * The pair SET is provably identical to the plain bucket self join
+    * (each unordered pair meets exactly once in each orientation and
+    * `id < id_2` keeps one), so correctness oracles are unaffected by
+    * the cap. Buckets at-or-under `cap` degenerate to s = 1 — single
+    * copy, single task, the plain join.
+    *
+    * Right-side columns come back renamed with `rightSuffix`; helper
+    * columns are dropped. */
+  def boundedBucketSelfJoin(df: DataFrame, bucketCol: String, idCol: String,
+                            cap: Int, rightSuffix: String = "_2"): DataFrame = {
+    require(cap > 0, s"boundedBucketSelfJoin: cap must be positive, got $cap")
+    // Only oversized buckets' counts ship to the executors (tiny by
+    // construction: a bucket must beat the cap to appear).
+    val hot = df.groupBy(col(bucketCol)).agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") > cap)
+    val base = df.join(broadcast(hot), Seq(bucketCol), "left")
+      .withColumn("__subs",
+        coalesce(ceil(col("__bn").cast("double") / cap).cast("int"), lit(1)))
+      .withColumn("__g", pmod(xxhash64(col(idCol)), col("__subs")).cast("int"))
+      .drop("__bn")
+    // Left row in sub-group g serves every task (g, j); right row in
+    // sub-group h serves every task (i, h). Pair (g, h) meets once.
+    val tasks = sequence(lit(0), col("__subs") - 1)
+    val left = base.withColumn("__task_r", explode(tasks))
+    val rightBase = base.withColumn("__task_l", explode(tasks))
+    val right = rightBase.columns.foldLeft(rightBase) {
+      (d, c) => d.withColumnRenamed(c, c + rightSuffix)
+    }
+    left.join(right,
+        col(bucketCol) === col(bucketCol + rightSuffix) &&
+          col("__g") === col("__task_l" + rightSuffix) &&
+          col("__task_r") === col("__g" + rightSuffix) &&
+          col(idCol) < col(idCol + rightSuffix))
+      .drop("__subs", "__g", "__task_r",
+        "__subs" + rightSuffix, "__g" + rightSuffix, "__task_l" + rightSuffix)
+  }
 }

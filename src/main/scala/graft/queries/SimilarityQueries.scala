@@ -73,11 +73,15 @@ object SimilarityQueries {
     // Embedding-cosine near-dup: pairs above a cosine threshold,
     // candidate-pruned to same-cluster buckets (the `label` column is
     // the precomputed IVF/cluster assignment) — the embedding-space
-    // member of the dedup family. Never all-pairs: the self-join is an
-    // equi join on the bucket key, and pair scoring happens only
-    // within buckets. At 100 TB the bucket assignment comes from the
-    // IVF pass ([[graft.ops.Similarity.assignCells]]) materialized
-    // once; here the harness ships it as `label`.
+    // member of the dedup family. Never all-pairs: pair scoring runs
+    // only within buckets, and a bucket larger than the cap is split
+    // into hash sub-groups so per-task pair work is bounded
+    // ([[graft.ops.Skew.boundedBucketSelfJoin]] — one hot cluster must
+    // not become one straggler task). The pair set is identical to the
+    // plain bucket self join, so the oracle needs no cap. At 100 TB
+    // the bucket assignment comes from the IVF pass
+    // ([[graft.ops.Similarity.assignCells]]) materialized once; here
+    // the harness ships it as `label`.
     Q("q42_embed_neardup",
       s"""SELECT a.vec_id AS v1, b.vec_id AS v2, a.label,
          |       ${cosSql("a.embedding", "b.embedding")} AS cos_r
@@ -87,15 +91,14 @@ object SimilarityQueries {
       (s, d) =>
         import graft.functions.VectorExpressions.normF
         val e = table(s, d, "embeddings")
-        val left = e.select(col("vec_id"), col("label"), col("embedding"),
-          normF(col("embedding")).as("n1"))
-        val right = e.select(col("vec_id").as("v2"), col("label").as("lbl2"),
-          col("embedding").as("emb2"), normF(col("embedding")).as("n2"))
-        left.join(right, col("label") === col("lbl2") && col("vec_id") < col("v2"))
+          .select(col("vec_id"), col("label"), col("embedding"),
+            normF(col("embedding")).as("nrm"))
+        graft.ops.Skew.boundedBucketSelfJoin(e, "label", "vec_id", cap = 256)
           .withColumn("cos_r", Similarity.cosRoundedPre(
-            col("embedding"), col("emb2"), col("n1"), col("n2")))
+            col("embedding"), col("embedding_2"), col("nrm"), col("nrm_2")))
           .filter(col("cos_r") >= 0.35)
-          .select(col("vec_id").as("v1"), col("v2"), col("label"), col("cos_r"))
+          .select(col("vec_id").as("v1"), col("vec_id_2").as("v2"),
+            col("label"), col("cos_r"))
     }
   )
 }

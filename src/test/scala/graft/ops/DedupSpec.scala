@@ -73,6 +73,50 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((10L, 20L))) // ⇒ guaranteed candidate pair
   }
 
+  test("lshCandidates band-frequency cap bounds a pathological hot bucket") {
+    // 40 identical near-empty docs (one degenerate signature shared by
+    // all) plus one genuine near-dup pair. Uncapped, the degenerate
+    // bucket alone yields 40*39/2 = 780 pairs; with the cap the whole
+    // bucket drops and only the genuine pair survives.
+    val junk = (1L to 40L).map(i => (i, "na na na junk junk junk filler filler"))
+    val real = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog and runs away fast"),
+      (102L, "the quick brown fox jumps over the lazy dog and runs away quickly"))
+    val sigs = Dedup.minhashSignatures((junk ++ real).toDF("doc_id", "text"),
+      "doc_id", "text")
+
+    val uncapped = Dedup.lshCandidates(sigs, "doc_id").count()
+    assert(uncapped >= 780L, s"expected quadratic blowup uncapped, got $uncapped")
+
+    val capped = Dedup.lshCandidates(sigs, "doc_id", maxBandFreq = Some(10))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === Set((101L, 102L)), s"cap failed: $capped")
+
+    // The dropped buckets are enumerable (the log-able count): every
+    // band of the junk signature is hot, nothing else is.
+    val hot = Dedup.hotBands(sigs, "doc_id", 10)
+      .collect().map(r => (r.getInt(0), r.getLong(2)))
+    assert(hot.length === Dedup.NumBands && hot.forall(_._2 === 40L), hot.toSeq)
+  }
+
+  test("lshCandidatesAgainst corpus-side cap prunes degenerate index buckets") {
+    val junkCorpus = (1L to 30L).map(i => (i, "na na na junk junk junk filler filler"))
+    val realCorpus = Seq((50L, "the quick brown fox jumps over the lazy dog and runs away fast"))
+    val corpus = Dedup.minhashSignatures((junkCorpus ++ realCorpus).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val batch = Dedup.minhashSignatures(Seq(
+      (900L, "na na na junk junk junk filler filler"),
+      (901L, "the quick brown fox jumps over the lazy dog and runs away quickly"))
+      .toDF("doc_id", "text"), "doc_id", "text")
+
+    val capped = Dedup.lshCandidatesAgainst(batch, corpus, "doc_id",
+      maxBandFreq = Some(10))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // The junk probe finds nothing (its corpus bucket is dropped); the
+    // genuine near-dup still matches its single-member bucket.
+    assert(capped === Set((901L, 50L)), s"got $capped")
+  }
+
   test("simhashPairs: byte-band candidates verify true Hamming radius") {
     // Fingerprints chosen so (1,2) differ in 2 bits (same low bytes),
     // (1,3) differ in many bits across all bytes.

@@ -34,4 +34,45 @@ class SkewSpec extends AnyFunSuite {
     val b = Skew.saltedJoin(fact, dim, "k", col("id"), salts = 8).collect().toSet
     assert(a === b)
   }
+
+  test("boundedBucketSelfJoin: identical pair set to the plain join on a hot bucket") {
+    // One deliberately hot bucket (60 rows ≫ cap 10) plus two normal
+    // ones — pair sets must match the uncapped self join exactly.
+    val rows = ((1L to 60L).map(i => (i, "hot")) ++
+      Seq((101L, "small"), (102L, "small"), (103L, "small"), (201L, "solo")))
+      .toDF("id", "bucket")
+    val plain = rows.as("a").join(rows.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Skew.boundedBucketSelfJoin(rows, "bucket", "id", cap = 10)
+      .select(col("id"), col("id_2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === plain)
+    assert(plain.size === 60 * 59 / 2 + 3) // sanity: blowup actually present
+  }
+
+  test("boundedBucketSelfJoin: per-task pair work is bounded, not quadratic") {
+    // Reconstruct each pair's task cell (sub-group of each side) the
+    // way the operator assigns it and assert no cell carries more than
+    // ~cap² pairs — the property that kills the straggler. 60 rows at
+    // cap 10 → s = 6 sub-groups; uncapped the single cell would hold
+    // all 1770 pairs.
+    val cap = 10
+    val n = 60L
+    val rows = (1L to n).map(i => (i, "hot")).toDF("id", "bucket")
+    val subs = math.ceil(n.toDouble / cap).toInt
+    val groupOf = rows
+      .select(col("id"), pmod(xxhash64(col("id")), lit(subs)).cast("int").as("g"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val cells = Skew.boundedBucketSelfJoin(rows, "bucket", "id", cap)
+      .select(col("id"), col("id_2"))
+      .collect()
+      .groupBy(r => (groupOf(r.getLong(0)), groupOf(r.getLong(1))))
+      .map(_._2.length)
+    assert(cells.size > 1, "bucket was not split into multiple task cells")
+    // Hash imbalance slack: 4× the ideal cap² cell.
+    assert(cells.max <= 4 * cap * cap,
+      s"hottest task cell carries ${cells.max} pairs")
+  }
 }

@@ -85,17 +85,52 @@ final class TableStore(spark: SparkSession, root: String) {
 
   /** Compact an append-only table's accumulated small files: every
     * batch append adds files, and file count — not data size — is what
-    * degrades scan planning and shuffle fan-out over time. Rewrites
-    * the table into `targetFiles` files via the snapshot swap (the
-    * rewrite reads the directory it replaces). Run periodically, not
-    * per batch: the rewrite costs one pass over the table. */
+    * degrades scan planning and shuffle fan-out over time. Run
+    * periodically, not per batch: the rewrite costs one pass over the
+    * table.
+    *
+    * Unpartitioned tables rewrite whole into `targetFiles` files via
+    * the snapshot swap. Hive-partitioned tables rewrite PER LEAF
+    * PARTITION into `targetFiles` files each — a plain rewrite would
+    * flatten the layout (and re-infer partition-column types), and at
+    * 100 TB rewriting the whole table to fix one hot day's file count
+    * is the wrong cost model anyway: each leaf rewrite reads and
+    * swaps only that directory, so compaction work is bounded by the
+    * partition, not the table. Leaf data files carry no partition
+    * columns (they live in the directory names), so a per-leaf
+    * read→repartition→swap preserves schema, layout, and partition
+    * pruning exactly. The driver iterates partition directory NAMES
+    * (metadata, never data); scratch/retired dirs are dot-prefixed so
+    * Hadoop path filters hide them from concurrent readers mid-swap. */
   def compact(name: String, targetFiles: Int): Unit = {
-    // A Hive-partitioned layout would be silently flattened by a plain
-    // rewrite (and partition-column types re-inferred) — refuse.
-    val sub = fs.listStatus(new Path(path(name)))
-    require(!sub.exists(st => st.isDirectory && st.getPath.getName.contains("=")),
-      s"compact: $name is Hive-partitioned; rewrite per partition instead")
-    swapSnapshot(name, read(name).repartition(targetFiles))
+    val leaves = leafPartitionDirs(new Path(path(name)))
+    if (leaves.isEmpty) swapSnapshot(name, read(name).repartition(targetFiles))
+    else leaves.foreach { leaf =>
+      val tmp = new Path(leaf.getParent, s".__tmp_${leaf.getName}")
+      val old = new Path(leaf.getParent, s".__old_${leaf.getName}")
+      spark.read.parquet(leaf.toString).repartition(targetFiles)
+        .write.mode("overwrite").parquet(tmp.toString)
+      swapDirs(leaf, tmp, old)
+    }
+  }
+
+  /** Leaf `k=v` partition directories under `root` (depth-first;
+    * multi-level layouts return the deepest level). Empty for an
+    * unpartitioned table. Hidden (`.`/`_`) entries are skipped — they
+    * are scratch, committer, or metadata dirs, never partitions. */
+  private def leafPartitionDirs(root: Path): Seq[Path] = {
+    def visible(p: Path): Boolean =
+      !p.getName.startsWith(".") && !p.getName.startsWith("_")
+    def walk(dir: Path): Seq[Path] = {
+      val parts = fs.listStatus(dir).toSeq
+        .filter(st => st.isDirectory && visible(st.getPath) &&
+          st.getPath.getName.contains("="))
+      parts.flatMap { st =>
+        val deeper = walk(st.getPath)
+        if (deeper.isEmpty) Seq(st.getPath) else deeper
+      }
+    }
+    walk(root)
   }
 
   /** Data files currently backing a table (maintenance telemetry). */
@@ -116,11 +151,18 @@ final class TableStore(spark: SparkSession, root: String) {
     val tmp = new Path(path(name + ".__tmp"))
     val old = new Path(path(name + ".__old"))
     df.write.mode("overwrite").parquet(tmp.toString)
+    swapDirs(live, tmp, old)
+  }
+
+  /** The rename dance shared by snapshot and per-partition swaps:
+    * retire live → `old`, promote `tmp` → live, drop `old`. Renames
+    * are atomic per directory on HDFS-like filesystems. */
+  private def swapDirs(live: Path, tmp: Path, old: Path): Unit = {
     if (fs.exists(old)) fs.delete(old, true)
     if (fs.exists(live) && !fs.rename(live, old))
-      throw new java.io.IOException(s"swapSnapshot: cannot retire $live")
+      throw new java.io.IOException(s"swapDirs: cannot retire $live")
     if (!fs.rename(tmp, live))
-      throw new java.io.IOException(s"swapSnapshot: cannot promote $tmp")
+      throw new java.io.IOException(s"swapDirs: cannot promote $tmp")
     fs.delete(old, true): Unit
   }
 }

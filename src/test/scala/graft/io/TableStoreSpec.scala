@@ -63,6 +63,42 @@ class TableStoreSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("compact rewrites a Hive-partitioned table per leaf, preserving pruning") {
+    val store = newStore()
+    // 5 appends × 2 files × 2 partitions → many small files per leaf.
+    (1 to 5).foreach { i =>
+      store.appendPartitioned("facts",
+        Seq(("2024-01-01", i, "a"), ("2024-01-02", i, "b"))
+          .toDF("load_date", "n", "v").repartition(2),
+        Seq("load_date"))
+    }
+    assert(store.fileCount("facts") >= 10)
+    val before = store.read("facts").collect().toSet
+    store.compact("facts", targetFiles = 1)
+    // One file per leaf partition, identical contents, no scratch dirs.
+    assert(store.fileCount("facts") === 2, s"got ${store.fileCount("facts")} files")
+    assert(store.read("facts").collect().toSet === before)
+    val q = store.read("facts").filter(col("load_date") === "2024-01-01")
+    assert(q.count() === 5)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(load_date"),
+      s"pruning lost after compact:\n${plan.take(1200)}")
+  }
+
+  test("compact handles multi-level partition layouts at the deepest leaf") {
+    val store = newStore()
+    (1 to 3).foreach { i =>
+      store.appendPartitioned("facts",
+        Seq(("src1", "2024-01-01", i), ("src1", "2024-01-02", i))
+          .toDF("source", "load_date", "n").repartition(2),
+        Seq("source", "load_date"))
+    }
+    val before = store.read("facts").collect().toSet
+    store.compact("facts", targetFiles = 1)
+    assert(store.fileCount("facts") === 2) // one per (source, load_date) leaf
+    assert(store.read("facts").collect().toSet === before)
+  }
+
   test("partitioned write prunes partitions under a partition-column filter") {
     val store = newStore()
     val df = Seq(("2024-01-01", 1), ("2024-01-01", 2), ("2024-01-02", 3))

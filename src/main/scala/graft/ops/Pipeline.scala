@@ -192,6 +192,69 @@ object Pipeline {
       Some(isoToTs(fileDate))
     }
 
+  private val cardsDimStruct = StructType(Seq(
+    StructField("card_num", StringType),
+    StructField("account_num", StringType),
+    StructField("effective_from", TimestampType),
+    StructField("effective_to", TimestampType),
+    StructField("deleted_flg", StringType)))
+
+  /** JDBC-incremental dimension stage (`cards.py:35-202` analog): the
+    * LIVE database flavor of the SCD2 flow, end-to-end —
+    *
+    *   1. read the `dim_cards_hist` watermark (coalesce to 1900-01-01,
+    *      `cards.py:37-47`);
+    *   2. incremental extract over JDBC: rows with
+    *      `coalesce(update_dt, create_dt) > watermark`
+    *      (`cards.py:52-58`), truncate-reloaded into staging (K1);
+    *   3. skip-if-no-rows guard (`cards.py:71`);
+    *   4. full key snapshot into the delete-staging (`cards.py:73-82`);
+    *   5. SCD2 merge with the reference's PER-ROW version clocks: new
+    *      keys open at their `create_dt` (`cards.py:98`), changed keys
+    *      open at `update_dt` and close their predecessor at
+    *      `update_dt − 1 s` (`cards.py:117,126`), deletes are marked
+    *      at `runTs` — the pinned stand-in for the reference's `now()`
+    *      (`cards.py:154`);
+    *   6. watermark advanced to `max(coalesce(update_dt, create_dt))`
+    *      over THIS extract's staging (`cards.py:192-196`).
+    *
+    * Scale notes: the watermark predicate bounds every extract to the
+    * changed rows, so per-run JDBC volume scales with the delta, not
+    * the source (give `jdbc` partition bounds for a parallel pull);
+    * the merge is the same single-pass full-outer+explode as the file
+    * dimensions. The full-key snapshot (step 4) is key-only — the one
+    * unavoidable full-table touch delete detection needs. */
+  def runCards(spark: SparkSession, store: TableStore,
+               jdbc: Sources.JdbcSpec, runTs: Timestamp): Unit = {
+    val wm = Incremental.readWatermark(meta(store), "stg", "cards")
+    def source() = Sources.jdbcReader(spark, jdbc).load().select(
+      col("card_num").cast(StringType).as("card_num"),
+      col("account").cast(StringType).as("account"),
+      col("create_dt").cast(TimestampType).as("create_dt"),
+      col("update_dt").cast(TimestampType).as("update_dt"))
+    store.overwrite("stg_cards",
+      Sources.incremental(source(), "update_dt", "create_dt", wm))
+    val staged = store.read("stg_cards")
+    if (staged.limit(1).count() > 0) { // A3 guard (cards.py:71)
+      store.overwrite("stg_cards_del", source().select("card_num"))
+      val batch = staged.select(col("card_num"),
+        col("account").as("account_num"), col("create_dt"), col("update_dt"))
+      val dim = store.readOr("dim_cards_hist", cardsDimStruct)
+      store.swapSnapshot("dim_cards_hist", Scd2.merge(
+        dim, batch, keys = Seq("card_num"), tracked = Seq("account_num"),
+        batchTs = coalesce(col("update_dt"), col("create_dt")),
+        deleteKeys = Some(store.read("stg_cards_del")),
+        deleteTs = Some(lit(runTs)),
+        passthrough = Seq("create_dt", "update_dt"),
+        newTs = Some(col("create_dt"))))
+      val newMax = staged
+        .agg(max(coalesce(col("update_dt"), col("create_dt")))).first()
+      if (!newMax.isNullAt(0))
+        store.swapSnapshot("meta_date",
+          Incremental.advance(meta(store), "stg", "cards", newMax.getTimestamp(0)))
+    }
+  }
+
   /** Report stage (`report.py` analog): as-of join facts to the live
     * dimension version valid at transaction time (J6, strict bounds),
     * one lag window per card (W1), two rule branches UNION ALL'd —

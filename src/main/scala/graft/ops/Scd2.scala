@@ -58,11 +58,24 @@ object Scd2 {
     *                   uses the file date, cards/clients/accounts use
     *                   now() — `terminals.py:172` vs `cards.py:154`;
     *                   parameterized, pinned for parity)
+    * @param passthrough extra batch columns carried through the merge
+    *                   join so `batchTs`/`newTs` can be PER-ROW
+    *                   expressions over source columns (the JDBC
+    *                   dimensions open versions at the row's own
+    *                   `update_dt`/`create_dt` — `cards.py:98,117` —
+    *                   not at a constant batch clock). Never emitted.
+    * @param newTs      effective_from for first-version rows when it
+    *                   differs from `batchTs` (cards opens NEW keys at
+    *                   `create_dt` but CHANGED keys at `update_dt` —
+    *                   `cards.py:98` vs `cards.py:117`). Defaults to
+    *                   `batchTs`.
     */
   def merge(dim: DataFrame, batch: DataFrame, keys: Seq[String],
             tracked: Seq[String], batchTs: Column,
             deleteKeys: Option[DataFrame] = None,
-            deleteTs: Option[Column] = None): DataFrame = {
+            deleteTs: Option[Column] = None,
+            passthrough: Seq[String] = Nil,
+            newTs: Option[Column] = None): DataFrame = {
     val delTs = deleteTs.getOrElse(batchTs)
     val dimCols = dim.columns.toSeq
     val attrCols = dimCols.filterNot(
@@ -79,7 +92,8 @@ object Scd2 {
           col("deleted_flg").as("__cur_flg"),
           lit(true).as("__in_cur")): _*)
     val batchSide = batch
-      .select(keys.map(col) ++ tracked.map(col) :+ lit(true).as("__in_batch"): _*)
+      .select(keys.map(col) ++ tracked.map(col) ++ passthrough.map(col)
+        :+ lit(true).as("__in_batch"): _*)
     val snapSide = deleteKeys match {
       case Some(dk) => dk.select(keys.map(col): _*).distinct()
         .withColumn("__in_snap", lit(true))
@@ -121,10 +135,13 @@ object Scd2 {
       when(changed, shape(curAttr, col("__cur_from"), minusOneSecond(batchTs), col("__cur_flg")))
         .when(deleted, shape(curAttr, col("__cur_from"), minusOneSecond(delTs), col("__cur_flg")))
         .when(inCur, shape(curAttr, col("__cur_from"), InfinityTs, col("__cur_flg")))
-    // Newly opened row: replacement version, first version (J1), or
+    // Newly opened row: replacement version, first version (J1, at
+    // `newTs` when the source distinguishes create from update), or
     // the 'Y' marker carrying the last known attribute values.
     val slot2 =
-      when(changed || (inBatch && !inCur), shape(batchAttr, batchTs, InfinityTs, lit("N")))
+      when(changed, shape(batchAttr, batchTs, InfinityTs, lit("N")))
+        .when(inBatch && !inCur,
+          shape(batchAttr, newTs.getOrElse(batchTs), InfinityTs, lit("N")))
         .when(deleted, shape(curAttr, delTs, InfinityTs, lit("Y")))
 
     val merged = joined

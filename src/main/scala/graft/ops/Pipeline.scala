@@ -34,10 +34,14 @@ import graft.io.{Sources, TableStore}
   */
 object Pipeline {
 
-  val TxSchema: Seq[String] =
-    Seq("transaction_id", "transaction_date", "amount", "card_num", "terminal")
+  /** Reference `transaction.py:16` staging columns. */
+  val TxSchema: Seq[String] = Seq("transaction_id", "transaction_date",
+    "amount", "card_num", "oper_type", "oper_result", "terminal")
   val TermSchema: Seq[String] = Seq("terminal_id", "terminal_type", "terminal_city")
-  val BlacklistSchema: Seq[String] = Seq("card_num", "entry_dt")
+  /** Reference `black_list.py:16` staging columns (the xlsx sheet ships
+    * `date` + `passport`; promotion renames to the fact's
+    * `passport_num`/`entry_dt` — `black_list.py:17`). */
+  val BlacklistSchema: Seq[String] = Seq("date", "passport")
 
   private val dimStruct = StructType(Seq(
     StructField("terminal_id", StringType),
@@ -52,6 +56,8 @@ object Pipeline {
     StructField("transaction_date", TimestampType),
     StructField("amount", DecimalType(15, 2)),
     StructField("card_num", StringType),
+    StructField("oper_type", StringType),
+    StructField("oper_result", StringType),
     StructField("terminal", StringType)))
 
   private val metaStruct = StructType(Seq(
@@ -60,7 +66,7 @@ object Pipeline {
     StructField("max_update_dt", TimestampType)))
 
   private val blacklistStruct = StructType(Seq(
-    StructField("card_num", StringType),
+    StructField("passport_num", StringType),
     StructField("entry_dt", DateType)))
 
   private def meta(store: TableStore): DataFrame =
@@ -112,7 +118,7 @@ object Pipeline {
         col("transaction_id"),
         col("transaction_date").cast(TimestampType).as("transaction_date"),
         parseEuroDecimal(col("amount")).as("amount"),
-        col("card_num"), col("terminal"))
+        col("card_num"), col("oper_type"), col("oper_result"), col("terminal"))
       val fact = store.readOr("fact_transactions", factStruct)
       store.append("fact_transactions",
         AntiInsert.newRows(typed, fact, Seq("transaction_id")))
@@ -123,22 +129,25 @@ object Pipeline {
            else isoToTs(newMax.getDate(0).toString))
     }
 
-  /** Blacklist stage (`black_list.py` analog): Excel snapshots through
-    * the [[graft.io.Sources.excel]] shim, anti-join append, and the
-    * A2 watermark semantics — the file date folded in as a constant
+  /** Passport-blacklist stage (`black_list.py` analog): Excel
+    * snapshots through the [[graft.io.Sources.excel]] shim
+    * (`passport_blacklist_*.xlsx`, sheet `blacklist`), promotion
+    * renames `date`/`passport` → `entry_dt`/`passport_num`
+    * (`black_list.py:16-17,73`), anti-join append, and the A2
+    * watermark semantics — the file date folded in as a constant
     * (`black_list.py:97`), NOT max over staging. */
   def runBlacklist(spark: SparkSession, store: TableStore, srcDir: String,
                    archive: Boolean = false): Unit =
-    processFiles(spark, store, srcDir, "black_list_\\d{8}\\.xlsx",
+    processFiles(spark, store, srcDir, "passport_blacklist_\\d{8}\\.xlsx",
         "blacklist", "stg_blacklist", archive) {
       (path, s) => Sources.excel(s, path, "blacklist",
         Sources.stringSchema(BlacklistSchema: _*))
     } { (staged, fileDate) =>
-      val typed = staged.select(col("card_num"),
-        col("entry_dt").cast(DateType).as("entry_dt"))
+      val typed = staged.select(col("passport").as("passport_num"),
+        col("date").cast(DateType).as("entry_dt"))
       val fact = store.readOr("fact_blacklist", blacklistStruct)
       store.append("fact_blacklist",
-        AntiInsert.newRows(typed, fact, Seq("card_num")))
+        AntiInsert.newRows(typed, fact, Seq("passport_num")))
       Some(isoToTs(fileDate)) // A2: file date as a folded constant
     }
 
@@ -162,7 +171,7 @@ object Pipeline {
           col("transaction_id"),
           col("transaction_date").cast(TimestampType).as("transaction_date"),
           parseEuroDecimal(col("amount")).as("amount"),
-          col("card_num"), col("terminal"))
+          col("card_num"), col("oper_type"), col("oper_result"), col("terminal"))
         val fact = store.readOr("fact_transactions", factStruct)
         store.append("fact_transactions",
           AntiInsert.newRows(typed, fact, Seq("transaction_id")))
@@ -192,17 +201,35 @@ object Pipeline {
       Some(isoToTs(fileDate))
     }
 
-  private val cardsDimStruct = StructType(Seq(
-    StructField("card_num", StringType),
-    StructField("account_num", StringType),
-    StructField("effective_from", TimestampType),
-    StructField("effective_to", TimestampType),
-    StructField("deleted_flg", StringType)))
+  /** One JDBC-sourced SCD2 dimension: where it comes from, what it's
+    * called, and which source columns map to which dimension columns
+    * (`(source, dim)` pairs; the key pair first — the reference renames
+    * on promote, e.g. `account` → `account_num`, `cards.py:92`). */
+  final case class DimSource(jdbc: Sources.JdbcSpec, dimTable: String,
+                             wmKey: String, key: (String, String),
+                             tracked: Seq[(String, String)])
 
-  /** JDBC-incremental dimension stage (`cards.py:35-202` analog): the
-    * LIVE database flavor of the SCD2 flow, end-to-end —
+  /** The reference's three JDBC dimensions (`cards.py` / `accounts.py`
+    * / `clients.py` variable headers), parameterized by connection —
+    * each pins its own source table name (`source_table_name`). */
+  def cardsDim(jdbc: Sources.JdbcSpec): DimSource =
+    DimSource(jdbc.copy(table = "cards"), "dim_cards_hist", "cards",
+      "card_num" -> "card_num", Seq("account" -> "account_num"))
+  def accountsDim(jdbc: Sources.JdbcSpec): DimSource =
+    DimSource(jdbc.copy(table = "accounts"), "dim_accounts_hist", "accounts",
+      "account" -> "account_num",
+      Seq("valid_to" -> "valid_to", "client" -> "client"))
+  def clientsDim(jdbc: Sources.JdbcSpec): DimSource =
+    DimSource(jdbc.copy(table = "clients"), "dim_clients_hist", "clients",
+      "client_id" -> "client_id",
+      Seq("last_name", "first_name", "patronymic", "date_of_birth",
+        "passport_num", "passport_valid_to", "phone").map(c => c -> c))
+
+  /** JDBC-incremental dimension stage (`cards.py:35-202` and its
+    * accounts/clients siblings): the LIVE database flavor of the SCD2
+    * flow, end-to-end —
     *
-    *   1. read the `dim_cards_hist` watermark (coalesce to 1900-01-01,
+    *   1. read the dimension's watermark (coalesce to 1900-01-01,
     *      `cards.py:37-47`);
     *   2. incremental extract over JDBC: rows with
     *      `coalesce(update_dt, create_dt) > watermark`
@@ -220,30 +247,33 @@ object Pipeline {
     *
     * Scale notes: the watermark predicate bounds every extract to the
     * changed rows, so per-run JDBC volume scales with the delta, not
-    * the source (give `jdbc` partition bounds for a parallel pull);
+    * the source (give the spec partition bounds for a parallel pull);
     * the merge is the same single-pass full-outer+explode as the file
     * dimensions. The full-key snapshot (step 4) is key-only — the one
     * unavoidable full-table touch delete detection needs. */
-  def runCards(spark: SparkSession, store: TableStore,
-               jdbc: Sources.JdbcSpec, runTs: Timestamp): Unit = {
-    val wm = Incremental.readWatermark(meta(store), "stg", "cards")
-    def source() = Sources.jdbcReader(spark, jdbc).load().select(
-      col("card_num").cast(StringType).as("card_num"),
-      col("account").cast(StringType).as("account"),
-      col("create_dt").cast(TimestampType).as("create_dt"),
-      col("update_dt").cast(TimestampType).as("update_dt"))
-    store.overwrite("stg_cards",
+  def runJdbcDim(spark: SparkSession, store: TableStore,
+                 d: DimSource, runTs: Timestamp): Unit = {
+    val dimKey = d.key._2
+    val wm = Incremental.readWatermark(meta(store), "stg", d.wmKey)
+    def source() = Sources.jdbcReader(spark, d.jdbc).load().select(
+      (d.key +: d.tracked).map { case (s, t) => col(s).as(t) } ++ Seq(
+        col("create_dt").cast(TimestampType).as("create_dt"),
+        col("update_dt").cast(TimestampType).as("update_dt")): _*)
+    store.overwrite(s"stg_${d.wmKey}",
       Sources.incremental(source(), "update_dt", "create_dt", wm))
-    val staged = store.read("stg_cards")
+    val staged = store.read(s"stg_${d.wmKey}")
     if (staged.limit(1).count() > 0) { // A3 guard (cards.py:71)
-      store.overwrite("stg_cards_del", source().select("card_num"))
-      val batch = staged.select(col("card_num"),
-        col("account").as("account_num"), col("create_dt"), col("update_dt"))
-      val dim = store.readOr("dim_cards_hist", cardsDimStruct)
-      store.swapSnapshot("dim_cards_hist", Scd2.merge(
-        dim, batch, keys = Seq("card_num"), tracked = Seq("account_num"),
+      store.overwrite(s"stg_${d.wmKey}_del", source().select(dimKey))
+      val dimSchema = StructType(
+        staged.schema.filterNot(f => Seq("create_dt", "update_dt").contains(f.name)) ++ Seq(
+          StructField("effective_from", TimestampType),
+          StructField("effective_to", TimestampType),
+          StructField("deleted_flg", StringType)))
+      val dim = store.readOr(d.dimTable, dimSchema)
+      store.swapSnapshot(d.dimTable, Scd2.merge(
+        dim, staged, keys = Seq(dimKey), tracked = d.tracked.map(_._2),
         batchTs = coalesce(col("update_dt"), col("create_dt")),
-        deleteKeys = Some(store.read("stg_cards_del")),
+        deleteKeys = Some(store.read(s"stg_${d.wmKey}_del")),
         deleteTs = Some(lit(runTs)),
         passthrough = Seq("create_dt", "update_dt"),
         newTs = Some(col("create_dt"))))
@@ -251,55 +281,130 @@ object Pipeline {
         .agg(max(coalesce(col("update_dt"), col("create_dt")))).first()
       if (!newMax.isNullAt(0))
         store.swapSnapshot("meta_date",
-          Incremental.advance(meta(store), "stg", "cards", newMax.getTimestamp(0)))
+          Incremental.advance(meta(store), "stg", d.wmKey, newMax.getTimestamp(0)))
     }
   }
 
-  /** Report stage (`report.py` analog): as-of join facts to the live
-    * dimension version valid at transaction time (J6, strict bounds),
-    * one lag window per card (W1), two rule branches UNION ALL'd —
-    * blacklisted card active on/after its entry date (P7-style,
-    * rule 1) and city hop within one hour (P9, rule 3) — appended,
-    * deliberately non-idempotent like the reference. */
+  /** The cards stage (`cards.py`), as one [[runJdbcDim]] instance. */
+  def runCards(spark: SparkSession, store: TableStore,
+               jdbc: Sources.JdbcSpec, runTs: Timestamp): Unit =
+    runJdbcDim(spark, store, cardsDim(jdbc), runTs)
+
+  /** Report stage — the FULL `report.py:12-113` chain:
+    *
+    *   - `cl` CTE: facts as-of joined to the live terminal version at
+    *     transaction time (J6, strict bounds, `deleted_flg='N'`),
+    *     then the trim-normalized cards join (J7, `report.py:42-43`)
+    *     and the accounts → clients → passport-blacklist enrichment
+    *     legs (J8, `report.py:44-49`). Faithfully UNBOUNDED on the
+    *     history dims: the reference joins EVERY version of
+    *     cards/accounts/clients (no effective_to predicate), so a
+    *     multi-version key fans its transactions out — q17 pins these
+    *     semantics against the oracle; here they run E2E.
+    *   - `lg` CTE: all nine lags over ONE window (card, ordered by
+    *     transaction time with an id tiebreak — retried tasks must
+    *     reproduce identical rows; `report.py:50-62`).
+    *   - four rule branches UNION ALL'd into the reference's report
+    *     shape (event_dt, passport, fio, phone, event_type,
+    *     report_dt), appended — deliberately non-idempotent
+    *     (`report.py:63-69`).
+    *
+    * Scale notes: one window shuffle; the dim joins stay equi-keyed
+    * (AQE broadcasts the small sides); all four rules filter the same
+    * `cl`/`lg` subtree, so the star is evaluated once, not four times. */
   def runReport(spark: SparkSession, store: TableStore,
                 reportDt: Timestamp): Unit = {
     val facts = store.readOr("fact_transactions", factStruct)
-    val dim = store.readOr("dim_terminals_hist", dimStruct)
+    val ter = store.readOr("dim_terminals_hist", dimStruct)
+    val emptyDim = (d: DimSource) => StructType(
+      (d.key +: d.tracked).map(c => StructField(c._2, StringType)) ++ Seq(
+        StructField("effective_from", TimestampType),
+        StructField("effective_to", TimestampType),
+        StructField("deleted_flg", StringType)))
+    val noDb = Sources.JdbcSpec("", "", "", "")
+    val cards = store.readOr("dim_cards_hist", emptyDim(cardsDim(noDb)))
+    val accounts = store.readOr("dim_accounts_hist", emptyDim(accountsDim(noDb)))
+    val clients = store.readOr("dim_clients_hist", emptyDim(clientsDim(noDb)))
     val bl = store.readOr("fact_blacklist", blacklistStruct)
-      .select(col("card_num").as("bl_card"), col("entry_dt"))
-    val joined = Temporal.asOfJoin(facts, dim,
-        factKey = facts("terminal"), dimKey = dim("terminal_id"),
+
+    // cl (report.py:12-49): terminals as-of + trim-keyed cards + the
+    // unbounded enrichment legs.
+    val cl = Temporal.asOfJoin(facts, ter,
+        factKey = facts("terminal"), dimKey = ter("terminal_id"),
         factTs = facts("transaction_date"))
-      .join(bl, facts("card_num") === col("bl_card"), "left")
-    // transaction_id tiebreak: equal-timestamp transactions must lag
-    // deterministically (retried tasks must re-produce identical rows).
-    val w = Window.partitionBy(col("card_num"))
+      .join(cards, trim(facts("card_num")) === trim(cards("card_num")), "left")
+      .join(accounts, cards("account_num") === accounts("account_num"), "left")
+      .join(clients, accounts("client") === clients("client_id"), "left")
+      .join(bl, trim(clients("passport_num")) === trim(bl("passport_num")), "left")
+      .withColumn("fio", fio(clients("last_name"), clients("first_name"),
+        clients("patronymic")))
+      .withColumn("bl_entry_dt",
+        coalesce(bl("entry_dt").cast(TimestampType), InfinityTs))
+
+    // lg (report.py:50-62): nine lags, one WindowExec.
+    val w = Window.partitionBy(facts("card_num"))
       .orderBy(col("transaction_date"), col("transaction_id"))
-    val lagged = joined
+    val lg = cl
       .withColumn("lag_city", lag(col("terminal_city"), 1).over(w))
       .withColumn("gap_us", epochUs(col("transaction_date")) -
         epochUs(lag(col("transaction_date"), 1).over(w)))
+      .withColumn("res1", lag(col("oper_result"), 1).over(w))
+      .withColumn("res2", lag(col("oper_result"), 2).over(w))
+      .withColumn("res3", lag(col("oper_result"), 3).over(w))
+      .withColumn("amt1", lag(col("amount"), 1).over(w))
+      .withColumn("amt2", lag(col("amount"), 2).over(w))
+      .withColumn("amt3", lag(col("amount"), 3).over(w))
+      .withColumn("ts3", lag(col("transaction_date"), 3).over(w))
+
     def shape(df: org.apache.spark.sql.DataFrame, rule: Int) = df.select(
       col("transaction_date").as("event_dt"),
-      col("card_num"),
-      lit(rule).as("rule"),
-      col("terminal_city").as("city"),
-      col("lag_city").as("prev_city"),
+      clients("passport_num").as("passport"),
+      col("fio"),
+      clients("phone").as("phone"),
+      lit(rule).as("event_type"),
       lit(reportDt).as("report_dt"))
-    val r1 = shape(lagged.filter(col("bl_card").isNotNull &&
-      col("transaction_date") >= col("entry_dt").cast(TimestampType)), 1)
-    val r3 = shape(lagged.filter(
-      col("lag_city").isNotNull && col("terminal_city") =!= col("lag_city") &&
-        col("gap_us") <= 3600L * 1000000L), 3)
-    store.append("rep_fraud", r1.unionByName(r3))
+
+    // Rule 1 (report.py:70-78): expired passport OR blacklisted
+    // passport active on/after its entry date.
+    val r1 = shape(lg.filter(
+      clients("passport_valid_to").cast(TimestampType) < col("transaction_date") ||
+        (bl("passport_num").isNotNull &&
+          col("bl_entry_dt") <= col("transaction_date"))), 1)
+    // Rule 2 (report.py:80-88): activity on/after account expiry.
+    val r2 = shape(lg.filter(
+      col("transaction_date") >= accounts("valid_to").cast(TimestampType)), 2)
+    // Rule 3 (report.py:90-99): city hop within one hour.
+    val r3 = shape(lg.filter(col("terminal_city") =!= col("lag_city") &&
+      col("gap_us") <= 3600L * 1000000L), 3)
+    // Rule 4 (report.py:101-113): three REJECTs at strictly decreasing
+    // amounts then a SUCCESS, all within 20 minutes, payment-ish ops.
+    val r4 = shape(lg.filter(
+      col("oper_result") === "SUCCESS" &&
+        col("res1") === "REJECT" && col("res2") === "REJECT" && col("res3") === "REJECT" &&
+        col("amount") < col("amt1") && col("amt1") < col("amt2") && col("amt2") < col("amt3") &&
+        withinSeconds(col("transaction_date"), col("ts3"), 20 * 60) &&
+        col("oper_type").isin("PAYMENT", "WITHDRAW")), 4)
+
+    store.append("rep_fraud",
+      r1.unionByName(r2).unionByName(r3).unionByName(r4))
   }
 
-  /** Full run in dependency order (`main.py:47-50`). */
+  /** Full run in dependency order (`main.py:47-50`): file facts +
+    * file dims, then (when a source DB is configured) the three JDBC
+    * dimensions, then the report over everything. */
   def run(spark: SparkSession, store: TableStore, srcDir: String,
-          reportDt: Timestamp, archive: Boolean = false): Unit = {
+          reportDt: Timestamp, archive: Boolean = false,
+          dimDb: Option[Sources.JdbcSpec] = None,
+          dimRunTs: Option[Timestamp] = None): Unit = {
     runTransactions(spark, store, srcDir, archive)
     runBlacklist(spark, store, srcDir, archive)
     runTerminals(spark, store, srcDir, archive)
+    dimDb.foreach { db =>
+      val ts = dimRunTs.getOrElse(reportDt)
+      runJdbcDim(spark, store, cardsDim(db), ts)
+      runJdbcDim(spark, store, accountsDim(db), ts)
+      runJdbcDim(spark, store, clientsDim(db), ts)
+    }
     runReport(spark, store, reportDt)
   }
 }

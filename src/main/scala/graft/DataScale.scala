@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-up data generator for bench-envelope runs:
+  * `runMain graft.DataScale <srcSfDir> <outDir> [factor]` replicates a
+  * harness sf directory `factor`× with shifted keys, so the bench can
+  * confirm plans scale ~linearly when the data grows 10× (the check
+  * that validates the 100 TB design claims, not just the sf0.1
+  * numbers).
+  *
+  * Replication preserves referential structure: every key column
+  * shifts by `replica × 10^9`, so joins fan out exactly as the
+  * original (each replica is a closed world). `region`/`nation` are
+  * fixed dimensions and copy through. Document text is
+  * vowel-rotated per replica (otherwise every doc would gain 9 exact
+  * near-duplicates and the dedup family's candidate work would grow
+  * quadratically instead of with corpus size — a different experiment
+  * than the scaling envelope). Embedding vectors and cluster labels
+  * copy through unchanged: queries/centroids are id-derived slices,
+  * so their counts scale with the corpus by construction (q40's
+  * query batch grows 10× against a 10× corpus — quadratic BY QUERY
+  * DESIGN; the envelope for it is 100×, documented where compared).
+  */
+object DataScale {
+
+  val Shift = 1000000000L
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: DataScale <srcSfDir> <outDir> [factor]")
+    val (src, out) = (args(0), args(1))
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def load(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
+
+    /** Union of `factor` copies with the named id columns shifted. */
+    def replicate(t: String, idCols: Seq[String])
+                 (mutate: (DataFrame, Int) => DataFrame = (d, _) => d): DataFrame = {
+      val base = load(t)
+      (0 until factor).map { i =>
+        val shifted = idCols.foldLeft(base) { (d, c) =>
+          d.withColumn(c, col(c) + lit(i * Shift)) }
+        mutate(shifted, i)
+      }.reduce(_ unionByName _)
+    }
+
+    val vowels = "aeiou"
+    val tables: Map[String, DataFrame] = Map(
+      "region" -> load("region"),
+      "nation" -> load("nation"),
+      "customer" -> replicate("customer", Seq("c_custkey"))(),
+      "supplier" -> replicate("supplier", Seq("s_suppkey"))(),
+      "part" -> replicate("part", Seq("p_partkey"))(),
+      "orders" -> replicate("orders", Seq("o_orderkey", "o_custkey"))(),
+      "lineitem" -> replicate("lineitem",
+        Seq("l_orderkey", "l_partkey", "l_suppkey"))(),
+      "events" -> replicate("events", Seq("event_id", "user_id"))(),
+      "documents" -> replicate("documents", Seq("doc_id")) { (d, i) =>
+        val rot = vowels.drop(i % 5) + vowels.take(i % 5)
+        d.withColumn("text", translate(col("text"), vowels, rot))
+      },
+      "embeddings" -> replicate("embeddings", Seq("vec_id"))())
+
+    new java.io.File(out).mkdirs()
+    tables.foreach { case (t, df) =>
+      df.write.mode("overwrite").parquet(s"$out/$t.parquet")
+      println(s"[datascale] $t -> ${spark.read.parquet(s"$out/$t.parquet").count()} rows")
+    }
+    spark.stop()
+  }
+}

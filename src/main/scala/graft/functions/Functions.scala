@@ -25,15 +25,17 @@ object Functions {
 
   /** Parse a European-format decimal string "1.234,56" → 1234.56
     * (reference `transaction.py:77`:
-    * `cast(replace(replace(amount,'.',''),',','.') as DECIMAL(15,2))`). */
+    * `cast(replace(replace(amount,'.',''),',','.') as DECIMAL(15,2))`).
+    * One `translate` pass ('.' deleted, ',' → '.') — character-wise
+    * identical to the reference's two global replaces, without the two
+    * regex engines per row the naive spelling costs on the fact scan. */
   def parseEuroDecimal(c: Column, precision: Int = 15, scale: Int = 2): Column =
-    regexp_replace(regexp_replace(c, "\\.", ""), ",", ".")
-      .cast(DecimalType(precision, scale))
+    translate(c, ",.", ".").cast(DecimalType(precision, scale))
 
   /** Render a decimal as a European-format string (inverse of
     * [[parseEuroDecimal]], used to build test fixtures). */
   def toEuroString(c: Column): Column =
-    regexp_replace(c.cast(StringType), "\\.", ",")
+    translate(c.cast(StringType), ".", ",")
 
   /** Postgres-`concat` semantics: NULL args are skipped, not
     * NULL-propagated (reference `report.py:23` builds `fio` this way).

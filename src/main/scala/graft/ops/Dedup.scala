@@ -159,41 +159,63 @@ object Dedup {
       .select(col("d1"), col("d2"))
       .distinct()
 
-  /** 32-bit SimHash over per-token hashes: per bit j, sum ±1 votes
-    * across tokens; bit set iff the sum is positive. Input: one row
-    * per (doc, token hash); output: one row per doc. Single hash
+  /** `bits`-wide SimHash over per-token hashes: per bit j, sum ±1
+    * votes across tokens; bit set iff the sum is positive. Input: one
+    * row per (doc, token hash); output: one row per doc. Single hash
     * aggregate — partial (map-side) aggregation applies, so the
-    * shuffle carries 32 ints per doc, not the tokens. */
-  def simhash32(tokenHashes: DataFrame, idCol: String, hashCol: String): DataFrame = {
-    val votes = (0 until 32).map { j =>
+    * shuffle carries `bits` ints per doc, not the tokens.
+    *
+    * `bits` caps at 60: [[graft.functions.Functions.portableHash64]]
+    * produces 60-bit values (15 md5 hex chars), so higher vote
+    * positions would never see a set bit — and 60 keeps every
+    * assembled fingerprint a positive BIGINT on both engines. */
+  def simhashWide(tokenHashes: DataFrame, idCol: String, hashCol: String,
+                  bits: Int = 32): DataFrame = {
+    require(bits >= 4 && bits <= 60 && bits % 4 == 0,
+      s"simhashWide: bits must be in [4, 60] and divisible by 4, got $bits")
+    val votes = (0 until bits).map { j =>
       sum(when(shiftright(col(hashCol), j).bitwiseAND(lit(1L)) === 1L, 1)
         .otherwise(-1)).as(s"__s$j")
     }
     tokenHashes.groupBy(col(idCol))
       .agg(votes.head, votes.tail: _*)
       .select(col(idCol),
-        (0 until 32).map(j =>
+        (0 until bits).map(j =>
           when(col(s"__s$j") > 0, lit(1L << j)).otherwise(0L)).reduce(_ + _)
           .as("simhash"))
   }
 
+  /** 32-bit SimHash (the oracle-pinned default width). */
+  def simhash32(tokenHashes: DataFrame, idCol: String, hashCol: String): DataFrame =
+    simhashWide(tokenHashes, idCol, hashCol, bits = 32)
+
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs: bucket by 8-bit bands (a pair within
-    * Hamming distance 3 of a 32-bit hash must agree exactly on at
-    * least one of its four bytes — pigeonhole), join per band, then
-    * verify the true Hamming distance. Candidate generation is 4 hash
-    * joins on one-byte keys; never all-pairs. */
+  /** SimHash near-dup pairs: bucket by the fingerprint's four
+    * `fpBits/4`-bit bands (pigeonhole: a pair within Hamming distance
+    * 3 must agree exactly on at least one of four bands), join per
+    * band, then verify the true Hamming distance. Candidate
+    * generation is a single banded hash join; never all-pairs.
+    *
+    * Scale lever: band-bucket size ∝ corpus / 2^(fpBits/4), and pair
+    * work grows with the SQUARE of bucket size — 8-bit bands (the
+    * 32-bit default) hit their quadratic knee at ~10^5 docs, while
+    * 15-bit bands over a 60-bit fingerprint ([[simhashWide]]) defer
+    * it 128×. The pigeonhole stays exact for radius 3 at ANY width
+    * divisible by 4. */
   def simhashPairs(fps: DataFrame, idCol: String, fpCol: String,
-                   maxHamming: Int = 3): DataFrame = {
-    // One (byte_band_id, byte_value) row per doc per band, ONE self
-    // equi join — same single-scan/single-shuffle shape as
+                   maxHamming: Int = 3, fpBits: Int = 32): DataFrame = {
+    require(fpBits % 4 == 0 && fpBits <= 60, s"fpBits must be ≤60, ÷4: $fpBits")
+    val bandBits = fpBits / 4
+    val mask = (1L << bandBits) - 1
+    // One (band_id, band_value) row per doc per band, ONE self equi
+    // join — same single-scan/single-shuffle shape as
     // [[lshCandidates]]; the fingerprint source is scanned twice, not
     // 8 times.
     val rows = fps.select(col(idCol), col(fpCol),
       posexplode(array((0 until 4).map(k =>
-        shiftright(col(fpCol), k * 8).bitwiseAND(lit(255L))): _*))
+        shiftright(col(fpCol), k * bandBits).bitwiseAND(lit(mask))): _*))
         .as(Seq("__band", "__bv")))
     val right = rows.select(col(idCol).as("__d2"), col(fpCol).as("__fp2"),
       col("__band").as("__rband"), col("__bv").as("__rbv"))

@@ -71,6 +71,20 @@ object LlmQueries {
        |fp AS (SELECT doc_id, $assemble AS simhash FROM votes)""".stripMargin
   }
 
+  /** 60-bit variant of [[simhashSql]] (`fpw` relation) — the
+    * fingerprint width whose 15-bit bands keep candidate buckets
+    * fine-grained at large corpus sizes. */
+  private val simhashWideSql: String = {
+    val votes = (0 until 60)
+      .map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
+      .mkString(", ")
+    val assemble = (0 until 60)
+      .map(j => s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END")
+      .mkString(" + ")
+    s"""votesw AS (SELECT doc_id, $votes FROM th GROUP BY doc_id),
+       |fpw AS (SELECT doc_id, $assemble AS simhash FROM votesw)""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
 
     // Exact dedup: 64-bit content hash → groupBy → keep the smallest
@@ -180,6 +194,39 @@ object LlmQueries {
         // the explode + simhash aggregation.
         val fps = Dedup.simhash32(sh, "doc_id", "h").cache()
         Dedup.simhashPairs(fps, "doc_id", "simhash")
+          .select("d1", "d2", "fp1", "fp2", "hamming")
+    },
+
+    // Wide (60-bit) SimHash near-dup — the at-scale variant of q33:
+    // band-bucket size is ∝ corpus / 2^bandBits, and pair work grows
+    // with its SQUARE, so the 32-bit/8-bit-band formulation hits a
+    // quadratic knee around 10^5 docs while 15-bit bands over a
+    // 60-bit fingerprint defer it 128×. Same pigeonhole (4 bands is
+    // exact for Hamming radius 3 at any width), same single banded
+    // self-join; the wider fingerprint also sharpens precision (fewer
+    // false candidates survive the Hamming verify).
+    Q("q52_simhash_wide",
+      s"""WITH $rawCorpus,
+         |$shingleCtes,
+         |th AS (SELECT doc_id, unnest(hs) AS h FROM hst),
+         |$simhashWideSql,
+         |bands AS (SELECT doc_id, simhash,
+         |            ${(0 until 4).map(k =>
+                s"(simhash >> ${k * 15}) & 32767 AS b$k").mkString(", ")} FROM fpw),
+         |cand AS (${(0 until 4).map(k =>
+             s"SELECT a.doc_id AS d1, b.doc_id AS d2, a.simhash AS fp1, b.simhash AS fp2 " +
+             s"FROM bands a JOIN bands b ON a.b$k = b.b$k AND a.doc_id < b.doc_id")
+             .mkString("\nUNION\n")})
+         |SELECT d1, d2, fp1, fp2, bit_count(xor(fp1, fp2))::INT AS hamming
+         |FROM cand WHERE bit_count(xor(fp1, fp2)) <= 3""".stripMargin) {
+      (s, d) =>
+        val sh = table(s, d, "documents")
+          .select(col("doc_id"), Dedup.tokens(col("text")).as("ws"))
+          .filter(size(col("ws")) >= 3)
+          .select(col("doc_id"),
+            explode(Dedup.shingleHashes(Dedup.shingles(col("ws")))).as("h"))
+        val fps = Dedup.simhashWide(sh, "doc_id", "h", bits = 60).cache()
+        Dedup.simhashPairs(fps, "doc_id", "simhash", maxHamming = 3, fpBits = 60)
           .select("d1", "d2", "fp1", "fp2", "hamming")
     },
 
@@ -527,6 +574,24 @@ object LlmQueries {
               .when(col("bucket") < 95, "val").otherwise("test"))
           .groupBy("source", "split")
           .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc_id"))
+    },
+
+    // Deterministic stratified sampling: per-language keep rates
+    // (downsample the dominant 'en', keep most 'zh') applied as a
+    // pure hash-of-id membership test — never rand(), so the sample
+    // reproduces under task retry, replay, and on any engine. A
+    // map-side filter: no shuffle, no count pass.
+    Q("q53_stratified_sample",
+      s"""SELECT doc_id, lang
+         |FROM documents
+         |WHERE ${h64("CAST(doc_id AS VARCHAR)")} % 1000000 <
+         |  CASE lang WHEN 'en' THEN 300000 WHEN 'zh' THEN 800000
+         |            ELSE 500000 END""".stripMargin) {
+      (s, d) =>
+        graft.ops.Sampling.stratifiedSample(
+          table(s, d, "documents"), "lang", "doc_id",
+          rates = Map("en" -> 0.3, "zh" -> 0.8), defaultRate = 0.5)
+          .select("doc_id", "lang")
     },
 
     // Content fingerprinting: order-sensitive polynomial rolling hash

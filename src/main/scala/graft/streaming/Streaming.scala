@@ -102,7 +102,15 @@ object Streaming {
   /** Per-key current-version tracker: emits one [[ChangeEvent]] per
     * observed value transition, holding one [[VersionState]] per live
     * key. The streaming analog of the SCD2 close/open pair — a
-    * downstream batch job can fold the change stream into `*_hist`. */
+    * downstream batch job can fold the change stream into `*_hist`.
+    *
+    * Memory bound: the `batch.toSeq.sortBy` materializes ONE KEY's
+    * updates from ONE micro-batch (needed for in-event-time emission
+    * order); the durable state is a single [[VersionState]] per key.
+    * A dimension key updates a handful of times per batch, so the
+    * transient buffer is a few rows — if a source could deliver
+    * millions of same-key updates per batch, pre-aggregate to
+    * last-per-(key, ts) upstream before this operator. */
   def changeEvents(updates: Dataset[KeyUpdate]): Dataset[ChangeEvent] = {
     import updates.sparkSession.implicits._
     updates

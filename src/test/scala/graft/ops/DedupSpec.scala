@@ -117,6 +117,37 @@ class DedupSpec extends AnyFunSuite {
     assert(capped === Set((901L, 50L)), s"got $capped")
   }
 
+  test("simhashWide(32) reproduces simhash32 exactly; 60-bit adds upper bits") {
+    val sh = Seq(1L -> "the quick brown fox jumps over the lazy dog runs far",
+      2L -> "completely different text about spark engines and nothing else")
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("ws"))
+      .select(col("doc_id"),
+        explode(Dedup.shingleHashes(Dedup.shingles(col("ws")))).as("h"))
+    val m32 = Dedup.simhash32(sh, "doc_id", "h")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w32 = Dedup.simhashWide(sh, "doc_id", "h", 32)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m32 === w32)
+    val w60 = Dedup.simhashWide(sh, "doc_id", "h", 60)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Low 32 bits agree with the 32-bit fingerprint; values stay in
+    // [0, 2^60) so both engines hold them as positive BIGINTs.
+    assert(w60.forall { case (k, v) => (v & 0xFFFFFFFFL) === m32(k) })
+    assert(w60.values.forall(v => v >= 0L && v < (1L << 60)))
+  }
+
+  test("simhashPairs at 60 bits: 15-bit bands find the crafted near pair") {
+    // fp2 = fp1 with two bits flipped inside band 0; fp3 differs in
+    // every band.
+    val f1 = 0x0FEDCBA987654321L & ((1L << 60) - 1)
+    val fps = Seq((1L, f1), (2L, f1 ^ 0x3L), (3L, ~f1 & ((1L << 60) - 1)))
+      .toDF("doc_id", "simhash")
+    val got = Dedup.simhashPairs(fps, "doc_id", "simhash", maxHamming = 3, fpBits = 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(4))).toSet
+    assert(got === Set((1L, 2L, 2)))
+  }
+
   test("simhashPairs: byte-band candidates verify true Hamming radius") {
     // Fingerprints chosen so (1,2) differ in 2 bits (same low bytes),
     // (1,3) differ in many bits across all bytes.

@@ -75,37 +75,37 @@ object Fraud {
       .withColumn("ts3", lag(col("ts"), 3).over(w))
   }
 
-  private def ruleShape(df: DataFrame, ruleId: Int): DataFrame =
-    df.select(
-      col("ts").as("event_dt"),
-      col("user_id"),
-      col("fio"),
-      lit(ruleId).cast("int").as("fraud_type"),
-      to_timestamp(lit(ReportDt)).as("report_dt"))
-
-  /** Rules 1–4 UNION ALL (`report.py:63-113`). */
+  /** Rules 1–4 (`report.py:63-113`). Same multiset as the reference's
+    * four UNION ALL branches, computed in ONE pass: per row, the array
+    * of fired rule ids explodes into 0–4 output rows, so the
+    * enrichment star and the window evaluate exactly once instead of
+    * once per window-referencing branch. */
   def report(events: DataFrame, customer: DataFrame): DataFrame = {
     val lg = withLags(enrich(events, customer))
     // Rule 1 (report.py:70-78): expired/blacklisted passport analog —
     // blacklisted user active on/after the blacklist entry date.
-    val r1 = ruleShape(
-      lg.filter(col("bl_key").isNotNull && col("ts") >= col("bl_entry_dt")), 1)
+    val rule1 = col("bl_key").isNotNull && col("ts") >= col("bl_entry_dt")
     // Rule 2 (report.py:80-88): activity on/after account expiry.
-    val r2 = ruleShape(lg.filter(col("ts") >= col("valid_to")), 2)
+    val rule2 = col("ts") >= col("valid_to")
     // Rule 3 (report.py:90-99): city hop within one hour.
-    val r3 = ruleShape(
-      lg.filter(col("lag_city").isNotNull && col("city") =!= col("lag_city") &&
-        col("gap_us") <= 3600L * 1000000L), 3)
+    val rule3 = col("lag_city").isNotNull && col("city") =!= col("lag_city") &&
+      col("gap_us") <= 3600L * 1000000L
     // Rule 4 (report.py:101-113): three strictly-decreasing REJECTs then
     // a SUCCESS within 20 minutes, restricted operation types.
-    val r4 = ruleShape(
-      lg.filter(
-        col("oper_result") === "SUCCESS" &&
-          col("res1") === "REJECT" && col("res2") === "REJECT" && col("res3") === "REJECT" &&
-          col("value") < col("amt1") && col("amt1") < col("amt2") && col("amt2") < col("amt3") &&
-          withinSeconds(col("ts"), col("ts3"), 20 * 60) &&
-          col("event_type").isin("click", "view")), 4)
-    r1.unionByName(r2).unionByName(r3).unionByName(r4)
+    val rule4 = col("oper_result") === "SUCCESS" &&
+      col("res1") === "REJECT" && col("res2") === "REJECT" && col("res3") === "REJECT" &&
+      col("value") < col("amt1") && col("amt1") < col("amt2") && col("amt2") < col("amt3") &&
+      withinSeconds(col("ts"), col("ts3"), 20 * 60) &&
+      col("event_type").isin("click", "view")
+    lg.withColumn("fraud_type", explode(filter(array(
+        when(rule1, lit(1)), when(rule2, lit(2)),
+        when(rule3, lit(3)), when(rule4, lit(4))), v => v.isNotNull)))
+      .select(
+        col("ts").as("event_dt"),
+        col("user_id"),
+        col("fio"),
+        col("fraud_type").cast("int").as("fraud_type"),
+        to_timestamp(lit(ReportDt)).as("report_dt"))
   }
 
   /** Flagship entry for the driver smoke test (sf0.001). */

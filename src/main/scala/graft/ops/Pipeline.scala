@@ -314,19 +314,28 @@ object Pipeline {
     * `cl`/`lg` subtree, so the star is evaluated once, not four times. */
   def runReport(spark: SparkSession, store: TableStore,
                 reportDt: Timestamp): Unit = {
-    val facts = store.readOr("fact_transactions", factStruct)
-    val ter = store.readOr("dim_terminals_hist", dimStruct)
     val emptyDim = (d: DimSource) => StructType(
       (d.key +: d.tracked).map(c => StructField(c._2, StringType)) ++ Seq(
         StructField("effective_from", TimestampType),
         StructField("effective_to", TimestampType),
         StructField("deleted_flg", StringType)))
     val noDb = Sources.JdbcSpec("", "", "", "")
-    val cards = store.readOr("dim_cards_hist", emptyDim(cardsDim(noDb)))
-    val accounts = store.readOr("dim_accounts_hist", emptyDim(accountsDim(noDb)))
-    val clients = store.readOr("dim_clients_hist", emptyDim(clientsDim(noDb)))
-    val bl = store.readOr("fact_blacklist", blacklistStruct)
+    store.append("rep_fraud", reportFrame(
+      facts = store.readOr("fact_transactions", factStruct),
+      ter = store.readOr("dim_terminals_hist", dimStruct),
+      cards = store.readOr("dim_cards_hist", emptyDim(cardsDim(noDb))),
+      accounts = store.readOr("dim_accounts_hist", emptyDim(accountsDim(noDb))),
+      clients = store.readOr("dim_clients_hist", emptyDim(clientsDim(noDb))),
+      bl = store.readOr("fact_blacklist", blacklistStruct),
+      reportDt = reportDt))
+  }
 
+  /** The report query itself, over explicit inputs (separated from the
+    * store plumbing so plan discipline is testable — PlanSpec asserts
+    * one WindowExec and no cartesian over this frame). */
+  def reportFrame(facts: DataFrame, ter: DataFrame, cards: DataFrame,
+                  accounts: DataFrame, clients: DataFrame, bl: DataFrame,
+                  reportDt: Timestamp): DataFrame = {
     // cl (report.py:12-49): terminals as-of + trim-keyed cards + the
     // unbounded enrichment legs.
     val cl = Temporal.asOfJoin(facts, ter,
@@ -356,37 +365,40 @@ object Pipeline {
       .withColumn("amt3", lag(col("amount"), 3).over(w))
       .withColumn("ts3", lag(col("transaction_date"), 3).over(w))
 
-    def shape(df: org.apache.spark.sql.DataFrame, rule: Int) = df.select(
-      col("transaction_date").as("event_dt"),
-      clients("passport_num").as("passport"),
-      col("fio"),
-      clients("phone").as("phone"),
-      lit(rule).as("event_type"),
-      lit(reportDt).as("report_dt"))
-
     // Rule 1 (report.py:70-78): expired passport OR blacklisted
     // passport active on/after its entry date.
-    val r1 = shape(lg.filter(
+    val rule1 =
       clients("passport_valid_to").cast(TimestampType) < col("transaction_date") ||
         (bl("passport_num").isNotNull &&
-          col("bl_entry_dt") <= col("transaction_date"))), 1)
+          col("bl_entry_dt") <= col("transaction_date"))
     // Rule 2 (report.py:80-88): activity on/after account expiry.
-    val r2 = shape(lg.filter(
-      col("transaction_date") >= accounts("valid_to").cast(TimestampType)), 2)
+    val rule2 = col("transaction_date") >= accounts("valid_to").cast(TimestampType)
     // Rule 3 (report.py:90-99): city hop within one hour.
-    val r3 = shape(lg.filter(col("terminal_city") =!= col("lag_city") &&
-      col("gap_us") <= 3600L * 1000000L), 3)
+    val rule3 = col("terminal_city") =!= col("lag_city") &&
+      col("gap_us") <= 3600L * 1000000L
     // Rule 4 (report.py:101-113): three REJECTs at strictly decreasing
     // amounts then a SUCCESS, all within 20 minutes, payment-ish ops.
-    val r4 = shape(lg.filter(
-      col("oper_result") === "SUCCESS" &&
-        col("res1") === "REJECT" && col("res2") === "REJECT" && col("res3") === "REJECT" &&
-        col("amount") < col("amt1") && col("amt1") < col("amt2") && col("amt2") < col("amt3") &&
-        withinSeconds(col("transaction_date"), col("ts3"), 20 * 60) &&
-        col("oper_type").isin("PAYMENT", "WITHDRAW")), 4)
+    val rule4 = col("oper_result") === "SUCCESS" &&
+      col("res1") === "REJECT" && col("res2") === "REJECT" && col("res3") === "REJECT" &&
+      col("amount") < col("amt1") && col("amt1") < col("amt2") && col("amt2") < col("amt3") &&
+      withinSeconds(col("transaction_date"), col("ts3"), 20 * 60) &&
+      col("oper_type").isin("PAYMENT", "WITHDRAW")
 
-    store.append("rep_fraud",
-      r1.unionByName(r2).unionByName(r3).unionByName(r4))
+    // Same multiset as the reference's four UNION ALL branches, in ONE
+    // pass: per row, the array of fired rule ids explodes into 0-4
+    // output rows. Four filtered branches would plan the star + window
+    // subtree once per window-referencing branch; this keeps exactly
+    // one WindowExec (PlanSpec-asserted).
+    lg.withColumn("event_type", explode(filter(array(
+        when(rule1, lit(1)), when(rule2, lit(2)),
+        when(rule3, lit(3)), when(rule4, lit(4))), v => v.isNotNull)))
+      .select(
+        col("transaction_date").as("event_dt"),
+        clients("passport_num").as("passport"),
+        col("fio"),
+        clients("phone").as("phone"),
+        col("event_type"),
+        lit(reportDt).as("report_dt"))
   }
 
   /** Full run in dependency order (`main.py:47-50`): file facts +

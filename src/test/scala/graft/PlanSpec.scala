@@ -70,6 +70,41 @@ class PlanSpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"cartesians in: $offenders")
   }
 
+  test("pipeline report: one WindowExec, no cartesian, across the 6-input star") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def ts(c: String) = to_timestamp(col(c))
+    val facts = Seq(("1", "2024-01-01 10:00:00", BigDecimal("1.00"), "C1",
+      "PAYMENT", "SUCCESS", "T1"))
+      .toDF("transaction_id", "transaction_date", "amount", "card_num",
+        "oper_type", "oper_result", "terminal")
+      .withColumn("transaction_date", ts("transaction_date"))
+    def dim(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("effective_from", to_timestamp(lit("2024-01-01 00:00:00")))
+      .withColumn("effective_to", to_timestamp(lit("9999-12-31 00:00:00")))
+      .withColumn("deleted_flg", lit("N"))
+    val ter = dim(Seq(("T1", "ATM", "Moscow"))
+      .toDF("terminal_id", "terminal_type", "terminal_city"))
+    val cards = dim(Seq(("C1", "A1")).toDF("card_num", "account_num"))
+    val accounts = dim(Seq(("A1", "2024-12-31", "CL1"))
+      .toDF("account_num", "valid_to", "client"))
+    val clients = dim(Seq(("CL1", "L", "F", "P", "1980-01-01", "P1", "2025-12-31", "7"))
+      .toDF("client_id", "last_name", "first_name", "patronymic",
+        "date_of_birth", "passport_num", "passport_valid_to", "phone"))
+    val bl = Seq(("P9", "2024-01-01")).toDF("passport_num", "entry_dt")
+      .withColumn("entry_dt", col("entry_dt").cast("date"))
+    val plan = graft.ops.Pipeline.reportFrame(facts, ter, cards, accounts,
+        clients, bl, java.sql.Timestamp.valueOf("2024-02-01 00:00:00"))
+      .queryExecution.executedPlan.toString
+    // All nine lags and all four rule branches must share ONE window
+    // (the reference computes lg once) and every join must be keyed.
+    val windowExecs = plan.linesIterator.count(l => l.trim.startsWith("Window ") ||
+      l.trim.matches("^[+:\\-\\s]*Window \\[.*"))
+    assert(windowExecs === 1, s"expected 1 Window exec, got $windowExecs")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+  }
+
   test("q41: centroid assignment subtree plans no exchange at all") {
     import org.apache.spark.sql.functions.col
     val e = spark.read.parquet(s"$sf/embeddings.parquet")

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInput
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
 
 /** Native Catalyst expression for the embedding hot path.
   *
@@ -80,6 +80,84 @@ object DotProductFloat {
   val Name = "dot_product_float"
 }
 
+/** Codegen'd nearest-centroid argmax: given a row's embedding and its
+  * precomputed norm, scan the (bounded, plan-embedded) centroid matrix
+  * and return the 0-based index of the centroid with the highest
+  * 6-decimal-rounded cosine; ties keep the LOWEST index (callers order
+  * the codebook by centroid id, reproducing ORDER BY cos DESC, cid).
+  *
+  * This is the kernel under the shuffle-free IVF assignment
+  * ([[graft.ops.Similarity.assignCells]]): the HOF-fold formulation is
+  * semantically identical but evaluates interpreted (lambda binding +
+  * per-element struct allocation per centroid per row); this loop is
+  * whole-stage-codegen'd flat float math, like [[DotProductFloat]].
+  * Rounding is the DuckDB-identical `round(x·10^6)/10^6` half-away
+  * fold ([[graft.functions.Functions.roundFrac]]), so assignment
+  * agrees with the oracle by construction.
+  *
+  * Returns null for an empty codebook or when no centroid yields a
+  * comparable cosine (dimension mismatch on every centroid). */
+case class NearestCentroidIndex(child: Expression, norm: Expression,
+                                cvecs: Array[Array[Float]],
+                                cnorms: Array[Double])
+  extends BinaryExpression with ExpectsInputTypes {
+
+  override def left: Expression = child
+  override def right: Expression = norm
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(FloatType), DoubleType)
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "nearest_centroid_index"
+
+  @transient private lazy val k = cvecs.length
+
+  /** The shared scan: strictly-greater rounded cosine replaces; first
+    * (lowest-index) max wins ties. */
+  private def scan(vec: ArrayData, vnorm: Double): Any = {
+    val n = vec.numElements()
+    var best = -1
+    var bestCos = -2.0
+    var i = 0
+    while (i < k) {
+      val cv = cvecs(i)
+      if (cv.length == n) {
+        var dot = 0.0
+        var j = 0
+        while (j < n) {
+          dot += vec.getFloat(j).toDouble * cv(j).toDouble
+          j += 1
+        }
+        val raw = dot / (vnorm * cnorms(i)) * 1e6
+        val cos = (if (raw >= 0) math.floor(raw + 0.5d)
+                   else -math.floor(-raw + 0.5d)) / 1e6
+        if (cos > bestCos) { bestCos = cos; best = i }
+      }
+      i += 1
+    }
+    if (best < 0) null else best
+  }
+
+  override def nullSafeEval(v: Any, nrm: Any): Any =
+    scan(v.asInstanceOf[ArrayData], nrm.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("nearestCentroid", this, classOf[NearestCentroidIndex].getName)
+    nullSafeCodeGen(ctx, ev, (v, nrm) => {
+      val res = ctx.freshName("res")
+      s"""
+         |Object $res = $self.nullSafeEval($v, $nrm);
+         |if ($res == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((Integer) $res).intValue(); }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NearestCentroidIndex =
+    copy(child = newLeft, norm = newRight)
+}
+
 object VectorExpressions {
   /** Column wrapper: codegen'd float-array dot product (double fold).
     * Resolved through the function registry, so the session must carry
@@ -91,4 +169,15 @@ object VectorExpressions {
     * fold the HOF form computes). Float arrays only. */
   def normF(a: Column): Column =
     org.apache.spark.sql.functions.sqrt(dotF(a, a))
+
+  /** Nearest-centroid index over a bounded codebook (see
+    * [[NearestCentroidIndex]]); `cvecs`/`cnorms` must be ordered by
+    * centroid id for the documented tie-break. */
+  def nearestCentroid(vec: Column, norm: Column,
+                      cvecs: Array[Array[Float]],
+                      cnorms: Array[Double]): Column = {
+    val eu = org.apache.spark.sql.GraftExpressionBridge
+    eu.column(NearestCentroidIndex(
+      eu.expression(vec), eu.expression(norm), cvecs, cnorms))
+  }
 }

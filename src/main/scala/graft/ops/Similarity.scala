@@ -31,8 +31,13 @@ import graft.functions.VectorExpressions.{dotF, normF}
 object Similarity {
 
   /** Cosine similarity rounded to 6 decimals (hash-stable output and
-    * deterministic ordering key). */
-  def cosRounded(a: Column, b: Column): Column = round(cosineSim(a, b), 6)
+    * deterministic ordering key). Rounds via
+    * [[graft.functions.Functions.roundFrac]] — the EXACT float ops
+    * DuckDB's `round(x, 6)` performs, so scores agree with the oracle
+    * by construction, and the pair loop carries no per-comparison
+    * BigDecimal (Spark's `round` allocates one per call). */
+  def cosRounded(a: Column, b: Column): Column =
+    graft.functions.Functions.roundFrac(cosineSim(a, b), 6)
 
   /** Cosine from a pair dot product and PREcomputed per-side norms.
     * Each pair comparison then traverses the arrays once (the dot)
@@ -41,7 +46,7 @@ object Similarity {
     * the identical fold either way, so scores stay bit-for-bit equal
     * to the inline form (and to the oracle). */
   def cosRoundedPre(a: Column, b: Column, normA: Column, normB: Column): Column =
-    round(dotF(a, b) / (normA * normB), 6)
+    graft.functions.Functions.roundFrac(dotF(a, b) / (normA * normB), 6)
 
   /** Exact top-k: broadcast `queries` (a bounded query batch by
     * contract) against the corpus; rank per query by rounded cosine
@@ -88,42 +93,38 @@ object Similarity {
   def assignCells(corpus: DataFrame, centroids: DataFrame,
                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val cidType = centroids.select(col(idCol)).schema.head.dataType
-    val cents = centroids.select(col(idCol), col(vecCol)).collect()
+    // cid-ascending order makes "first strict max" the documented
+    // tie-break (ORDER BY cos DESC, cid ASC).
+    val cents = centroids.select(col(idCol), col(vecCol)).orderBy(col(idCol)).collect()
     require(cents.length <= MaxCentroids,
-      s"assignCells: ${cents.length} centroids exceed the literal-array bound $MaxCentroids")
+      s"assignCells: ${cents.length} centroids exceed the codebook bound $MaxCentroids")
     val withNorm = corpus.select(col(idCol), col(vecCol), normF(col(vecCol)).as("__norm"))
     if (cents.isEmpty) {
       // No codebook → no assignments (the join formulation's behavior).
       return withNorm.select(col(idCol), col(vecCol),
         lit(null).cast(cidType).as("cid")).filter(lit(false))
     }
-    val centArr = array(cents.map { r =>
-      val cvec = r.getSeq[Float](1)
-      // The same strict left-to-right float→double fold normF/the
-      // oracle compute, evaluated driver-side on the literal.
-      val cnorm = math.sqrt(cvec.foldLeft(0.0)((s, v) => s + v.toDouble * v.toDouble))
-      struct(lit(r.get(0)).as("cid"), typedlit(cvec.toSeq).as("cvec"),
-        lit(cnorm).as("cnorm"))
-    }: _*)
-    val init = struct(lit(-2.0d).as("cos"), lit(null).cast(cidType).as("cid"))
-    val best = aggregate(centArr, init, (acc, c) => {
-      val cos = round(dotF(col(vecCol), c("cvec")) / (col("__norm") * c("cnorm")), 6)
-      // Strictly-better cosine wins; equal cosine keeps the smaller
-      // cid — exactly ORDER BY cos DESC, cid ASC. A null cosine fails
-      // every comparison and keeps the accumulator.
-      when(cos > acc("cos") || (cos === acc("cos") && c("cid") < acc("cid")),
-        struct(cos.as("cos"), c("cid").as("cid"))).otherwise(acc)
-    })
+    val cvecs = cents.map(_.getSeq[Float](1).toArray)
+    // The same strict left-to-right float→double square-sum fold
+    // normF/the oracle compute, evaluated driver-side on the codebook.
+    val cnorms = cvecs.map(v => math.sqrt(v.foldLeft(0.0)((s, x) => s + x.toDouble * x.toDouble)))
+    val cids = array(cents.map(r => lit(r.get(0))): _*)
     withNorm
-      .withColumn("cid", best.getField("cid"))
-      .filter(col("cid").isNotNull)
-      .select(col(idCol), col(vecCol), col("cid"))
+      .withColumn("__ci", graft.functions.VectorExpressions.nearestCentroid(
+        col(vecCol), col("__norm"), cvecs, cnorms))
+      .filter(col("__ci").isNotNull)
+      .select(col(idCol), col(vecCol), element_at(cids, col("__ci") + 1).as("cid"))
   }
 
   /** IVF top-k: score only vectors sharing the query's cell. */
   def ivfKnn(corpus: DataFrame, centroids: DataFrame, queries: DataFrame, k: Int,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cells = assignCells(corpus, centroids, idCol, vecCol)
+    // Cached: both the probe side and the query-cell lookup read the
+    // assignment — uncached, the k×dim argmax fold runs twice over the
+    // corpus. In production the assignment is a materialized index
+    // (SimilarityIndexSpec's persisted path); the cache is the
+    // in-session equivalent.
+    val cells = assignCells(corpus, centroids, idCol, vecCol).cache()
     // Rename every query-side column: qCells derives from cells, so an
     // unqualified col("cid") on both sides of the join is ambiguous.
     val qCells = cells.join(queries.select(col(idCol)), Seq(idCol), "left_semi")

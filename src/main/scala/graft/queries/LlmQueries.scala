@@ -594,6 +594,46 @@ object LlmQueries {
           .select("doc_id", "lang")
     },
 
+    // Per-language length percentiles + threshold filter: the corpus
+    // curation move "drop the shortest quartile per language".
+    // Percentiles here are EXACT (linear interpolation at (n−1)·p —
+    // the same definition as DuckDB's quantile_cont), which makes the
+    // query oracle-verifiable; the per-group buffering of exact
+    // percentile is the at-sf trade — at 100 TB swap in
+    // approx_percentile (a mergeable sketch, same plan shape, q22's
+    // family). The threshold table is one row per language (bounded
+    // by construction), so the filter join broadcasts.
+    Q("q54_length_percentiles",
+      """WITH q AS (SELECT doc_id, lang, len(string_split(text,' ')) AS n_tok
+        |           FROM documents),
+        |thr AS (SELECT lang,
+        |          quantile_cont(n_tok, 0.25) AS p25,
+        |          quantile_cont(n_tok, 0.50) AS p50,
+        |          quantile_cont(n_tok, 0.90) AS p90
+        |        FROM q GROUP BY lang),
+        |kept AS (SELECT q.lang, count(*) AS n_kept
+        |         FROM q JOIN thr ON q.lang = thr.lang
+        |         WHERE q.n_tok >= thr.p25 GROUP BY q.lang)
+        |SELECT thr.lang, round(p25, 4) AS p25, round(p50, 4) AS p50,
+        |       round(p90, 4) AS p90, n_kept
+        |FROM thr JOIN kept ON thr.lang = kept.lang""".stripMargin) {
+      (s, d) =>
+        val q = table(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            size(Dedup.tokens(col("text"))).cast("bigint").as("n_tok"))
+        val thr = q.groupBy("lang").agg(
+          percentile(col("n_tok"), lit(0.25)).as("p25"),
+          percentile(col("n_tok"), lit(0.50)).as("p50"),
+          percentile(col("n_tok"), lit(0.90)).as("p90"))
+        val kept = q.join(broadcast(thr.select("lang", "p25")), Seq("lang"))
+          .filter(col("n_tok") >= col("p25"))
+          .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+        thr.join(kept, Seq("lang"))
+          .select(col("lang"), round(col("p25"), 4).as("p25"),
+            round(col("p50"), 4).as("p50"), round(col("p90"), 4).as("p90"),
+            col("n_kept"))
+    },
+
     // Content fingerprinting: order-sensitive polynomial rolling hash
     // over the token stream + order-insensitive min token hash.
     // Identical left-to-right fold in both engines.

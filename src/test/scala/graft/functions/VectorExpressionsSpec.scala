@@ -55,6 +55,35 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(out === 32.0)
   }
 
+  test("nearestCentroid: argmax by rounded cosine, ties keep the lowest index") {
+    import graft.functions.VectorExpressions.{nearestCentroid, normF}
+    // c0 and c1 are the same direction (cosine ties exactly at 1.0);
+    // c2 is orthogonal. The row vector aligns with c0/c1 → index 0.
+    val cvecs = Array(
+      Array(1f, 0f), Array(2f, 0f), Array(0f, 1f))
+    val cnorms = cvecs.map(v =>
+      math.sqrt(v.foldLeft(0.0)((s, x) => s + x.toDouble * x.toDouble)))
+    val rows = Seq((1L, Seq(3f, 0f)), (2L, Seq(0f, 5f)), (3L, Seq(1f, 1f)))
+      .toDF("id", "v")
+      .select(col("id"), col("v").cast("array<float>").as("v"))
+      .withColumn("n", normF(col("v")))
+      .withColumn("ci", nearestCentroid(col("v"), col("n"), cvecs, cnorms))
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(rows === Map(1L -> 0, 2L -> 2, 3L -> 0)) // diagonal ties → lowest index
+  }
+
+  test("nearestCentroid: dimension-mismatched codebook entries are skipped") {
+    import graft.functions.VectorExpressions.{nearestCentroid, normF}
+    val cvecs = Array(Array(1f, 0f, 0f), Array(0f, 1f)) // first is 3-dim
+    val cnorms = Array(1.0, 1.0)
+    val got = Seq((1L, Seq(0f, 2f))).toDF("id", "v")
+      .select(col("id"), col("v").cast("array<float>").as("v"))
+      .withColumn("n", normF(col("v")))
+      .withColumn("ci", nearestCentroid(col("v"), col("n"), cvecs, cnorms))
+      .collect().head.getInt(3)
+    assert(got === 1)
+  }
+
   test("participates in whole-stage codegen (no fallback)") {
     // A local relation pre-evaluates to LocalTableScan, so drive the
     // expression through a real parquet scan.

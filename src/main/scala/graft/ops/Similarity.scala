@@ -116,20 +116,31 @@ object Similarity {
       .select(col(idCol), col(vecCol), element_at(cids, col("__ci") + 1).as("cid"))
   }
 
-  /** IVF top-k: score only vectors sharing the query's cell. */
+  /** IVF top-k: score only vectors in the query's `nProbe` nearest
+    * cells — the standard IVF recall/cost knob. `nProbe = 1` probes
+    * the query's own cell (and reuses the corpus assignment for the
+    * query side); higher values widen recall at `nProbe×` the
+    * scored-candidate cost, still never touching the rest of the
+    * corpus. */
   def ivfKnn(corpus: DataFrame, centroids: DataFrame, queries: DataFrame, k: Int,
-             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             nProbe: Int = 1): DataFrame = {
+    require(nProbe >= 1, s"ivfKnn: nProbe must be ≥ 1, got $nProbe")
     // Cached: both the probe side and the query-cell lookup read the
     // assignment — uncached, the k×dim argmax fold runs twice over the
     // corpus. In production the assignment is a materialized index
     // (SimilarityIndexSpec's persisted path); the cache is the
     // in-session equivalent.
     val cells = assignCells(corpus, centroids, idCol, vecCol).cache()
-    // Rename every query-side column: qCells derives from cells, so an
-    // unqualified col("cid") on both sides of the join is ambiguous.
-    val qCells = cells.join(queries.select(col(idCol)), Seq(idCol), "left_semi")
-      .select(col(idCol).as("qid"), col(vecCol).as("qvec"), col("cid").as("qcid"),
-        normF(col(vecCol)).as("qnorm"))
+    // Rename every query-side column: the probe frame derives from
+    // cells/queries, so an unqualified col("cid") on both sides of the
+    // join is ambiguous.
+    val qCells =
+      if (nProbe == 1)
+        cells.join(queries.select(col(idCol)), Seq(idCol), "left_semi")
+          .select(col(idCol).as("qid"), col(vecCol).as("qvec"), col("cid").as("qcid"),
+            normF(col(vecCol)).as("qnorm"))
+      else queryProbes(centroids, queries, nProbe, idCol, vecCol)
     val scored = cells
       .withColumn("__norm", normF(col(vecCol)))
       .join(broadcast(qCells), col("cid") === col("qcid") && col(idCol) =!= col("qid"))
@@ -139,5 +150,37 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("qid"), col(idCol), col("rnk"), col("cos_r"))
+  }
+
+  /** The query batch's `nProbe` nearest cells, one output row per
+    * (query, probed cell). The per-query sort runs as an array
+    * expression over the literal codebook — interpreted, but the
+    * query batch is bounded by contract (it is the broadcast side),
+    * so the cost never scales with the corpus. Ordering matches the
+    * assignment tie-break: rounded cos desc, cid asc. */
+  private def queryProbes(centroids: DataFrame, queries: DataFrame, nProbe: Int,
+                          idCol: String, vecCol: String): DataFrame = {
+    val cents = centroids.select(col(idCol), col(vecCol)).orderBy(col(idCol)).collect()
+    require(cents.length <= MaxCentroids,
+      s"queryProbes: ${cents.length} centroids exceed the codebook bound $MaxCentroids")
+    val centArr = array(cents.map { r =>
+      val cvec = r.getSeq[Float](1)
+      val cnorm = math.sqrt(cvec.foldLeft(0.0)((s, v) => s + v.toDouble * v.toDouble))
+      struct(lit(r.get(0)).as("cid"), typedlit(cvec.toSeq).as("cvec"),
+        lit(cnorm).as("cnorm"))
+    }: _*)
+    val scored = transform(centArr, c => struct(
+      graft.functions.Functions.roundFrac(
+        dotF(col("qvec"), c("cvec")) / (col("qnorm") * c("cnorm")), 6).as("cos"),
+      c("cid").as("cid")))
+    val ordered = array_sort(scored, (l, r) =>
+      when(l("cos") > r("cos"), -1).when(l("cos") < r("cos"), 1)
+        .when(l("cid") < r("cid"), -1).when(l("cid") > r("cid"), 1)
+        .otherwise(0))
+    queries
+      .select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+        normF(col(vecCol)).as("qnorm"))
+      .withColumn("qcid",
+        explode(transform(slice(ordered, 1, nProbe), p => p("cid"))))
   }
 }

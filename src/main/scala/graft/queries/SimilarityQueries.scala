@@ -70,6 +70,42 @@ object SimilarityQueries {
           .withColumn("rnk", col("rnk").cast("bigint"))
     },
 
+    // IVF with nProbe = 2 — the recall/cost knob of a real IVF
+    // deployment: each query scores candidates from its TWO nearest
+    // cells (2× the candidate cost of q41, still never the whole
+    // corpus), recovering neighbors that fell just across a cell
+    // boundary. The oracle reproduces probe selection (same rounded
+    // cosine, same cid tie-break) and in-cell ranking exactly.
+    Q("q55_ann_ivf_nprobe",
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id % 37 = 1),
+         |assigned AS (
+         |  SELECT vec_id, embedding, cid, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY ${cosSql("embedding", "cvec")} DESC, cid) AS crnk
+         |  FROM embeddings CROSS JOIN c),
+         |cells AS (SELECT vec_id, embedding, cid FROM assigned WHERE crnk = 1),
+         |qv AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id % 50 = 0),
+         |qprobe AS (
+         |  SELECT qid, qvec, cid, row_number() OVER (
+         |    PARTITION BY qid ORDER BY ${cosSql("qvec", "cvec")} DESC, cid) AS pr
+         |  FROM qv CROSS JOIN c),
+         |qc AS (SELECT qid, qvec, cid FROM qprobe WHERE pr <= 2),
+         |scored AS (
+         |  SELECT qc.qid, cells.vec_id, ${cosSql("qc.qvec", "cells.embedding")} AS cos_r
+         |  FROM cells JOIN qc ON cells.cid = qc.cid AND cells.vec_id <> qc.qid),
+         |ranked AS (
+         |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY cos_r DESC, vec_id) AS rnk, cos_r
+         |  FROM scored)
+         |SELECT qid, vec_id, CAST(rnk AS BIGINT) AS rnk, cos_r FROM ranked WHERE rnk <= 3""".stripMargin) {
+      (s, d) =>
+        val e = table(s, d, "embeddings")
+        Similarity.ivfKnn(
+          corpus = e,
+          centroids = e.filter(col("vec_id") % 37 === 1),
+          queries = e.filter(col("vec_id") % 50 === 0),
+          k = 3, nProbe = 2)
+          .withColumn("rnk", col("rnk").cast("bigint"))
+    },
+
     // Embedding-cosine near-dup: pairs above a cosine threshold,
     // candidate-pruned to same-cluster buckets (the `label` column is
     // the precomputed IVF/cluster assignment) — the embedding-space

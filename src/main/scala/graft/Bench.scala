@@ -27,8 +27,16 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // SPARK_GRAFT_ONLY=q10_star_enrich,q12_fraud_rules → time just
-    // those (iteration aid; the driver never sets it).
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // those (iteration aid; the driver never sets it). Entries are
+    // trimmed and validated — a typo must fail loudly, not silently
+    // time an empty set.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"SPARK_GRAFT_ONLY names unknown queries: " +
+        s"${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()

@@ -42,10 +42,18 @@ object DataScale {
 
     def load(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
 
-    /** Union of `factor` copies with the named id columns shifted. */
+    /** Union of `factor` copies with the named id columns shifted.
+      * Replica ranges must not overlap — keys at or above [[Shift]]
+      * would silently collide across replicas and break the
+      * closed-world scaling premise, so they are rejected. */
     def replicate(t: String, idCols: Seq[String])
                  (mutate: (DataFrame, Int) => DataFrame = (d, _) => d): DataFrame = {
       val base = load(t)
+      val maxes = base.select(idCols.map(c => max(col(c)).as(c)): _*).collect().head
+      idCols.zipWithIndex.foreach { case (c, i) =>
+        require(maxes.getLong(i) < Shift,
+          s"DataScale: $t.$c max ${maxes.getLong(i)} >= shift $Shift; replicas would collide")
+      }
       (0 until factor).map { i =>
         val shifted = idCols.foldLeft(base) { (d, c) =>
           d.withColumn(c, col(c) + lit(i * Shift)) }

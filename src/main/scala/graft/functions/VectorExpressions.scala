@@ -113,7 +113,16 @@ case class NearestCentroidIndex(child: Expression, norm: Expression,
   @transient private lazy val k = cvecs.length
 
   /** The shared scan: strictly-greater rounded cosine replaces; first
-    * (lowest-index) max wins ties. */
+    * (lowest-index) max wins ties. Two parity subtleties, both pinned
+    * by the oracle's ORDER BY semantics:
+    *   - a NaN cosine (zero-norm vector or centroid) sorts FIRST
+    *     under DESC on both engines (NaN > everything), so it maps to
+    *     +∞ here — `NaN > x` is false in plain Java and would
+    *     otherwise silently drop the row;
+    *   - the rounding applies [[graft.functions.Functions.roundToLong]]'s
+    *     |x| < 0.5 guard (the one boundary where floor(x+0.5)
+    *     misrounds), keeping the kernel bit-identical to roundFrac on
+    *     the probe side and in the oracle. */
   private def scan(vec: ArrayData, vnorm: Double): Any = {
     val n = vec.numElements()
     var best = -1
@@ -129,8 +138,11 @@ case class NearestCentroidIndex(child: Expression, norm: Expression,
           j += 1
         }
         val raw = dot / (vnorm * cnorms(i)) * 1e6
-        val cos = (if (raw >= 0) math.floor(raw + 0.5d)
-                   else -math.floor(-raw + 0.5d)) / 1e6
+        val cos =
+          if (raw.isNaN) Double.PositiveInfinity
+          else if (math.abs(raw) < 0.5) 0.0
+          else (if (raw >= 0) math.floor(raw + 0.5d)
+                else -math.floor(-raw + 0.5d)) / 1e6
         if (cos > bestCos) { bestCos = cos; best = i }
       }
       i += 1

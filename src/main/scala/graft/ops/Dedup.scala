@@ -127,11 +127,14 @@ object Dedup {
     * `maxBandFreq` (None = uncapped) drops band buckets with more
     * members than the cap before the join — see [[cappedBandRows]];
     * at scale ALWAYS set it (one degenerate signature is one
-    * quadratic straggler task). */
+    * quadratic straggler task). Pruning ONE side suffices for the
+    * self join — a pair needs its bucket on both sides, so removing
+    * hot buckets from d1 alone removes those pairs — and halves the
+    * cap's extra pass over the band rows. */
   def lshCandidates(sigs: DataFrame, idCol: String,
                     maxBandFreq: Option[Int] = None): DataFrame =
     cappedBandRows(sigs, idCol, "d1", maxBandFreq)
-      .join(cappedBandRows(sigs, idCol, "d2", maxBandFreq),
+      .join(bandRows(sigs, idCol, "d2"),
         col("__band_d1") === col("__band_d2") && col("__bsig_d1") === col("__bsig_d2") &&
           col("d1") < col("d2"))
       .select(col("d1"), col("d2"))

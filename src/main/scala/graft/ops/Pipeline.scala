@@ -350,9 +350,20 @@ object Pipeline {
       .withColumn("bl_entry_dt",
         coalesce(bl("entry_dt").cast(TimestampType), InfinityTs))
 
-    // lg (report.py:50-62): nine lags, one WindowExec.
+    // lg (report.py:50-62): nine lags, one WindowExec. The ordering
+    // must be a TOTAL order for retried tasks to reproduce identical
+    // rows: (transaction_date, transaction_id) uniquely orders the
+    // FACTS, but the unbounded history joins fan each fact out once
+    // per dimension version — so the version-open timestamps of the
+    // three history legs extend the key (two copies of a transaction
+    // differ in at least one joined version). The reference orders by
+    // trans_date alone and is genuinely nondeterministic here; pinning
+    // the copy order changes no rule multiset, only which copy lags
+    // which.
     val w = Window.partitionBy(facts("card_num"))
-      .orderBy(col("transaction_date"), col("transaction_id"))
+      .orderBy(col("transaction_date"), col("transaction_id"),
+        cards("effective_from"), accounts("effective_from"),
+        clients("effective_from"))
     val lg = cl
       .withColumn("lag_city", lag(col("terminal_city"), 1).over(w))
       .withColumn("gap_us", epochUs(col("transaction_date")) -

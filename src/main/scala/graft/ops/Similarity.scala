@@ -128,9 +128,12 @@ object Similarity {
     require(nProbe >= 1, s"ivfKnn: nProbe must be ≥ 1, got $nProbe")
     // Cached: both the probe side and the query-cell lookup read the
     // assignment — uncached, the k×dim argmax fold runs twice over the
-    // corpus. In production the assignment is a materialized index
-    // (SimilarityIndexSpec's persisted path); the cache is the
-    // in-session equivalent.
+    // corpus. The cache lives until the session drops it (the harness
+    // mains clearCache() per query): Spark's lazy API gives the
+    // operator no point to unpersist at — callers issuing MANY ivfKnn
+    // calls against one corpus should materialize the assignment once
+    // (the persisted-index path, SimilarityIndexSpec) and query that
+    // instead of re-entering here.
     val cells = assignCells(corpus, centroids, idCol, vecCol).cache()
     // Rename every query-side column: the probe frame derives from
     // cells/queries, so an unqualified col("cid") on both sides of the

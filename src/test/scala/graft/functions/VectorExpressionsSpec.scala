@@ -84,6 +84,29 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(got === 1)
   }
 
+  test("nearestCentroid: NaN cosine (zero norms) sorts first like the oracle") {
+    import graft.functions.VectorExpressions.{nearestCentroid, normF}
+    // ORDER BY cos DESC puts NaN first on both engines, tie → lowest
+    // cid: a zero-norm vector must assign to centroid 0, not vanish.
+    val cvecs = Array(Array(1f, 0f), Array(0f, 1f))
+    val cnorms = Array(1.0, 1.0)
+    val zeroVec = Seq((1L, Seq(0f, 0f))).toDF("id", "v")
+      .select(col("id"), col("v").cast("array<float>").as("v"))
+      .withColumn("n", normF(col("v")))
+      .withColumn("ci", nearestCentroid(col("v"), col("n"), cvecs, cnorms))
+      .collect().head.getInt(3)
+    assert(zeroVec === 0)
+    // A zero-norm CENTROID likewise produces NaN against every vector
+    // and wins (the oracle's ordering, odd as it reads).
+    val zeroCent = Seq((1L, Seq(0f, 3f))).toDF("id", "v")
+      .select(col("id"), col("v").cast("array<float>").as("v"))
+      .withColumn("n", normF(col("v")))
+      .withColumn("ci", nearestCentroid(col("v"), col("n"),
+        Array(Array(0f, 0f), Array(0f, 1f)), Array(0.0, 1.0)))
+      .collect().head.getInt(3)
+    assert(zeroCent === 0)
+  }
+
   test("participates in whole-stage codegen (no fallback)") {
     // A local relation pre-evaluates to LocalTableScan, so drive the
     // expression through a real parquet scan.

@@ -104,4 +104,21 @@ object TextAnalysis {
     val noCard = regexp_replace(noEmail, CardRe, "<CARD>")
     regexp_replace(noCard, PhoneRe, "<PHONE>")
   }
+
+  /** Sliding-window token chunks — the concat-and-chunk prep step
+    * that turns variable-length documents into fixed-ish training
+    * windows. One (start offset) element per `stride` tokens; callers
+    * explode it and [[chunkAt]] each offset. Pure array expressions:
+    * the chunking of a 100 TB corpus is a map pass with NO shuffle
+    * and no UDF, and slices reference the token array rather than
+    * copying the document per chunk. */
+  def chunkStarts(ws: Column, stride: Int): Column = {
+    require(stride > 0, s"chunkStarts: stride must be positive, got $stride")
+    sequence(lit(0), greatest(size(ws) - 1, lit(0)), lit(stride))
+  }
+
+  /** The `chunkSize`-token window of `ws` starting at 0-based
+    * `start` (shorter at the tail, like any clamping slice). */
+  def chunkAt(ws: Column, start: Column, chunkSize: Int): Column =
+    slice(ws, start + 1, lit(chunkSize))
 }

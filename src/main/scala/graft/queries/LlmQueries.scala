@@ -634,6 +634,33 @@ object LlmQueries {
             col("n_kept"))
     },
 
+    // Sliding-window chunking: 64-token windows at stride 48 (16-token
+    // overlap) — the concat-and-chunk step that turns documents into
+    // training windows. One map pass, no shuffle, no UDF; each chunk
+    // is identified by (doc, index) and fingerprinted so downstream
+    // dedup can run at chunk granularity.
+    Q("q56_token_chunks",
+      s"""WITH tok AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+         |st AS (SELECT doc_id, ws, unnest(range(0, greatest(len(ws), 1), 48)) AS s
+         |       FROM tok)
+         |SELECT doc_id,
+         |       CAST(s / 48 AS BIGINT) AS chunk_idx,
+         |       len(ws[s+1:s+64]) AS chunk_tokens,
+         |       ${h64("array_to_string(ws[s+1:s+64], ' ')")} AS chunk_fp
+         |FROM st""".stripMargin) {
+      (s, d) =>
+        val ws = Dedup.tokens(col("text"))
+        table(s, d, "documents")
+          .select(col("doc_id"), ws.as("ws"),
+            explode(TextAnalysis.chunkStarts(ws, stride = 48)).as("s"))
+          .select(col("doc_id"),
+            (col("s") / 48).cast("bigint").as("chunk_idx"),
+            size(TextAnalysis.chunkAt(col("ws"), col("s"), 64)).cast("bigint")
+              .as("chunk_tokens"),
+            portableHash64(concat_ws(" ",
+              TextAnalysis.chunkAt(col("ws"), col("s"), 64))).as("chunk_fp"))
+    },
+
     // Content fingerprinting: order-sensitive polynomial rolling hash
     // over the token stream + order-insensitive min token hash.
     // Identical left-to-right fold in both engines.

@@ -27,6 +27,23 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(one("clean text stays", TextAnalysis.scrubPii) === "clean text stays")
   }
 
+  test("chunkStarts/chunkAt: clamped sliding windows with overlap") {
+    def chunks(text: String, stride: Int, size: Int): Seq[Seq[String]] = {
+      val ws = Dedup.tokens(col("t"))
+      Seq(text).toDF("t")
+        .select(explode(TextAnalysis.chunkStarts(ws, stride)).as("s"), ws.as("ws"))
+        .select(TextAnalysis.chunkAt(col("ws"), col("s"), size))
+        .collect().map(_.getSeq[String](0).toSeq).toSeq
+    }
+    // 5 tokens, window 3, stride 2 → starts 0,2,4; tail clamps.
+    assert(chunks("a b c d e", 2, 3) ===
+      Seq(Seq("a", "b", "c"), Seq("c", "d", "e"), Seq("e")))
+    // Shorter than one window → a single clamped chunk.
+    assert(chunks("a b", 4, 8) === Seq(Seq("a", "b")))
+    // Exact multiple of the stride → no empty trailing chunk.
+    assert(chunks("a b c d", 2, 2) === Seq(Seq("a", "b"), Seq("c", "d")))
+  }
+
   test("langPredict ties break alphabetically on profile order") {
     val scores = Seq(lit(2L), lit(2L), lit(1L), lit(0L), lit(0L))
     val got = Seq("x").toDF("t")

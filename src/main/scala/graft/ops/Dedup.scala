@@ -172,19 +172,37 @@ object Dedup {
     * produces 60-bit values (15 md5 hex chars), so higher vote
     * positions would never see a set bit — and 60 keeps every
     * assembled fingerprint a positive BIGINT on both engines. */
+  /** Counter lanes per packed aggregate: 4 bit-counters of 15 bits
+    * each share one summed long, so a `bits`-wide fingerprint needs
+    * `bits/4 + 1` aggregate columns instead of `bits` — at 100 TB the
+    * partial-agg shuffle carries a quarter of the width. A lane
+    * overflows only past 2^15−1 = 32767 tokens per document, far
+    * beyond any real document (and enforceable upstream by chunking). */
+  private val LaneBits = 15
+  private val Lanes = 4
+
   def simhashWide(tokenHashes: DataFrame, idCol: String, hashCol: String,
                   bits: Int = 32): DataFrame = {
     require(bits >= 4 && bits <= 60 && bits % 4 == 0,
       s"simhashWide: bits must be in [4, 60] and divisible by 4, got $bits")
-    val votes = (0 until bits).map { j =>
-      sum(when(shiftright(col(hashCol), j).bitwiseAND(lit(1L)) === 1L, 1)
-        .otherwise(-1)).as(s"__s$j")
+    // Pack p carries the set-bit counts of fingerprint bits
+    // p·4 .. p·4+3, one per 15-bit lane.
+    val nPacks = bits / Lanes
+    val packs = (0 until nPacks).map { p =>
+      sum((0 until Lanes).map { l =>
+        shiftright(col(hashCol), p * Lanes + l).bitwiseAND(lit(1L)) *
+          lit(1L << (l * LaneBits))
+      }.reduce(_ + _)).as(s"__p$p")
     }
+    // Bit j is set iff its ±1 vote sum is positive ⇔ 2·cnt_j > n_tokens.
+    def cnt(j: Int): Column =
+      shiftright(col(s"__p${j / Lanes}"), (j % Lanes) * LaneBits)
+        .bitwiseAND(lit((1L << LaneBits) - 1))
     tokenHashes.groupBy(col(idCol))
-      .agg(votes.head, votes.tail: _*)
+      .agg(packs.head, (packs.tail :+ count(lit(1)).as("__n")): _*)
       .select(col(idCol),
         (0 until bits).map(j =>
-          when(col(s"__s$j") > 0, lit(1L << j)).otherwise(0L)).reduce(_ + _)
+          when(cnt(j) * 2 > col("__n"), lit(1L << j)).otherwise(0L)).reduce(_ + _)
           .as("simhash"))
   }
 

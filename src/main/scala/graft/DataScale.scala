@@ -43,16 +43,23 @@ object DataScale {
     def load(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
 
     /** Union of `factor` copies with the named id columns shifted.
-      * Replica ranges must not overlap — keys at or above [[Shift]]
-      * would silently collide across replicas and break the
-      * closed-world scaling premise, so they are rejected. */
+      * Replica ranges must not overlap — negative keys or keys at or
+      * above [[Shift]] would silently collide across replicas and
+      * break the closed-world scaling premise, so they are rejected
+      * (type-robustly: ids are cast to long first; an empty table has
+      * nothing to collide and passes). */
     def replicate(t: String, idCols: Seq[String])
                  (mutate: (DataFrame, Int) => DataFrame = (d, _) => d): DataFrame = {
       val base = load(t)
-      val maxes = base.select(idCols.map(c => max(col(c)).as(c)): _*).collect().head
+      val bounds = base.select(idCols.flatMap(c => Seq(
+        min(col(c).cast("long")).as(s"__min_$c"),
+        max(col(c).cast("long")).as(s"__max_$c"))): _*).collect().head
       idCols.zipWithIndex.foreach { case (c, i) =>
-        require(maxes.getLong(i) < Shift,
-          s"DataScale: $t.$c max ${maxes.getLong(i)} >= shift $Shift; replicas would collide")
+        if (!bounds.isNullAt(2 * i)) {
+          val (lo, hi) = (bounds.getLong(2 * i), bounds.getLong(2 * i + 1))
+          require(lo >= 0 && hi < Shift,
+            s"DataScale: $t.$c range [$lo, $hi] outside [0, $Shift); replicas would collide")
+        }
       }
       (0 until factor).map { i =>
         val shifted = idCols.foldLeft(base) { (d, c) =>

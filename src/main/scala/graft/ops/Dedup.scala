@@ -162,25 +162,28 @@ object Dedup {
       .select(col("d1"), col("d2"))
       .distinct()
 
+  /** Counter lanes per packed vote aggregate: 4 bit-counters of 15
+    * bits each share one summed long, so a `bits`-wide fingerprint
+    * needs `bits/4 + 1` aggregate columns instead of `bits` — at
+    * 100 TB the partial-agg shuffle carries a quarter of the width. */
+  private val LaneBits = 15
+  private val Lanes = 4
+
   /** `bits`-wide SimHash over per-token hashes: per bit j, sum ±1
-    * votes across tokens; bit set iff the sum is positive. Input: one
-    * row per (doc, token hash); output: one row per doc. Single hash
-    * aggregate — partial (map-side) aggregation applies, so the
-    * shuffle carries `bits` ints per doc, not the tokens.
+    * votes across tokens; bit set iff the sum is positive (computed
+    * as 2·set-bit-count > token count — integer-identical). Input:
+    * one row per (doc, token hash); output: one row per doc. Single
+    * hash aggregate over [[Lanes]]-packed counters — partial
+    * (map-side) aggregation applies.
     *
     * `bits` caps at 60: [[graft.functions.Functions.portableHash64]]
     * produces 60-bit values (15 md5 hex chars), so higher vote
     * positions would never see a set bit — and 60 keeps every
-    * assembled fingerprint a positive BIGINT on both engines. */
-  /** Counter lanes per packed aggregate: 4 bit-counters of 15 bits
-    * each share one summed long, so a `bits`-wide fingerprint needs
-    * `bits/4 + 1` aggregate columns instead of `bits` — at 100 TB the
-    * partial-agg shuffle carries a quarter of the width. A lane
-    * overflows only past 2^15−1 = 32767 tokens per document, far
-    * beyond any real document (and enforceable upstream by chunking). */
-  private val LaneBits = 15
-  private val Lanes = 4
-
+    * assembled fingerprint a positive BIGINT on both engines.
+    * A counter lane holds documents up to 2^15−1 = 32767 tokens;
+    * beyond that the packed counts would silently wrap, so the
+    * aggregate FAILS LOUDLY instead (chunk such documents first —
+    * [[graft.ops.TextAnalysis.chunkStarts]]). */
   def simhashWide(tokenHashes: DataFrame, idCol: String, hashCol: String,
                   bits: Int = 32): DataFrame = {
     require(bits >= 4 && bits <= 60 && bits % 4 == 0,
@@ -198,11 +201,15 @@ object Dedup {
     def cnt(j: Int): Column =
       shiftright(col(s"__p${j / Lanes}"), (j % Lanes) * LaneBits)
         .bitwiseAND(lit((1L << LaneBits) - 1))
+    val laneMax = (1L << LaneBits) - 1
     tokenHashes.groupBy(col(idCol))
       .agg(packs.head, (packs.tail :+ count(lit(1)).as("__n")): _*)
       .select(col(idCol),
-        (0 until bits).map(j =>
-          when(cnt(j) * 2 > col("__n"), lit(1L << j)).otherwise(0L)).reduce(_ + _)
+        when(col("__n") > laneMax, raise_error(concat(
+          lit(s"simhashWide: document exceeds $laneMax tokens (lane overflow): id="),
+          col(idCol).cast("string"))))
+          .otherwise((0 until bits).map(j =>
+            when(cnt(j) * 2 > col("__n"), lit(1L << j)).otherwise(0L)).reduce(_ + _))
           .as("simhash"))
   }
 

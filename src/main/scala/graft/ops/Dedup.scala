@@ -144,6 +144,55 @@ object Dedup {
   def jaccardParts(s1: Column, s2: Column): (Column, Column) =
     (size(array_intersect(s1, s2)), size(array_union(s1, s2)))
 
+  /** Resolve near-dup PAIRS into clusters: connected components by
+    * iterative min-label propagation. Input: undirected edges
+    * (`d1`, `d2`); output: one row per node appearing in any edge,
+    * with `component` = the smallest node id reachable from it (a
+    * deterministic cluster id that doubles as the canonical
+    * survivor). Nodes with no edges are their own cluster and are
+    * simply absent — callers union them back if needed.
+    *
+    * Scale shape: each iteration is one equi join (labels ↔ edges) +
+    * one min aggregate, and the number of iterations is the cluster
+    * DIAMETER, not the cluster count — near-dup clusters are
+    * star-like (diameter a few hops), so a handful of passes
+    * converges even on a 100 TB corpus. The driver loop iterates over
+    * CONVERGENCE CHECKS (a count per pass), never over data; labels
+    * are cached per pass and explicitly unpersisted. `maxIter` bounds
+    * a pathological chain; hitting it raises rather than returning a
+    * half-propagated clustering. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val sym = edges.select(col("d1").as("src"), col("d2").as("dst"))
+      .unionByName(edges.select(col("d2").as("src"), col("d1").as("dst")))
+      .distinct().cache()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("component")).cache()
+    labels.count(): Unit // materialize before the loop rewrites it
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = sym
+        .join(labels, sym("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("component")).as("__nmin"))
+      val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("__nmin"), col("component")))
+            .as("component"))
+        .cache()
+      val changed = next.join(labels.select(col("id").as("__pid"),
+          col("component").as("__prev")), col("id") === col("__pid"))
+        .filter(col("component") < col("__prev")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    sym.unpersist()
+    require(converged,
+      s"connectedComponents: no fixpoint after $maxIter iterations (diameter > maxIter?)")
+    labels
+  }
+
   /** Incremental LSH near-dup: candidates between a NEW batch and an
     * EXISTING corpus signature index — the at-scale flow (the corpus
     * index is materialized once and re-probed per batch; self-joining

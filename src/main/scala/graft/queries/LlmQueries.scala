@@ -147,6 +147,49 @@ object LlmQueries {
           .select("d1", "d2", "inter_cnt", "union_cnt", "jac")
     },
 
+    // Near-dup CLUSTER resolution: the step after pair generation a
+    // production dedup actually needs — fold the verified LSH pairs
+    // into connected components (iterative min-label propagation,
+    // O(cluster diameter) joins) and report each clustered doc with
+    // its deterministic cluster id (= smallest member, the canonical
+    // survivor) and the cluster size. The oracle computes the same
+    // closure with a recursive CTE.
+    Q("q57_neardup_clusters",
+      s"""WITH RECURSIVE $rawCorpus,
+         |$shingleCtes,
+         |sig AS (SELECT doc_id, hs, $mhColsSql FROM hst),
+         |cand AS ($bandJoinSql),
+         |pairs AS (SELECT c.d1, c.d2 FROM cand c
+         |          JOIN sig a ON a.doc_id = c.d1 JOIN sig b ON b.doc_id = c.d2
+         |          WHERE len(list_intersect(a.hs,b.hs))::DOUBLE / len(list_distinct(a.hs||b.hs)) >= 0.4),
+         |sym AS (SELECT d1 AS src, d2 AS dst FROM pairs
+         |        UNION SELECT d2, d1 FROM pairs),
+         |reach AS (
+         |  SELECT src, dst FROM sym
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN sym e ON r.dst = e.src),
+         |comp AS (SELECT src AS doc_id, least(src, min(dst)) AS component
+         |         FROM reach GROUP BY src)
+         |SELECT c.component, c.doc_id,
+         |       count(*) OVER (PARTITION BY c.component) AS cluster_size
+         |FROM comp c""".stripMargin) {
+      (s, d) =>
+        val sigs = Dedup.minhashSignatures(
+          table(s, d, "documents").select("doc_id", "text"), "doc_id", "text").cache()
+        val cands = Dedup.lshCandidates(sigs, "doc_id")
+        val withSets = cands
+          .join(sigs.select(col("doc_id").as("d1"), col("__hs").as("hs1")), "d1")
+          .join(sigs.select(col("doc_id").as("d2"), col("__hs").as("hs2")), "d2")
+        val (inter, uni) = Dedup.jaccardParts(col("hs1"), col("hs2"))
+        val pairs = withSets
+          .filter(inter.cast("double") / uni >= 0.4)
+          .select("d1", "d2")
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("component"))
+        Dedup.connectedComponents(pairs)
+          .select(col("component"), col("id").as("doc_id"))
+          .withColumn("cluster_size", count(lit(1)).over(w))
+    },
+
     // SimHash: 32-bit bit-sampled fingerprint over distinct 3-gram
     // shingles — one explode + one hash aggregate (partial agg:
     // the shuffle carries 32 ints per doc, not the shingles).

@@ -117,6 +117,37 @@ class DedupSpec extends AnyFunSuite {
     assert(capped === Set((901L, 50L)), s"got $capped")
   }
 
+  test("connectedComponents: chains, cycles, and disjoint clusters resolve to min labels") {
+    // Component A: a 4-node chain 1-2-3-4 (propagation needs multiple
+    // iterations); component B: a triangle 10-11-12 with an extra
+    // chord; component C: the lone edge 20-21.
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (20L, 21L))
+      .toDF("d1", "d2")
+    val got = Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("connectedComponents: empty edge set yields an empty labeling") {
+    val empty = Seq.empty[(Long, Long)].toDF("d1", "d2")
+    assert(Dedup.connectedComponents(empty).count() === 0L)
+  }
+
+  test("connectedComponents: maxIter too small for the diameter fails loudly") {
+    val chain = (1L until 8L).map(i => (i, i + 1)).toDF("d1", "d2")
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(chain, maxIter = 2)
+    }
+    // ...and a sufficient budget resolves the same chain fully.
+    val ok = Dedup.connectedComponents(chain)
+      .collect().map(r => r.getLong(1)).distinct.toSeq
+    assert(ok === Seq(1L))
+  }
+
   test("simhashWide(32) reproduces simhash32 exactly; 60-bit adds upper bits") {
     val sh = Seq(1L -> "the quick brown fox jumps over the lazy dog runs far",
       2L -> "completely different text about spark engines and nothing else")

@@ -157,37 +157,43 @@ object Dedup {
     * DIAMETER, not the cluster count — near-dup clusters are
     * star-like (diameter a few hops), so a handful of passes
     * converges even on a 100 TB corpus. The driver loop iterates over
-    * CONVERGENCE CHECKS (a count per pass), never over data; labels
-    * are cached per pass and explicitly unpersisted. `maxIter` bounds
-    * a pathological chain; hitting it raises rather than returning a
-    * half-propagated clustering. */
+    * CONVERGENCE CHECKS (a count per pass), never over data. Each
+    * generation is `localCheckpoint`ed: an iterative plan that
+    * re-references its previous generation DOUBLES its lineage per
+    * pass — caching alone still carries the 2^i-node logical plan,
+    * which blows up planning/rendering long before the data does, so
+    * the lineage must be CUT, not just the computation memoized
+    * (dropped generations are reclaimed by the context cleaner).
+    * `maxIter` bounds a pathological chain; hitting it raises rather
+    * than returning a half-propagated clustering. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
     val sym = edges.select(col("d1").as("src"), col("d2").as("dst"))
       .unionByName(edges.select(col("d2").as("src"), col("d1").as("dst")))
-      .distinct().cache()
+      .distinct().localCheckpoint(true)
     var labels = sym.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("component")).cache()
-    labels.count(): Unit // materialize before the loop rewrites it
+      .select(col("id"), col("id").as("component")).localCheckpoint(true)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val nbrMin = sym
         .join(labels, sym("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("component")).as("__nmin"))
-      val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
-        .select(col("id"),
-          least(col("component"), coalesce(col("__nmin"), col("component")))
-            .as("component"))
-        .cache()
-      val changed = next.join(labels.select(col("id").as("__pid"),
-          col("component").as("__prev")), col("id") === col("__pid"))
-        .filter(col("component") < col("__prev")).count()
-      labels.unpersist()
-      labels = next
-      converged = changed == 0
+        .localCheckpoint(true)
+      // Convergence is visible BEFORE building the next generation: a
+      // pass changes nothing iff no node's neighbor-min beats its own
+      // label — checking here saves the final pass's build entirely.
+      val changed = nbrMin.join(labels, nbrMin("src") === labels("id"))
+        .filter(col("__nmin") < col("component")).count()
+      if (changed == 0) converged = true
+      else {
+        labels = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+          .select(col("id"),
+            least(col("component"), coalesce(col("__nmin"), col("component")))
+              .as("component"))
+          .localCheckpoint(true)
+      }
       i += 1
     }
-    sym.unpersist()
     require(converged,
       s"connectedComponents: no fixpoint after $maxIter iterations (diameter > maxIter?)")
     labels

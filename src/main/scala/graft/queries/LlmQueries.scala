@@ -619,6 +619,28 @@ object LlmQueries {
           .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc_id"))
     },
 
+    // Vocabulary top-k: exact corpus-wide token frequencies, top 50
+    // with a deterministic tie-break — the coverage stat tokenizer
+    // training starts from. One explode + one hash aggregate
+    // (map-side combine carries (token, count), not tokens), then a
+    // distributed TakeOrdered for the top slice; the rank window runs
+    // over the already-bounded 50 rows, never the vocabulary.
+    Q("q58_vocab_topk",
+      """WITH tok AS (SELECT unnest(string_split(text,' ')) AS w FROM documents),
+        |cnt AS (SELECT w, count(*) AS n FROM tok GROUP BY w),
+        |ranked AS (SELECT w, n, row_number() OVER (ORDER BY n DESC, w) AS rnk FROM cnt)
+        |SELECT w, n, CAST(rnk AS BIGINT) AS rnk FROM ranked WHERE rnk <= 50""".stripMargin) {
+      (s, d) =>
+        import org.apache.spark.sql.expressions.Window
+        val top = table(s, d, "documents")
+          .select(explode(Dedup.tokens(col("text"))).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("w"))
+          .limit(50)
+        top.withColumn("rnk",
+          row_number().over(Window.orderBy(col("n").desc, col("w"))).cast("bigint"))
+    },
+
     // Deterministic stratified sampling: per-language keep rates
     // (downsample the dominant 'en', keep most 'zh') applied as a
     // pure hash-of-id membership test — never rand(), so the sample

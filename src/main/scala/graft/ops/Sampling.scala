@@ -47,4 +47,39 @@ object Sampling {
       "rates must be within [0, 1]")
     df.filter(sampleKey(col(idCol)) < threshold(strataCol, rates, defaultRate))
   }
+
+  /** Temperature-style resampling: each row is emitted
+    * `⌊factor⌋ + (0 or 1)` times, where the fractional extra copy is
+    * decided by the same deterministic hash as [[stratifiedSample]] —
+    * factor 2.5 yields 2 or 3 copies, factor 0.4 yields 0 or 1 (so
+    * this generalizes downsampling), and expected multiplicity equals
+    * the factor exactly. Copies carry a `copy_idx` (1-based) so
+    * downstream shuffles/splits treat them as distinct rows.
+    *
+    * The integer copy floors and fractional thresholds are computed
+    * DRIVER-SIDE and embedded as literals, so an oracle on another
+    * engine reproduces membership with integer comparisons only — no
+    * cross-engine float arithmetic at the keep/drop boundary. Still a
+    * pure map pass (explode of a bounded sequence, no shuffle). */
+  def resample(df: DataFrame, strataCol: String, idCol: String,
+               factors: Map[String, Double],
+               defaultFactor: Double): DataFrame = {
+    require((factors.values ++ Seq(defaultFactor)).forall(f => f >= 0 && f <= 100),
+      "factors must be within [0, 100]")
+    def parts(f: Double): (Long, Long) =
+      (math.floor(f).toLong, ((f - math.floor(f)) * Denom).round)
+    val (defBase, defFrac) = parts(defaultFactor)
+    val (baseCol, fracCol) = factors.toSeq.sortBy(_._1)
+      .foldLeft((lit(defBase), lit(defFrac))) {
+        case ((b, fr), (stratum, f)) =>
+          val (fb, ff) = parts(f)
+          (when(col(strataCol) === stratum, lit(fb)).otherwise(b),
+            when(col(strataCol) === stratum, lit(ff)).otherwise(fr))
+      }
+    val copies = baseCol + when(sampleKey(col(idCol)) < fracCol, 1L).otherwise(0L)
+    // sequence(1, 0) would generate a DESCENDING range — guard empties.
+    df.withColumn("copy_idx",
+      explode(when(copies >= 1, sequence(lit(1L), copies))
+        .otherwise(array().cast("array<bigint>"))))
+  }
 }

@@ -619,6 +619,29 @@ object LlmQueries {
           .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc_id"))
     },
 
+    // Temperature-style resampling: per-language multiplicities
+    // (upsample rare zh 2.5×, downsample dominant en 0.4×) as
+    // deterministic integer copy counts — floors and fractional
+    // thresholds are embedded as integer literals, so membership is
+    // pure integer comparison on both engines. Map pass + bounded
+    // explode; expected multiplicity equals the factor exactly.
+    Q("q59_resample",
+      s"""WITH base AS (
+         |  SELECT doc_id, lang,
+         |    (CASE lang WHEN 'en' THEN 0 WHEN 'zh' THEN 2 ELSE 1 END)
+         |    + (CASE WHEN ${h64("CAST(doc_id AS VARCHAR)")} % 1000000 <
+         |              (CASE lang WHEN 'en' THEN 400000 WHEN 'zh' THEN 500000 ELSE 0 END)
+         |            THEN 1 ELSE 0 END) AS n
+         |  FROM documents)
+         |SELECT doc_id, lang, unnest(range(1, n + 1)) AS copy_idx
+         |FROM base""".stripMargin) {
+      (s, d) =>
+        graft.ops.Sampling.resample(
+          table(s, d, "documents"), "lang", "doc_id",
+          factors = Map("en" -> 0.4, "zh" -> 2.5), defaultFactor = 1.0)
+          .select("doc_id", "lang", "copy_idx")
+    },
+
     // Vocabulary top-k: exact corpus-wide token frequencies, top 50
     // with a deterministic tie-break — the coverage stat tokenizer
     // training starts from. One explode + one hash aggregate

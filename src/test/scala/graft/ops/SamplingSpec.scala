@@ -37,6 +37,35 @@ class SamplingSpec extends AnyFunSuite {
     assert(kept === Set("zh", "de"))
   }
 
+  test("resample: integer factors are exact, fractional factors average out") {
+    val out = Sampling.resample(docs, "lang", "doc_id",
+      Map("en" -> 2.0, "zh" -> 0.0, "de" -> 1.5), defaultFactor = 1.0)
+      .groupBy("lang", "doc_id").count()
+    val byLang = out.groupBy("lang")
+      .agg(count(lit(1)).as("rows"), sum("count").as("copies"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // en: every row exactly 2 copies; zh: gone entirely.
+    assert(byLang("en") === ((2000L, 4000L)))
+    assert(!byLang.contains("zh"))
+    // de (1600 rows at 1.5): every row 1 or 2 copies, mean ≈ 1.5.
+    val (deRows, deCopies) = byLang("de")
+    assert(deRows === 1600L)
+    assert(deCopies > 2200L && deCopies < 2600L, s"de copies $deCopies far from 2400")
+    // copy_idx is 1-based and contiguous per row.
+    val idxs = Sampling.resample(docs.filter(col("lang") === "en"), "lang",
+      "doc_id", Map.empty, defaultFactor = 3.0)
+      .groupBy("doc_id").agg(collect_list("copy_idx").as("ix"))
+      .collect().map(_.getSeq[Long](1).sorted.toSeq).distinct.toSeq
+    assert(idxs === Seq(Seq(1L, 2L, 3L)))
+  }
+
+  test("resample is deterministic across evaluations") {
+    def run() = Sampling.resample(docs, "lang", "doc_id",
+      Map("de" -> 2.5), defaultFactor = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(run() === run())
+  }
+
   test("membership is a pure function of the id (stratum-independent hash)") {
     // The same id sampled under different strata labels keeps or drops
     // identically when the rates agree — the hash ignores the stratum.

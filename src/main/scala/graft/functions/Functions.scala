@@ -109,7 +109,14 @@ object Functions {
     * |x·10^s| < 2^51. */
   def roundFrac(x: Column, scale: Int): Column = {
     val p = math.pow(10, scale)
-    roundToLong(x * p) / p
+    // NaN/±Inf propagate unchanged — matching Spark's and DuckDB's
+    // round(). Without the guard, floor's long cast maps NaN to 0
+    // (abs(NaN) < 0.5 is false; NaN >= 0 is true under Spark's
+    // NaN-greatest ordering), which would silently flip threshold
+    // filters and DESC ordering for e.g. a zero-norm embedding's
+    // cosine instead of surfacing the non-finite score.
+    when(isnan(x) || abs(x) === Double.PositiveInfinity, x)
+      .otherwise(roundToLong(x * p) / p)
   }
 
   /** Deterministic, engine-portable 64-bit (60-bit) hash of a string:

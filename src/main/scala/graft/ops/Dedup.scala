@@ -165,20 +165,34 @@ object Dedup {
     * the lineage must be CUT, not just the computation memoized
     * (dropped generations are reclaimed by the context cleaner).
     * `maxIter` bounds a pathological chain; hitting it raises rather
-    * than returning a half-propagated clustering. */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
-    val sym = edges.select(col("d1").as("src"), col("d2").as("dst"))
+    * than returning a half-propagated clustering.
+    *
+    * Fault tolerance: the default `localCheckpoint` stores generation
+    * blocks on executors — it cuts lineage but is NOT
+    * executor-failure tolerant, so on a long production run losing
+    * one executor aborts the whole iterative job (there is no lineage
+    * left to recompute from). Pass `reliable = true` to write
+    * generations to the reliable checkpoint store instead
+    * (`spark.sparkContext.setCheckpointDir` must point at shared
+    * storage — HDFS/object store on a cluster); each pass then pays
+    * one distributed write, and a lost executor only recomputes its
+    * own partitions from the last checkpoint. Local mode / short
+    * interactive runs keep the cheap default. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25,
+                          reliable: Boolean = false): DataFrame = {
+    def cut(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+    val sym = cut(edges.select(col("d1").as("src"), col("d2").as("dst"))
       .unionByName(edges.select(col("d2").as("src"), col("d1").as("dst")))
-      .distinct().localCheckpoint(true)
-    var labels = sym.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("component")).localCheckpoint(true)
+      .distinct())
+    var labels = cut(sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("component")))
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val nbrMin = sym
+      val nbrMin = cut(sym
         .join(labels, sym("dst") === labels("id"))
-        .groupBy(col("src")).agg(min(col("component")).as("__nmin"))
-        .localCheckpoint(true)
+        .groupBy(col("src")).agg(min(col("component")).as("__nmin")))
       // Convergence is visible BEFORE building the next generation: a
       // pass changes nothing iff no node's neighbor-min beats its own
       // label — checking here saves the final pass's build entirely.
@@ -186,11 +200,10 @@ object Dedup {
         .filter(col("__nmin") < col("component")).count()
       if (changed == 0) converged = true
       else {
-        labels = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+        labels = cut(labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
           .select(col("id"),
             least(col("component"), coalesce(col("__nmin"), col("component")))
-              .as("component"))
-          .localCheckpoint(true)
+              .as("component")))
       }
       i += 1
     }

@@ -94,10 +94,13 @@ object Similarity {
                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val cidType = centroids.select(col(idCol)).schema.head.dataType
     // cid-ascending order makes "first strict max" the documented
-    // tie-break (ORDER BY cos DESC, cid ASC).
-    val cents = centroids.select(col(idCol), col(vecCol)).orderBy(col(idCol)).collect()
+    // tie-break (ORDER BY cos DESC, cid ASC). limit(Max+1) bounds the
+    // collect itself: an unbounded frame passed as a codebook must
+    // raise the codebook-bound error, not OOM the driver first.
+    val cents = centroids.select(col(idCol), col(vecCol)).orderBy(col(idCol))
+      .limit(MaxCentroids + 1).collect()
     require(cents.length <= MaxCentroids,
-      s"assignCells: ${cents.length} centroids exceed the codebook bound $MaxCentroids")
+      s"assignCells: more than $MaxCentroids centroids exceed the codebook bound")
     val withNorm = corpus.select(col(idCol), col(vecCol), normF(col(vecCol)).as("__norm"))
     if (cents.isEmpty) {
       // No codebook → no assignments (the join formulation's behavior).
@@ -116,25 +119,24 @@ object Similarity {
       .select(col(idCol), col(vecCol), element_at(cids, col("__ci") + 1).as("cid"))
   }
 
-  /** IVF top-k: score only vectors in the query's `nProbe` nearest
-    * cells — the standard IVF recall/cost knob. `nProbe = 1` probes
-    * the query's own cell (and reuses the corpus assignment for the
-    * query side); higher values widen recall at `nProbe×` the
+  /** IVF top-k over a PRE-ASSIGNED corpus — the primary API. `cells`
+    * is the (id, vec, cid) assignment from [[assignCells]], with a
+    * lifetime the CALLER owns: materialize it once (persist, or write
+    * it as the partitioned index table — SimilarityIndexSpec) and
+    * reuse it across every query batch. Spark's lazy API gives this
+    * operator no point to unpersist at, so taking ownership here would
+    * either leak the cache or recompute the k×dim argmax per call —
+    * both wrong for the many-batches production flow.
+    *
+    * `nProbe` is the standard IVF recall/cost knob: 1 probes the
+    * query's own cell (reusing the corpus assignment for the query
+    * side); higher values widen recall at `nProbe×` the
     * scored-candidate cost, still never touching the rest of the
     * corpus. */
-  def ivfKnn(corpus: DataFrame, centroids: DataFrame, queries: DataFrame, k: Int,
-             idCol: String = "vec_id", vecCol: String = "embedding",
-             nProbe: Int = 1): DataFrame = {
+  def ivfKnnIndexed(cells: DataFrame, centroids: DataFrame, queries: DataFrame, k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    nProbe: Int = 1): DataFrame = {
     require(nProbe >= 1, s"ivfKnn: nProbe must be ≥ 1, got $nProbe")
-    // Cached: both the probe side and the query-cell lookup read the
-    // assignment — uncached, the k×dim argmax fold runs twice over the
-    // corpus. The cache lives until the session drops it (the harness
-    // mains clearCache() per query): Spark's lazy API gives the
-    // operator no point to unpersist at — callers issuing MANY ivfKnn
-    // calls against one corpus should materialize the assignment once
-    // (the persisted-index path, SimilarityIndexSpec) and query that
-    // instead of re-entering here.
-    val cells = assignCells(corpus, centroids, idCol, vecCol).cache()
     // Rename every query-side column: the probe frame derives from
     // cells/queries, so an unqualified col("cid") on both sides of the
     // join is ambiguous.
@@ -155,6 +157,22 @@ object Similarity {
       .select(col("qid"), col(idCol), col("rnk"), col("cos_r"))
   }
 
+  /** One-shot convenience over [[ivfKnnIndexed]]: assigns cells and
+    * `cache()`s the assignment for the duration of THIS query's
+    * evaluation (both the probe side and the query-cell lookup read
+    * it — uncached, the k×dim argmax fold runs over the corpus
+    * twice). The cache lives until the session drops it (the harness
+    * mains `clearCache()` per query); callers issuing many batches
+    * against one corpus should use [[assignCells]] +
+    * [[ivfKnnIndexed]] and own the materialization. */
+  def ivfKnn(corpus: DataFrame, centroids: DataFrame, queries: DataFrame, k: Int,
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             nProbe: Int = 1): DataFrame = {
+    require(nProbe >= 1, s"ivfKnn: nProbe must be ≥ 1, got $nProbe")
+    val cells = assignCells(corpus, centroids, idCol, vecCol).cache()
+    ivfKnnIndexed(cells, centroids, queries, k, idCol, vecCol, nProbe)
+  }
+
   /** The query batch's `nProbe` nearest cells, one output row per
     * (query, probed cell). The per-query sort runs as an array
     * expression over the literal codebook — interpreted, but the
@@ -163,9 +181,10 @@ object Similarity {
     * assignment tie-break: rounded cos desc, cid asc. */
   private def queryProbes(centroids: DataFrame, queries: DataFrame, nProbe: Int,
                           idCol: String, vecCol: String): DataFrame = {
-    val cents = centroids.select(col(idCol), col(vecCol)).orderBy(col(idCol)).collect()
+    val cents = centroids.select(col(idCol), col(vecCol)).orderBy(col(idCol))
+      .limit(MaxCentroids + 1).collect()
     require(cents.length <= MaxCentroids,
-      s"queryProbes: ${cents.length} centroids exceed the codebook bound $MaxCentroids")
+      s"queryProbes: more than $MaxCentroids centroids exceed the codebook bound")
     val centArr = array(cents.map { r =>
       val cvec = r.getSeq[Float](1)
       val cnorm = math.sqrt(cvec.foldLeft(0.0)((s, v) => s + v.toDouble * v.toDouble))

@@ -56,6 +56,24 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("roundFrac propagates NaN and infinities like round()") {
+    val in = Seq(Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity,
+      1.2345678, -1.2345678)
+    val rows = in.toDF("x")
+      .select(col("x"), roundFrac(col("x"), 6).as("fast"),
+        round(col("x"), 6).as("ref"))
+      .collect()
+    rows.foreach { r =>
+      val (fast, ref) = (r.getDouble(1), r.getDouble(2))
+      assert(fast == ref || (fast.isNaN && ref.isNaN),
+        s"mismatch at x=${r.getDouble(0)}: fast=$fast ref=$ref")
+    }
+    // NULL stays NULL through the guard.
+    val n = Seq[Option[Double]](None).toDF("x")
+      .select(roundFrac(col("x"), 6)).collect().head
+    assert(n.isNullAt(0))
+  }
+
   test("changed: null-safe inequality truth table (terminals.py:128-131)") {
     val cases = Seq(
       ("a", "a", false), ("a", "b", true),

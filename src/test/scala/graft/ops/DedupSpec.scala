@@ -148,6 +148,16 @@ class DedupSpec extends AnyFunSuite {
     assert(ok === Seq(1L))
   }
 
+  test("connectedComponents: reliable checkpoint mode resolves identically") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (20L, 21L)).toDF("d1", "d2")
+    val got = Dedup.connectedComponents(edges, reliable = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      20L -> 20L, 21L -> 20L))
+  }
+
   test("simhashWide(32) reproduces simhash32 exactly; 60-bit adds upper bits") {
     val sh = Seq(1L -> "the quick brown fox jumps over the lazy dog runs far",
       2L -> "completely different text about spark engines and nothing else")

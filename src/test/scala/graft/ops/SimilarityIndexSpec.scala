@@ -35,4 +35,37 @@ class SimilarityIndexSpec extends AnyFunSuite {
     assert(index.count() === e.count())
     assert(index.select("vec_id").distinct().count() === e.count())
   }
+
+  test("ivfKnnIndexed over the persisted index equals one-shot ivfKnn") {
+    val e = Sources.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val centroids = e.filter(col("vec_id") % 37 === 1)
+    val queries = e.filter(col("vec_id") % 53 === 2)
+    val store = new TableStore(spark, Files.createTempDirectory("graft_ann2").toString)
+    store.overwritePartitioned("ann_cells",
+      Similarity.assignCells(e, centroids), Seq("cid"))
+    // The partition column comes back from Hive discovery as int —
+    // restore the bigint the join keys expect.
+    val index = store.read("ann_cells").withColumn("cid", col("cid").cast("bigint"))
+
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val viaIndex = key(Similarity.ivfKnnIndexed(index, centroids, queries, 3))
+    val oneShot = key(Similarity.ivfKnn(e, centroids, queries, 3))
+    assert(viaIndex === oneShot)
+    assert(viaIndex.nonEmpty)
+  }
+
+  test("assignCells raises on an over-bound codebook without collecting it") {
+    import spark.implicits._
+    val e = Sources.table(spark, "/root/testdata/sf0.001", "embeddings")
+    // A "codebook" far over the bound: the guard must fire from the
+    // bounded limit(Max+1) probe, never a full driver collect.
+    val huge = spark.range(Similarity.MaxCentroids * 4L)
+      .select(col("id").as("vec_id"),
+        array(lit(1.0f), lit(2.0f)).as("embedding"))
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.assignCells(e, huge)
+    }
+    assert(ex.getMessage.contains("codebook bound"))
+  }
 }

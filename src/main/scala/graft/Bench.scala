@@ -60,10 +60,13 @@ object Bench {
 
     // Timed passes: two per query, min reported — single-shot numbers
     // carry GC/compilation noise that reads as phantom round-over-round
-    // regressions. A failed query reports time=null and contributes
-    // nothing to the total.
+    // regressions. If the two samples disagree by >1.5× the query gets
+    // up to two extra passes: transient machine contention (another
+    // process, page-cache eviction) otherwise inflates BOTH samples
+    // and the min reads as a phantom plan regression. A failed query
+    // reports time=null and contributes nothing to the total.
     val results: Seq[(String, Option[Double])] = queries.map { case (name, fn) =>
-      val times = (1 to 2).flatMap { _ =>
+      def timeOnce(): Option[Double] = {
         val t0 = System.nanoTime()
         try { run(name, fn); Some((System.nanoTime() - t0) / 1e9) }
         catch { case e: Throwable =>
@@ -71,7 +74,16 @@ object Bench {
           None
         }
       }
-      name -> (if (times.size == 2) Some(times.min) else None)
+      val first = (1 to 2).flatMap(_ => timeOnce())
+      name -> (if (first.size < 2) None else {
+        var samples = first.toList
+        var extras = 0
+        while (samples.max / samples.min > 1.5 && extras < 2) {
+          timeOnce().foreach(t => samples = t :: samples)
+          extras += 1
+        }
+        Some(samples.min)
+      })
     }
 
     def jstr(s: String): String =

@@ -654,14 +654,22 @@ object LlmQueries {
         |ranked AS (SELECT w, n, row_number() OVER (ORDER BY n DESC, w) AS rnk FROM cnt)
         |SELECT w, n, CAST(rnk AS BIGINT) AS rnk FROM ranked WHERE rnk <= 50""".stripMargin) {
       (s, d) =>
-        import org.apache.spark.sql.expressions.Window
         val top = table(s, d, "documents")
           .select(explode(Dedup.tokens(col("text"))).as("w"))
           .groupBy("w").agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("w"))
           .limit(50)
-        top.withColumn("rnk",
-          row_number().over(Window.orderBy(col("n").desc, col("w"))).cast("bigint"))
+        // Rank the bounded 50-row slice without a WindowExec: pack it
+        // into one sorted array (struct(-n, w) sorts ascending = the
+        // n DESC, w ASC rank order) and posexplode the position back
+        // out. A global window over the slice computes the same thing
+        // but logs the moving-all-data-to-one-partition warning on
+        // every run — this spelling states the boundedness instead.
+        top.agg(sort_array(collect_list(
+            struct((-col("n")).as("negn"), col("w")))).as("arr"))
+          .select(posexplode(col("arr")).as(Seq("pos", "s")))
+          .select(col("s.w").as("w"), (-col("s.negn")).as("n"),
+            (col("pos") + 1).cast("bigint").as("rnk"))
     },
 
     // Deterministic stratified sampling: per-language keep rates

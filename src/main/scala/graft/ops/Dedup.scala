@@ -144,6 +144,42 @@ object Dedup {
   def jaccardParts(s1: Column, s2: Column): (Column, Column) =
     (size(array_intersect(s1, s2)), size(array_union(s1, s2)))
 
+  /** Benchmark-contamination stats: for every corpus document, how
+    * many of its distinct word n-gram shingles also appear anywhere
+    * in `evalDocs` (the held-out benchmark/eval suite), plus a
+    * contamination flag at `thresholdPercent` shared shingles. The
+    * decontamination step of a training-data pipeline — a corpus doc
+    * overlapping an eval document n-gram-wise leaks the benchmark
+    * into training.
+    *
+    * Scale shape: the eval suite is tiny by construction (benchmarks
+    * are thousands of documents, the corpus is the 100 TB side), so
+    * its distinct shingle-hash set BROADCASTS and the overlap count
+    * is a map-side semi join on the corpus shingle rows — the corpus
+    * shuffles once, by doc id, for the two counts (partial aggs
+    * apply). Documents shorter than `shingleN` tokens have no
+    * shingles and drop out (no signal to overlap on). */
+  def contaminationStats(corpus: DataFrame, evalDocs: DataFrame,
+                         idCol: String, textCol: String,
+                         shingleN: Int = 3, thresholdPercent: Int = 10): DataFrame = {
+    require(thresholdPercent >= 0 && thresholdPercent <= 100,
+      s"contaminationStats: thresholdPercent out of range: $thresholdPercent")
+    def shingleRows(df: DataFrame) = df
+      .select(col(idCol),
+        explode(shingleHashes(shingles(tokens(col(textCol)), shingleN))).as("__h"))
+    val evalHashes = shingleRows(evalDocs).select(col("__h")).distinct()
+    val corpusRows = shingleRows(corpus)
+    val totals = corpusRows.groupBy(idCol).agg(count(lit(1)).as("n_shingles"))
+    val shared = corpusRows.join(broadcast(evalHashes), Seq("__h"), "left_semi")
+      .groupBy(idCol).agg(count(lit(1)).as("n_shared"))
+    totals.join(shared, Seq(idCol), "left")
+      .select(col(idCol), col("n_shingles"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("contaminated",
+        when(col("n_shared") * 100 >= col("n_shingles") * thresholdPercent, lit(1))
+          .otherwise(lit(0)))
+  }
+
   /** Resolve near-dup PAIRS into clusters: connected components by
     * iterative min-label propagation. Input: undirected edges
     * (`d1`, `d2`); output: one row per node appearing in any edge,

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Functions.portableHash64
 
@@ -81,5 +82,39 @@ object Sampling {
     df.withColumn("copy_idx",
       explode(when(copies >= 1, sequence(lit(1L), copies))
         .otherwise(array().cast("array<bigint>"))))
+  }
+
+  /** Token-budget mixture sampling: keep documents per stratum, in
+    * deterministic hash order, until the stratum's token budget is
+    * reached — the "take N billion tokens of web, M of code" domain-
+    * mixing step of a pre-training data recipe. Hash order makes the
+    * selection a uniform sample of the stratum (not a prefix of its
+    * natural/ingest order) that reproduces under retry and on any
+    * engine; a document straddling the boundary is dropped (budgets
+    * are honored as hard caps). Emits `cum_tok` — the running token
+    * total through each kept document.
+    *
+    * Scale shape: one prefix-sum window per stratum — a single
+    * shuffle by `strataCol`. Strata are sources/domains (bounded,
+    * but each potentially huge): at 100 TB the production spelling
+    * splits each stratum into hash shards with per-shard quotas
+    * (budget/nShards each), which this same function computes with a
+    * composite (stratum, shard) key — the global selection then
+    * deviates from the per-stratum cap by at most one document per
+    * shard. */
+  def tokenBudget(df: DataFrame, strataCol: String, idCol: String,
+                  tokCol: Column, budgets: Map[String, Long],
+                  defaultBudget: Long): DataFrame = {
+    require((budgets.values ++ Seq(defaultBudget)).forall(_ >= 0),
+      "budgets must be non-negative")
+    val budget = budgets.toSeq.sortBy(_._1).foldLeft(lit(defaultBudget)) {
+      case (acc, (stratum, b)) =>
+        when(col(strataCol) === stratum, lit(b)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(sampleKey(col(idCol)), col(idCol))
+    df.withColumn("n_tok", tokCol.cast("bigint"))
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .filter(col("cum_tok") <= budget)
   }
 }

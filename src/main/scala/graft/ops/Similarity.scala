@@ -173,6 +173,52 @@ object Similarity {
     ivfKnnIndexed(cells, centroids, queries, k, idCol, vecCol, nProbe)
   }
 
+  /** Deterministic "random" hyperplane weights for plane `p` over
+    * `dim` dimensions — an LCG-style integer formula both engines can
+    * evaluate exactly (every weight is an integer in (−501001,
+    * 501001], exact in float32 AND in the oracle's double), replacing
+    * a seeded RNG whose stream would be engine-specific. */
+  def rpWeights(plane: Int, dim: Int): Seq[Float] =
+    (1 to dim).map(j =>
+      (((1103515245L * (plane.toLong * dim + j) + 12345L) % 1000003L) - 501001L).toFloat)
+
+  /** One `nPlanes`-bit random-hyperplane band signature: bit `i` set
+    * iff the embedding's dot product with plane `planeStart + i` is
+    * positive. Sign-of-dot is invariant to vector norm, so equal band
+    * signatures ≈ small angular distance — the cosine-space analogue
+    * of MinHash banding. Runs through the codegen'd
+    * [[graft.functions.DotProductFloat]] kernel against a literal
+    * weight array: a pure map pass, no shuffle. */
+  def rpBand(vec: Column, planeStart: Int, nPlanes: Int, dim: Int): Column = {
+    require(nPlanes >= 1 && nPlanes <= 62, s"rpBand: nPlanes out of range: $nPlanes")
+    (0 until nPlanes).map { i =>
+      when(dotF(vec, typedlit(rpWeights(planeStart + i, dim))) > 0d,
+        lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Random-hyperplane LSH candidate pairs: vectors agreeing on at
+    * least one of `nBands` band signatures (band `b` = planes
+    * `[b·nPlanes, (b+1)·nPlanes)`). Same single-banded-self-equi-join
+    * shape as the MinHash path ([[graft.ops.Dedup.lshCandidates]]):
+    * signatures explode to one (band, sig) row per band, ONE self
+    * equi join yields all candidates — never all-pairs. Returns
+    * distinct (v1, v2) with v1 < v2; callers verify candidates with
+    * exact cosine. */
+  def rpCandidates(vectors: DataFrame, idCol: String, vecCol: String,
+                   dim: Int, nPlanes: Int = 8, nBands: Int = 2): DataFrame = {
+    val bands = (0 until nBands).map(b => rpBand(col(vecCol), b * nPlanes, nPlanes, dim))
+    val rows = vectors.select(col(idCol),
+      posexplode(array(bands: _*)).as(Seq("__band", "__bsig")))
+    val a = rows.select(col(idCol).as("v1"), col("__band").as("__band_a"),
+      col("__bsig").as("__bsig_a"))
+    val b = rows.select(col(idCol).as("v2"), col("__band").as("__band_b"),
+      col("__bsig").as("__bsig_b"))
+    a.join(b, col("__band_a") === col("__band_b") &&
+        col("__bsig_a") === col("__bsig_b") && col("v1") < col("v2"))
+      .select("v1", "v2").distinct()
+  }
+
   /** The query batch's `nProbe` nearest cells, one output row per
     * (query, probed cell). The per-query sort runs as an array
     * expression over the literal codebook — interpreted, but the

@@ -775,6 +775,86 @@ object LlmQueries {
           TextAnalysis.rollingFingerprint(ws).as("rolling_fp"),
           array_min(transform(ws, w => portableHash64(w))).as("min_tok_fp"),
           size(ws).cast("bigint").as("n_tok"))
+    },
+
+    // Benchmark decontamination: per corpus doc, how many of its
+    // distinct 3-gram shingles appear in the "eval suite" (here: the
+    // first 40 tokens of every 13th doc — a benchmark carved from
+    // corpus text, exactly the leak contamination checks exist to
+    // catch). The eval shingle set broadcasts (benchmarks are tiny
+    // against a 100 TB corpus), so the overlap count is a map-side
+    // semi join; the corpus shuffles once, by doc id, for the counts.
+    Q("q60_contamination",
+      s"""WITH tok AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+         |etok AS (SELECT string_split(array_to_string(ws[1:40],' '),' ') AS ws
+         |         FROM tok WHERE doc_id % 13 = 0),
+         |esh AS (SELECT list_distinct(list_transform(range(1, len(ws)-1),
+         |          i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS shs
+         |        FROM etok WHERE len(ws) >= 3),
+         |ehash AS (SELECT DISTINCT ${h64("s")} AS h
+         |          FROM (SELECT unnest(shs) AS s FROM esh)),
+         |tsh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws)-1),
+         |          i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS shs
+         |        FROM tok WHERE len(ws) >= 3),
+         |th AS (SELECT doc_id, ${h64("s")} AS h
+         |       FROM (SELECT doc_id, unnest(shs) AS s FROM tsh)),
+         |tot AS (SELECT doc_id, count(*) AS n_shingles FROM th GROUP BY doc_id),
+         |shared AS (SELECT th.doc_id, count(*) AS n_shared
+         |           FROM th SEMI JOIN ehash ON th.h = ehash.h GROUP BY th.doc_id)
+         |SELECT tot.doc_id, n_shingles, coalesce(n_shared, 0) AS n_shared,
+         |       CASE WHEN coalesce(n_shared, 0) * 100 >= n_shingles * 10
+         |            THEN 1 ELSE 0 END AS contaminated
+         |FROM tot LEFT JOIN shared ON tot.doc_id = shared.doc_id""".stripMargin) {
+      (s, d) =>
+        val docs = table(s, d, "documents").select("doc_id", "text")
+        val evalDocs = docs.filter(col("doc_id") % 13 === 0)
+          .select(col("doc_id"),
+            array_join(slice(Dedup.tokens(col("text")), 1, 40), " ").as("text"))
+        Dedup.contaminationStats(docs, evalDocs, "doc_id", "text")
+    },
+
+    // Sequence packing: documents laid head-to-tail into 256-token
+    // training sequences per language — each doc's start sequence and
+    // offset via one prefix-sum window (a single shuffle; the
+    // production group key is a composite shard, Packing scaladoc).
+    Q("q62_seq_packing",
+      """WITH t AS (SELECT doc_id, lang, len(string_split(text,' ')) AS n_tok FROM documents),
+        |c AS (SELECT doc_id, lang, n_tok,
+        |        sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS start_off
+        |      FROM t)
+        |SELECT doc_id, lang, n_tok,
+        |       CAST(start_off // 256 AS BIGINT) AS seq_id,
+        |       CAST(start_off % 256 AS BIGINT) AS seq_off
+        |FROM c""".stripMargin) {
+      (s, d) =>
+        graft.ops.Packing.packSequences(
+          table(s, d, "documents").select("doc_id", "lang", "text"),
+          "lang", "doc_id", size(Dedup.tokens(col("text"))), capacity = 256)
+          .select("doc_id", "lang", "n_tok", "seq_id", "seq_off")
+    },
+
+    // Token-budget domain mixing: per source, keep documents in
+    // deterministic hash order until the source's token budget is
+    // hit — hard caps, boundary doc dropped. One prefix-sum window
+    // per stratum (Sampling.tokenBudget scaladoc has the sharded
+    // 100 TB spelling).
+    Q("q63_token_budget",
+      s"""WITH t AS (SELECT doc_id, source, len(string_split(text,' ')) AS n_tok,
+         |             ${h64("CAST(doc_id AS VARCHAR)")} % 1000000 AS k FROM documents),
+         |c AS (SELECT doc_id, source, n_tok,
+         |        CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY k, doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok
+         |      FROM t)
+         |SELECT doc_id, source, n_tok, cum_tok FROM c
+         |WHERE cum_tok <= (CASE source WHEN 'src0' THEN 400
+         |                              WHEN 'src1' THEN 1200 ELSE 700 END)""".stripMargin) {
+      (s, d) =>
+        graft.ops.Sampling.tokenBudget(
+          table(s, d, "documents").select("doc_id", "source", "text"),
+          "source", "doc_id", size(Dedup.tokens(col("text"))),
+          budgets = Map("src0" -> 400L, "src1" -> 1200L), defaultBudget = 700L)
+          .select("doc_id", "source", "n_tok", "cum_tok")
     }
   )
 }

@@ -135,6 +135,50 @@ object SimilarityQueries {
           .filter(col("cos_r") >= 0.35)
           .select(col("vec_id").as("v1"), col("vec_id_2").as("v2"),
             col("label"), col("cos_r"))
+    },
+
+    // Random-hyperplane LSH near-dup: sign-of-dot band signatures
+    // (two 8-plane bands over deterministic integer hyperplanes —
+    // [[graft.ops.Similarity.rpWeights]]), candidates from ONE banded
+    // self equi join (never all-pairs, the cosine-space analogue of
+    // q31's MinHash banding and the label-free complement of q42 —
+    // it needs no precomputed cluster column), verified with exact
+    // cosine. The oracle evaluates the identical integer hyperplanes
+    // and fold, so the candidate set and scores agree bit-for-bit.
+    Q("q61_rp_lsh", {
+      def dotGt0(p: Int): String =
+        s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1,65), " +
+          s"j -> embedding[j]::DOUBLE * ((1103515245*($p*64+j) + 12345) % 1000003 - 501001)::DOUBLE)), (x,y) -> x+y) > 0"
+      val bandA = (0 until 8)
+        .map(p => s"CASE WHEN ${dotGt0(p)} THEN ${1L << p} ELSE 0 END").mkString(" + ")
+      val bandB = (8 until 16)
+        .map(p => s"CASE WHEN ${dotGt0(p)} THEN ${1L << (p - 8)} ELSE 0 END").mkString(" + ")
+      s"""WITH sig AS (SELECT vec_id, $bandA AS b0, $bandB AS b1 FROM embeddings),
+         |cand AS (
+         |  SELECT a.vec_id AS v1, b.vec_id AS v2 FROM sig a
+         |  JOIN sig b ON a.b0 = b.b0 AND a.vec_id < b.vec_id
+         |  UNION
+         |  SELECT a.vec_id AS v1, b.vec_id AS v2 FROM sig a
+         |  JOIN sig b ON a.b1 = b.b1 AND a.vec_id < b.vec_id)
+         |SELECT v1, v2, ${cosSql("ea.embedding", "eb.embedding")} AS cos_r
+         |FROM cand JOIN embeddings ea ON ea.vec_id = v1
+         |          JOIN embeddings eb ON eb.vec_id = v2
+         |WHERE ${cosSql("ea.embedding", "eb.embedding")} >= 0.35""".stripMargin
+    }) {
+      (s, d) =>
+        import graft.functions.VectorExpressions.normF
+        val e = table(s, d, "embeddings")
+        val ev = e.select(col("vec_id"), col("embedding"),
+          normF(col("embedding")).as("nrm"))
+        Similarity.rpCandidates(e, "vec_id", "embedding", dim = 64)
+          .join(ev.select(col("vec_id").as("v1"), col("embedding").as("e1"),
+            col("nrm").as("n1")), "v1")
+          .join(ev.select(col("vec_id").as("v2"), col("embedding").as("e2"),
+            col("nrm").as("n2")), "v2")
+          .withColumn("cos_r", Similarity.cosRoundedPre(
+            col("e1"), col("e2"), col("n1"), col("n2")))
+          .filter(col("cos_r") >= 0.35)
+          .select("v1", "v2", "cos_r")
     }
   )
 }

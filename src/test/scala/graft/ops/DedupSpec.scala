@@ -148,6 +148,28 @@ class DedupSpec extends AnyFunSuite {
     assert(ok === Seq(1L))
   }
 
+  test("contaminationStats counts eval-shingle overlap and flags at the threshold") {
+    // Doc 1 fully contains the eval text; doc 2 shares nothing; doc 3
+    // shares exactly one 3-gram ("x y z") of its four shingles (25% —
+    // over a 10% threshold, under a 40% one).
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "completely unrelated words about engines"),
+      (3L, "a b x y z c")).toDF("doc_id", "text")
+    val evalDocs = Seq((100L, "the quick brown fox jumps high x y z")).toDF("doc_id", "text")
+    val got = Dedup.contaminationStats(corpus, evalDocs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+    assert(got(1L) === ((3L, 3L, 1)))  // all shingles shared → contaminated
+    assert(got(2L)._2 === 0L)
+    assert(got(2L)._3 === 0)
+    assert(got(3L) === ((4L, 1L, 1)))  // 25% ≥ 10% threshold
+    val strict = Dedup.contaminationStats(corpus, evalDocs, "doc_id", "text",
+      thresholdPercent = 40)
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(strict(3L) === 0)
+    assert(strict(1L) === 1)
+  }
+
   test("connectedComponents: reliable checkpoint mode resolves identically") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
     spark.sparkContext.setCheckpointDir(dir)

@@ -66,6 +66,35 @@ class SamplingSpec extends AnyFunSuite {
     assert(run() === run())
   }
 
+  test("tokenBudget honors per-stratum caps as hard bounds") {
+    val sized = docs.withColumn("n", (col("doc_id") % 7 + 3).cast("bigint"))
+    val kept = Sampling.tokenBudget(sized, "lang", "doc_id", col("n"),
+      Map("en" -> 500L, "zh" -> 0L), defaultBudget = 1000L)
+    val byLang = kept.groupBy("lang").agg(max("cum_tok").as("m"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // Hard cap: the running total of kept docs never exceeds the budget.
+    assert(byLang("en")._1 <= 500L)
+    assert(byLang("de")._1 <= 1000L)
+    // Budget 0 keeps nothing; both strata keep a strict subset.
+    assert(!byLang.contains("zh"))
+    assert(byLang("en")._2 < 2000L && byLang("de")._2 < 1600L)
+    // Greedy: adding any dropped doc at the selection boundary would
+    // overflow — the max cum_tok is within one max-doc-size of the cap.
+    assert(byLang("en")._1 > 500L - 10L)
+  }
+
+  test("tokenBudget selection is hash-ordered, not id-ordered") {
+    val sized = docs.withColumn("n", lit(10L))
+    val kept = Sampling.tokenBudget(sized, "lang", "doc_id", col("n"),
+      Map.empty, defaultBudget = 300L)
+      .filter(col("lang") === "en").collect().map(_.getLong(0)).toSet
+    assert(kept.size === 30)
+    // A prefix of the natural id order would be ids 2..60 — the hash
+    // order must disagree somewhere.
+    val prefix = (1L to 4000L).filter(_ % 2 == 0).take(30).toSet
+    assert(kept !== prefix)
+  }
+
   test("membership is a pure function of the id (stratum-independent hash)") {
     // The same id sampled under different strata labels keeps or drops
     // identically when the rates agree — the hash ignores the stratum.

@@ -55,6 +55,26 @@ class SimilarityIndexSpec extends AnyFunSuite {
     assert(viaIndex.nonEmpty)
   }
 
+  test("rpCandidates: identical vectors always collide, orthogonal ones do not") {
+    import spark.implicits._
+    // v1 == v2 (identical → every band agrees); v3 = -v1 (opposite →
+    // every sign bit flips, no band agrees). 64-dim like the corpus.
+    def vec(seed: Int): Array[Float] =
+      (1 to 64).map(j => ((seed * 31 + j * 7) % 13 - 6).toFloat).toArray
+    val v = vec(1)
+    val df = Seq((1L, v), (2L, v), (3L, v.map(-_))).toDF("vec_id", "embedding")
+    val got = Similarity.rpCandidates(df, "vec_id", "embedding", dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 2L)))
+    assert(!got.contains((1L, 3L)) && !got.contains((2L, 3L)))
+  }
+
+  test("rpWeights are integers exact in float32 and deterministic") {
+    val w = Similarity.rpWeights(5, 64)
+    assert(w === Similarity.rpWeights(5, 64))
+    assert(w.forall(x => x == math.rint(x) && math.abs(x) <= 501001f))
+  }
+
   test("assignCells raises on an over-bound codebook without collecting it") {
     import spark.implicits._
     val e = Sources.table(spark, "/root/testdata/sf0.001", "embeddings")

@@ -39,6 +39,25 @@ object Sources {
     else df
   }
 
+  /** Input-layout-aware parallelization for compute-heavy per-row
+    * pipelines (shingle/hash/signature passes). A corpus at scale
+    * arrives as thousands of file splits and passes through UNTOUCHED
+    * — the redistribute only fires when the scan's parallelism is
+    * below the session default (e.g. the local test corpus: ONE small
+    * single-row-group parquet file = one task, which would serialize
+    * the whole md5/shingle pipeline onto one core). So the shuffle
+    * exists exactly where the input layout starves the cluster, and
+    * never at 100 TB. */
+  def rebalance(spark: SparkSession, df: DataFrame): DataFrame = {
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
+  /** [[table]] + [[rebalance]]: the scan shape for queries whose
+    * per-row compute dominates their scan. */
+  def tableRebalanced(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    rebalance(spark, table(spark, sfDir, name))
+
   /** Semicolon-delimited CSV with header and explicit schema — the
     * reference's `transactions_DDMMYYYY.txt` shape (`transaction.py:57`,
     * `pd.read_csv(..., sep=';')`). Never `inferSchema`: staging is

@@ -168,13 +168,16 @@ object Dedup {
       .select(col(idCol),
         explode(shingleHashes(shingles(tokens(col(textCol)), shingleN))).as("__h"))
     val evalHashes = shingleRows(evalDocs).select(col("__h")).distinct()
-    val corpusRows = shingleRows(corpus)
-    val totals = corpusRows.groupBy(idCol).agg(count(lit(1)).as("n_shingles"))
-    val shared = corpusRows.join(broadcast(evalHashes), Seq("__h"), "left_semi")
-      .groupBy(idCol).agg(count(lit(1)).as("n_shared"))
-    totals.join(shared, Seq(idCol), "left")
-      .select(col(idCol), col("n_shingles"),
-        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+    // ONE corpus pass: mark each shingle row's eval membership with a
+    // broadcast left join, then count total and shared in the same
+    // aggregate — a totals-vs-shared two-branch formulation would
+    // re-run the md5 shingle pipeline over the whole corpus twice and
+    // pay a second shuffle plus a join to recombine.
+    shingleRows(corpus)
+      .join(broadcast(evalHashes.withColumn("__hit", lit(1L))), Seq("__h"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_shingles"),
+        coalesce(sum("__hit"), lit(0L)).as("n_shared"))
       .withColumn("contaminated",
         when(col("n_shared") * 100 >= col("n_shingles") * thresholdPercent, lit(1))
           .otherwise(lit(0)))

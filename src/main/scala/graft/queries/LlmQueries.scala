@@ -23,6 +23,14 @@ object LlmQueries {
 
   private val P = Dedup.P
 
+  /** The documents scan for queries whose per-doc compute (md5
+    * shingling, signatures, tokenize-heavy aggs) dominates the scan:
+    * [[graft.io.Sources.rebalance]]d so single-file local inputs
+    * don't serialize the pipeline onto one core. At scale the input
+    * has thousands of splits and this is exactly `table(...)`. */
+  private def docsHeavy(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.io.Sources.tableRebalanced(s, d, "documents")
+
   /** Portable 64-bit hash, DuckDB side (must mirror
     * [[graft.functions.Functions.portableHash64]]). */
   private def h64(expr: String): String =
@@ -133,7 +141,7 @@ object LlmQueries {
         // pipeline signatures are materialized to storage once; cache
         // is the single-job equivalent.
         val sigs = Dedup.minhashSignatures(
-          table(s, d, "documents").select("doc_id", "text"), "doc_id", "text").cache()
+          docsHeavy(s, d).select("doc_id", "text"), "doc_id", "text").cache()
         val cands = Dedup.lshCandidates(sigs, "doc_id")
         val withSets = cands
           .join(sigs.select(col("doc_id").as("d1"), col("__hs").as("hs1")), "d1")
@@ -175,7 +183,7 @@ object LlmQueries {
          |FROM comp c""".stripMargin) {
       (s, d) =>
         val sigs = Dedup.minhashSignatures(
-          table(s, d, "documents").select("doc_id", "text"), "doc_id", "text").cache()
+          docsHeavy(s, d).select("doc_id", "text"), "doc_id", "text").cache()
         val cands = Dedup.lshCandidates(sigs, "doc_id")
         val withSets = cands
           .join(sigs.select(col("doc_id").as("d1"), col("__hs").as("hs1")), "d1")
@@ -200,7 +208,7 @@ object LlmQueries {
          |$simhashSql
          |SELECT doc_id, simhash FROM fp""".stripMargin) {
       (s, d) =>
-        val sh = table(s, d, "documents")
+        val sh = docsHeavy(s, d)
           .select(col("doc_id"), Dedup.tokens(col("text")).as("ws"))
           .filter(size(col("ws")) >= 3)
           .select(col("doc_id"),
@@ -227,7 +235,7 @@ object LlmQueries {
          |SELECT d1, d2, fp1, fp2, bit_count(xor(fp1, fp2))::INT AS hamming
          |FROM cand WHERE bit_count(xor(fp1, fp2)) <= 3""".stripMargin) {
       (s, d) =>
-        val sh = table(s, d, "documents")
+        val sh = docsHeavy(s, d)
           .select(col("doc_id"), Dedup.tokens(col("text")).as("ws"))
           .filter(size(col("ws")) >= 3)
           .select(col("doc_id"),
@@ -263,7 +271,7 @@ object LlmQueries {
          |SELECT d1, d2, fp1, fp2, bit_count(xor(fp1, fp2))::INT AS hamming
          |FROM cand WHERE bit_count(xor(fp1, fp2)) <= 3""".stripMargin) {
       (s, d) =>
-        val sh = table(s, d, "documents")
+        val sh = docsHeavy(s, d)
           .select(col("doc_id"), Dedup.tokens(col("text")).as("ws"))
           .filter(size(col("ws")) >= 3)
           .select(col("doc_id"),
@@ -295,7 +303,7 @@ object LlmQueries {
       (s, d) =>
         // Cached: the size lookup and the inverted index both read this —
         // uncached, the md5-shingle pipeline runs twice over the corpus.
-        val hs = table(s, d, "documents")
+        val hs = docsHeavy(s, d)
           .select(col("doc_id"), col("source"), Dedup.tokens(col("text")).as("ws"))
           .filter(size(col("ws")) >= 3)
           .select(col("doc_id"), col("source"),
@@ -336,7 +344,7 @@ object LlmQueries {
       (s, d) =>
         val ws = Dedup.tokens(col("text"))
         val stopCnt = TextAnalysis.stopwordCount(ws)
-        table(s, d, "documents").select(
+        docsHeavy(s, d).select(
           col("doc_id"),
           length(col("text")).cast("bigint").as("n_chars_m"),
           size(ws).cast("bigint").as("n_tok"),
@@ -362,7 +370,7 @@ object LlmQueries {
          |  CAST(max(len(string_split(text,' '))) AS BIGINT) AS max_doc_tokens
          |FROM documents GROUP BY source""".stripMargin) {
       (s, d) =>
-        table(s, d, "documents").groupBy("source").agg(
+        docsHeavy(s, d).groupBy("source").agg(
           count(lit(1)).as("n_docs"),
           sum(TextAnalysis.wsTokenCount(col("text"))).as("ws_tokens"),
           sum(TextAnalysis.bpeTokenCount(col("text"))).as("bpe_tokens"),
@@ -392,7 +400,7 @@ object LlmQueries {
         val scores = TextAnalysis.LangProfiles.map { case (l, prof) =>
           TextAnalysis.langScore(col("text"), prof).cast("bigint").as(s"s_$l")
         }
-        val scored = table(s, d, "documents")
+        val scored = docsHeavy(s, d)
           .select(col("doc_id") +: col("lang") +: scores: _*)
         val scoreRefs = TextAnalysis.LangProfiles.map(p => col(s"s_${p._1}"))
         val pred = TextAnalysis.langPredict(scoreRefs)
@@ -435,7 +443,7 @@ object LlmQueries {
          |WHERE len(list_intersect(hs1,hs2))::DOUBLE / len(list_distinct(hs1||hs2)) >= 0.4""".stripMargin
     }) {
       (s, d) =>
-        val docs = table(s, d, "documents").select("doc_id", "text")
+        val docs = docsHeavy(s, d).select("doc_id", "text")
         val corpusSigs = Dedup.minhashSignatures(docs, "doc_id", "text").cache()
         val batch = docs.filter(col("doc_id") % 10 === 0).select(
           (col("doc_id") + 1000000).as("doc_id"),
@@ -540,7 +548,7 @@ object LlmQueries {
       (s, d) =>
         val ws = Dedup.tokens(col("text"))
         val stopCnt = TextAnalysis.stopwordCount(ws)
-        val kept = table(s, d, "documents").select(
+        val kept = docsHeavy(s, d).select(
             col("doc_id"), col("text"),
             size(ws).cast("bigint").as("n_tok"),
             (stopCnt.cast("double") / size(ws)).as("stop_ratio"))
@@ -578,7 +586,7 @@ object LlmQueries {
           sequence(lit(0), size(col("ws")) - 3),
           i => concat_ws(" ", element_at(col("ws"), i + 1),
             element_at(col("ws"), i + 2), element_at(col("ws"), i + 3)))
-        val base = table(s, d, "documents")
+        val base = docsHeavy(s, d)
           .select(col("doc_id"), ws.as("ws"))
           .filter(size(col("ws")) >= 3)
           .select(col("doc_id"), allShs.as("all_shs"))
@@ -654,7 +662,7 @@ object LlmQueries {
         |ranked AS (SELECT w, n, row_number() OVER (ORDER BY n DESC, w) AS rnk FROM cnt)
         |SELECT w, n, CAST(rnk AS BIGINT) AS rnk FROM ranked WHERE rnk <= 50""".stripMargin) {
       (s, d) =>
-        val top = table(s, d, "documents")
+        val top = docsHeavy(s, d)
           .select(explode(Dedup.tokens(col("text"))).as("w"))
           .groupBy("w").agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("w"))
@@ -714,7 +722,7 @@ object LlmQueries {
         |       round(p90, 4) AS p90, n_kept
         |FROM thr JOIN kept ON thr.lang = kept.lang""".stripMargin) {
       (s, d) =>
-        val q = table(s, d, "documents")
+        val q = docsHeavy(s, d)
           .select(col("doc_id"), col("lang"),
             size(Dedup.tokens(col("text"))).cast("bigint").as("n_tok"))
         val thr = q.groupBy("lang").agg(
@@ -746,7 +754,7 @@ object LlmQueries {
          |FROM st""".stripMargin) {
       (s, d) =>
         val ws = Dedup.tokens(col("text"))
-        table(s, d, "documents")
+        docsHeavy(s, d)
           .select(col("doc_id"), ws.as("ws"),
             explode(TextAnalysis.chunkStarts(ws, stride = 48)).as("s"))
           .select(col("doc_id"),
@@ -770,7 +778,7 @@ object LlmQueries {
          |FROM tok""".stripMargin) {
       (s, d) =>
         val ws = Dedup.tokens(col("text"))
-        table(s, d, "documents").select(
+        docsHeavy(s, d).select(
           col("doc_id"),
           TextAnalysis.rollingFingerprint(ws).as("rolling_fp"),
           array_min(transform(ws, w => portableHash64(w))).as("min_tok_fp"),
@@ -806,7 +814,7 @@ object LlmQueries {
          |            THEN 1 ELSE 0 END AS contaminated
          |FROM tot LEFT JOIN shared ON tot.doc_id = shared.doc_id""".stripMargin) {
       (s, d) =>
-        val docs = table(s, d, "documents").select("doc_id", "text")
+        val docs = docsHeavy(s, d).select("doc_id", "text")
         val evalDocs = docs.filter(col("doc_id") % 13 === 0)
           .select(col("doc_id"),
             array_join(slice(Dedup.tokens(col("text")), 1, 40), " ").as("text"))

@@ -167,7 +167,9 @@ object SimilarityQueries {
     }) {
       (s, d) =>
         import graft.functions.VectorExpressions.normF
-        val e = table(s, d, "embeddings")
+        // Rebalanced: the 16 hyperplane dots per vector dominate the
+        // scan, and the local corpus is one parquet file (one task).
+        val e = graft.io.Sources.tableRebalanced(s, d, "embeddings")
         val ev = e.select(col("vec_id"), col("embedding"),
           normF(col("embedding")).as("nrm"))
         Similarity.rpCandidates(e, "vec_id", "embedding", dim = 64)

@@ -105,6 +105,24 @@ class PlanSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
   }
 
+  test("q60: eval shingle set joins as a broadcast (corpus never shuffles for the probe)") {
+    val plan = planOf("q60_contamination")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"),
+      s"eval probe degraded to a shuffle join:\n${plan.take(2000)}")
+  }
+
+  test("q62/q63: one prefix-sum window, one hash exchange each") {
+    Seq("q62_seq_packing", "q63_token_budget").foreach { name =>
+      val plan = planOf(name)
+      val windows = plan.linesIterator.count(l => l.trim.startsWith("Window ") ||
+        l.trim.matches("^[+:\\-\\s]*Window \\[.*"))
+      assert(windows === 1, s"$name: expected 1 Window exec, got $windows")
+      val shuffles = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      assert(shuffles === 1, s"$name: expected 1 hash exchange, got $shuffles")
+    }
+  }
+
   test("q41: centroid assignment subtree plans no exchange at all") {
     import org.apache.spark.sql.functions.col
     val e = spark.read.parquet(s"$sf/embeddings.parquet")

@@ -19,7 +19,12 @@ out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 con = duckdb.connect()
 for t in ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split():
-    con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+    # Harness tables are single files; DataScale output (Spark writes)
+    # are directories of part files.
+    path = f"{sf}/{t}.parquet"
+    if os.path.isdir(path):
+        path = f"{path}/*.parquet"
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
 
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 try:

@@ -261,13 +261,24 @@ object Dedup {
   def lshCandidatesAgainst(batchSigs: DataFrame, corpusSigs: DataFrame,
                            idCol: String,
                            maxBandFreq: Option[Int] = None): DataFrame =
+    lshCandidateHits(batchSigs, corpusSigs, idCol, maxBandFreq).distinct()
+
+  /** The raw batch × corpus band join underneath
+    * [[lshCandidatesAgainst]], WITHOUT the final `distinct`: a pair
+    * appears once per band it collides in. Streaming-safe — `distinct`
+    * is stateful in a stream (unbounded dedup state), so the streaming
+    * ingest path ([[graft.streaming.Streaming.neardupCandidates]])
+    * consumes these multi-hit rows and dedups per micro-batch in its
+    * sink/verify stage, where the batch is bounded. */
+  def lshCandidateHits(batchSigs: DataFrame, corpusSigs: DataFrame,
+                       idCol: String,
+                       maxBandFreq: Option[Int] = None): DataFrame =
     // The cap is keyed on the CORPUS index (that's where a degenerate
     // bucket accumulates over batches); the batch side probes pruned.
     bandRows(batchSigs, idCol, "d1")
       .join(cappedBandRows(corpusSigs, idCol, "d2", maxBandFreq),
         col("__band_d1") === col("__band_d2") && col("__bsig_d1") === col("__bsig_d2"))
       .select(col("d1"), col("d2"))
-      .distinct()
 
   /** Counter lanes per packed vote aggregate: 4 bit-counters of 15
     * bits each share one summed long, so a `bits`-wide fingerprint

@@ -95,6 +95,29 @@ object Streaming {
         col("session_window.end").as("sess_end"),
         col(keyCol), col("n"), col("sum_value"))
 
+  /** Streaming near-dup ingest: documents arriving as a STREAM are
+    * signature-computed (pure array expressions — fully streaming-
+    * compatible, no state) and probed against the STATIC materialized
+    * corpus signature index via the banded equi join — the
+    * stream-static join Spark executes by re-broadcasting/joining the
+    * static side per micro-batch. This is q43's incremental
+    * batch-vs-corpus flow running continuously: per-trigger cost
+    * scales with the trigger's documents, never the corpus.
+    *
+    * Emits one (d1 = stream doc, d2 = corpus doc) row PER COLLIDING
+    * BAND — a cross-batch `distinct` would be unbounded streaming
+    * state ([[graft.ops.Dedup.lshCandidateHits]]); dedup the bounded
+    * per-batch output in the sink (`foreachBatch` + `dropDuplicates`)
+    * where exact-Jaccard verification joins the texts anyway.
+    * `maxBandFreq` prunes degenerate corpus buckets exactly as in the
+    * batch path. */
+  def neardupCandidates(docs: DataFrame, corpusSigs: DataFrame,
+                        idCol: String, textCol: String,
+                        maxBandFreq: Option[Int] = None): DataFrame =
+    graft.ops.Dedup.lshCandidateHits(
+      graft.ops.Dedup.minhashSignatures(docs, idCol, textCol),
+      corpusSigs, idCol, maxBandFreq)
+
   final case class KeyUpdate(k: String, v: String, ts: Timestamp)
   final case class VersionState(v: String, since: Timestamp)
   final case class ChangeEvent(k: String, prev_v: String, curr_v: String, ts: Timestamp)

@@ -107,6 +107,45 @@ class StreamingSpec extends AnyFunSuite {
       (ts("2024-01-01 10:20:00"), ts("2024-01-01 10:25:00"), 1L, 4.0)))
   }
 
+  test("streaming near-dup ingest finds the same pairs as the batch incremental path") {
+    implicit val ctx = spark.sqlContext
+    // Static corpus: two distinct docs; the stream delivers a near-dup
+    // of doc 1 (one word changed) and an unrelated doc, across two
+    // micro-batches.
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs far away today"),
+      (2L, "completely different text about spark engines and distributed query planning"))
+      .toDF("doc_id", "text")
+    val corpusSigs = graft.ops.Dedup.minhashSignatures(corpus, "doc_id", "text")
+    val ms = MemoryStream[(Long, String)]
+    val stream = ms.toDF().toDF("doc_id", "text")
+    val q = Streaming.neardupCandidates(stream, corpusSigs, "doc_id", "text")
+      .writeStream.format("memory").queryName("neardup_cand")
+      .outputMode("append").start()
+    // Exact duplicate of corpus doc 1: identical shingle set →
+    // identical signature → every band collides (deterministic hit;
+    // a one-word edit's collision depends on which band the changed
+    // shingles land in).
+    val nearDup = (101L,
+      "the quick brown fox jumps over the lazy dog and runs far away today")
+    val unrelated = (102L, "numbers one two three four five six seven eight nine ten")
+    ms.addData(nearDup)
+    q.processAllAvailable()
+    ms.addData(unrelated)
+    q.processAllAvailable()
+    val streamed = spark.table("neardup_cand")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet  // sink-side dedup
+    q.stop()
+    val batch = graft.ops.Dedup.lshCandidatesAgainst(
+      graft.ops.Dedup.minhashSignatures(
+        Seq(nearDup, unrelated).toDF("doc_id", "text"), "doc_id", "text"),
+      corpusSigs, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed === batch)
+    assert(streamed.contains((101L, 1L)))
+    assert(!streamed.exists(_._1 == 102L))
+  }
+
   test("streaming change events fold into the same history the batch builder derives") {
     // The two CDC faces must agree: changeEvents (streaming, stateful)
     // emits one event per transition; fromChangeLog (batch, windowed)

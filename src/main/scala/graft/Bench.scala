@@ -66,20 +66,24 @@ object Bench {
     // and the min reads as a phantom plan regression. A failed query
     // reports time=null and contributes nothing to the total.
     val results: Seq[(String, Option[Double])] = queries.map { case (name, fn) =>
-      def timeOnce(): Option[Double] = {
+      def timeOnce(recordError: Boolean): Option[Double] = {
         val t0 = System.nanoTime()
         try { run(name, fn); Some((System.nanoTime() - t0) / 1e9) }
         catch { case e: Throwable =>
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
+          if (recordError)
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
           None
         }
       }
-      val first = (1 to 2).flatMap(_ => timeOnce())
+      val first = (1 to 2).flatMap(_ => timeOnce(recordError = true))
       name -> (if (first.size < 2) None else {
+        // Stability passes don't record errors: the two authoritative
+        // passes succeeded, so the result stands — a hiccup here must
+        // not turn a timed query into a failed one.
         var samples = first.toList
         var extras = 0
         while (samples.max / samples.min > 1.5 && extras < 2) {
-          timeOnce().foreach(t => samples = t :: samples)
+          timeOnce(recordError = false).foreach(t => samples = t :: samples)
           extras += 1
         }
         Some(samples.min)

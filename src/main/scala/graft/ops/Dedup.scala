@@ -154,11 +154,11 @@ object Dedup {
     *
     * Scale shape: the eval suite is tiny by construction (benchmarks
     * are thousands of documents, the corpus is the 100 TB side), so
-    * its distinct shingle-hash set BROADCASTS and the overlap count
-    * is a map-side semi join on the corpus shingle rows — the corpus
-    * shuffles once, by doc id, for the two counts (partial aggs
-    * apply). Documents shorter than `shingleN` tokens have no
-    * shingles and drop out (no signal to overlap on). */
+    * its distinct shingle-hash set BROADCASTS and each corpus shingle
+    * row probes it map-side; the corpus shuffles once, by doc id, for
+    * the two counts (partial aggs apply). Documents shorter than
+    * `shingleN` tokens have no shingles and drop out (no signal to
+    * overlap on). */
   def contaminationStats(corpus: DataFrame, evalDocs: DataFrame,
                          idCol: String, textCol: String,
                          shingleN: Int = 3, thresholdPercent: Int = 10): DataFrame = {

@@ -790,8 +790,8 @@ object LlmQueries {
     // first 40 tokens of every 13th doc — a benchmark carved from
     // corpus text, exactly the leak contamination checks exist to
     // catch). The eval shingle set broadcasts (benchmarks are tiny
-    // against a 100 TB corpus), so the overlap count is a map-side
-    // semi join; the corpus shuffles once, by doc id, for the counts.
+    // against a 100 TB corpus), so every corpus shingle probes it
+    // map-side; the corpus shuffles once, by doc id, for the counts.
     Q("q60_contamination",
       s"""WITH tok AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
          |etok AS (SELECT string_split(array_to_string(ws[1:40],' '),' ') AS ws

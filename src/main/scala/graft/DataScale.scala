@@ -37,10 +37,17 @@ object DataScale {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def load(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
+    // Through Sources.table, not a raw parquet read: the harness
+    // events table stores ts as TIMESTAMP(NANOS), which a raw read
+    // (under nanosAsLong) surfaces — and would write — as plain
+    // int64, leaving the replica's oracle reading BIGINT where every
+    // query expects a timestamp.
+    def load(t: String): DataFrame = graft.io.Sources.table(spark, src, t)
 
     /** Union of `factor` copies with the named id columns shifted.
       * Replica ranges must not overlap — negative keys or keys at or
@@ -87,7 +94,11 @@ object DataScale {
 
     new java.io.File(out).mkdirs()
     tables.foreach { case (t, df) =>
-      df.write.mode("overwrite").parquet(s"$out/$t.parquet")
+      // Naive-µs timestamps (Verify's dump canonicalization): plain
+      // TimestampType writes isAdjustedToUTC=true parquet, which the
+      // oracle reads as TIMESTAMPTZ while the harness originals are
+      // naive — the replica must keep the originals' type surface.
+      Verify.canonTimestamps(df).write.mode("overwrite").parquet(s"$out/$t.parquet")
       println(s"[datascale] $t -> ${spark.read.parquet(s"$out/$t.parquet").count()} rows")
     }
     spark.stop()

@@ -229,21 +229,23 @@ object Dedup {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val nbrMin = cut(sym
+      // TWO jobs per pass: build the next generation (join + min agg +
+      // label update in one lineage, one checkpoint job), then a cheap
+      // diff count of two checkpointed label frames for convergence. A
+      // checkpoint-the-neighbor-mins-first formulation costs a third
+      // job per pass for the same information.
+      val nbrMin = sym
         .join(labels, sym("dst") === labels("id"))
-        .groupBy(col("src")).agg(min(col("component")).as("__nmin")))
-      // Convergence is visible BEFORE building the next generation: a
-      // pass changes nothing iff no node's neighbor-min beats its own
-      // label — checking here saves the final pass's build entirely.
-      val changed = nbrMin.join(labels, nbrMin("src") === labels("id"))
-        .filter(col("__nmin") < col("component")).count()
+        .groupBy(col("src")).agg(min(col("component")).as("__nmin"))
+      val next = cut(labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("__nmin"), col("component")))
+            .as("component")))
+      val changed = next.select(col("id").as("nid"), col("component").as("ncomp"))
+        .join(labels, col("nid") === labels("id"))
+        .filter(col("ncomp") < col("component")).count()
+      labels = next
       if (changed == 0) converged = true
-      else {
-        labels = cut(labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
-          .select(col("id"),
-            least(col("component"), coalesce(col("__nmin"), col("component")))
-              .as("component")))
-      }
       i += 1
     }
     require(converged,

@@ -197,19 +197,31 @@ object Similarity {
     }.reduce(_ + _)
   }
 
-  /** Random-hyperplane LSH candidate pairs: vectors agreeing on at
-    * least one of `nBands` band signatures (band `b` = planes
-    * `[b·nPlanes, (b+1)·nPlanes)`). Same single-banded-self-equi-join
-    * shape as the MinHash path ([[graft.ops.Dedup.lshCandidates]]):
-    * signatures explode to one (band, sig) row per band, ONE self
-    * equi join yields all candidates — never all-pairs. Returns
-    * distinct (v1, v2) with v1 < v2; callers verify candidates with
-    * exact cosine. */
-  def rpCandidates(vectors: DataFrame, idCol: String, vecCol: String,
-                   dim: Int, nPlanes: Int = 8, nBands: Int = 2): DataFrame = {
-    val bands = (0 until nBands).map(b => rpBand(col(vecCol), b * nPlanes, nPlanes, dim))
-    val rows = vectors.select(col(idCol),
-      posexplode(array(bands: _*)).as(Seq("__band", "__bsig")))
+  /** One row per vector with its `nBands` random-hyperplane band
+    * signatures as columns `b0..b{nBands-1}` (band `b` = planes
+    * `[b·nPlanes, (b+1)·nPlanes)`). The signature pipeline is the
+    * dominant per-vector cost (nBands·nPlanes dot products), so —
+    * exactly like [[graft.ops.Dedup.minhashSignatures]] — callers
+    * cache/materialize this frame and feed it to
+    * [[rpCandidatesFromSigs]], rather than recomputing it on both
+    * sides of the candidate self join. */
+  def rpSignatures(vectors: DataFrame, idCol: String, vecCol: String,
+                   dim: Int, nPlanes: Int = 8, nBands: Int = 2): DataFrame =
+    vectors.select(col(idCol) +: (0 until nBands).map(b =>
+      rpBand(col(vecCol), b * nPlanes, nPlanes, dim).as(s"b$b")): _*)
+
+  /** Random-hyperplane LSH candidate pairs from precomputed
+    * [[rpSignatures]]: vectors agreeing on at least one band. Same
+    * single-banded-self-equi-join shape as the MinHash path
+    * ([[graft.ops.Dedup.lshCandidates]]): signatures explode to one
+    * (band, sig) row per band, ONE self equi join yields all
+    * candidates — never all-pairs. Returns distinct (v1, v2) with
+    * v1 < v2; callers verify candidates with exact cosine. */
+  def rpCandidatesFromSigs(sigs: DataFrame, idCol: String,
+                           nBands: Int = 2): DataFrame = {
+    val rows = sigs.select(col(idCol),
+      posexplode(array((0 until nBands).map(b => col(s"b$b")): _*))
+        .as(Seq("__band", "__bsig")))
     val a = rows.select(col(idCol).as("v1"), col("__band").as("__band_a"),
       col("__bsig").as("__bsig_a"))
     val b = rows.select(col(idCol).as("v2"), col("__band").as("__band_b"),
@@ -218,6 +230,13 @@ object Similarity {
         col("__bsig_a") === col("__bsig_b") && col("v1") < col("v2"))
       .select("v1", "v2").distinct()
   }
+
+  /** [[rpSignatures]] + [[rpCandidatesFromSigs]] in one call, for
+    * callers that don't reuse the signatures. */
+  def rpCandidates(vectors: DataFrame, idCol: String, vecCol: String,
+                   dim: Int, nPlanes: Int = 8, nBands: Int = 2): DataFrame =
+    rpCandidatesFromSigs(
+      rpSignatures(vectors, idCol, vecCol, dim, nPlanes, nBands), idCol, nBands)
 
   /** The query batch's `nProbe` nearest cells, one output row per
     * (query, probed cell). The per-query sort runs as an array

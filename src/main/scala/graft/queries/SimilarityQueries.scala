@@ -169,10 +169,13 @@ object SimilarityQueries {
         import graft.functions.VectorExpressions.normF
         // Rebalanced: the 16 hyperplane dots per vector dominate the
         // scan, and the local corpus is one parquet file (one task).
+        // Signatures cached — both sides of the candidate self join
+        // read them (materialized once in production, like q31's).
         val e = graft.io.Sources.tableRebalanced(s, d, "embeddings")
         val ev = e.select(col("vec_id"), col("embedding"),
           normF(col("embedding")).as("nrm"))
-        Similarity.rpCandidates(e, "vec_id", "embedding", dim = 64)
+        val sigs = Similarity.rpSignatures(e, "vec_id", "embedding", dim = 64).cache()
+        Similarity.rpCandidatesFromSigs(sigs, "vec_id")
           .join(ev.select(col("vec_id").as("v1"), col("embedding").as("e1"),
             col("nrm").as("n1")), "v1")
           .join(ev.select(col("vec_id").as("v2"), col("embedding").as("e2"),

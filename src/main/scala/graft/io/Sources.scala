@@ -34,8 +34,18 @@ object Sources {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    // The engine's event-time operators (epoch math, watermark reads)
+    // consume `ts` as session-tz TIMESTAMP. The harness file stores
+    // TIMESTAMP(NANOS) (read as long under nanosAsLong); a replica or
+    // re-written copy stores naive µs (read as TIMESTAMP_NTZ).
+    // Normalize both — sessions pin UTC, so the NTZ cast is value-
+    // identity. Other tables' timestamp columns pass through: queries
+    // only date-cast/compare them, which either flavor supports, and
+    // a cast above the scan would break their filter pushdown.
     if (name == "events" && df.schema("ts").dataType == LongType)
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else if (name == "events" && df.schema("ts").dataType == TimestampNTZType)
+      df.withColumn("ts", col("ts").cast(TimestampType))
     else df
   }
 

@@ -842,6 +842,99 @@ object LlmQueries {
           .select("doc_id", "lang", "n_tok", "seq_id", "seq_off")
     },
 
+    // TF-IDF keyword extraction: corpus-level document frequencies
+    // feeding per-doc term ranking — the classic text-feature step.
+    // The idf factor is INTEGER-scaled (tf · ⌊N·10^6/df⌋) so scoring
+    // and ranking are exact integer arithmetic on both engines — a
+    // float ln() idf would hang cross-engine rank stability on libm
+    // ulp agreement. Two hash aggregates (tf by (doc, term), df by
+    // term — both map-side-combining) + one equi join + one per-doc
+    // window on the scored rows.
+    Q("q64_tfidf_keywords",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w),
+        |df AS (SELECT w, count(DISTINCT doc_id) AS dfreq FROM tok GROUP BY w),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.w, tf.tf, df.dfreq,
+        |         CAST(tf.tf * ((n.n_docs * 1000000) // df.dfreq) AS BIGINT) AS score
+        |  FROM tf JOIN df ON tf.w = df.w CROSS JOIN n),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                      ORDER BY score DESC, w) AS rnk FROM scored)
+        |SELECT doc_id, w, CAST(tf AS BIGINT) AS tf, CAST(dfreq AS BIGINT) AS dfreq,
+        |       score, CAST(rnk AS BIGINT) AS rnk
+        |FROM ranked WHERE rnk <= 3""".stripMargin) {
+      (s, d) =>
+        import org.apache.spark.sql.expressions.Window
+        val tok = docsHeavy(s, d)
+          .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("w"))
+        val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+        val dfreq = tok.groupBy("w")
+          .agg(countDistinct(col("doc_id")).as("dfreq"))
+        // Corpus size: one scalar off a count aggregate (J9-parity
+        // driver read of a 1-row frame), embedded as a literal so the
+        // scoring expression stays integer-only.
+        val nDocs = table(s, d, "documents").count()
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("w"))
+        tf.join(dfreq, "w")
+          // `div`, not `/`: Spark's slash is double division — the
+          // oracle's `//` is exact integral division, and at corpus
+          // scale the float quotient can land an ulp under an integer
+          // and floor one lower.
+          .withColumn("score",
+            col("tf") * expr(s"CAST(${nDocs * 1000000L} AS BIGINT) div dfreq"))
+          .withColumn("rnk", row_number().over(w).cast("bigint"))
+          .filter(col("rnk") <= 3)
+          .select("doc_id", "w", "tf", "dfreq", "score", "rnk")
+    },
+
+    // Cross-source near-dup overlap: the dedup ANALYTICS view — how
+    // many verified near-dup pairs link each (source, source) bucket,
+    // with the jaccard range. Orders each pair's sources canonically
+    // so (a,b) and (b,a) collapse; min/max over already-rounded
+    // jaccards keeps the aggregate deterministic (an avg would hang
+    // the hash on float summation order). Same cached-signature
+    // pipeline as q31 + two source lookups + one rollup aggregate.
+    Q("q65_source_overlap",
+      s"""WITH $rawCorpus,
+         |$shingleCtes,
+         |sig AS (SELECT doc_id, hs, $mhColsSql FROM hst),
+         |cand AS ($bandJoinSql),
+         |pairs AS (SELECT c.d1, c.d2,
+         |            round(len(list_intersect(a.hs,b.hs))::DOUBLE / len(list_distinct(a.hs||b.hs)), 6) AS jac
+         |          FROM cand c JOIN sig a ON a.doc_id = c.d1 JOIN sig b ON b.doc_id = c.d2
+         |          WHERE len(list_intersect(a.hs,b.hs))::DOUBLE / len(list_distinct(a.hs||b.hs)) >= 0.4),
+         |src AS (SELECT p.jac,
+         |          least(da.source, db.source) AS s1,
+         |          greatest(da.source, db.source) AS s2
+         |        FROM pairs p JOIN documents da ON da.doc_id = p.d1
+         |                     JOIN documents db ON db.doc_id = p.d2)
+         |SELECT s1, s2, count(*) AS n_pairs,
+         |       min(jac) AS min_jac, max(jac) AS max_jac
+         |FROM src GROUP BY s1, s2""".stripMargin) {
+      (s, d) =>
+        val sigs = Dedup.minhashSignatures(
+          docsHeavy(s, d).select("doc_id", "text"), "doc_id", "text").cache()
+        val cands = Dedup.lshCandidates(sigs, "doc_id")
+        val withSets = cands
+          .join(sigs.select(col("doc_id").as("d1"), col("__hs").as("hs1")), "d1")
+          .join(sigs.select(col("doc_id").as("d2"), col("__hs").as("hs2")), "d2")
+        val (inter, uni) = Dedup.jaccardParts(col("hs1"), col("hs2"))
+        val pairs = withSets
+          .withColumn("jac", round(inter.cast("double") / uni, 6))
+          .filter(inter.cast("double") / uni >= 0.4)
+          .select("d1", "d2", "jac")
+        val srcLookup = table(s, d, "documents").select("doc_id", "source")
+        pairs
+          .join(srcLookup.select(col("doc_id").as("d1"), col("source").as("src1")), "d1")
+          .join(srcLookup.select(col("doc_id").as("d2"), col("source").as("src2")), "d2")
+          .select(least(col("src1"), col("src2")).as("s1"),
+            greatest(col("src1"), col("src2")).as("s2"), col("jac"))
+          .groupBy("s1", "s2")
+          .agg(count(lit(1)).as("n_pairs"),
+            min(col("jac")).as("min_jac"), max(col("jac")).as("max_jac"))
+    },
+
     // Token-budget domain mixing: per source, keep documents in
     // deterministic hash order until the source's token budget is
     // hit — hard caps, boundary doc dropped. One prefix-sum window

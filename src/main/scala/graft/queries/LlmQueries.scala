@@ -198,6 +198,59 @@ object LlmQueries {
           .withColumn("cluster_size", count(lit(1)).over(w))
     },
 
+    // Leakage-free dataset split: the split key is the NEAR-DUP
+    // CLUSTER id (q57's components; singletons key on their own doc
+    // id), so near-duplicate documents can never straddle the
+    // train/val/test boundary — hashing raw doc ids (q46) would leak
+    // paraphrases of training documents into eval. This is the
+    // composition that motivates cluster resolution: components →
+    // coalesce onto the corpus → the same deterministic hash-bucket
+    // assignment as q46, now per cluster.
+    Q("q66_leakage_free_split",
+      s"""WITH RECURSIVE $rawCorpus,
+         |$shingleCtes,
+         |sig AS (SELECT doc_id, hs, $mhColsSql FROM hst),
+         |cand AS ($bandJoinSql),
+         |pairs AS (SELECT c.d1, c.d2 FROM cand c
+         |          JOIN sig a ON a.doc_id = c.d1 JOIN sig b ON b.doc_id = c.d2
+         |          WHERE len(list_intersect(a.hs,b.hs))::DOUBLE / len(list_distinct(a.hs||b.hs)) >= 0.4),
+         |sym AS (SELECT d1 AS src, d2 AS dst FROM pairs
+         |        UNION SELECT d2, d1 FROM pairs),
+         |reach AS (
+         |  SELECT src, dst FROM sym
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN sym e ON r.dst = e.src),
+         |comp AS (SELECT src AS doc_id, least(src, min(dst)) AS component
+         |         FROM reach GROUP BY src),
+         |keyed AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS split_key
+         |          FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id)
+         |SELECT doc_id, split_key,
+         |       CASE WHEN ${h64("CAST(split_key AS VARCHAR)")} % 100 < 90 THEN 'train'
+         |            WHEN ${h64("CAST(split_key AS VARCHAR)")} % 100 < 95 THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM keyed""".stripMargin) {
+      (s, d) =>
+        val sigs = Dedup.minhashSignatures(
+          docsHeavy(s, d).select("doc_id", "text"), "doc_id", "text").cache()
+        val cands = Dedup.lshCandidates(sigs, "doc_id")
+        val withSets = cands
+          .join(sigs.select(col("doc_id").as("d1"), col("__hs").as("hs1")), "d1")
+          .join(sigs.select(col("doc_id").as("d2"), col("__hs").as("hs2")), "d2")
+        val (inter, uni) = Dedup.jaccardParts(col("hs1"), col("hs2"))
+        val pairs = withSets
+          .filter(inter.cast("double") / uni >= 0.4)
+          .select("d1", "d2")
+        val comp = Dedup.connectedComponents(pairs)
+          .select(col("id").as("doc_id"), col("component"))
+        val bucket = pmod(portableHash64(col("split_key").cast("string")), lit(100))
+        table(s, d, "documents").select("doc_id")
+          .join(comp, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("component"), col("doc_id")).as("split_key"))
+          .withColumn("split",
+            when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test"))
+    },
+
     // SimHash: 32-bit bit-sampled fingerprint over distinct 3-gram
     // shingles — one explode + one hash aggregate (partial agg:
     // the shuffle carries 32 ints per doc, not the shingles).

@@ -23,6 +23,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Every main pins UTC: Sources.table's NTZ normalization (replica
+      // events tables) casts through the session zone, and a local-TZ
+      // session would silently shift event times on such inputs.
+      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -79,10 +83,13 @@ object Bench {
       name -> (if (first.size < 2) None else {
         // Stability passes don't record errors: the two authoritative
         // passes succeeded, so the result stands — a hiccup here must
-        // not turn a timed query into a failed one.
+        // not turn a timed query into a failed one. Stability is judged
+        // on the two SMALLEST samples (the inflated outlier never
+        // leaves the list, so a max/min test would retry forever).
         var samples = first.toList
         var extras = 0
-        while (samples.max / samples.min > 1.5 && extras < 2) {
+        def unstable = { val s = samples.sorted.take(2); s(1) / s(0) > 1.5 }
+        while (unstable && extras < 2) {
           timeOnce(recordError = false).foreach(t => samples = t :: samples)
           extras += 1
         }

@@ -38,7 +38,11 @@ object Packing {
     val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
     df.withColumn("n_tok", tokCol.cast("bigint"))
       .withColumn("__start", sum(col("n_tok")).over(w) - col("n_tok"))
-      .withColumn("seq_id", floor(col("__start") / capacity).cast("bigint"))
+      // `div`, not floor(`/`): the slash is double division, and past
+      // ~2^43·capacity the float quotient can land an ulp under an
+      // integer and floor one lower — disagreeing with the oracle's
+      // exact `//` AND with seq_off's exact integer pmod.
+      .withColumn("seq_id", expr(s"__start div CAST($capacity AS BIGINT)"))
       .withColumn("seq_off", pmod(col("__start"), lit(capacity.toLong)))
       .drop("__start")
   }

@@ -150,7 +150,8 @@ object LlmQueries {
         withSets
           .withColumn("inter_cnt", inter.cast("bigint"))
           .withColumn("union_cnt", uni.cast("bigint"))
-          .withColumn("jac", round(col("inter_cnt").cast("double") / col("union_cnt"), 6))
+          .withColumn("jac",
+            roundFrac(col("inter_cnt").cast("double") / col("union_cnt"), 6))
           .filter(col("inter_cnt").cast("double") / col("union_cnt") >= 0.4)
           .select("d1", "d2", "inter_cnt", "union_cnt", "jac")
     },
@@ -510,7 +511,8 @@ object LlmQueries {
         withSets
           .withColumn("inter_cnt", inter.cast("bigint"))
           .withColumn("union_cnt", uni.cast("bigint"))
-          .withColumn("jac", round(col("inter_cnt").cast("double") / col("union_cnt"), 6))
+          .withColumn("jac",
+            roundFrac(col("inter_cnt").cast("double") / col("union_cnt"), 6))
           .filter(col("inter_cnt").cast("double") / col("union_cnt") >= 0.4)
           .select("d1", "d2", "inter_cnt", "union_cnt", "jac")
     },
@@ -974,7 +976,10 @@ object LlmQueries {
           .join(sigs.select(col("doc_id").as("d2"), col("__hs").as("hs2")), "d2")
         val (inter, uni) = Dedup.jaccardParts(col("hs1"), col("hs2"))
         val pairs = withSets
-          .withColumn("jac", round(inter.cast("double") / uni, 6))
+          // roundFrac, not round(): identical float ops to the
+          // oracle's rounding, and no per-pair BigDecimal in the
+          // verified-pair loop (roundFrac scaladoc).
+          .withColumn("jac", roundFrac(inter.cast("double") / uni, 6))
           .filter(inter.cast("double") / uni >= 0.4)
           .select("d1", "d2", "jac")
         val srcLookup = table(s, d, "documents").select("doc_id", "source")

@@ -923,9 +923,13 @@ object LlmQueries {
         import org.apache.spark.sql.expressions.Window
         val tok = docsHeavy(s, d)
           .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("w"))
-        val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-        val dfreq = tok.groupBy("w")
-          .agg(countDistinct(col("doc_id")).as("dfreq"))
+        // Cached: df derives FROM tf — tf already holds exactly one
+        // row per (doc, term), so document frequency is a plain count
+        // by term over it. Computing df from the raw token rows would
+        // re-run the explode over the corpus AND pay count(DISTINCT)'s
+        // expand; this way one token pass feeds both aggregates.
+        val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf")).cache()
+        val dfreq = tf.groupBy("w").agg(count(lit(1)).as("dfreq"))
         // Corpus size: one scalar off a count aggregate (J9-parity
         // driver read of a 1-row frame), embedded as a literal so the
         // scoring expression stays integer-only.

@@ -180,6 +180,32 @@ class DedupSpec extends AnyFunSuite {
       20L -> 20L, 21L -> 20L))
   }
 
+  test("persisted signature index round-trips: stored corpus sigs probe like fresh ones") {
+    // The production incremental flow: materialize the corpus MinHash
+    // signatures ONCE, probe every later batch against the stored
+    // table. The stored index must produce the identical candidate set
+    // the in-memory signatures produce.
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs far away today"),
+      (2L, "completely different text about spark engines and distributed query planning"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog and runs far away today"),
+      (102L, "numbers one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(corpus, "doc_id", "text").drop("text", "__hs")
+    val store = new graft.io.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_lsh_idx").toString)
+    store.overwrite("lsh_index", sigs)
+    val batchSigs = Dedup.minhashSignatures(batch, "doc_id", "text")
+    def cands(corpusSigs: org.apache.spark.sql.DataFrame) =
+      Dedup.lshCandidatesAgainst(batchSigs, corpusSigs, "doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fromStore = cands(store.read("lsh_index"))
+    assert(fromStore === cands(sigs))
+    assert(fromStore === Set((101L, 1L)))
+  }
+
   test("simhashWide(32) reproduces simhash32 exactly; 60-bit adds upper bits") {
     val sh = Seq(1L -> "the quick brown fox jumps over the lazy dog runs far",
       2L -> "completely different text about spark engines and nothing else")

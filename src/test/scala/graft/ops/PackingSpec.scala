@@ -28,6 +28,29 @@ class PackingSpec extends AnyFunSuite {
     assert(got === Set((1L, 0L, 0L), (2L, 0L, 6L), (3L, 0L, 0L)))
   }
 
+  test("packing invariants hold across random-ish corpora") {
+    // Deterministic pseudo-random doc sizes; invariants: seq_off in
+    // [0, cap); seq_id·cap + seq_off == the exact prefix sum; the
+    // layout is gapless (next start = prev start + prev n_tok).
+    val cap = 37
+    val df = (1L to 500L).map(i => (i, s"g${i % 3}", (i * 7919 % 93) + 1))
+      .toDF("id", "grp", "n")
+    val got = Packing.packSequences(df, "grp", "id", col("n"), cap)
+      .select("grp", "id", "n_tok", "seq_id", "seq_off")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.forall { case (_, _, _, _, off) => off >= 0 && off < cap })
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(_._2)
+      var expectStart = 0L
+      ordered.foreach { case (_, id, n, seqId, off) =>
+        assert(seqId * cap + off === expectStart,
+          s"doc $id: seq_id=$seqId off=$off expected start $expectStart")
+        expectStart += n
+      }
+    }
+  }
+
   test("packSequences rejects a non-positive capacity") {
     val df = Seq((1L, "g", 1L)).toDF("id", "grp", "n")
     intercept[IllegalArgumentException] {

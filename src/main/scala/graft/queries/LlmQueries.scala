@@ -252,6 +252,67 @@ object LlmQueries {
             when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test"))
     },
 
+    // Quality-ranked canonical selection: per near-dup cluster, keep
+    // the HIGHEST-QUALITY member — the "keep the best copy" dedup
+    // policy (q57's min-id survivor is the deterministic default; a
+    // real pipeline keeps the longest/cleanest member). Quality here
+    // is the integer token count with doc-id tie-break, so the rank
+    // is exact integer comparison on both engines. One window per
+    // component over the (tiny) clustered subset.
+    Q("q67_cluster_survivors",
+      s"""WITH RECURSIVE $rawCorpus,
+         |$shingleCtes,
+         |sig AS (SELECT doc_id, hs, $mhColsSql FROM hst),
+         |cand AS ($bandJoinSql),
+         |pairs AS (SELECT c.d1, c.d2 FROM cand c
+         |          JOIN sig a ON a.doc_id = c.d1 JOIN sig b ON b.doc_id = c.d2
+         |          WHERE len(list_intersect(a.hs,b.hs))::DOUBLE / len(list_distinct(a.hs||b.hs)) >= 0.4),
+         |sym AS (SELECT d1 AS src, d2 AS dst FROM pairs
+         |        UNION SELECT d2, d1 FROM pairs),
+         |reach AS (
+         |  SELECT src, dst FROM sym
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN sym e ON r.dst = e.src),
+         |comp AS (SELECT src AS doc_id, least(src, min(dst)) AS component
+         |         FROM reach GROUP BY src),
+         |sized AS (SELECT c.component, c.doc_id,
+         |            len(string_split(d.text,' ')) AS n_tok
+         |          FROM comp c JOIN documents d ON d.doc_id = c.doc_id),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY component
+         |             ORDER BY n_tok DESC, doc_id) AS rnk,
+         |             count(*) OVER (PARTITION BY component) AS n_members
+         |           FROM sized)
+         |SELECT component, doc_id AS survivor_id,
+         |       CAST(n_tok AS BIGINT) AS survivor_n_tok, n_members
+         |FROM ranked WHERE rnk = 1""".stripMargin) {
+      (s, d) =>
+        import org.apache.spark.sql.expressions.Window
+        val sigs = Dedup.minhashSignatures(
+          docsHeavy(s, d).select("doc_id", "text"), "doc_id", "text").cache()
+        val cands = Dedup.lshCandidates(sigs, "doc_id")
+        val withSets = cands
+          .join(sigs.select(col("doc_id").as("d1"), col("__hs").as("hs1")), "d1")
+          .join(sigs.select(col("doc_id").as("d2"), col("__hs").as("hs2")), "d2")
+        val (inter, uni) = Dedup.jaccardParts(col("hs1"), col("hs2"))
+        val pairs = withSets
+          .filter(inter.cast("double") / uni >= 0.4)
+          .select("d1", "d2")
+        val sized = Dedup.connectedComponents(pairs)
+          .select(col("id").as("doc_id"), col("component"))
+          .join(table(s, d, "documents")
+            .select(col("doc_id"),
+              size(Dedup.tokens(col("text"))).cast("bigint").as("n_tok")), "doc_id")
+        val byQuality = Window.partitionBy(col("component"))
+          .orderBy(col("n_tok").desc, col("doc_id"))
+        val byComp = Window.partitionBy(col("component"))
+        sized
+          .withColumn("rnk", row_number().over(byQuality))
+          .withColumn("n_members", count(lit(1)).over(byComp))
+          .filter(col("rnk") === 1)
+          .select(col("component"), col("doc_id").as("survivor_id"),
+            col("n_tok").as("survivor_n_tok"), col("n_members"))
+    },
+
     // SimHash: 32-bit bit-sampled fingerprint over distinct 3-gram
     // shingles — one explode + one hash aggregate (partial agg:
     // the shuffle carries 32 ints per doc, not the shingles).

@@ -66,6 +66,55 @@ object LlmQueries {
     s"SELECT a.doc_id AS d1, b.doc_id AS d2 FROM sig a JOIN sig b ON $conds AND a.doc_id < b.doc_id"
   }.mkString("\nUNION\n")
 
+  /** Shared oracle CTE block for the cluster family (q57/q66/q67):
+    * verified near-dup pairs (jaccard ≥ 0.4) resolved into connected
+    * components via the recursive closure. Requires `WITH RECURSIVE`
+    * and the `sig`/`cand` CTEs in scope; yields `comp(doc_id,
+    * component)`. ONE definition — the jaccard threshold and closure
+    * formulation must stay in sync across every cluster query. */
+  private val componentCtes =
+    """pairs AS (SELECT c.d1, c.d2 FROM cand c
+      |          JOIN sig a ON a.doc_id = c.d1 JOIN sig b ON b.doc_id = c.d2
+      |          WHERE len(list_intersect(a.hs,b.hs))::DOUBLE / len(list_distinct(a.hs||b.hs)) >= 0.4),
+      |sym AS (SELECT d1 AS src, d2 AS dst FROM pairs
+      |        UNION SELECT d2, d1 FROM pairs),
+      |reach AS (
+      |  SELECT src, dst FROM sym
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN sym e ON r.dst = e.src),
+      |comp AS (SELECT src AS doc_id, least(src, min(dst)) AS component
+      |         FROM reach GROUP BY src)""".stripMargin
+
+  /** Shared Spark front of the pair family (q31/q57/q65/q66/q67):
+    * cached MinHash signatures → ONE banded candidate self join →
+    * per-pair intersection/union counts as `__inter`/`__union`
+    * alongside `d1`/`d2`. Signatures are cached per call — the
+    * candidate and verify joins reference them 3×; in production
+    * they are materialized once (DedupSpec's round-trip). */
+  private def pairScores(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val sigs = Dedup.minhashSignatures(
+      docsHeavy(s, d).select("doc_id", "text"), "doc_id", "text").cache()
+    val withSets = Dedup.lshCandidates(sigs, "doc_id")
+      .join(sigs.select(col("doc_id").as("d1"), col("__hs").as("hs1")), "d1")
+      .join(sigs.select(col("doc_id").as("d2"), col("__hs").as("hs2")), "d2")
+    val (inter, uni) = Dedup.jaccardParts(col("hs1"), col("hs2"))
+    withSets
+      .withColumn("__inter", inter.cast("bigint"))
+      .withColumn("__union", uni.cast("bigint"))
+  }
+
+  /** Pairs passing the 0.4 jaccard verify — the cluster family's
+    * edge set. */
+  private def verifiedPairs(s: org.apache.spark.sql.SparkSession, d: String) =
+    pairScores(s, d)
+      .filter(col("__inter").cast("double") / col("__union") >= 0.4)
+      .select("d1", "d2")
+
+  /** Verified pairs folded into components: `(doc_id, component)`. */
+  private def components(s: org.apache.spark.sql.SparkSession, d: String) =
+    Dedup.connectedComponents(verifiedPairs(s, d))
+      .select(col("id").as("doc_id"), col("component"))
+
   /** SimHash fingerprint select over a `th(doc_id, h)` relation,
     * oracle side — 32 unrolled ±1 vote sums, then bit assembly. */
   private val simhashSql: String = {
@@ -135,21 +184,9 @@ object LlmQueries {
          |FROM pairs
          |WHERE len(list_intersect(hs1,hs2))::DOUBLE / len(list_distinct(hs1||hs2)) >= 0.4""".stripMargin) {
       (s, d) =>
-        // Cache the signatures: the candidate join and the verify joins
-        // reference them 3× — without caching, every reference re-runs
-        // the md5-shingle pipeline (the dominant cost). In a production
-        // pipeline signatures are materialized to storage once; cache
-        // is the single-job equivalent.
-        val sigs = Dedup.minhashSignatures(
-          docsHeavy(s, d).select("doc_id", "text"), "doc_id", "text").cache()
-        val cands = Dedup.lshCandidates(sigs, "doc_id")
-        val withSets = cands
-          .join(sigs.select(col("doc_id").as("d1"), col("__hs").as("hs1")), "d1")
-          .join(sigs.select(col("doc_id").as("d2"), col("__hs").as("hs2")), "d2")
-        val (inter, uni) = Dedup.jaccardParts(col("hs1"), col("hs2"))
-        withSets
-          .withColumn("inter_cnt", inter.cast("bigint"))
-          .withColumn("union_cnt", uni.cast("bigint"))
+        pairScores(s, d)
+          .withColumn("inter_cnt", col("__inter"))
+          .withColumn("union_cnt", col("__union"))
           .withColumn("jac",
             roundFrac(col("inter_cnt").cast("double") / col("union_cnt"), 6))
           .filter(col("inter_cnt").cast("double") / col("union_cnt") >= 0.4)
@@ -168,34 +205,14 @@ object LlmQueries {
          |$shingleCtes,
          |sig AS (SELECT doc_id, hs, $mhColsSql FROM hst),
          |cand AS ($bandJoinSql),
-         |pairs AS (SELECT c.d1, c.d2 FROM cand c
-         |          JOIN sig a ON a.doc_id = c.d1 JOIN sig b ON b.doc_id = c.d2
-         |          WHERE len(list_intersect(a.hs,b.hs))::DOUBLE / len(list_distinct(a.hs||b.hs)) >= 0.4),
-         |sym AS (SELECT d1 AS src, d2 AS dst FROM pairs
-         |        UNION SELECT d2, d1 FROM pairs),
-         |reach AS (
-         |  SELECT src, dst FROM sym
-         |  UNION
-         |  SELECT r.src, e.dst FROM reach r JOIN sym e ON r.dst = e.src),
-         |comp AS (SELECT src AS doc_id, least(src, min(dst)) AS component
-         |         FROM reach GROUP BY src)
+         |$componentCtes
          |SELECT c.component, c.doc_id,
          |       count(*) OVER (PARTITION BY c.component) AS cluster_size
          |FROM comp c""".stripMargin) {
       (s, d) =>
-        val sigs = Dedup.minhashSignatures(
-          docsHeavy(s, d).select("doc_id", "text"), "doc_id", "text").cache()
-        val cands = Dedup.lshCandidates(sigs, "doc_id")
-        val withSets = cands
-          .join(sigs.select(col("doc_id").as("d1"), col("__hs").as("hs1")), "d1")
-          .join(sigs.select(col("doc_id").as("d2"), col("__hs").as("hs2")), "d2")
-        val (inter, uni) = Dedup.jaccardParts(col("hs1"), col("hs2"))
-        val pairs = withSets
-          .filter(inter.cast("double") / uni >= 0.4)
-          .select("d1", "d2")
         val w = org.apache.spark.sql.expressions.Window.partitionBy(col("component"))
-        Dedup.connectedComponents(pairs)
-          .select(col("component"), col("id").as("doc_id"))
+        components(s, d)
+          .select(col("component"), col("doc_id"))
           .withColumn("cluster_size", count(lit(1)).over(w))
     },
 
@@ -212,17 +229,7 @@ object LlmQueries {
          |$shingleCtes,
          |sig AS (SELECT doc_id, hs, $mhColsSql FROM hst),
          |cand AS ($bandJoinSql),
-         |pairs AS (SELECT c.d1, c.d2 FROM cand c
-         |          JOIN sig a ON a.doc_id = c.d1 JOIN sig b ON b.doc_id = c.d2
-         |          WHERE len(list_intersect(a.hs,b.hs))::DOUBLE / len(list_distinct(a.hs||b.hs)) >= 0.4),
-         |sym AS (SELECT d1 AS src, d2 AS dst FROM pairs
-         |        UNION SELECT d2, d1 FROM pairs),
-         |reach AS (
-         |  SELECT src, dst FROM sym
-         |  UNION
-         |  SELECT r.src, e.dst FROM reach r JOIN sym e ON r.dst = e.src),
-         |comp AS (SELECT src AS doc_id, least(src, min(dst)) AS component
-         |         FROM reach GROUP BY src),
+         |$componentCtes,
          |keyed AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS split_key
          |          FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id)
          |SELECT doc_id, split_key,
@@ -231,21 +238,9 @@ object LlmQueries {
          |            ELSE 'test' END AS split
          |FROM keyed""".stripMargin) {
       (s, d) =>
-        val sigs = Dedup.minhashSignatures(
-          docsHeavy(s, d).select("doc_id", "text"), "doc_id", "text").cache()
-        val cands = Dedup.lshCandidates(sigs, "doc_id")
-        val withSets = cands
-          .join(sigs.select(col("doc_id").as("d1"), col("__hs").as("hs1")), "d1")
-          .join(sigs.select(col("doc_id").as("d2"), col("__hs").as("hs2")), "d2")
-        val (inter, uni) = Dedup.jaccardParts(col("hs1"), col("hs2"))
-        val pairs = withSets
-          .filter(inter.cast("double") / uni >= 0.4)
-          .select("d1", "d2")
-        val comp = Dedup.connectedComponents(pairs)
-          .select(col("id").as("doc_id"), col("component"))
         val bucket = pmod(portableHash64(col("split_key").cast("string")), lit(100))
         table(s, d, "documents").select("doc_id")
-          .join(comp, Seq("doc_id"), "left")
+          .join(components(s, d), Seq("doc_id"), "left")
           .select(col("doc_id"),
             coalesce(col("component"), col("doc_id")).as("split_key"))
           .withColumn("split",
@@ -264,17 +259,7 @@ object LlmQueries {
          |$shingleCtes,
          |sig AS (SELECT doc_id, hs, $mhColsSql FROM hst),
          |cand AS ($bandJoinSql),
-         |pairs AS (SELECT c.d1, c.d2 FROM cand c
-         |          JOIN sig a ON a.doc_id = c.d1 JOIN sig b ON b.doc_id = c.d2
-         |          WHERE len(list_intersect(a.hs,b.hs))::DOUBLE / len(list_distinct(a.hs||b.hs)) >= 0.4),
-         |sym AS (SELECT d1 AS src, d2 AS dst FROM pairs
-         |        UNION SELECT d2, d1 FROM pairs),
-         |reach AS (
-         |  SELECT src, dst FROM sym
-         |  UNION
-         |  SELECT r.src, e.dst FROM reach r JOIN sym e ON r.dst = e.src),
-         |comp AS (SELECT src AS doc_id, least(src, min(dst)) AS component
-         |         FROM reach GROUP BY src),
+         |$componentCtes,
          |sized AS (SELECT c.component, c.doc_id,
          |            len(string_split(d.text,' ')) AS n_tok
          |          FROM comp c JOIN documents d ON d.doc_id = c.doc_id),
@@ -287,21 +272,13 @@ object LlmQueries {
          |FROM ranked WHERE rnk = 1""".stripMargin) {
       (s, d) =>
         import org.apache.spark.sql.expressions.Window
-        val sigs = Dedup.minhashSignatures(
-          docsHeavy(s, d).select("doc_id", "text"), "doc_id", "text").cache()
-        val cands = Dedup.lshCandidates(sigs, "doc_id")
-        val withSets = cands
-          .join(sigs.select(col("doc_id").as("d1"), col("__hs").as("hs1")), "d1")
-          .join(sigs.select(col("doc_id").as("d2"), col("__hs").as("hs2")), "d2")
-        val (inter, uni) = Dedup.jaccardParts(col("hs1"), col("hs2"))
-        val pairs = withSets
-          .filter(inter.cast("double") / uni >= 0.4)
-          .select("d1", "d2")
-        val sized = Dedup.connectedComponents(pairs)
-          .select(col("id").as("doc_id"), col("component"))
-          .join(table(s, d, "documents")
-            .select(col("doc_id"),
-              size(Dedup.tokens(col("text"))).cast("bigint").as("n_tok")), "doc_id")
+        // Tokenize AFTER joining the (tiny) component labels, like the
+        // oracle: projecting n_tok on the documents scan would run a
+        // second full-corpus tokenize pass for a handful of members.
+        val sized = components(s, d)
+          .join(table(s, d, "documents").select("doc_id", "text"), "doc_id")
+          .select(col("component"), col("doc_id"),
+            size(Dedup.tokens(col("text"))).cast("bigint").as("n_tok"))
         val byQuality = Window.partitionBy(col("component"))
           .orderBy(col("n_tok").desc, col("doc_id"))
         val byComp = Window.partitionBy(col("component"))
@@ -1033,19 +1010,13 @@ object LlmQueries {
          |       min(jac) AS min_jac, max(jac) AS max_jac
          |FROM src GROUP BY s1, s2""".stripMargin) {
       (s, d) =>
-        val sigs = Dedup.minhashSignatures(
-          docsHeavy(s, d).select("doc_id", "text"), "doc_id", "text").cache()
-        val cands = Dedup.lshCandidates(sigs, "doc_id")
-        val withSets = cands
-          .join(sigs.select(col("doc_id").as("d1"), col("__hs").as("hs1")), "d1")
-          .join(sigs.select(col("doc_id").as("d2"), col("__hs").as("hs2")), "d2")
-        val (inter, uni) = Dedup.jaccardParts(col("hs1"), col("hs2"))
-        val pairs = withSets
+        val pairs = pairScores(s, d)
           // roundFrac, not round(): identical float ops to the
           // oracle's rounding, and no per-pair BigDecimal in the
           // verified-pair loop (roundFrac scaladoc).
-          .withColumn("jac", roundFrac(inter.cast("double") / uni, 6))
-          .filter(inter.cast("double") / uni >= 0.4)
+          .withColumn("jac",
+            roundFrac(col("__inter").cast("double") / col("__union"), 6))
+          .filter(col("__inter").cast("double") / col("__union") >= 0.4)
           .select("d1", "d2", "jac")
         val srcLookup = table(s, d, "documents").select("doc_id", "source")
         pairs

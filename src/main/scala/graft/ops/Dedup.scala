@@ -183,6 +183,41 @@ object Dedup {
           .otherwise(lit(0)))
   }
 
+  /** Stateless spelling of [[contaminationStats]] for a BOUNDED eval
+    * suite: the distinct eval shingle-hash set ships as a plan
+    * literal, and every stat is a pure per-row array expression —
+    * `n_shared = |doc_shingles ∩ eval_set|` via `array_intersect`, no
+    * explode, no join, no aggregation. This makes decontamination
+    * STREAMING-SAFE (zero state — each micro-batch row carries its
+    * own verdict) and turns the batch variant's one shuffle into
+    * none. The trade: the eval set must fit a broadcast-sized literal
+    * (`MaxEvalHashes`); real benchmark suites are a few hundred
+    * thousand n-grams, comfortably inside it — a corpus-sized
+    * "eval" set belongs in [[contaminationStats]]'s join formulation
+    * instead. */
+  def contaminationFlags(docs: DataFrame, evalHashes: Array[Long],
+                         idCol: String, textCol: String,
+                         shingleN: Int = 3, thresholdPercent: Int = 10): DataFrame = {
+    require(evalHashes.length <= MaxEvalHashes,
+      s"contaminationFlags: ${evalHashes.length} eval hashes exceed $MaxEvalHashes — " +
+        "use contaminationStats (broadcast-join formulation) for large eval sets")
+    require(thresholdPercent >= 0 && thresholdPercent <= 100,
+      s"contaminationFlags: thresholdPercent out of range: $thresholdPercent")
+    val evalArr = typedlit(evalHashes.distinct.sorted.toSeq)
+    docs
+      .withColumn("__hs", shingleHashes(shingles(tokens(col(textCol)), shingleN)))
+      .filter(size(col("__hs")) > 0)
+      .select(col(idCol),
+        size(col("__hs")).cast("bigint").as("n_shingles"),
+        size(array_intersect(col("__hs"), evalArr)).cast("bigint").as("n_shared"))
+      .withColumn("contaminated",
+        when(col("n_shared") * 100 >= col("n_shingles") * thresholdPercent, lit(1))
+          .otherwise(lit(0)))
+  }
+
+  /** Eval-set bound for the literal-array contamination path. */
+  val MaxEvalHashes = 1000000
+
   /** Resolve near-dup PAIRS into clusters: connected components by
     * iterative min-label propagation. Input: undirected edges
     * (`d1`, `d2`); output: one row per node appearing in any edge,

@@ -146,6 +146,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(!streamed.exists(_._1 == 102L))
   }
 
+  test("stateless contamination flags agree with the batch join formulation, streaming") {
+    implicit val ctx = spark.sqlContext
+    val evalDocs = Seq((100L, "the quick brown fox jumps high x y z"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "completely unrelated words about engines"),
+      (3L, "a b x y z c"))
+    // Eval hash set extracted once (the materialized decontamination
+    // artifact), then applied as pure expressions to a STREAM.
+    import org.apache.spark.sql.functions.{col, explode}
+    val evalHashes = evalDocs
+      .select(explode(graft.ops.Dedup.shingleHashes(
+        graft.ops.Dedup.shingles(graft.ops.Dedup.tokens(col("text"))))).as("h"))
+      .distinct().collect().map(_.getLong(0))
+    val ms = MemoryStream[(Long, String)]
+    val q = graft.ops.Dedup.contaminationFlags(
+        ms.toDF().toDF("doc_id", "text"), evalHashes, "doc_id", "text")
+      .writeStream.format("memory").queryName("contam_stream")
+      .outputMode("append").start()
+    ms.addData(corpus.take(2): _*)
+    q.processAllAvailable()
+    ms.addData(corpus.drop(2): _*)
+    q.processAllAvailable()
+    val streamed = spark.table("contam_stream")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3))))
+      .toMap
+    q.stop()
+    val batch = graft.ops.Dedup.contaminationStats(
+        corpus.toDF("doc_id", "text"), evalDocs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3))))
+      .toMap
+    assert(streamed === batch)
+    assert(streamed(1L) === ((3L, 3L, 1)))
+  }
+
   test("streaming change events fold into the same history the batch builder derives") {
     // The two CDC faces must agree: changeEvents (streaming, stateful)
     // emits one event per transition; fromChangeLog (batch, windowed)

@@ -190,20 +190,26 @@ object Dedup {
     * explode, no join, no aggregation. This makes decontamination
     * STREAMING-SAFE (zero state — each micro-batch row carries its
     * own verdict) and turns the batch variant's one shuffle into
-    * none. The trade: the eval set must fit a broadcast-sized literal
-    * (`MaxEvalHashes`); real benchmark suites are a few hundred
-    * thousand n-grams, comfortably inside it — a corpus-sized
-    * "eval" set belongs in [[contaminationStats]]'s join formulation
-    * instead. */
+    * none. The trade: `array_intersect` rebuilds its lookup set from
+    * the literal PER ROW (Spark does not hoist constant arguments),
+    * so per-document cost is O(|eval set|) — this spelling suits
+    * COMPACT decontamination lists (a benchmark's distinct n-grams
+    * after pruning, typically thousands; `MaxEvalHashes` enforces
+    * the regime). Larger eval sets belong in [[contaminationStats]]'s
+    * broadcast-join formulation, which builds one lookup per task
+    * instead of one per row. */
   def contaminationFlags(docs: DataFrame, evalHashes: Array[Long],
                          idCol: String, textCol: String,
                          shingleN: Int = 3, thresholdPercent: Int = 10): DataFrame = {
-    require(evalHashes.length <= MaxEvalHashes,
-      s"contaminationFlags: ${evalHashes.length} eval hashes exceed $MaxEvalHashes — " +
-        "use contaminationStats (broadcast-join formulation) for large eval sets")
+    // Bound what the plan actually carries: the DEDUPLICATED set.
+    val distinctHashes = evalHashes.distinct.sorted
+    require(distinctHashes.length <= MaxEvalHashes,
+      s"contaminationFlags: ${distinctHashes.length} distinct eval hashes exceed " +
+        s"$MaxEvalHashes — use contaminationStats (broadcast-join formulation) " +
+        "for large eval sets")
     require(thresholdPercent >= 0 && thresholdPercent <= 100,
       s"contaminationFlags: thresholdPercent out of range: $thresholdPercent")
-    val evalArr = typedlit(evalHashes.distinct.sorted.toSeq)
+    val evalArr = typedlit(distinctHashes.toSeq)
     docs
       .withColumn("__hs", shingleHashes(shingles(tokens(col(textCol)), shingleN)))
       .filter(size(col("__hs")) > 0)
@@ -215,8 +221,10 @@ object Dedup {
           .otherwise(lit(0)))
   }
 
-  /** Eval-set bound for the literal-array contamination path. */
-  val MaxEvalHashes = 1000000
+  /** Eval-set bound for the literal-array contamination path — sized
+    * to where the PER-ROW set rebuild stays cheap (O(10^4) inserts),
+    * not to what a plan literal could physically hold. */
+  val MaxEvalHashes = 10000
 
   /** Resolve near-dup PAIRS into clusters: connected components by
     * iterative min-label propagation. Input: undirected edges

@@ -66,16 +66,21 @@ object LlmQueries {
     s"SELECT a.doc_id AS d1, b.doc_id AS d2 FROM sig a JOIN sig b ON $conds AND a.doc_id < b.doc_id"
   }.mkString("\nUNION\n")
 
+  /** The pair-family jaccard verify threshold — interpolated into
+    * every oracle SQL string and referenced by every Spark filter, so
+    * the two sides and the five queries cannot drift. */
+  private val JaccardThreshold = 0.4
+
   /** Shared oracle CTE block for the cluster family (q57/q66/q67):
-    * verified near-dup pairs (jaccard ≥ 0.4) resolved into connected
-    * components via the recursive closure. Requires `WITH RECURSIVE`
-    * and the `sig`/`cand` CTEs in scope; yields `comp(doc_id,
-    * component)`. ONE definition — the jaccard threshold and closure
+    * verified near-dup pairs (jaccard ≥ [[JaccardThreshold]])
+    * resolved into connected components via the recursive closure.
+    * Requires `WITH RECURSIVE` and the `sig`/`cand` CTEs in scope;
+    * yields `comp(doc_id, component)`. ONE definition — the closure
     * formulation must stay in sync across every cluster query. */
   private val componentCtes =
-    """pairs AS (SELECT c.d1, c.d2 FROM cand c
+    s"""pairs AS (SELECT c.d1, c.d2 FROM cand c
       |          JOIN sig a ON a.doc_id = c.d1 JOIN sig b ON b.doc_id = c.d2
-      |          WHERE len(list_intersect(a.hs,b.hs))::DOUBLE / len(list_distinct(a.hs||b.hs)) >= 0.4),
+      |          WHERE len(list_intersect(a.hs,b.hs))::DOUBLE / len(list_distinct(a.hs||b.hs)) >= $JaccardThreshold),
       |sym AS (SELECT d1 AS src, d2 AS dst FROM pairs
       |        UNION SELECT d2, d1 FROM pairs),
       |reach AS (
@@ -103,11 +108,11 @@ object LlmQueries {
       .withColumn("__union", uni.cast("bigint"))
   }
 
-  /** Pairs passing the 0.4 jaccard verify — the cluster family's
+  /** Pairs passing the [[JaccardThreshold]] jaccard verify — the cluster family's
     * edge set. */
   private def verifiedPairs(s: org.apache.spark.sql.SparkSession, d: String) =
     pairScores(s, d)
-      .filter(col("__inter").cast("double") / col("__union") >= 0.4)
+      .filter(col("__inter").cast("double") / col("__union") >= JaccardThreshold)
       .select("d1", "d2")
 
   /** Verified pairs folded into components: `(doc_id, component)`. */
@@ -182,14 +187,14 @@ object LlmQueries {
          |       len(list_distinct(hs1||hs2)) AS union_cnt,
          |       round(len(list_intersect(hs1,hs2))::DOUBLE / len(list_distinct(hs1||hs2)), 6) AS jac
          |FROM pairs
-         |WHERE len(list_intersect(hs1,hs2))::DOUBLE / len(list_distinct(hs1||hs2)) >= 0.4""".stripMargin) {
+         |WHERE len(list_intersect(hs1,hs2))::DOUBLE / len(list_distinct(hs1||hs2)) >= $JaccardThreshold""".stripMargin) {
       (s, d) =>
         pairScores(s, d)
           .withColumn("inter_cnt", col("__inter"))
           .withColumn("union_cnt", col("__union"))
           .withColumn("jac",
             roundFrac(col("inter_cnt").cast("double") / col("union_cnt"), 6))
-          .filter(col("inter_cnt").cast("double") / col("union_cnt") >= 0.4)
+          .filter(col("inter_cnt").cast("double") / col("union_cnt") >= JaccardThreshold)
           .select("d1", "d2", "inter_cnt", "union_cnt", "jac")
     },
 
@@ -391,7 +396,7 @@ object LlmQueries {
          |       len(list_intersect(a.hs, b.hs)) AS inter_cnt,
          |       len(list_distinct(a.hs || b.hs)) AS union_cnt
          |FROM hsrc a JOIN hsrc b ON a.source = b.source AND a.doc_id < b.doc_id
-         |WHERE len(list_intersect(a.hs, b.hs))::DOUBLE / len(list_distinct(a.hs || b.hs)) >= 0.4""".stripMargin) {
+         |WHERE len(list_intersect(a.hs, b.hs))::DOUBLE / len(list_distinct(a.hs || b.hs)) >= $JaccardThreshold""".stripMargin) {
       (s, d) =>
         // Cached: the size lookup and the inverted index both read this —
         // uncached, the md5-shingle pipeline runs twice over the corpus.
@@ -414,7 +419,7 @@ object LlmQueries {
           .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
           .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
           .withColumn("union_cnt", col("n1") + col("n2") - col("inter_cnt"))
-          .filter(col("inter_cnt").cast("double") / col("union_cnt") >= 0.4)
+          .filter(col("inter_cnt").cast("double") / col("union_cnt") >= JaccardThreshold)
           .select(col("d1"), col("d2"), col("inter_cnt"), col("union_cnt"))
     },
 
@@ -532,7 +537,7 @@ object LlmQueries {
          |       CAST(len(list_distinct(hs1||hs2)) AS BIGINT) AS union_cnt,
          |       round(len(list_intersect(hs1,hs2))::DOUBLE / len(list_distinct(hs1||hs2)), 6) AS jac
          |FROM pairs
-         |WHERE len(list_intersect(hs1,hs2))::DOUBLE / len(list_distinct(hs1||hs2)) >= 0.4""".stripMargin
+         |WHERE len(list_intersect(hs1,hs2))::DOUBLE / len(list_distinct(hs1||hs2)) >= $JaccardThreshold""".stripMargin
     }) {
       (s, d) =>
         val docs = docsHeavy(s, d).select("doc_id", "text")
@@ -551,7 +556,7 @@ object LlmQueries {
           .withColumn("union_cnt", uni.cast("bigint"))
           .withColumn("jac",
             roundFrac(col("inter_cnt").cast("double") / col("union_cnt"), 6))
-          .filter(col("inter_cnt").cast("double") / col("union_cnt") >= 0.4)
+          .filter(col("inter_cnt").cast("double") / col("union_cnt") >= JaccardThreshold)
           .select("d1", "d2", "inter_cnt", "union_cnt", "jac")
     },
 
@@ -1000,7 +1005,7 @@ object LlmQueries {
          |pairs AS (SELECT c.d1, c.d2,
          |            round(len(list_intersect(a.hs,b.hs))::DOUBLE / len(list_distinct(a.hs||b.hs)), 6) AS jac
          |          FROM cand c JOIN sig a ON a.doc_id = c.d1 JOIN sig b ON b.doc_id = c.d2
-         |          WHERE len(list_intersect(a.hs,b.hs))::DOUBLE / len(list_distinct(a.hs||b.hs)) >= 0.4),
+         |          WHERE len(list_intersect(a.hs,b.hs))::DOUBLE / len(list_distinct(a.hs||b.hs)) >= $JaccardThreshold),
          |src AS (SELECT p.jac,
          |          least(da.source, db.source) AS s1,
          |          greatest(da.source, db.source) AS s2
@@ -1016,7 +1021,7 @@ object LlmQueries {
           // verified-pair loop (roundFrac scaladoc).
           .withColumn("jac",
             roundFrac(col("__inter").cast("double") / col("__union"), 6))
-          .filter(col("__inter").cast("double") / col("__union") >= 0.4)
+          .filter(col("__inter").cast("double") / col("__union") >= JaccardThreshold)
           .select("d1", "d2", "jac")
         val srcLookup = table(s, d, "documents").select("doc_id", "source")
         pairs

@@ -88,7 +88,14 @@ object Bench {
         // leaves the list, so a max/min test would retry forever).
         var samples = first.toList
         var extras = 0
-        def unstable = { val s = samples.sorted.take(2); s(1) / s(0) > 1.5 }
+        // Absolute-difference gate too: for sub-50ms queries ordinary
+        // scheduler/GC jitter routinely exceeds 1.5× as a pure ratio
+        // (and a zero sample would divide by zero), so noise on
+        // near-zero timings must not burn the extra passes.
+        def unstable = {
+          val s = samples.sorted.take(2)
+          s(1) - s(0) > 0.05 && s(1) > s(0) * 1.5
+        }
         while (unstable && extras < 2) {
           timeOnce(recordError = false).foreach(t => samples = t :: samples)
           extras += 1

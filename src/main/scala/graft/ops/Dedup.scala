@@ -35,6 +35,19 @@ object Dedup {
   val BandRows = 3
   val NumBands: Int = NumHashes / BandRows
 
+  /** Default band-bucket frequency cap, engaged by every candidate
+    * generator unless the caller explicitly passes `None`. A (band,
+    * signature) bucket of b docs yields b·(b−1)/2 pairs, so one
+    * degenerate signature (near-empty boilerplate docs) is one
+    * quadratic straggler task at scale — the cap must be ON by
+    * default, not an opt-in. 1000 is far above any organic bucket
+    * (the harness corpora peak at 3 members at sf0.01 and 16 at
+    * sf0.1 — DedupSpec pins that the default prunes nothing there,
+    * keeping oracle equivalence exact) yet bounds the worst bucket
+    * to ~500k pairs in one task. Docs in a hotter bucket still pair
+    * through their other, discriminating bands. */
+  val DefaultMaxBandFreq: Option[Int] = Some(1000)
+
   /** Whitespace tokens of a document. */
   def tokens(text: Column): Column = split(text, " ")
 
@@ -124,15 +137,15 @@ object Dedup {
     * count, not join count, is what matters). Returns distinct
     * (d1, d2) with d1 < d2.
     *
-    * `maxBandFreq` (None = uncapped) drops band buckets with more
-    * members than the cap before the join — see [[cappedBandRows]];
-    * at scale ALWAYS set it (one degenerate signature is one
-    * quadratic straggler task). Pruning ONE side suffices for the
-    * self join — a pair needs its bucket on both sides, so removing
-    * hot buckets from d1 alone removes those pairs — and halves the
-    * cap's extra pass over the band rows. */
+    * `maxBandFreq` drops band buckets with more members than the cap
+    * before the join — see [[cappedBandRows]]; it defaults to
+    * [[DefaultMaxBandFreq]] (pass `None` explicitly to run uncapped,
+    * e.g. for an exhaustive offline audit). Pruning ONE side suffices
+    * for the self join — a pair needs its bucket on both sides, so
+    * removing hot buckets from d1 alone removes those pairs — and
+    * halves the cap's extra pass over the band rows. */
   def lshCandidates(sigs: DataFrame, idCol: String,
-                    maxBandFreq: Option[Int] = None): DataFrame =
+                    maxBandFreq: Option[Int] = DefaultMaxBandFreq): DataFrame =
     cappedBandRows(sigs, idCol, "d1", maxBandFreq)
       .join(bandRows(sigs, idCol, "d2"),
         col("__band_d1") === col("__band_d2") && col("__bsig_d1") === col("__bsig_d2") &&
@@ -305,7 +318,7 @@ object Dedup {
     * (batch id as d1, corpus id as d2). */
   def lshCandidatesAgainst(batchSigs: DataFrame, corpusSigs: DataFrame,
                            idCol: String,
-                           maxBandFreq: Option[Int] = None): DataFrame =
+                           maxBandFreq: Option[Int] = DefaultMaxBandFreq): DataFrame =
     lshCandidateHits(batchSigs, corpusSigs, idCol, maxBandFreq).distinct()
 
   /** The raw batch × corpus band join underneath
@@ -317,7 +330,7 @@ object Dedup {
     * sink/verify stage, where the batch is bounded. */
   def lshCandidateHits(batchSigs: DataFrame, corpusSigs: DataFrame,
                        idCol: String,
-                       maxBandFreq: Option[Int] = None): DataFrame =
+                       maxBandFreq: Option[Int] = DefaultMaxBandFreq): DataFrame =
     // The cap is keyed on the CORPUS index (that's where a degenerate
     // bucket accumulates over batches); the batch side probes pruned.
     bandRows(batchSigs, idCol, "d1")

@@ -35,7 +35,12 @@ object Packing {
   def packSequences(df: DataFrame, groupCol: String, idCol: String,
                     tokCol: Column, capacity: Int): DataFrame = {
     require(capacity > 0, s"packSequences: capacity must be positive, got $capacity")
+    // Explicit ROWS frame: the default RANGE frame includes all peers
+    // tied on idCol in the running sum, which would give tied docs
+    // identical inflated __start values (overlapping placements). The
+    // oracle pins ROWS; match it regardless of idCol uniqueness.
     val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("n_tok", tokCol.cast("bigint"))
       .withColumn("__start", sum(col("n_tok")).over(w) - col("n_tok"))
       // `div`, not floor(`/`): the slash is double division, and past

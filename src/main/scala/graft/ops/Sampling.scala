@@ -111,8 +111,14 @@ object Sampling {
       case (acc, (stratum, b)) =>
         when(col(strataCol) === stratum, lit(b)).otherwise(acc)
     }
+    // Explicit ROWS frame: the default RANGE frame would hand every
+    // row tied on (sampleKey, id) the peers-inclusive cum_tok, which
+    // can drop all tied boundary docs where the oracle's ROWS frame
+    // keeps some. Ties require duplicate idCol values, but the frame
+    // should match the oracle regardless of key uniqueness.
     val w = Window.partitionBy(col(strataCol))
       .orderBy(sampleKey(col(idCol)), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("n_tok", tokCol.cast("bigint"))
       .withColumn("cum_tok", sum(col("n_tok")).over(w))
       .filter(col("cum_tok") <= budget)

@@ -95,11 +95,18 @@ object LlmQueries {
     * per-pair intersection/union counts as `__inter`/`__union`
     * alongside `d1`/`d2`. Signatures are cached per call — the
     * candidate and verify joins reference them 3×; in production
-    * they are materialized once (DedupSpec's round-trip). */
+    * they are materialized once (DedupSpec's round-trip).
+    *
+    * The candidate join runs with [[Dedup.DefaultMaxBandFreq]]
+    * ENGAGED (the generator's default): the uncapped-SQL oracles stay
+    * exact because no harness bucket approaches the cap —
+    * DedupSpec pins `hotBands(…, DefaultMaxBandFreq).count() == 0`
+    * on the sf0.01 corpus, so the cap provably prunes nothing at
+    * oracle scale while bounding degenerate buckets at 100 TB. */
   private def pairScores(s: org.apache.spark.sql.SparkSession, d: String) = {
     val sigs = Dedup.minhashSignatures(
       docsHeavy(s, d).select("doc_id", "text"), "doc_id", "text").cache()
-    val withSets = Dedup.lshCandidates(sigs, "doc_id")
+    val withSets = Dedup.lshCandidates(sigs, "doc_id", Dedup.DefaultMaxBandFreq)
       .join(sigs.select(col("doc_id").as("d1"), col("__hs").as("hs1")), "d1")
       .join(sigs.select(col("doc_id").as("d2"), col("__hs").as("hs2")), "d2")
     val (inter, uni) = Dedup.jaccardParts(col("hs1"), col("hs2"))
@@ -546,7 +553,11 @@ object LlmQueries {
           (col("doc_id") + 1000000).as("doc_id"),
           concat(col("text"), lit(" extracontent")).as("text"))
         val batchSigs = Dedup.minhashSignatures(batch, "doc_id", "text").cache()
-        val cands = Dedup.lshCandidatesAgainst(batchSigs, corpusSigs, "doc_id")
+        // DefaultMaxBandFreq engaged on the corpus index side — exact
+        // vs the uncapped oracle because no sf bucket approaches the
+        // cap (DedupSpec pins hotBands empty at sf0.01).
+        val cands = Dedup.lshCandidatesAgainst(batchSigs, corpusSigs, "doc_id",
+          Dedup.DefaultMaxBandFreq)
         val withSets = cands
           .join(batchSigs.select(col("doc_id").as("d1"), col("__hs").as("hs1")), "d1")
           .join(corpusSigs.select(col("doc_id").as("d2"), col("__hs").as("hs2")), "d2")

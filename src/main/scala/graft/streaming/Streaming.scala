@@ -113,7 +113,8 @@ object Streaming {
     * batch path. */
   def neardupCandidates(docs: DataFrame, corpusSigs: DataFrame,
                         idCol: String, textCol: String,
-                        maxBandFreq: Option[Int] = None): DataFrame =
+                        maxBandFreq: Option[Int] =
+                          graft.ops.Dedup.DefaultMaxBandFreq): DataFrame =
     graft.ops.Dedup.lshCandidateHits(
       graft.ops.Dedup.minhashSignatures(docs, idCol, textCol),
       corpusSigs, idCol, maxBandFreq)

@@ -99,6 +99,43 @@ class DedupSpec extends AnyFunSuite {
     assert(hot.length === Dedup.NumBands && hot.forall(_._2 === 40L), hot.toSeq)
   }
 
+  test("DefaultMaxBandFreq prunes nothing on the sf0.01 corpus (oracle equivalence)") {
+    // The pair family (q31/q57/q65/q66/q67, q43's probe) runs with the
+    // default cap engaged while its DuckDB oracles are uncapped SQL —
+    // exactness therefore REQUIRES that no harness band bucket reaches
+    // the cap. This pins it: if a future corpus regeneration or cap
+    // change makes the default prune at oracle scale, this fails before
+    // the correctness gate silently diverges.
+    val sfDocs = new java.io.File("/root/testdata/sf0.01/documents.parquet")
+    assume(sfDocs.exists, s"harness test data missing: $sfDocs")
+    val docs = spark.read.parquet(sfDocs.toString).select("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
+    val hot = Dedup.hotBands(sigs, "doc_id", Dedup.DefaultMaxBandFreq.get).count()
+    assert(hot === 0L,
+      s"$hot band buckets exceed DefaultMaxBandFreq — capped queries diverge from uncapped oracles")
+  }
+
+  test("DefaultMaxBandFreq (engaged by default) bounds a degenerate bucket, keeps real pairs") {
+    // Adversarial corpus: more identical near-empty docs than the
+    // DEFAULT cap allows in one bucket, plus one genuine near-dup
+    // pair. The default-argument path (no explicit maxBandFreq) must
+    // drop the degenerate bucket's ~cap²/2 pairs and keep the genuine
+    // pair — proving the cap is ON by default, not opt-in.
+    val n = Dedup.DefaultMaxBandFreq.get + 50
+    val junk = (1L to n.toLong).map(i => (i, "na na na junk junk junk filler filler"))
+    val real = Seq(
+      (2000001L, "the quick brown fox jumps over the lazy dog and runs away fast"),
+      (2000002L, "the quick brown fox jumps over the lazy dog and runs away quickly"))
+    val sigs = Dedup.minhashSignatures((junk ++ real).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val defaultCapped = Dedup.lshCandidates(sigs, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(defaultCapped === Set((2000001L, 2000002L)), s"got ${defaultCapped.size} pairs")
+    // The opt-out still exists for exhaustive offline audits.
+    val uncapped = Dedup.lshCandidates(sigs, "doc_id", maxBandFreq = None).count()
+    assert(uncapped >= n.toLong * (n - 1) / 2, s"uncapped lost pairs: $uncapped")
+  }
+
   test("lshCandidatesAgainst corpus-side cap prunes degenerate index buckets") {
     val junkCorpus = (1L to 30L).map(i => (i, "na na na junk junk junk filler filler"))
     val realCorpus = Seq((50L, "the quick brown fox jumps over the lazy dog and runs away fast"))

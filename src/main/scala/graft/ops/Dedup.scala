@@ -157,6 +157,60 @@ object Dedup {
   def jaccardParts(s1: Column, s2: Column): (Column, Column) =
     (size(array_intersect(s1, s2)), size(array_union(s1, s2)))
 
+  /** Default per-task row cap for the inverted-index pair join in
+    * [[ngramJaccardPairs]]: a shingle shared by b docs in one bucket
+    * is b·(b−1)/2 pair rows on one task uncapped; the fragment-
+    * replicate split bounds that at ~cap² while leaving the pair SET
+    * exactly unchanged (so the cap needs no oracle mirror). 1000 is
+    * far above any organic shared-shingle frequency in the harness
+    * corpora yet bounds a corpus-common boilerplate 3-gram ("in the
+    * of"-class) at 100 TB. */
+  val DefaultHotShingleCap = 1000
+
+  /** Exact n-gram Jaccard pairs WITHIN same-`bucketCol` groups via an
+    * inverted index: explode docs to (bucket, shingle-hash) rows and
+    * self-join on that key, so a pair materializes once per SHARED
+    * shingle (linear in total overlap — never the within-bucket
+    * all-pairs intersect, which is quadratic in bucket size);
+    * |intersection| is then a count per pair and |union| =
+    * n1 + n2 − |intersection|. Pairs at `threshold` Jaccard or above
+    * survive, as (d1, d2, inter_cnt, union_cnt) with d1 < d2.
+    *
+    * The index join itself has a skew hazard the banded-LSH cap
+    * can't see: a shingle shared by b docs within one bucket is a hot
+    * (bucket, hash) key with b·(b−1)/2 pair rows in ONE task — and
+    * corpus-common boilerplate 3-grams are hot BY CONSTRUCTION. The
+    * join therefore runs through [[Skew.boundedBucketSelfJoin]]
+    * (fragment-replicate), which splits buckets over `hotShingleCap`
+    * rows into bounded task cells while provably preserving the pair
+    * set — results are bit-identical to the plain join at ANY cap. */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        bucketCol: String, threshold: Double,
+                        shingleN: Int = 3,
+                        hotShingleCap: Int = DefaultHotShingleCap): DataFrame = {
+    // Cached: the size lookup and the inverted index both read this —
+    // uncached, the md5-shingle pipeline runs twice over the corpus.
+    val hs = docs
+      .select(col(idCol), col(bucketCol), tokens(col(textCol)).as("__ws"))
+      .filter(size(col("__ws")) >= shingleN)
+      .select(col(idCol), col(bucketCol),
+        shingleHashes(shingles(col("__ws"), shingleN)).as("__hs"))
+      .cache()
+    val sizes = hs.select(col(idCol), size(col("__hs")).cast("bigint").as("__n"))
+    val inv = hs
+      .select(col(idCol), col(bucketCol), explode(col("__hs")).as("__h"))
+      .select(col(idCol), struct(col(bucketCol), col("__h")).as("__bkt"))
+    val inter = Skew.boundedBucketSelfJoin(inv, "__bkt", idCol, hotShingleCap)
+      .groupBy(col(idCol).as("d1"), col(idCol + "_2").as("d2"))
+      .agg(count(lit(1)).as("inter_cnt"))
+    inter
+      .join(sizes.select(col(idCol).as("d1"), col("__n").as("__n1")), "d1")
+      .join(sizes.select(col(idCol).as("d2"), col("__n").as("__n2")), "d2")
+      .withColumn("union_cnt", col("__n1") + col("__n2") - col("inter_cnt"))
+      .filter(col("inter_cnt").cast("double") / col("union_cnt") >= threshold)
+      .select(col("d1"), col("d2"), col("inter_cnt"), col("union_cnt"))
+  }
+
   /** Benchmark-contamination stats: for every corpus document, how
     * many of its distinct word n-gram shingles also appear anywhere
     * in `evalDocs` (the held-out benchmark/eval suite), plus a

@@ -388,13 +388,13 @@ object LlmQueries {
     // n-gram Jaccard with bucket pruning: exact shingle Jaccard, but
     // only within same-`source` buckets (a bounded candidate space —
     // the exact-verify complement to q31's probabilistic candidates).
-    // Spark plan: inverted index, not all-pairs — explode to
-    // (source, shingle_hash, doc) rows and self-join on the hash, so a
-    // pair materializes once per SHARED shingle and pairs with zero
-    // overlap never exist; |intersection| is then a count per pair and
-    // |union| = n1 + n2 − |intersection|. At 100 TB the within-bucket
-    // all-pairs intersect is quadratic in bucket size; this is linear
-    // in total overlap.
+    // Spark plan: Dedup.ngramJaccardPairs — an inverted index (a pair
+    // materializes once per SHARED shingle; linear in total overlap,
+    // never the quadratic within-bucket all-pairs intersect) whose
+    // (source, shingle) self join runs fragment-replicate so a
+    // corpus-common boilerplate 3-gram cannot become one quadratic
+    // straggler task. The cap provably preserves the pair set, so the
+    // plain-join oracle stays exact at any cap value.
     Q("q34_ngram_jaccard",
       s"""WITH corpus AS (SELECT doc_id, text, source FROM documents),
          |$shingleCtes,
@@ -405,29 +405,8 @@ object LlmQueries {
          |FROM hsrc a JOIN hsrc b ON a.source = b.source AND a.doc_id < b.doc_id
          |WHERE len(list_intersect(a.hs, b.hs))::DOUBLE / len(list_distinct(a.hs || b.hs)) >= $JaccardThreshold""".stripMargin) {
       (s, d) =>
-        // Cached: the size lookup and the inverted index both read this —
-        // uncached, the md5-shingle pipeline runs twice over the corpus.
-        val hs = docsHeavy(s, d)
-          .select(col("doc_id"), col("source"), Dedup.tokens(col("text")).as("ws"))
-          .filter(size(col("ws")) >= 3)
-          .select(col("doc_id"), col("source"),
-            Dedup.shingleHashes(Dedup.shingles(col("ws"))).as("hs"))
-          .cache()
-        val sizes = hs.select(col("doc_id"), size(col("hs")).cast("bigint").as("n"))
-        val inv = hs.select(col("doc_id"), col("source"), explode(col("hs")).as("h"))
-        val inter = inv
-          .join(inv.select(col("doc_id").as("d2"), col("source").as("src2"),
-            col("h").as("h2")),
-            col("source") === col("src2") && col("h") === col("h2") &&
-              col("doc_id") < col("d2"))
-          .groupBy(col("doc_id").as("d1"), col("d2"))
-          .agg(count(lit(1)).as("inter_cnt"))
-        inter
-          .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
-          .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
-          .withColumn("union_cnt", col("n1") + col("n2") - col("inter_cnt"))
-          .filter(col("inter_cnt").cast("double") / col("union_cnt") >= JaccardThreshold)
-          .select(col("d1"), col("d2"), col("inter_cnt"), col("union_cnt"))
+        Dedup.ngramJaccardPairs(docsHeavy(s, d).select("doc_id", "source", "text"),
+          "doc_id", "text", "source", JaccardThreshold)
     },
 
     // Text quality scoring: token/length stats, stopword ratio, and a
@@ -981,7 +960,9 @@ object LlmQueries {
         // row per (doc, term), so document frequency is a plain count
         // by term over it. Computing df from the raw token rows would
         // re-run the explode over the corpus AND pay count(DISTINCT)'s
-        // expand; this way one token pass feeds both aggregates.
+        // expand; this way one token pass feeds both aggregates. (At
+        // corpus scale tf is a materialized table, not executor cache
+        // — the same discipline as the signature pipelines.)
         val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf")).cache()
         val dfreq = tf.groupBy("w").agg(count(lit(1)).as("dfreq"))
         // Corpus size: one scalar off a count aggregate (J9-parity
@@ -989,7 +970,14 @@ object LlmQueries {
         // scoring expression stays integer-only.
         val nDocs = table(s, d, "documents").count()
         val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("w"))
-        tf.join(dfreq, "w")
+        // Salted join: raw term keys are hot BY CONSTRUCTION (a
+        // stopword's tf rows = every doc containing it — one shuffle
+        // partition holds the whole corpus's "the"). Skew.saltedJoin
+        // spreads each term across 16 deterministic sub-keys (df side
+        // replicated 16×, a rounding error next to the tf shuffle) and
+        // is provably row-identical to the plain join (q19's oracle),
+        // so the uncapped SQL oracle stays exact.
+        graft.ops.Skew.saltedJoin(tf, dfreq, "w", saltBy = col("doc_id"), salts = 16)
           // `div`, not `/`: Spark's slash is double division — the
           // oracle's `//` is exact integral division, and at corpus
           // scale the float quotient can land an ulp under an integer

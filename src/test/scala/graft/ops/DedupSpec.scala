@@ -154,6 +154,36 @@ class DedupSpec extends AnyFunSuite {
     assert(capped === Set((901L, 50L)), s"got $capped")
   }
 
+  test("ngramJaccardPairs: exact pair set survives the hot-shingle split on boilerplate") {
+    // Stop-shingle-heavy corpus: every doc in the bucket opens with
+    // the same boilerplate 3-gram, so the (bucket, shingle) inverted-
+    // index key holding it is hot by construction — 40 rows at cap 6
+    // splits the bucket 7 ways. Pair rows, counts, AND the surviving
+    // scored pairs must be bit-identical to an effectively-uncapped
+    // run (the fragment-replicate split never changes the pair set);
+    // a genuine near-dup pair must also survive the threshold.
+    val boiler = (1L to 40L).map(i =>
+      (i, "web", s"terms of service apply here item$i detail$i extra$i"))
+    val nearDup = Seq(
+      (101L, "web", "the quick brown fox jumps over the lazy dog and runs away fast"),
+      (102L, "web", "the quick brown fox jumps over the lazy dog and runs away quickly"),
+      (103L, "books", "the quick brown fox jumps over the lazy dog and runs away fast"))
+    val docs = (boiler ++ nearDup).toDF("doc_id", "source", "text")
+    def run(cap: Int) = Dedup.ngramJaccardPairs(
+        docs, "doc_id", "text", "source", threshold = 0.4, hotShingleCap = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val capped = run(6)
+    assert(capped === run(Int.MaxValue))
+    // The cross-source twin (101, 103) must NOT pair — bucket pruning —
+    // while the within-source near-dups do.
+    assert(capped.exists(p => p._1 === 101L && p._2 === 102L))
+    assert(!capped.exists(p => p._1 === 101L && p._2 === 103L))
+    // Boilerplate-only overlap (3 shared shingles of 9 distinct,
+    // jaccard 1/3) sits under the 0.4 threshold, so no boiler pair
+    // leaks through.
+    assert(capped.size === 1, s"${capped.size} pairs survived")
+  }
+
   test("connectedComponents: chains, cycles, and disjoint clusters resolve to min labels") {
     // Component A: a 4-node chain 1-2-3-4 (propagation needs multiple
     // iterations); component B: a triangle 10-11-12 with an extra

@@ -204,14 +204,15 @@ object Sources {
 
   // ── Excel source (reference `terminals.py:54`, `black_list.py:57`) ──
 
-  /** Excel scan shim. Core Spark has no xlsx reader; the strategy is:
-    *   1. if an excel connector (`spark-excel`) is on the classpath,
-    *      use it with the given sheet;
-    *   2. otherwise read the pre-converted sibling
-    *      `<name>.<sheet>.csv` produced by an upstream
-    *      xlsx→csv step (the documented offline path — conversion is
-    *      a driver-side concern, the engine's scan contract is
-    *      identical either way).
+  /** Excel scan. Three paths, in preference order:
+    *   1. an excel connector (`spark-excel`) on the classpath — used
+    *      with the given sheet;
+    *   2. a REAL `.xlsx` file — read with the built-in zero-dependency
+    *      parser ([[XlsxLite]]): header row skipped, cells applied to
+    *      `schema` positionally and cast per field (same contract as
+    *      the connector and as [[csv]] staging);
+    *   3. a pre-converted sibling `<name>.<sheet>.csv` (legacy offline
+    *      path, kept for environments that convert upstream).
     * Never `inferSchema` (staging parity, like [[csv]]). */
   def excel(spark: SparkSession, path: String, sheet: String,
             schema: StructType, sep: String = ";"): DataFrame = {
@@ -224,12 +225,37 @@ object Sources {
         .option("header", "true")
         .schema(schema)
         .load(path)
-    else {
+    else if (isZip(path)) {
+      val raw = XlsxLite.read(path, sheet)
+      require(raw.nonEmpty, s"excel: sheet '$sheet' of $path is empty (no header row)")
+      val rows: java.util.List[org.apache.spark.sql.Row] = new java.util.ArrayList
+      raw.drop(1).foreach { cells => // drop the header row, pad/truncate to schema
+        rows.add(org.apache.spark.sql.Row.fromSeq(
+          schema.indices.map(i => if (i < cells.length) cells(i) else null)))
+      }
+      val asStrings = StructType(schema.map(f =>
+        StructField(f.name, org.apache.spark.sql.types.StringType, nullable = true)))
+      spark.createDataFrame(rows, asStrings)
+        .select(schema.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+    } else {
       val converted = path.replaceAll("\\.xlsx$", s".$sheet.csv")
       if (!Files.exists(Paths.get(converted)))
         throw new java.io.FileNotFoundException(
-          s"no excel connector on classpath and no pre-converted $converted")
+          s"no excel connector, $path is not a workbook, and no pre-converted $converted")
       csv(spark, converted, schema, sep)
+    }
+  }
+
+  /** ZIP magic probe ("PK\3\4") — distinguishes a real workbook from a
+    * missing/placeholder path so the fallback order stays cheap. */
+  private def isZip(path: String): Boolean = {
+    val p = Paths.get(path)
+    Files.isRegularFile(p) && {
+      val in = Files.newInputStream(p)
+      try {
+        val m = new Array[Byte](4)
+        in.read(m) == 4 && m(0) == 'P' && m(1) == 'K' && m(2) == 3 && m(3) == 4
+      } finally in.close()
     }
   }
 }

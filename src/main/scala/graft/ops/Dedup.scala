@@ -328,39 +328,82 @@ object Dedup {
     * own partitions from the last checkpoint. Local mode / short
     * interactive runs keep the cheap default. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 25,
-                          reliable: Boolean = false): DataFrame = {
+                          reliable: Boolean = false): DataFrame =
+    connectedComponentsWithPasses(edges, maxIter, reliable)._1
+
+  /** [[connectedComponents]] plus the number of alternating rounds it
+    * took (telemetry — DedupSpec pins the O(log d) round count on a
+    * chain fixture).
+    *
+    * Algorithm: the ALTERNATING large-star / small-star contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014) rather than plain min-label propagation. Per round:
+    *
+    *   - large-star(u): every neighbor v > u re-points at
+    *     m = min(Γ(u) ∪ {u});
+    *   - small-star(u): u and its smaller neighbors all re-point at
+    *     the minimum of that set.
+    *
+    * Both steps preserve connectivity, every emitted edge keeps the
+    * canonical u > v orientation, and the edge set reaches a star
+    * forest (every node pointing at its component's minimum) in
+    * O(log d) rounds on a diameter-d graph — label propagation needs
+    * d passes, and at 100 TB a long-chain cluster (pathological but
+    * real in near-dup graphs: chained paraphrases) turns each extra
+    * pass into a full shuffle over the edge set. Three jobs per round
+    * (contract, then a two-sided anti-join diff for convergence)
+    * against the propagation variant's two — a trade that wins from
+    * diameter ≳ 4 and never loses more than one round's overhead. */
+  def connectedComponentsWithPasses(edges: DataFrame, maxIter: Int = 25,
+                                    reliable: Boolean = false): (DataFrame, Int) = {
     def cut(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
-    val sym = cut(edges.select(col("d1").as("src"), col("d2").as("dst"))
-      .unionByName(edges.select(col("d2").as("src"), col("d1").as("dst")))
-      .distinct())
-    var labels = cut(sym.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("component")))
+    val nodes = cut(edges.select(col("d1").as("id"))
+      .unionByName(edges.select(col("d2").as("id"))).distinct())
+    // Canonical working set: u > v, self-loops dropped. Each
+    // generation is checkpointed for the same lineage-cut reasons as
+    // before (an iterative plan referencing its previous generation
+    // doubles its lineage per round).
+    var e = cut(edges
+      .select(greatest(col("d1"), col("d2")).as("u"),
+        least(col("d1"), col("d2")).as("v"))
+      .filter(col("u") =!= col("v")).distinct())
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      // TWO jobs per pass: build the next generation (join + min agg +
-      // label update in one lineage, one checkpoint job), then a cheap
-      // diff count of two checkpointed label frames for convergence. A
-      // checkpoint-the-neighbor-mins-first formulation costs a third
-      // job per pass for the same information.
-      val nbrMin = sym
-        .join(labels, sym("dst") === labels("id"))
-        .groupBy(col("src")).agg(min(col("component")).as("__nmin"))
-      val next = cut(labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
-        .select(col("id"),
-          least(col("component"), coalesce(col("__nmin"), col("component")))
-            .as("component")))
-      val changed = next.select(col("id").as("nid"), col("component").as("ncomp"))
-        .join(labels, col("nid") === labels("id"))
-        .filter(col("ncomp") < col("component")).count()
-      labels = next
+      // Large-star: per node, m = min over the symmetric neighborhood
+      // and itself; strictly larger neighbors re-point at m. Emitted
+      // (v, m) has v > u >= m, so orientation is preserved for free.
+      val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val lsMin = sym.groupBy("u").agg(min(col("v")).as("__mv"))
+        .select(col("u"), least(col("u"), col("__mv")).as("__m"))
+      val ls = sym.join(lsMin, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("__m").as("v")).distinct()
+      // Small-star on the oriented edges: m = min smaller neighbor;
+      // each row (u, v) becomes (v, m), except the row carrying m
+      // itself, which becomes (u, m) — exactly N(u) \ {m} plus u
+      // re-pointed, one output row per input row.
+      val ssMin = ls.groupBy("u").agg(min(col("v")).as("__m"))
+      val next = cut(ls.join(ssMin, "u")
+        .select(when(col("v") === col("__m"), col("u")).otherwise(col("v")).as("u"),
+          col("__m").as("v"))
+        .distinct())
+      val changed =
+        next.join(e, Seq("u", "v"), "left_anti").count() +
+          e.join(next, Seq("u", "v"), "left_anti").count()
+      e = next
       if (changed == 0) converged = true
       i += 1
     }
     require(converged,
-      s"connectedComponents: no fixpoint after $maxIter iterations (diameter > maxIter?)")
-    labels
+      s"connectedComponents: no fixpoint after $maxIter rounds (pathological graph?)")
+    // At the fixpoint `e` is a star forest: every non-root points
+    // straight at its component's minimum; roots (and nodes whose
+    // every edge was a self-loop) label themselves.
+    val labels = nodes
+      .join(e.select(col("u").as("id"), col("v").as("__c")), Seq("id"), "left")
+      .groupBy("id").agg(min(coalesce(col("__c"), col("id"))).as("component"))
+    (labels, i)
   }
 
   /** Incremental LSH near-dup: candidates between a NEW batch and an

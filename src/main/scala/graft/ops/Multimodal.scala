@@ -7,12 +7,17 @@ import org.apache.spark.sql.functions._
   * media travels as an opaque `binary` column plus typed metadata
   * (width/height/sample_rate/duration), and the engine provides the
   * *plumbing* — schema, partition-wise batch decode, frame sampling,
-  * metadata-aware resize — with the codec itself pluggable.
+  * metadata-aware resize — with the codec itself pluggable behind
+  * [[MediaCodec]].
   *
-  * The actual byte→pixels/samples decode is STUBBED with a
-  * deterministic fake ([[FakeCodec]]): no image/audio library exists in
-  * this environment. Everything around the stub is real and is the part
-  * that matters at 100 TB:
+  * Two REAL pure-JVM decoders ship with the engine — [[WavPcmCodec]]
+  * (RIFF/WAVE PCM audio) and [[BmpCodec]] (uncompressed 24-bit BMP
+  * images) — chosen because their formats are raw samples/pixels
+  * behind a fixed header, decodable without any media library. For
+  * compressed formats (JPEG/MP3/H.264) the deterministic [[FakeCodec]]
+  * stands in (no codec library exists in this environment); swap in a
+  * real binding through the same interface. Everything around the
+  * codec is the part that matters at 100 TB:
   *   - [[extractFeatures]] uses `mapPartitions` so the codec is
   *     initialized ONCE per partition and amortized across its rows —
   *     the same execution shape as a Python `mapInPandas` batch UDF,
@@ -34,40 +39,158 @@ object Multimodal {
   final case class FeatureRow(doc_id: Long, embedding: Array[Float],
                               n_bytes: Long, codec: String)
 
-  /** Deterministic stand-in for a real decoder (REPLACE IN PRODUCTION
-    * with an actual codec binding): "decodes" bytes into a dim-sized
-    * feature vector of normalized per-bucket byte sums. Deliberately
-    * cheap, pure, and platform-independent so tests pin the plumbing,
-    * not the codec. */
-  final class FakeCodec(dim: Int) {
-    val name: String = s"fake-codec-$dim"
+  /** The pluggable byte→signal boundary. `decode` returns the RAW
+    * decoded signal — audio samples in [-1, 1], pixel intensities in
+    * [0, 1] — and the engine owns featurization ([[poolModulo]]):
+    * codecs stay format-only, features stay codec-agnostic. `init()`
+    * models resource acquisition (real codecs are expensive to
+    * construct; [[extractFeatures]] calls it once per partition).
+    * Malformed input fails loudly — a corrupt blob should surface,
+    * not silently embed as garbage. */
+  trait MediaCodec extends Serializable {
+    def name: String
+    def init(): MediaCodec
+    def decode(content: Array[Byte]): Array[Float]
+  }
+
+  /** Deterministic stand-in for decoders of COMPRESSED formats
+    * (REPLACE IN PRODUCTION with a real binding): "decodes" bytes to
+    * normalized [0, 1] intensities, one per byte. Deliberately cheap,
+    * pure, and platform-independent so tests pin the plumbing, not
+    * the codec. */
+  final class FakeCodec extends MediaCodec {
+    val name: String = "fake-codec"
     var initCount = 0 // test hook: proves per-partition (not per-row) init
     def init(): FakeCodec = { initCount += 1; this }
     def decode(content: Array[Byte]): Array[Float] = {
-      val acc = new Array[Float](dim)
-      val cnt = new Array[Int](dim)
+      val out = new Array[Float](content.length)
       var i = 0
-      while (i < content.length) {
-        val b = content(i) & 0xff
-        acc(i % dim) += b.toFloat
-        cnt(i % dim) += 1
-        i += 1
-      }
-      var j = 0
-      while (j < dim) { if (cnt(j) > 0) acc(j) /= (cnt(j) * 255f); j += 1 }
-      acc
+      while (i < content.length) { out(i) = (content(i) & 0xff) / 255f; i += 1 }
+      out
     }
+  }
+
+  /** Real audio decode, zero libraries: RIFF/WAVE container with a
+    * PCM (`fmt ` audio format 1) chunk, 8-bit unsigned or 16-bit
+    * signed little-endian samples, any channel count (interleaved as
+    * stored). Output: samples normalized to [-1, 1]. */
+  final class WavPcmCodec extends MediaCodec {
+    val name: String = "wav-pcm"
+    def init(): WavPcmCodec = this
+    def decode(content: Array[Byte]): Array[Float] = {
+      def ascii(off: Int) = new String(content, off, 4, "US-ASCII")
+      require(content.length >= 12 && ascii(0) == "RIFF" && ascii(8) == "WAVE",
+        "wav-pcm: not a RIFF/WAVE stream")
+      val buf = java.nio.ByteBuffer.wrap(content)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var bits = -1
+      var out: Array[Float] = null
+      var pos = 12
+      while (pos + 8 <= content.length && out == null) {
+        val id = ascii(pos)
+        val size = buf.getInt(pos + 4)
+        require(size >= 0 && pos + 8 + size <= content.length,
+          s"wav-pcm: chunk '$id' overruns the stream")
+        id match {
+          case "fmt " =>
+            require(buf.getShort(pos + 8) == 1,
+              "wav-pcm: only PCM (format 1) is supported")
+            bits = buf.getShort(pos + 22).toInt
+            require(bits == 8 || bits == 16, s"wav-pcm: unsupported $bits-bit samples")
+          case "data" =>
+            require(bits > 0, "wav-pcm: 'data' chunk before 'fmt '")
+            if (bits == 16) {
+              val n = size / 2
+              val samples = new Array[Float](n)
+              var i = 0
+              while (i < n) { samples(i) = buf.getShort(pos + 8 + 2 * i) / 32768f; i += 1 }
+              out = samples
+            } else {
+              val samples = new Array[Float](size)
+              var i = 0
+              while (i < size) {
+                samples(i) = ((content(pos + 8 + i) & 0xff) - 128) / 128f; i += 1
+              }
+              out = samples
+            }
+          case _ => // LIST/INFO/cue chunks: skip
+        }
+        pos += 8 + size + (size & 1) // chunks are word-aligned
+      }
+      require(out != null, "wav-pcm: no 'data' chunk")
+      out
+    }
+  }
+
+  /** Real image decode, zero libraries: uncompressed 24-bit BMP.
+    * Output: one grayscale intensity in [0, 1] per pixel, top-down
+    * row-major regardless of the file's row order (BMP stores rows
+    * bottom-up when height is positive), gray computed with exact
+    * integer Rec.601 weights `(299 r + 587 g + 114 b) / 255000`. */
+  final class BmpCodec extends MediaCodec {
+    val name: String = "bmp-gray"
+    def init(): BmpCodec = this
+    def decode(content: Array[Byte]): Array[Float] = {
+      require(content.length >= 54 && content(0) == 'B' && content(1) == 'M',
+        "bmp-gray: not a BMP stream")
+      val buf = java.nio.ByteBuffer.wrap(content)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val dataOff = buf.getInt(10)
+      val width = buf.getInt(18)
+      val heightRaw = buf.getInt(22)
+      require(buf.getShort(28) == 24 && buf.getInt(30) == 0,
+        "bmp-gray: only uncompressed 24bpp BMP is supported")
+      val height = math.abs(heightRaw)
+      val bottomUp = heightRaw > 0
+      require(width > 0 && height > 0, "bmp-gray: empty image")
+      val rowSize = ((24 * width + 31) / 32) * 4 // rows pad to 4 bytes
+      require(dataOff >= 54 && dataOff.toLong + rowSize.toLong * height <= content.length,
+        "bmp-gray: pixel array overruns the stream")
+      val out = new Array[Float](width * height)
+      var y = 0
+      while (y < height) {
+        val srcRow = if (bottomUp) height - 1 - y else y
+        var x = 0
+        while (x < width) {
+          val p = dataOff + srcRow * rowSize + 3 * x // stored b, g, r
+          val b = content(p) & 0xff
+          val g = content(p + 1) & 0xff
+          val r = content(p + 2) & 0xff
+          out(y * width + x) = (299 * r + 587 * g + 114 * b) / 255000f
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+  }
+
+  /** Modulo-bucket mean pooling: raw signal of ANY length → a fixed
+    * `dim`-sized feature vector (bucket j = mean of samples at
+    * positions ≡ j mod dim). The engine's codec-agnostic featurizer —
+    * deterministic, length-independent, empty input → zeros. */
+  def poolModulo(raw: Array[Float], dim: Int): Array[Float] = {
+    val acc = new Array[Float](dim)
+    val cnt = new Array[Int](dim)
+    var i = 0
+    while (i < raw.length) { acc(i % dim) += raw(i); cnt(i % dim) += 1; i += 1 }
+    var j = 0
+    while (j < dim) { if (cnt(j) > 0) acc(j) /= cnt(j); j += 1 }
+    acc
   }
 
   /** Partition-batched feature extraction: one codec instance per
     * partition, reused across all of its rows (real codecs are
     * expensive to construct — per-row init is the anti-pattern this
-    * shape exists to avoid). */
-  def extractFeatures(media: Dataset[MediaRow], dim: Int): Dataset[FeatureRow] = {
+    * shape exists to avoid). The codec ships as a FACTORY so each
+    * partition builds its own instance executor-side; decode output is
+    * pooled to `dim` with [[poolModulo]]. */
+  def extractFeatures(media: Dataset[MediaRow], dim: Int,
+                      mkCodec: () => MediaCodec = () => new FakeCodec): Dataset[FeatureRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      val codec = new FakeCodec(dim).init()
-      rows.map(m => FeatureRow(m.doc_id, codec.decode(m.content),
+      val codec = mkCodec().init()
+      rows.map(m => FeatureRow(m.doc_id, poolModulo(codec.decode(m.content), dim),
         m.content.length.toLong, codec.name))
     }
   }

@@ -17,6 +17,50 @@ object ParityQueries {
 
   private val REPORT = "TIMESTAMP '2024-02-01 00:00:00'"
 
+  /** q07/q29 shared oracle: the full SCD2 merge snapshot in ANSI SQL
+    * (cards.py:86-176 semantics) — both the one-shot merge and the
+    * partition-scoped bucketed merge must hash-match it exactly. */
+  private lazy val scd2MergeOracleSql: String =
+    s"""WITH base AS (${Fixtures.custBaseSql}),
+       |dim AS (${Fixtures.scd2DimSql.replace("\n", " ")}),
+       |batch AS (${Fixtures.scd2BatchSql}),
+       |cur AS (SELECT * FROM dim WHERE effective_to = TIMESTAMP '9999-12-31 00:00:00'),
+       |hist AS (SELECT * FROM dim WHERE effective_to <> TIMESTAMP '9999-12-31 00:00:00'),
+       |new_rows AS (
+       |  SELECT b.k, b.seg, b.bal_cents,
+       |         TIMESTAMP '2024-02-01 00:00:00' AS effective_from,
+       |         TIMESTAMP '9999-12-31 00:00:00' AS effective_to, 'N' AS deleted_flg
+       |  FROM batch b WHERE NOT EXISTS (SELECT 1 FROM dim t WHERE t.k = b.k)),
+       |changed AS (
+       |  SELECT b.* FROM batch b JOIN cur c ON b.k = c.k
+       |  WHERE (b.seg IS DISTINCT FROM c.seg) OR (b.bal_cents IS DISTINCT FROM c.bal_cents)
+       |     OR c.deleted_flg = 'Y'),
+       |changed_rows AS (
+       |  SELECT k, seg, bal_cents, TIMESTAMP '2024-02-01 00:00:00',
+       |         TIMESTAMP '9999-12-31 00:00:00', 'N' FROM changed),
+       |deleted_cur AS (
+       |  SELECT c.* FROM cur c WHERE c.deleted_flg = 'N'
+       |    AND NOT EXISTS (SELECT 1 FROM batch b WHERE b.k = c.k)),
+       |deleted_rows AS (
+       |  SELECT k, seg, bal_cents, TIMESTAMP '2024-02-01 00:00:00',
+       |         TIMESTAMP '9999-12-31 00:00:00', 'Y' FROM deleted_cur),
+       |closed_change AS (
+       |  SELECT c.k, c.seg, c.bal_cents, c.effective_from,
+       |         TIMESTAMP '2024-02-01 00:00:00' - INTERVAL 1 SECOND, c.deleted_flg
+       |  FROM cur c WHERE EXISTS (SELECT 1 FROM changed ch WHERE ch.k = c.k)),
+       |closed_delete AS (
+       |  SELECT k, seg, bal_cents, effective_from,
+       |         TIMESTAMP '2024-02-01 00:00:00' - INTERVAL 1 SECOND, deleted_flg
+       |  FROM deleted_cur),
+       |untouched AS (
+       |  SELECT c.* FROM cur c
+       |  WHERE NOT EXISTS (SELECT 1 FROM changed ch WHERE ch.k = c.k)
+       |    AND NOT EXISTS (SELECT 1 FROM deleted_cur dc WHERE dc.k = c.k))
+       |SELECT * FROM hist UNION ALL SELECT * FROM untouched
+       |UNION ALL SELECT * FROM closed_change UNION ALL SELECT * FROM closed_delete
+       |UNION ALL SELECT * FROM new_rows UNION ALL SELECT * FROM changed_rows
+       |UNION ALL SELECT * FROM deleted_rows""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // J1/P3 — idempotent anti-join insert (transaction.py:80-84).
@@ -148,46 +192,7 @@ object ParityQueries {
 
     // J2/J3/K4/F10 — the full SCD2 merge as a pure snapshot recompute
     // (cards.py:86-176; SURVEY.md §7.4).
-    Q("q07_scd2_merge",
-      s"""WITH base AS (${Fixtures.custBaseSql}),
-         |dim AS (${Fixtures.scd2DimSql.replace("\n", " ")}),
-         |batch AS (${Fixtures.scd2BatchSql}),
-         |cur AS (SELECT * FROM dim WHERE effective_to = TIMESTAMP '9999-12-31 00:00:00'),
-         |hist AS (SELECT * FROM dim WHERE effective_to <> TIMESTAMP '9999-12-31 00:00:00'),
-         |new_rows AS (
-         |  SELECT b.k, b.seg, b.bal_cents,
-         |         TIMESTAMP '2024-02-01 00:00:00' AS effective_from,
-         |         TIMESTAMP '9999-12-31 00:00:00' AS effective_to, 'N' AS deleted_flg
-         |  FROM batch b WHERE NOT EXISTS (SELECT 1 FROM dim t WHERE t.k = b.k)),
-         |changed AS (
-         |  SELECT b.* FROM batch b JOIN cur c ON b.k = c.k
-         |  WHERE (b.seg IS DISTINCT FROM c.seg) OR (b.bal_cents IS DISTINCT FROM c.bal_cents)
-         |     OR c.deleted_flg = 'Y'),
-         |changed_rows AS (
-         |  SELECT k, seg, bal_cents, TIMESTAMP '2024-02-01 00:00:00',
-         |         TIMESTAMP '9999-12-31 00:00:00', 'N' FROM changed),
-         |deleted_cur AS (
-         |  SELECT c.* FROM cur c WHERE c.deleted_flg = 'N'
-         |    AND NOT EXISTS (SELECT 1 FROM batch b WHERE b.k = c.k)),
-         |deleted_rows AS (
-         |  SELECT k, seg, bal_cents, TIMESTAMP '2024-02-01 00:00:00',
-         |         TIMESTAMP '9999-12-31 00:00:00', 'Y' FROM deleted_cur),
-         |closed_change AS (
-         |  SELECT c.k, c.seg, c.bal_cents, c.effective_from,
-         |         TIMESTAMP '2024-02-01 00:00:00' - INTERVAL 1 SECOND, c.deleted_flg
-         |  FROM cur c WHERE EXISTS (SELECT 1 FROM changed ch WHERE ch.k = c.k)),
-         |closed_delete AS (
-         |  SELECT k, seg, bal_cents, effective_from,
-         |         TIMESTAMP '2024-02-01 00:00:00' - INTERVAL 1 SECOND, deleted_flg
-         |  FROM deleted_cur),
-         |untouched AS (
-         |  SELECT c.* FROM cur c
-         |  WHERE NOT EXISTS (SELECT 1 FROM changed ch WHERE ch.k = c.k)
-         |    AND NOT EXISTS (SELECT 1 FROM deleted_cur dc WHERE dc.k = c.k))
-         |SELECT * FROM hist UNION ALL SELECT * FROM untouched
-         |UNION ALL SELECT * FROM closed_change UNION ALL SELECT * FROM closed_delete
-         |UNION ALL SELECT * FROM new_rows UNION ALL SELECT * FROM changed_rows
-         |UNION ALL SELECT * FROM deleted_rows""".stripMargin) {
+    Q("q07_scd2_merge", scd2MergeOracleSql) {
       (s, d) =>
         val batchTs = to_timestamp(lit("2024-02-01 00:00:00"))
         Scd2.merge(
@@ -199,6 +204,31 @@ object ParityQueries {
           deleteKeys = Some(Fixtures.scd2Batch(s, d).select("k")),
           deleteTs = Some(batchTs))
     },
+
+    // K4 production variant — the PARTITION-SCOPED bucketed merge
+    // (Scd2.mergePartitioned + TableStore.swapPartitions): the same
+    // batch merged through a kb-bucket-partitioned store, rewriting
+    // only the buckets holding changed/new/deleted keys. Shares q07's
+    // oracle verbatim — the scoped rewrite must change NOTHING
+    // semantically, and the hash compare pins it. (Physical
+    // untouched-leaf byte-identity is pinned by Scd2PartitionedSpec.)
+    Q("q29_scd2_bucketed", scd2MergeOracleSql) {
+      (s, d) =>
+        val batchTs = to_timestamp(lit("2024-02-01 00:00:00"))
+        val store = new graft.io.TableStore(s,
+          java.nio.file.Files.createTempDirectory("graft_q29").toString)
+        val dim = Fixtures.scd2Dim(s, d)
+        store.overwritePartitioned("dim",
+          dim.withColumn(Scd2.BucketColName, Scd2.bucketCol(Seq("k"), 8)),
+          Seq(Scd2.BucketColName))
+        Scd2.mergePartitioned(store, "dim", Fixtures.scd2Batch(s, d),
+          Seq("k"), Seq("seg", "bal_cents"), batchTs, nBuckets = 8,
+          deleteKeys = Some(Fixtures.scd2Batch(s, d).select("k")),
+          deleteTs = Some(batchTs))
+        store.read("dim").drop(Scd2.BucketColName)
+          .select("k", "seg", "bal_cents", "effective_from", "effective_to", "deleted_flg")
+    },
+
 
     // J6/P5/P6 — temporal as-of join with strict range bounds
     // (report.py:38-41).

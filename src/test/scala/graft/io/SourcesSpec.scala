@@ -86,6 +86,78 @@ class SourcesSpec extends AnyFunSuite {
       "WHERE coalesce(update_dt, create_dt) > TIMESTAMP '2021-03-03 00:00:00'")
   }
 
+  /** A REAL (minimal, spec-conformant) xlsx workbook written with
+    * java.util.zip — an independent writer path, so the read is tested
+    * against the OOXML format, not against the parser's own code.
+    * Two sheets (addressing must go through workbook.xml + rels, not
+    * zip order), shared strings incl. a rich-text run, inline strings,
+    * a formula-string cell, a numeric cell, and a missing cell. */
+  private def writeXlsx(path: java.nio.file.Path): Unit = {
+    val entries = Seq(
+      "[Content_Types].xml" ->
+        """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>""",
+      "xl/workbook.xml" ->
+        """<?xml version="1.0"?>
+          |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+          |          xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+          |<sheets>
+          |<sheet name="info" sheetId="1" r:id="rId1"/>
+          |<sheet name="terminals" sheetId="2" r:id="rId2"/>
+          |</sheets></workbook>""".stripMargin,
+      "xl/_rels/workbook.xml.rels" ->
+        """<?xml version="1.0"?>
+          |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+          |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
+          |<Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet2.xml"/>
+          |</Relationships>""".stripMargin,
+      "xl/sharedStrings.xml" ->
+        """<?xml version="1.0"?>
+          |<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="3" uniqueCount="3">
+          |<si><t>terminal_id</t></si>
+          |<si><t>terminal_city</t></si>
+          |<si><r><t>Mos</t></r><r><t>cow</t></r></si>
+          |</sst>""".stripMargin,
+      "xl/worksheets/sheet1.xml" ->
+        """<?xml version="1.0"?>
+          |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+          |<sheetData><row r="1"><c r="A1" t="inlineStr"><is><t>WRONG SHEET</t></is></c></row></sheetData>
+          |</worksheet>""".stripMargin,
+      "xl/worksheets/sheet2.xml" ->
+        """<?xml version="1.0"?>
+          |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+          |<sheetData>
+          |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c><c r="C1" t="inlineStr"><is><t>terminal_address</t></is></c></row>
+          |<row r="2"><c r="A2" t="inlineStr"><is><t>T1</t></is></c><c r="B2" t="s"><v>2</v></c><c r="C2" t="str"><v>Addr 1</v></c></row>
+          |<row r="3"><c r="A3" t="inlineStr"><is><t>T2</t></is></c><c r="C3"><v>42</v></c></row>
+          |</sheetData></worksheet>""".stripMargin)
+    val zip = new java.util.zip.ZipOutputStream(Files.newOutputStream(path))
+    try entries.foreach { case (name, content) =>
+      zip.putNextEntry(new java.util.zip.ZipEntry(name))
+      zip.write(content.getBytes("UTF-8"))
+      zip.closeEntry()
+    } finally zip.close()
+  }
+
+  test("excel reads a REAL .xlsx workbook through the built-in parser") {
+    val dir = Files.createTempDirectory("graft_xlsx_real")
+    val path = dir.resolve("terminals_01012021.xlsx")
+    writeXlsx(path)
+    val df = Sources.excel(spark, path.toString, "terminals",
+      Sources.stringSchema("terminal_id", "terminal_city", "terminal_address"))
+    assert(df.columns.toSeq === Seq("terminal_id", "terminal_city", "terminal_address"))
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    // Sheet addressing via rels (not 'WRONG SHEET'), rich-text shared
+    // string reassembled, header skipped, missing B3 → null, numeric
+    // C3 read as its stored text.
+    assert(got === Set(("T1", "Moscow", "Addr 1"), ("T2", null, "42")))
+    // Unknown sheet names fail loudly, listing what exists.
+    val ex = intercept[IllegalArgumentException] {
+      Sources.excel(spark, path.toString, "nope", Sources.stringSchema("x"))
+    }
+    assert(ex.getMessage.contains("terminals"))
+  }
+
   test("excel shim falls back to the pre-converted <name>.<sheet>.csv") {
     val dir = Files.createTempDirectory("graft_xlsx")
     Files.writeString(dir.resolve("terminals_01012021.terminals.csv"),

@@ -99,6 +99,34 @@ class TableStoreSpec extends AnyFunSuite {
     assert(store.read("facts").collect().toSet === before)
   }
 
+  test("swapPartitions replaces only the leaves present in the new frame") {
+    val store = newStore()
+    store.overwritePartitioned("dim",
+      Seq((0, 1, "a"), (0, 2, "b"), (1, 3, "c"), (2, 4, "d"))
+        .toDF("kb", "id", "v"), Seq("kb"))
+    // Fingerprint every data file under the untouched leaves.
+    def leafFiles(kb: Int): Map[String, Vector[Byte]] = {
+      val dir = java.nio.file.Paths.get(store.path("dim"), s"kb=$kb")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(dir).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(p => p.getFileName.toString ->
+          java.nio.file.Files.readAllBytes(p).toVector)
+        .toMap
+    }
+    val (before1, before2) = (leafFiles(1), leafFiles(2))
+    // Rewrite bucket 0 only; the frame reads the table it replaces.
+    val rewrite = store.read("dim").filter(col("kb") === 0)
+      .withColumn("v", upper(col("v")))
+    store.swapPartitions("dim", rewrite, "kb")
+    assert(store.read("dim").select("id", "v").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+      === Set((1, "A"), (2, "B"), (3, "c"), (4, "d")))
+    // Untouched leaves are byte-identical — same files, same bytes.
+    assert(leafFiles(1) === before1 && leafFiles(2) === before2)
+    assert(!store.exists("dim.__ptmp"))
+  }
+
   test("partitioned write prunes partitions under a partition-column filter") {
     val store = newStore()
     val df = Seq(("2024-01-01", 1), ("2024-01-01", 2), ("2024-01-02", 3))

@@ -199,6 +199,33 @@ class DedupSpec extends AnyFunSuite {
       20L -> 20L, 21L -> 20L))
   }
 
+  test("connectedComponents: alternating star rounds beat the chain diameter") {
+    // 16-node chain, diameter 15: plain min-label propagation needs
+    // ~15 passes; the large-star/small-star contraction must resolve
+    // it in O(log d) rounds (measured: 5 including the confirming
+    // round — the bound leaves one round of slack).
+    val chain = (1L until 16L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val (labels, rounds) = Dedup.connectedComponentsWithPasses(chain)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === (1L to 16L).map(_ -> 1L).toMap)
+    assert(rounds <= 6, s"took $rounds rounds on a 16-chain")
+
+    // Star (diameter 2): the first round is already the fixpoint.
+    val star = (2L to 9L).map(i => (1L, i)).toDF("d1", "d2")
+    val (sLabels, sRounds) = Dedup.connectedComponentsWithPasses(star)
+    assert(sLabels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      === (1L to 9L).map(_ -> 1L).toMap)
+    assert(sRounds <= 2, s"took $sRounds rounds on a star")
+
+    // Clique: dense neighborhoods, same answer.
+    val clique = (for { a <- 1L to 5L; b <- (a + 1) to 5L } yield (a, b))
+      .toDF("d1", "d2")
+    val (cLabels, cRounds) = Dedup.connectedComponentsWithPasses(clique)
+    assert(cLabels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      === (1L to 5L).map(_ -> 1L).toMap)
+    assert(cRounds <= 3, s"took $cRounds rounds on a clique")
+  }
+
   test("connectedComponents: empty edge set yields an empty labeling") {
     val empty = Seq.empty[(Long, Long)].toDF("d1", "d2")
     assert(Dedup.connectedComponents(empty).count() === 0L)

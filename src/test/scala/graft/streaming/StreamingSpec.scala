@@ -43,6 +43,58 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSeq === Seq("1", "2", "3"))
   }
 
+  test("idempotent report sink: a retried batch overwrites, never double-appends") {
+    val out = Files.createTempDirectory("graft_rep_unit").resolve("rep").toString
+    val batch = Seq(("2024-01-01 10:00:00", "p1", "FIO ONE", "rule_1"))
+      .toDF("event_dt", "passport", "fio", "event_type")
+    Streaming.writeBatchIdempotent(batch, 0L, out)
+    Streaming.writeBatchIdempotent(batch, 0L, out) // the retry
+    assert(spark.read.parquet(out).count() === 1)
+    Streaming.writeBatchIdempotent(batch, 1L, out) // next batch appends
+    assert(spark.read.parquet(out).count() === 2)
+  }
+
+  test("report sink restart: crash before the checkpoint commit cannot double-append") {
+    val src = Files.createTempDirectory("graft_repsink_src")
+    val out = Files.createTempDirectory("graft_repsink_out").resolve("rep")
+    val ckpt = Files.createTempDirectory("graft_repsink_ckpt")
+    writeTx(src, "transactions_01012024.txt", "1;10", "2;20")
+
+    def drain(): Unit = {
+      val q = Streaming.reportSink(
+        Streaming.fileSource(spark, src.toString,
+          Sources.stringSchema("transaction_id", "amount")),
+        out.toString, ckpt.toString)
+      try q.awaitTermination(60000) finally q.stop()
+      // Deregistration from the checkpoint-path registry is async to
+      // termination; a restart that wins the race trips the
+      // concurrent-checkpoint-use guard. Wait it out.
+      val deadline = System.currentTimeMillis + 10000
+      while (spark.streams.active.exists(_.id == q.id) &&
+        System.currentTimeMillis < deadline) Thread.sleep(50)
+    }
+
+    drain()
+    assert(spark.read.parquet(out.toString).count() === 2)
+    // Crash simulation: the sink wrote batch 0 but the commit marker
+    // never landed — on restart the engine re-executes batch 0 with
+    // the SAME batch id, which must overwrite, not append. (The plain
+    // append sink the reference uses would now hold 4 rows.)
+    val commit0 = ckpt.resolve("commits").resolve("0")
+    assert(Files.exists(commit0), "expected a commit marker for batch 0")
+    Files.delete(commit0)
+    // ...and its local-FS checksum sibling: a real crash writes neither.
+    Files.deleteIfExists(ckpt.resolve("commits").resolve(".0.crc")): Unit
+    drain()
+    assert(spark.read.parquet(out.toString).count() === 2)
+    // New data still lands as a fresh batch partition.
+    writeTx(src, "transactions_02012024.txt", "3;30")
+    drain()
+    assert(spark.read.parquet(out.toString)
+      .select("transaction_id").as[String].collect().sorted.toSeq
+      === Seq("1", "2", "3"))
+  }
+
   test("windowedCounts: event-time tumbling windows via MemoryStream") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[(Timestamp, String, Double)]

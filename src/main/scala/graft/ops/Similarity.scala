@@ -238,6 +238,109 @@ object Similarity {
     rpCandidatesFromSigs(
       rpSignatures(vectors, idCol, vecCol, dim, nPlanes, nBands), idCol, nBands)
 
+  // ── K-means codebook training ─────────────────────────────────────
+
+  /** Scaled-integer embedding for [[kmeansFit]]: component →
+    * `round((v + 4) * 10^6)` as BIGINT. All distance and centroid
+    * arithmetic then happens in EXACT integer space — squared
+    * euclidean distances are bigint sums (order-independent), centroid
+    * means are integer `sum div count` — so training is bit-identical
+    * across engines, partitionings, and retries, with no float-
+    * summation-order hazard anywhere (the same reason the dedup
+    * oracles avoid `avg`). The +4 shift keeps every component of a
+    * unit-scale embedding positive, where Spark's `div` and the
+    * oracle's `//` agree (both truncate). Six decimal digits of the
+    * input survive the scaling — beyond float32 input precision. */
+  def scaledVec(vecCol: Column): Column =
+    transform(vecCol, x =>
+      round((x.cast("double") + lit(4.0)) * lit(1000000.0)).cast("long"))
+
+  /** Nearest-centroid assignment in scaled-integer space: argmin of
+    * squared euclidean distance over a literal codebook, ties to the
+    * smallest cid. Shuffle-free — the same plan shape as
+    * [[assignCells]]: one `aggregate` fold over the codebook array
+    * inside the scan stage, no join, no window, no exchange. Output:
+    * `idCol`, `__sv` (scaled vector, internal), `cid`, `dist`. */
+  private def kmeansAssign(corpus: DataFrame, cents: Seq[Array[Long]],
+                           idCol: String, vecCol: String): DataFrame = {
+    val centArr = array(cents.zipWithIndex.map { case (s, cid) =>
+      struct(lit(cid.toLong).as("cid"), typedlit(s.toSeq).as("s"))
+    }: _*)
+    val best = aggregate(centArr,
+      struct(lit(-1L).as("cid"), lit(Long.MaxValue).as("dist")),
+      (acc, c) => {
+        val d = aggregate(
+          zip_with(col("__sv"), c.getField("s"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (s, x) => s + x)
+        // Strict < keeps the earlier (smaller) cid on ties — the
+        // codebook array is cid-ascending by construction.
+        when(d < acc.getField("dist"),
+          struct(c.getField("cid").as("cid"), d.as("dist"))).otherwise(acc)
+      })
+    corpus.select(col(idCol), scaledVec(col(vecCol)).as("__sv"))
+      .withColumn("__best", best)
+      .select(col(idCol), col("__sv"),
+        col("__best.cid").as("cid"), col("__best.dist").as("dist"))
+  }
+
+  /** Distributed Lloyd's k-means over an embedding column — the
+    * trainer for the IVF codebook ([[assignCells]]/[[ivfKnn]] take
+    * "k fixed centroids, trained upfront"; this is the upfront). Also
+    * the core of SemDeDup-style semantic dedup (cluster, then drop
+    * near-centroid duplicates).
+    *
+    * Deterministic BY CONSTRUCTION, not by luck: init is the `k`
+    * smallest-`idCol` vectors (no RNG — same discipline as every
+    * sampler in this engine), and all math is scaled-integer
+    * ([[scaledVec]]), so the fitted codebook is a pure function of
+    * the data. `iters` counts ASSIGNMENT passes: `iters = 2` is
+    * assign → update → assign, which is what the q68 oracle unrolls.
+    *
+    * Scale shape per iteration: one shuffle-free assignment scan +
+    * one partial-aggregated shuffle of k×dim groups (a few thousand
+    * rows regardless of corpus size), then a bounded driver collect
+    * of the k×dim centroid sums — the [[MaxCentroids]] discipline.
+    * Empty cells keep their previous centroid. Returns the final
+    * assignment (`idCol`, `cid` BIGINT, `dist` BIGINT — exact scaled
+    * squared distance); [[kmeansCentroids]] returns the codebook
+    * itself. */
+  def kmeansFit(corpus: DataFrame, k: Int, iters: Int,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    kmeansAssign(corpus, kmeansCentroids(corpus, k, iters, idCol, vecCol),
+      idCol, vecCol)
+      .select(col(idCol), col("cid"), col("dist"))
+
+  /** The trained scaled-integer codebook (cid = index, ascending).
+    * Runs `iters - 1` update rounds; [[kmeansFit]] adds the final
+    * assignment pass over the result. */
+  def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Array[Long]] = {
+    require(k >= 1 && k <= MaxCentroids,
+      s"kmeansFit: k must be in [1, $MaxCentroids], got $k")
+    require(iters >= 1 && iters <= 100,
+      s"kmeansFit: iters must be in [1, 100], got $iters")
+    var cents: Seq[Array[Long]] = corpus
+      .select(col(idCol), scaledVec(col(vecCol)).as("__sv"))
+      .orderBy(col(idCol)).limit(k).collect()
+      .map(_.getSeq[Long](1).toArray).toSeq
+    require(cents.nonEmpty, "kmeansFit: empty corpus")
+    for (_ <- 1 until iters) {
+      val sums = kmeansAssign(corpus, cents, idCol, vecCol)
+        .select(col("cid"), posexplode(col("__sv")).as(Seq("i", "x")))
+        .groupBy("cid", "i")
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+        .collect() // bounded: ≤ k × dim rows
+        .map(r => (r.getLong(0).toInt, r.getInt(1)) -> (r.getLong(2) / r.getLong(3)))
+        .toMap
+      cents = cents.zipWithIndex.map { case (old, cid) =>
+        if (sums.contains((cid, 0)))
+          Array.tabulate(old.length)(i => sums((cid, i)))
+        else old // empty cell: keep the previous centroid
+      }
+    }
+    cents
+  }
+
   /** The query batch's `nProbe` nearest cells, one output row per
     * (query, probed cell). The per-query sort runs as an array
     * expression over the literal codebook — interpreted, but the

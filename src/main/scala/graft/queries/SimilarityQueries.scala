@@ -22,6 +22,42 @@ object SimilarityQueries {
   private def cosSql(a: String, b: String): String =
     s"round(${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)}), 6)"
 
+  /** Shared q68/q69 oracle CTE chain: two unrolled Lloyd iterations in
+    * the same scaled-integer space as [[graft.ops.Similarity.kmeansFit]]
+    * (init = 8 smallest vec_ids; exact bigint squared euclidean;
+    * centroid update = integer sum-div-count; empty cells keep their
+    * centroid). `a2` = each vector's final (cid, dist). */
+  private val kmeansCtesSql: String =
+    """sv AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding, x -> CAST(round((CAST(x AS DOUBLE) + 4.0) * 1000000.0) AS BIGINT)) AS s
+      |  FROM embeddings),
+      |init AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, s
+      |  FROM (SELECT * FROM sv ORDER BY vec_id LIMIT 8)),
+      |a1 AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT v.vec_id, c.cid,
+      |           row_number() OVER (PARTITION BY v.vec_id
+      |             ORDER BY list_sum(list_transform(v.s, (x, i) -> (x - c.s[i]) * (x - c.s[i]))), c.cid) AS rn
+      |    FROM sv v CROSS JOIN init c) WHERE rn = 1),
+      |u AS (
+      |  SELECT a.cid, generate_subscripts(v.s, 1) AS i, unnest(v.s) AS x
+      |  FROM a1 a JOIN sv v USING (vec_id)),
+      |c1 AS (
+      |  SELECT init.cid, coalesce(agg.s, init.s) AS s
+      |  FROM init LEFT JOIN (
+      |    SELECT cid, list(q ORDER BY i) AS s
+      |    FROM (SELECT cid, i, sum(x) // count(*) AS q FROM u GROUP BY cid, i)
+      |    GROUP BY cid) agg USING (cid)),
+      |a2 AS (
+      |  SELECT vec_id, cid, dist FROM (
+      |    SELECT v.vec_id, c.cid,
+      |           list_sum(list_transform(v.s, (x, i) -> (x - c.s[i]) * (x - c.s[i]))) AS dist,
+      |           row_number() OVER (PARTITION BY v.vec_id
+      |             ORDER BY list_sum(list_transform(v.s, (x, i) -> (x - c.s[i]) * (x - c.s[i]))), c.cid) AS rn
+      |    FROM sv v CROSS JOIN c1 c) WHERE rn = 1)""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // Brute-force exact cosine top-5 for a bounded query batch
@@ -68,6 +104,62 @@ object SimilarityQueries {
           queries = e.filter(col("vec_id") % 50 === 0),
           k = 3)
           .withColumn("rnk", col("rnk").cast("bigint"))
+    },
+
+    // Distributed k-means codebook training (Lloyd, 2 assignment
+    // passes) — the "trained upfront" half of the IVF story, and the
+    // clustering core of SemDeDup-style semantic dedup. Everything is
+    // scaled-integer math (Similarity.scaledVec): init = the k
+    // smallest vec_ids, distances are exact bigint squared euclidean,
+    // centroid updates are integer sum-div-count — so the oracle can
+    // unroll the SAME two iterations and hash-match bit-for-bit, with
+    // no float-summation-order hazard. Output: each vector's final
+    // cell and exact scaled squared distance.
+    Q("q68_kmeans_train",
+      s"""WITH $kmeansCtesSql
+         |SELECT vec_id, cid, CAST(dist AS BIGINT) AS dist FROM a2""".stripMargin) {
+      (s, d) =>
+        Similarity.kmeansFit(table(s, d, "embeddings"), k = 8, iters = 2)
+    },
+
+    // SemDeDup-style semantic dedup: the TRAINED k-means cells (q68's
+    // codebook, not q42's precomputed label column) become the
+    // blocking key, and within each cell a vector is dropped when any
+    // LOWER-id vector sits within the cosine threshold — the greedy
+    // single-pass survivor policy (deterministic, no transitivity;
+    // the survivor-chain variant is the q57/q67 connected-components
+    // family). Cross-cell near-dups are missed by design — that is
+    // the SemDeDup trade: clustering as blocking makes pair work
+    // linear-in-cell instead of corpus-quadratic, and the
+    // boundedBucketSelfJoin cap keeps one hot cell from becoming one
+    // straggler task (pair set provably unchanged, so the plain-join
+    // oracle stays exact).
+    Q("q69_semantic_dedup",
+      s"""WITH $kmeansCtesSql,
+         |emb AS (
+         |  SELECT e.vec_id, e.embedding, a2.cid
+         |  FROM embeddings e JOIN a2 USING (vec_id))
+         |SELECT vec_id, cid FROM emb v
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM emb u
+         |  WHERE u.cid = v.cid AND u.vec_id < v.vec_id
+         |    AND ${cosSql("u.embedding", "v.embedding")} >= 0.35)""".stripMargin) {
+      (s, d) =>
+        import graft.functions.VectorExpressions.normF
+        val e = table(s, d, "embeddings")
+        val cells = Similarity.kmeansFit(e, k = 8, iters = 2)
+          .select(col("vec_id"), col("cid"))
+        val withVec = e.select(col("vec_id"), col("embedding"),
+          normF(col("embedding")).as("nrm"))
+          .join(cells, "vec_id")
+        val dropped = graft.ops.Skew
+          .boundedBucketSelfJoin(withVec, "cid", "vec_id", cap = 256)
+          .withColumn("cos_r", Similarity.cosRoundedPre(
+            col("embedding"), col("embedding_2"), col("nrm"), col("nrm_2")))
+          .filter(col("cos_r") >= 0.35)
+          .select(col("vec_id_2").as("vec_id")).distinct()
+        withVec.join(dropped, Seq("vec_id"), "left_anti")
+          .select(col("vec_id"), col("cid"))
     },
 
     // IVF with nProbe = 2 — the recall/cost knob of a real IVF

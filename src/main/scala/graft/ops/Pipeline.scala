@@ -184,20 +184,38 @@ object Pipeline {
 
   /** Dimension stage (`terminals.py` analog): each full-snapshot file
     * newer than the watermark is staged and SCD2-merged; the file date
-    * is both the version-open timestamp and the delete clock. */
+    * is both the version-open timestamp and the delete clock.
+    *
+    * `bucketDims = Some(n)` stores the dimension Hive-partitioned by
+    * [[Scd2.bucketCol]] and merges through [[Scd2.mergePartitioned]]:
+    * only buckets holding changed/new/deleted keys are rewritten —
+    * the production shape for a large dimension (a daily batch
+    * touching 1% of keys rewrites ~1% of the table instead of all of
+    * it). Semantics are identical (PipelineSpec pins content parity
+    * with the snapshot path); downstream readers drop the bucket
+    * column ([[runReport]] does). */
   def runTerminals(spark: SparkSession, store: TableStore, srcDir: String,
-                  archive: Boolean = false): Unit =
+                  archive: Boolean = false,
+                  bucketDims: Option[Int] = None): Unit =
     processFiles(spark, store, srcDir, "terminals_\\d{8}\\.txt",
         "terminals", "stg_terminals", archive) {
       (path, s) => Sources.csv(s, path, Sources.stringSchema(TermSchema: _*))
     } { (batch, fileDate) =>
       val ts = lit(isoToTs(fileDate))
-      val dim = store.readOr("dim_terminals_hist", dimStruct)
-      store.swapSnapshot("dim_terminals_hist",
-        Scd2.merge(dim, batch, Seq("terminal_id"), TermSchema.tail,
-          batchTs = ts,
-          deleteKeys = Some(batch.select("terminal_id")),
-          deleteTs = Some(ts)))
+      bucketDims match {
+        case Some(n) =>
+          Scd2.mergePartitioned(store, "dim_terminals_hist", batch,
+            Seq("terminal_id"), TermSchema.tail, batchTs = ts, nBuckets = n,
+            deleteKeys = Some(batch.select("terminal_id")),
+            deleteTs = Some(ts)): Unit
+        case None =>
+          val dim = store.readOr("dim_terminals_hist", dimStruct)
+          store.swapSnapshot("dim_terminals_hist",
+            Scd2.merge(dim, batch, Seq("terminal_id"), TermSchema.tail,
+              batchTs = ts,
+              deleteKeys = Some(batch.select("terminal_id")),
+              deleteTs = Some(ts)))
+      }
       Some(isoToTs(fileDate))
     }
 
@@ -322,7 +340,9 @@ object Pipeline {
     val noDb = Sources.JdbcSpec("", "", "", "")
     store.append("rep_fraud", reportFrame(
       facts = store.readOr("fact_transactions", factStruct),
-      ter = store.readOr("dim_terminals_hist", dimStruct),
+      // drop is a no-op on the snapshot layout; on the bucketed layout
+      // it strips the kb partition column so the join shape is identical.
+      ter = store.readOr("dim_terminals_hist", dimStruct).drop(Scd2.BucketColName),
       cards = store.readOr("dim_cards_hist", emptyDim(cardsDim(noDb))),
       accounts = store.readOr("dim_accounts_hist", emptyDim(accountsDim(noDb))),
       clients = store.readOr("dim_clients_hist", emptyDim(clientsDim(noDb))),
@@ -418,10 +438,11 @@ object Pipeline {
   def run(spark: SparkSession, store: TableStore, srcDir: String,
           reportDt: Timestamp, archive: Boolean = false,
           dimDb: Option[Sources.JdbcSpec] = None,
-          dimRunTs: Option[Timestamp] = None): Unit = {
+          dimRunTs: Option[Timestamp] = None,
+          bucketDims: Option[Int] = None): Unit = {
     runTransactions(spark, store, srcDir, archive)
     runBlacklist(spark, store, srcDir, archive)
-    runTerminals(spark, store, srcDir, archive)
+    runTerminals(spark, store, srcDir, archive, bucketDims)
     dimDb.foreach { db =>
       val ts = dimRunTs.getOrElse(reportDt)
       runJdbcDim(spark, store, cardsDim(db), ts)

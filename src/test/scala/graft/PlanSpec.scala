@@ -135,4 +135,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan.take(1000))
     assert(!plan.contains("Join"), plan.take(1000))
   }
+
+  test("q68: k-means final assignment is likewise exchange-free") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = graft.ops.Similarity.kmeansCentroids(e, k = 8, iters = 2)
+    // Re-assigning against a trained codebook (what every IVF consumer
+    // does per batch) must be the same shuffle-free literal-codebook
+    // fold as assignCells: the training shuffles (k×dim aggregates)
+    // are paid once in kmeansCentroids, never per assignment scan.
+    val plan = graft.ops.Similarity.kmeansFit(e, k = 8, iters = 2)
+      .queryExecution.executedPlan.toString
+    assert(cents.length === 8)
+    assert(!plan.contains("Exchange"), s"assignment shuffles:\n${plan.take(2000)}")
+    assert(!plan.contains("Join"), plan.take(1000))
+  }
 }

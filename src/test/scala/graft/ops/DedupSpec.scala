@@ -199,31 +199,33 @@ class DedupSpec extends AnyFunSuite {
       20L -> 20L, 21L -> 20L))
   }
 
-  test("connectedComponents: alternating star rounds beat the chain diameter") {
-    // 16-node chain, diameter 15: plain min-label propagation needs
-    // ~15 passes; the large-star/small-star contraction must resolve
-    // it in O(log d) rounds (measured: 5 including the confirming
-    // round — the bound leaves one round of slack).
+  test("connectedComponents: adaptive star phase beats the chain diameter") {
+    // 16-node chain, diameter 15: propagation alone needs 15 passes.
+    // The adaptive algorithm runs 4 propagation passes, contracts to
+    // a ~12-supernode chain, and finishes with O(log d) alternating
+    // star rounds — the total must land well under the diameter.
     val chain = (1L until 16L).map(i => (i, i + 1)).toDF("d1", "d2")
-    val (labels, rounds) = Dedup.connectedComponentsWithPasses(chain)
+    val (labels, passes) = Dedup.connectedComponentsWithPasses(chain)
     val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === (1L to 16L).map(_ -> 1L).toMap)
-    assert(rounds <= 6, s"took $rounds rounds on a 16-chain")
+    assert(passes <= 10, s"took $passes passes on a 16-chain (diameter 15)")
 
-    // Star (diameter 2): the first round is already the fixpoint.
+    // Star (diameter 2): propagation converges before the switch ever
+    // fires — the common near-dup shape stays on the 2-jobs-per-pass
+    // path.
     val star = (2L to 9L).map(i => (1L, i)).toDF("d1", "d2")
-    val (sLabels, sRounds) = Dedup.connectedComponentsWithPasses(star)
+    val (sLabels, sPasses) = Dedup.connectedComponentsWithPasses(star)
     assert(sLabels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       === (1L to 9L).map(_ -> 1L).toMap)
-    assert(sRounds <= 2, s"took $sRounds rounds on a star")
+    assert(sPasses <= 2, s"took $sPasses passes on a star")
 
-    // Clique: dense neighborhoods, same answer.
+    // Clique: dense neighborhoods, same answer, still pre-switch.
     val clique = (for { a <- 1L to 5L; b <- (a + 1) to 5L } yield (a, b))
       .toDF("d1", "d2")
-    val (cLabels, cRounds) = Dedup.connectedComponentsWithPasses(clique)
+    val (cLabels, cPasses) = Dedup.connectedComponentsWithPasses(clique)
     assert(cLabels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       === (1L to 5L).map(_ -> 1L).toMap)
-    assert(cRounds <= 3, s"took $cRounds rounds on a clique")
+    assert(cPasses <= 3, s"took $cPasses passes on a clique")
   }
 
   test("connectedComponents: empty edge set yields an empty labeling") {

@@ -200,7 +200,13 @@ object Dedup {
     val inv = hs
       .select(col(idCol), col(bucketCol), explode(col("__hs")).as("__h"))
       .select(col(idCol), struct(col(bucketCol), col("__h")).as("__bkt"))
-    val inter = Skew.boundedBucketSelfJoin(inv, "__bkt", idCol, hotShingleCap)
+    // Sampled hot detection (1-in-16): shingle keys are mostly unique,
+    // so the exact count would shuffle nearly the whole inverted index
+    // just to find the handful of boilerplate keys; at cap 1000 the
+    // sampled pass still detects ≥2·cap buckets essentially surely and
+    // never changes the pair set (see boundedBucketSelfJoin).
+    val inter = Skew.boundedBucketSelfJoin(inv, "__bkt", idCol, hotShingleCap,
+        detectOneIn = 16)
       .groupBy(col(idCol).as("d1"), col(idCol + "_2").as("d2"))
       .agg(count(lit(1)).as("inter_cnt"))
     inter

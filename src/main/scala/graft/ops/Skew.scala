@@ -59,14 +59,39 @@ object Skew {
     * the cap. Buckets at-or-under `cap` degenerate to s = 1 — single
     * copy, single task, the plain join.
     *
+    * `detectOneIn > 1` makes the HOT-BUCKET DETECTION pass sampled: a
+    * deterministic 1-in-r hash filter keeps the detection aggregation
+    * at 1/r of the row volume (when bucket keys are mostly unique —
+    * an inverted shingle index — the exact count is a near-full
+    * shuffle, and at 100 TB that detection pass is itself a job).
+    * Counts scale back up by r, so split factors match the exact
+    * path's within sampling noise. This NEVER affects the pair set —
+    * splitting is a performance policy — and the per-task bound
+    * degrades gracefully: a bucket must reach ~2·cap before its
+    * detection probability is even meaningfully below certainty
+    * (expected sample 2·cap/r; for cap/r ≥ 32 a miss needs the
+    * deterministic hash to zero out 60+ expected hits), and a
+    * just-missed borderline bucket costs ≈(2·cap)²/2 pairs — the same
+    * order as the designed cap² task bound. The filter hashes
+    * (bucket, id) — independent of the sub-group hash over id alone —
+    * and is exact (`detectOneIn = 1`) by default.
+    *
     * Right-side columns come back renamed with `rightSuffix`; helper
     * columns are dropped. */
   def boundedBucketSelfJoin(df: DataFrame, bucketCol: String, idCol: String,
-                            cap: Int, rightSuffix: String = "_2"): DataFrame = {
+                            cap: Int, rightSuffix: String = "_2",
+                            detectOneIn: Int = 1): DataFrame = {
     require(cap > 0, s"boundedBucketSelfJoin: cap must be positive, got $cap")
+    require(detectOneIn >= 1,
+      s"boundedBucketSelfJoin: detectOneIn must be >= 1, got $detectOneIn")
     // Only oversized buckets' counts ship to the executors (tiny by
     // construction: a bucket must beat the cap to appear).
-    val hot = df.groupBy(col(bucketCol)).agg(count(lit(1)).as("__bn"))
+    val detected =
+      if (detectOneIn == 1) df
+      else df.filter(
+        pmod(xxhash64(col(bucketCol), col(idCol)), lit(detectOneIn)) === 0)
+    val hot = detected.groupBy(col(bucketCol))
+      .agg((count(lit(1)) * detectOneIn).as("__bn"))
       .filter(col("__bn") > cap)
     val base = df.join(broadcast(hot), Seq(bucketCol), "left")
       .withColumn("__subs",

@@ -52,6 +52,28 @@ class SkewSpec extends AnyFunSuite {
     assert(plain.size === 60 * 59 / 2 + 3) // sanity: blowup actually present
   }
 
+  test("boundedBucketSelfJoin: sampled hot detection still splits and never changes pairs") {
+    // 4000-row hot bucket, cap 100, detection sampled 1-in-16: the
+    // expected sample is 250 rows → scaled count ≈ 4000 ≫ cap, so the
+    // split must still engage; and whatever the detection decided, the
+    // pair set must equal the plain join's (splitting is performance
+    // policy, never semantics). Pair-count identity is checked instead
+    // of materializing 8M pair tuples.
+    val rows = ((1L to 4000L).map(i => (i, "hot")) ++
+      Seq((9001L, "small"), (9002L, "small"))).toDF("id", "bucket")
+    val sampled = Skew.boundedBucketSelfJoin(rows, "bucket", "id",
+      cap = 100, detectOneIn = 16)
+    assert(sampled.count() === 4000L * 3999 / 2 + 1)
+    // The hot bucket was actually detected through the sample: the
+    // operator's own sampled aggregate must flag it.
+    val flagged = rows
+      .filter(pmod(xxhash64(col("bucket"), col("id")), lit(16)) === 0)
+      .groupBy("bucket").count()
+      .filter(col("count") * 16 > 100)
+      .collect().map(_.getString(0)).toSet
+    assert(flagged === Set("hot"))
+  }
+
   test("boundedBucketSelfJoin: per-task pair work is bounded, not quadratic") {
     // Reconstruct each pair's task cell (sub-group of each side) the
     // way the operator assigns it and assert no cell carries more than

@@ -64,22 +64,35 @@ object Bench {
 
     // Timed passes: two per query, min reported — single-shot numbers
     // carry GC/compilation noise that reads as phantom round-over-round
-    // regressions. If the two samples disagree by >1.5× the query gets
-    // up to two extra passes: transient machine contention (another
-    // process, page-cache eviction) otherwise inflates BOTH samples
-    // and the min reads as a phantom plan regression. A failed query
-    // reports time=null and contributes nothing to the total.
-    val results: Seq[(String, Option[Double])] = queries.map { case (name, fn) =>
-      def timeOnce(recordError: Boolean): Option[Double] = {
-        val t0 = System.nanoTime()
-        try { run(name, fn); Some((System.nanoTime() - t0) / 1e9) }
-        catch { case e: Throwable =>
-          if (recordError)
-            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
-          None
-        }
+    // regressions. The two passes are INTERLEAVED (every query once,
+    // then every query again) rather than back-to-back per query: a
+    // minutes-long machine-contention burst then lands on at most ONE
+    // of a query's samples — back-to-back samples both sit inside the
+    // burst and their min reads as a phantom plan regression (observed
+    // round-over-round: untouched queries swinging 4-7× in full runs
+    // while benching clean in isolation minutes later). If the two
+    // samples still disagree by >1.5× the query gets up to two extra
+    // passes. A failed query reports time=null and contributes nothing
+    // to the total.
+    def timeQuery(name: String,
+                  fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                  recordError: Boolean): Option[Double] = {
+      val t0 = System.nanoTime()
+      try { run(name, fn); Some((System.nanoTime() - t0) / 1e9) }
+      catch { case e: Throwable =>
+        if (recordError)
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
+        None
       }
-      val first = (1 to 2).flatMap(_ => timeOnce(recordError = true))
+    }
+    val passes: Seq[Map[String, Option[Double]]] = (1 to 2).map { _ =>
+      queries.map { case (name, fn) =>
+        name -> timeQuery(name, fn, recordError = true) }.toMap
+    }
+    val results: Seq[(String, Option[Double])] = queries.map { case (name, fn) =>
+      def timeOnce(recordError: Boolean): Option[Double] =
+        timeQuery(name, fn, recordError)
+      val first = passes.flatMap(_(name))
       name -> (if (first.size < 2) None else {
         // Stability passes don't record errors: the two authoritative
         // passes succeeded, so the result stands — a hiccup here must

@@ -184,6 +184,21 @@ final class TableStore(spark: SparkSession, root: String) {
     swapDirs(live, tmp, old)
   }
 
+  /** [[swapSnapshot]] for a Hive-partitioned layout: the scratch
+    * generation is written `partitionBy(partitionCols)` and the WHOLE
+    * directory is swapped in one rename — the full-rewrite sibling of
+    * [[swapPartitions]] for batches that touch most partitions anyway
+    * (per-leaf renames and partition-pruned scans only pay off when
+    * most leaves survive untouched). */
+  def swapSnapshotPartitioned(name: String, df: DataFrame,
+                              partitionCols: Seq[String]): Unit = {
+    val live = new Path(path(name))
+    val tmp = new Path(path(name + ".__tmp"))
+    val old = new Path(path(name + ".__old"))
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(tmp.toString)
+    swapDirs(live, tmp, old)
+  }
+
   /** The rename dance shared by snapshot and per-partition swaps:
     * retire live → `old`, promote `tmp` → live, drop `old`. Renames
     * are atomic per directory on HDFS-like filesystems. */

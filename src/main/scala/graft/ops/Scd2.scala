@@ -246,6 +246,20 @@ object Scd2 {
       .collect().map(_.getInt(0)).sorted.toSeq // bounded by nBuckets
     if (affected.isEmpty) return Nil
 
+    if (affected.size * 2 > nBuckets) {
+      // Majority of buckets dirty (bootstrap-like reload, schema-wide
+      // backfill): the scoped path would rename nearly every leaf and
+      // carry an affected-list literal the optimizer has to chew —
+      // the full-snapshot rewrite is cheaper and semantically
+      // identical, and the bucketed layout (partition pruning for the
+      // NEXT, normal-sized merge) is preserved.
+      val merged = merge(dim.drop(BucketColName), batch, keys, tracked,
+        batchTs, deleteKeys, deleteTs, passthrough, newTs)
+      store.swapSnapshotPartitioned(table,
+        merged.withColumn(BucketColName, kb), Seq(BucketColName))
+      return affected
+    }
+
     // Every frame scoped to the affected buckets: the dim scan is
     // partition-pruned; batch rows outside are provably clean.
     val dimScoped = dim.filter(col(BucketColName).isin(affected: _*))

@@ -100,6 +100,30 @@ class Scd2PartitionedSpec extends AnyFunSuite {
     assert(leafFiles(store, "dim") === before)
   }
 
+  test("majority-dirty merge takes the full-rewrite path, keeps layout and content") {
+    val store = newStore()
+    Scd2.mergePartitioned(store, "dim", day1, Seq("k"), Seq("a"), lit(t0),
+      nBuckets = N, deleteKeys = Some(day1.select("k")))
+    // Change EVERY key: all buckets dirty → the scoped path would
+    // rewrite every leaf anyway, so the implementation must fall back
+    // to the whole-directory swap — same content, still kb-partitioned.
+    val batch2 = day1.withColumn("a", concat(col("a"), lit("!")))
+    val rewritten = Scd2.mergePartitioned(store, "dim", batch2,
+      Seq("k"), Seq("a"), lit(t1), nBuckets = N,
+      deleteKeys = Some(batch2.select("k")), deleteTs = Some(lit(t1)))
+    assert(rewritten.nonEmpty && rewritten.size * 2 > N)
+    val dim1 = day1.select($"k", $"a",
+      lit(t0).as("effective_from"), lit(INF).as("effective_to"),
+      lit("N").as("deleted_flg"))
+    val expected = snapshot(Scd2.merge(dim1, batch2, Seq("k"), Seq("a"),
+      lit(t1), deleteKeys = Some(batch2.select("k")), deleteTs = Some(lit(t1))))
+    assert(snapshot(store.read("dim")) === expected)
+    // Layout survives: kb= leaves on disk, no scratch dirs left behind.
+    val leaves = new java.io.File(store.path("dim")).listFiles().map(_.getName)
+    assert(leaves.exists(_.startsWith(Scd2.BucketColName + "=")))
+    assert(!store.exists("dim.__tmp") && !store.exists("dim.__old"))
+  }
+
   test("the scoped dim scan is partition-pruned") {
     val store = newStore()
     Scd2.mergePartitioned(store, "dim", day1, Seq("k"), Seq("a"), lit(t0),

@@ -85,6 +85,7 @@ object Bench {
         None
       }
     }
+    val wallT0 = System.nanoTime()
     val passes: Seq[Map[String, Option[Double]]] = (1 to 2).map { _ =>
       queries.map { case (name, fn) =>
         name -> timeQuery(name, fn, recordError = true) }.toMap
@@ -126,7 +127,15 @@ object Bench {
       jstr(k) + ":" + v.fold("null")(_.toString) }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":${jstr(sfDir)}}""")
+    // Run-quality marker: wall clock of the timed section over 2× the
+    // reported (min-of-passes) total. A clean run reads ≈1.0–1.4; a
+    // machine-contention burst inflates the wall without touching the
+    // mins, so a large ratio flags that round-over-round comparisons
+    // of THIS run's numbers need noise-screening (observed r6: an 8×
+    // sbt wall with untouched queries swinging 4-7×).
+    val wallSec = (System.nanoTime() - wallT0) / 1e9
+    val quality = if (total > 0) wallSec / (2 * total) else 0.0
+    println(f"""{"metric":"total","value":$total,"unit":"sec","wall_sec":$wallSec%.3f,"run_quality":$quality%.3f,"queries":$qs,"errors":$errJson,"sf":${jstr(sfDir)}}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -21,8 +21,11 @@ import org.apache.spark.sql.types.StructType
   * the directory it replaces. Spark cannot overwrite a path it is
   * reading in the same job — materialize-then-rename is the safe
   * order, and on HDFS-like filesystems the rename is atomic per
-  * directory (object stores without atomic rename want a
-  * manifest/table format instead — Delta/Iceberg in production).
+  * directory. Object stores without atomic directory rename use the
+  * MANIFEST-COMMITTED tables instead ([[commitVersioned]] /
+  * [[readVersioned]] — immutable generation directories behind an
+  * atomically-published pointer file, the minimal Delta-shaped
+  * commit).
   *
   * Scale notes: append-mode parquet adds files without rewriting
   * existing data (bounded work per batch regardless of table size);
@@ -197,6 +200,104 @@ final class TableStore(spark: SparkSession, root: String) {
     val old = new Path(path(name + ".__old"))
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(tmp.toString)
     swapDirs(live, tmp, old)
+  }
+
+  // ------------------------------------------------------------------
+  // Manifest-committed (versioned) tables — the object-store-safe
+  // commit protocol. [[swapSnapshot]]'s directory rename is atomic on
+  // HDFS-like filesystems but NOT on S3-class object stores (rename =
+  // copy + delete there, and readers can observe the half-state).
+  // Versioned tables never rename a directory:
+  //
+  //   <name>/g<N>/…parquet      immutable generation directories
+  //   <name>/_manifest/<N pad>  commit records (content: "g<N>")
+  //
+  // A generation EXISTS only once its manifest record does; the record
+  // is published by writing a dot-temp FILE and renaming it into place
+  // — a single-object atomic publish (HDFS file rename; PUT-if-absent
+  // on object stores). A writer that dies after materializing g<N> but
+  // before publishing leaves an unreferenced directory: readers keep
+  // resolving the last COMMITTED generation (TableStoreSpec pins the
+  // killed-mid-swap case), and the next writer skips past the orphan.
+  // This is the minimal Delta-shaped commit — a log of immutable
+  // generation pointers over plain parquet — and the production
+  // hardening for K4/T5 swaps on object stores. `_manifest` is
+  // underscore-prefixed, so Spark's file index ignores it; versioned
+  // tables are read through [[readVersioned]], never [[read]] (a raw
+  // directory read would union every generation).
+  //
+  // Single-writer discipline (the reference's cron model): a racing
+  // second committer fails loudly on the record publish — no record is
+  // ever overwritten.
+  // ------------------------------------------------------------------
+
+  private def manifestDir(name: String) = new Path(path(name), "_manifest")
+
+  /** Committed generation numbers, ascending. */
+  private def committedGens(name: String): Seq[Long] = {
+    val md = manifestDir(name)
+    if (!fs.exists(md)) Seq.empty
+    else fs.listStatus(md).toSeq.map(_.getPath.getName)
+      .filter(_.matches("[0-9]{20}")).map(_.toLong).sorted
+  }
+
+  /** The live (latest committed) generation, if any. */
+  def liveGeneration(name: String): Option[Long] = committedGens(name).lastOption
+
+  /** All `g<N>` generation directories on disk, committed or orphaned. */
+  private def genDirs(name: String): Seq[Long] = {
+    val root = new Path(path(name))
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.matches("g[0-9]+"))
+      .map(_.getPath.getName.drop(1).toLong).sorted
+  }
+
+  /** Write `df` as a new immutable generation and atomically commit it.
+    * `df` may read the table's live generation (it is fully
+    * materialized into its own directory before the pointer moves).
+    * @return the committed generation number */
+  def commitVersioned(name: String, df: DataFrame): Long = {
+    val gen = (committedGens(name) ++ genDirs(name)).foldLeft(0L)(math.max) + 1
+    df.write.parquet(new Path(path(name), s"g$gen").toString)
+    val md = manifestDir(name)
+    fs.mkdirs(md)
+    val rec = new Path(md, f"$gen%020d")
+    val tmp = new Path(md, f".$gen%020d.tmp")
+    val out = fs.create(tmp, false)
+    try out.write(s"g$gen".getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmp, rec)) {
+      fs.delete(tmp, true)
+      throw new java.io.IOException(
+        s"commitVersioned: cannot publish $rec (concurrent writer?)")
+    }
+    gen
+  }
+
+  /** Read the live committed generation. An uncommitted (crashed)
+    * write is invisible here by construction. */
+  def readVersioned(name: String): DataFrame = {
+    val gen = liveGeneration(name).getOrElse(throw new java.util.NoSuchElementException(
+      s"readVersioned: no committed generation for '$name'"))
+    spark.read.parquet(new Path(path(name), s"g$gen").toString)
+  }
+
+  /** Drop generation directories (and their manifest records) older
+    * than the newest `keepGenerations` committed ones, plus orphaned
+    * never-committed directories below the live generation. Run with
+    * no writer in flight, and lag retention behind the longest-running
+    * reader (a reader resolves its generation once, then lists files
+    * from an immutable directory — the same contract as Delta VACUUM). */
+  def vacuumVersioned(name: String, keepGenerations: Int = 2): Unit = {
+    require(keepGenerations >= 1, "vacuumVersioned: must keep >= 1 generation")
+    val committed = committedGens(name)
+    val keep = committed.takeRight(keepGenerations).toSet
+    val live = committed.lastOption.getOrElse(Long.MinValue)
+    genDirs(name)
+      .filter(g => !keep.contains(g) && g < live)
+      .foreach(g => fs.delete(new Path(path(name), s"g$g"), true))
+    committed.dropRight(keepGenerations)
+      .foreach(g => fs.delete(new Path(manifestDir(name), f"$g%020d"), true))
   }
 
   /** The rename dance shared by snapshot and per-partition swaps:

@@ -47,12 +47,34 @@ object XlsxLite {
       val sheetTarget = resolveSheet(workbook, rels, sheet)
       val shared = entry(zip, "xl/sharedStrings.xml")
         .map(parseDoc).map(sharedStrings).getOrElse(Vector.empty)
-      sheetRows(parse(zip, sheetTarget), shared)
+      sheetRows(parse(zip, sheetTarget), shared, dateStyles(zip))
     } finally zip.close()
   }
 
+  /** Untrusted-input guard #2 (the zip-size check is #1): [[MaxBytes]]
+    * bounds only the COMPRESSED archive, but each XML part is
+    * DOM-parsed fully in driver memory — a tiny zip of
+    * highly-compressible XML (zip bomb) could exhaust the driver
+    * despite passing the size check. Every entry stream therefore
+    * fails loudly once its DECOMPRESSED bytes exceed the same bound. */
+  private def bounded(in: java.io.InputStream): java.io.InputStream =
+    new java.io.FilterInputStream(in) {
+      private var n = 0L
+      private def bump(k: Long): Unit = {
+        n += k
+        if (n > MaxBytes) throw new IllegalArgumentException(
+          s"xlsx-lite: XML part decompresses past the $MaxBytes-byte bound (zip bomb?)")
+      }
+      override def read(): Int = {
+        val b = super.read(); if (b >= 0) bump(1); b
+      }
+      override def read(buf: Array[Byte], off: Int, len: Int): Int = {
+        val k = super.read(buf, off, len); if (k > 0) bump(k); k
+      }
+    }
+
   private def entry(zip: ZipFile, name: String): Option[java.io.InputStream] =
-    Option(zip.getEntry(name)).map(zip.getInputStream)
+    Option(zip.getEntry(name)).map(e => bounded(zip.getInputStream(e)))
 
   private def parse(zip: ZipFile, name: String): Document =
     parseDoc(entry(zip, name).getOrElse(
@@ -94,13 +116,42 @@ object XlsxLite {
     elems(doc.getDocumentElement, "si")
       .map(si => elems(si, "t").map(_.getTextContent).mkString).toVector
 
-  private def sheetRows(doc: Document, shared: Vector[String]): Seq[Array[String]] = {
+  /** 0-based `cellXfs` style indexes whose number format is a
+    * DATE/TIME format: builtin numFmtIds 14–22 / 45–47, or a custom
+    * `numFmt` whose code carries date tokens (y/m/d/h/s outside quoted
+    * literals, escapes, and `[...]` sections). Numeric cells styled
+    * this way hold Excel DATE SERIALS ("44197"), which this parser
+    * does not convert — returning the raw serial would silently
+    * diverge from the reference pipeline's pandas-based read, so such
+    * cells FAIL LOUDLY instead ([[cellValue]]); date-formatted
+    * workbooks go through the pre-converted CSV path. */
+  private def dateStyles(zip: ZipFile): Set[Int] =
+    entry(zip, "xl/styles.xml").map(parseDoc).fold(Set.empty[Int]) { doc =>
+      val builtin = ((14 to 22) ++ (45 to 47)).toSet
+      val custom = elems(doc.getDocumentElement, "numFmt").flatMap { f =>
+        val bare = f.getAttribute("formatCode")
+          .replaceAll("\"[^\"]*\"|\\\\.|\\[[^\\]]*\\]", "")
+        if (bare.exists(ch => "ymdhsYMDHS".indexOf(ch.toInt) >= 0))
+          Some(f.getAttribute("numFmtId").toInt)
+        else None
+      }.toSet
+      elems(doc.getDocumentElement, "cellXfs").headOption
+        .map(x => elems(x, "xf")).getOrElse(Seq.empty)
+        .zipWithIndex.collect {
+          case (xf, i) if xf.getAttribute("numFmtId").nonEmpty &&
+            (builtin(xf.getAttribute("numFmtId").toInt) ||
+              custom(xf.getAttribute("numFmtId").toInt)) => i
+        }.toSet
+    }
+
+  private def sheetRows(doc: Document, shared: Vector[String],
+                        dateStyles: Set[Int]): Seq[Array[String]] = {
     val out = ArrayBuffer.empty[Array[String]]
     elems(doc.getDocumentElement, "row").foreach { row =>
       val cells = elems(row, "c").map { c =>
         val ref = c.getAttribute("r")
         require(ref.nonEmpty, "xlsx-lite: cell without an r= reference")
-        (colIndex(ref), cellValue(c, shared))
+        (colIndex(ref), cellValue(c, shared, dateStyles))
       }
       val width = cells.map(_._1).maxOption.fold(0)(_ + 1)
       val arr = new Array[String](width)
@@ -110,13 +161,21 @@ object XlsxLite {
     out.toSeq
   }
 
-  private def cellValue(c: Element, shared: Vector[String]): Option[String] = {
+  private def cellValue(c: Element, shared: Vector[String],
+                        dateStyles: Set[Int]): Option[String] = {
     def v = elems(c, "v").headOption.map(_.getTextContent)
     c.getAttribute("t") match {
       case "s" => v.map(s => shared(s.trim.toInt)) // shared-string index
       case "inlineStr" =>
         elems(c, "is").headOption.map(is => elems(is, "t").map(_.getTextContent).mkString)
-      case "" | "n" | "str" | "b" => v // numeric / formula-string / bool as stored
+      case "" | "n" =>
+        val style = c.getAttribute("s")
+        if (style.nonEmpty && dateStyles(style.trim.toInt))
+          throw new IllegalArgumentException(
+            s"xlsx-lite: cell ${c.getAttribute("r")} is date-formatted (Excel serial) " +
+              "— unsupported; convert the workbook to CSV upstream")
+        v
+      case "str" | "b" => v // formula-string / bool as stored
       case other =>
         throw new IllegalArgumentException(s"xlsx-lite: unsupported cell type '$other'")
     }

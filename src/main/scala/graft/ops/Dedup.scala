@@ -85,6 +85,62 @@ object Dedup {
       .drop("__ws")
   }
 
+  /** Shingle-hash frame of a corpus: one row per document (shorter
+    * than `shingleN` tokens → dropped) with its distinct shingle-hash
+    * array as `__hs`, plus `extraCols` carried through. This is the
+    * OUTPUT OF THE DOMINANT CORPUS SCAN — every near-dup family
+    * (MinHash bands, SimHash votes, inverted-index Jaccard,
+    * decontamination) derives from these exact arrays, which is why
+    * [[buildShingleIndex]] materializes it as a table instead of
+    * recomputing the md5 pipeline per consumer. */
+  def shingleFrame(docs: DataFrame, idCol: String, textCol: String,
+                   extraCols: Seq[String] = Nil, shingleN: Int = 3): DataFrame =
+    docs
+      .select((col(idCol) +: extraCols.map(col)) :+ tokens(col(textCol)).as("__ws"): _*)
+      .filter(size(col("__ws")) >= shingleN)
+      .select((col(idCol) +: extraCols.map(col)) :+
+        shingleHashes(shingles(col("__ws"), shingleN)).as("__hs"): _*)
+
+  /** MinHash signature columns mh0..mh{n-1} appended to a
+    * [[shingleFrame]]-shaped frame (anything carrying `__hs`) — pure
+    * array expressions, so deriving signatures FROM a persisted
+    * shingle index never re-runs the md5 pass over the corpus. */
+  def signaturesFromHashes(hs: DataFrame): DataFrame =
+    (0 until NumHashes).foldLeft(hs) { (df, i) =>
+      df.withColumn(s"mh$i", minhashSig(col("__hs"), i))
+    }
+
+  /** Materialize the corpus shingle index through a
+    * [[graft.io.TableStore]]: the production discipline every
+    * signature consumer's scaladoc points at — the md5→shingle
+    * pipeline is the dominant corpus scan, so it runs ONCE and lands
+    * as a table; candidate/verify/cluster queries READ it. Executor
+    * `cache()` only memoizes within one job and silently recomputes
+    * the scan on eviction — at 100 TB that recompute IS the job cost.
+    * Returns the persisted frame. */
+  def buildShingleIndex(store: graft.io.TableStore, docs: DataFrame,
+                        idCol: String, textCol: String,
+                        extraCols: Seq[String] = Nil,
+                        table: String = "doc_shingles",
+                        shingleN: Int = 3): DataFrame = {
+    store.overwrite(table, shingleFrame(docs, idCol, textCol, extraCols, shingleN))
+    store.read(table)
+  }
+
+  /** Materialize the MinHash signature index (id, `__hs`, mh0..mh{n-1})
+    * through a [[graft.io.TableStore]] — see [[buildShingleIndex]] for
+    * why persistence, not `cache()`, is the at-scale shape. Incremental
+    * flows ([[lshCandidatesAgainst]], streaming ingest) probe this
+    * table per batch instead of re-signing the corpus. */
+  def buildSignatureIndex(store: graft.io.TableStore, docs: DataFrame,
+                          idCol: String, textCol: String,
+                          table: String = "minhash_sigs",
+                          shingleN: Int = 3): DataFrame = {
+    store.overwrite(table,
+      signaturesFromHashes(shingleFrame(docs, idCol, textCol, Nil, shingleN)))
+    store.read(table)
+  }
+
   /** One (band_id, band_signature) row per doc per band — the shared
     * exploded shape both candidate generators join on. Field names must
     * agree across bands or `array` rejects the struct types as
@@ -157,6 +213,25 @@ object Dedup {
   def jaccardParts(s1: Column, s2: Column): (Column, Column) =
     (size(array_intersect(s1, s2)), size(array_union(s1, s2)))
 
+  /** LSH candidate pairs with their exact Jaccard counts: ONE banded
+    * candidate self join over a signature frame (id, `__hs`,
+    * mh0..mh{n-1} — [[minhashSignatures]] output or a persisted
+    * [[buildSignatureIndex]] table), then the shingle sets joined back
+    * for `__inter`/`__union` alongside `d1`/`d2` (plus `hs1`/`hs2`).
+    * The signature frame is referenced three times (candidates + both
+    * set lookups) — hand it the PERSISTED index so those are parquet
+    * reads, not three md5-pipeline scans. */
+  def scoredCandidatePairs(sigs: DataFrame, idCol: String,
+                           maxBandFreq: Option[Int] = DefaultMaxBandFreq): DataFrame = {
+    val withSets = lshCandidates(sigs, idCol, maxBandFreq)
+      .join(sigs.select(col(idCol).as("d1"), col("__hs").as("hs1")), "d1")
+      .join(sigs.select(col(idCol).as("d2"), col("__hs").as("hs2")), "d2")
+    val (inter, uni) = jaccardParts(col("hs1"), col("hs2"))
+    withSets
+      .withColumn("__inter", inter.cast("bigint"))
+      .withColumn("__union", uni.cast("bigint"))
+  }
+
   /** Default per-task row cap for the inverted-index pair join in
     * [[ngramJaccardPairs]]: a shingle shared by b docs in one bucket
     * is b·(b−1)/2 pair rows on one task uncapped; the fragment-
@@ -187,15 +262,22 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         bucketCol: String, threshold: Double,
                         shingleN: Int = 3,
-                        hotShingleCap: Int = DefaultHotShingleCap): DataFrame = {
-    // Cached: the size lookup and the inverted index both read this —
-    // uncached, the md5-shingle pipeline runs twice over the corpus.
-    val hs = docs
-      .select(col(idCol), col(bucketCol), tokens(col(textCol)).as("__ws"))
-      .filter(size(col("__ws")) >= shingleN)
-      .select(col(idCol), col(bucketCol),
-        shingleHashes(shingles(col("__ws"), shingleN)).as("__hs"))
-      .cache()
+                        hotShingleCap: Int = DefaultHotShingleCap): DataFrame =
+    // Cached: the size lookup and the inverted index both read the
+    // shingle frame — uncached, the md5 pipeline runs twice over the
+    // corpus. Production hands the persisted [[buildShingleIndex]]
+    // table to [[ngramJaccardPairsFromHashes]] instead.
+    ngramJaccardPairsFromHashes(
+      shingleFrame(docs, idCol, textCol, Seq(bucketCol), shingleN).cache(),
+      idCol, bucketCol, threshold, hotShingleCap)
+
+  /** [[ngramJaccardPairs]] over an already-computed shingle frame
+    * (idCol, bucketCol, `__hs` — a persisted [[buildShingleIndex]]
+    * table): the index join and the size lookup become parquet reads
+    * instead of two corpus-wide md5 scans. */
+  def ngramJaccardPairsFromHashes(hs: DataFrame, idCol: String,
+                                  bucketCol: String, threshold: Double,
+                                  hotShingleCap: Int = DefaultHotShingleCap): DataFrame = {
     val sizes = hs.select(col(idCol), size(col("__hs")).cast("bigint").as("__n"))
     val inv = hs
       .select(col(idCol), col(bucketCol), explode(col("__hs")).as("__h"))
@@ -234,19 +316,33 @@ object Dedup {
     * overlap on). */
   def contaminationStats(corpus: DataFrame, evalDocs: DataFrame,
                          idCol: String, textCol: String,
-                         shingleN: Int = 3, thresholdPercent: Int = 10): DataFrame = {
+                         shingleN: Int = 3, thresholdPercent: Int = 10): DataFrame =
+    contaminationStatsFromHashes(
+      corpus.select(col(idCol),
+        explode(shingleHashes(shingles(tokens(col(textCol)), shingleN))).as("__h")),
+      evalDocs, idCol, textCol, shingleN, thresholdPercent)
+
+  /** [[contaminationStats]] with the CORPUS side already shingled —
+    * one (idCol, `__h`) row per corpus shingle, e.g. the persisted
+    * [[buildShingleIndex]] table exploded — so the 100 TB side is a
+    * parquet read, not an md5 scan. The (tiny) eval side still
+    * shingles from text. */
+  def contaminationStatsFromHashes(corpusShingleRows: DataFrame,
+                                   evalDocs: DataFrame,
+                                   idCol: String, textCol: String,
+                                   shingleN: Int = 3,
+                                   thresholdPercent: Int = 10): DataFrame = {
     require(thresholdPercent >= 0 && thresholdPercent <= 100,
       s"contaminationStats: thresholdPercent out of range: $thresholdPercent")
-    def shingleRows(df: DataFrame) = df
-      .select(col(idCol),
-        explode(shingleHashes(shingles(tokens(col(textCol)), shingleN))).as("__h"))
-    val evalHashes = shingleRows(evalDocs).select(col("__h")).distinct()
+    val evalHashes = evalDocs
+      .select(explode(shingleHashes(shingles(tokens(col(textCol)), shingleN))).as("__h"))
+      .distinct()
     // ONE corpus pass: mark each shingle row's eval membership with a
     // broadcast left join, then count total and shared in the same
     // aggregate — a totals-vs-shared two-branch formulation would
     // re-run the md5 shingle pipeline over the whole corpus twice and
     // pay a second shuffle plus a join to recombine.
-    shingleRows(corpus)
+    corpusShingleRows
       .join(broadcast(evalHashes.withColumn("__hit", lit(1L))), Seq("__h"), "left")
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_shingles"),
@@ -455,6 +551,61 @@ object Dedup {
     val composed = labels.join(stars, labels("component") === col("__c1"), "left")
       .select(col("id"), coalesce(col("__root"), col("component")).as("component"))
     (cut(composed), i)
+  }
+
+  /** Incremental cluster maintenance: fold a batch of NEW edges into
+    * EXISTING component labels without re-running connected components
+    * over the world. The production complement of
+    * [[lshCandidatesAgainst]]: per batch, the near-dup pipeline finds
+    * batch×corpus pairs — this folds them into the materialized
+    * cluster map.
+    *
+    * Only the AFFECTED part of the graph recomputes: components
+    * touched by a new edge endpoint are pulled in (their rows re-enter
+    * as (member, component-id) star edges — each component is already
+    * a star around its min-id root, so the subgraph is shallow), new
+    * edges are unioned on, and [[connectedComponents]] runs over that
+    * subgraph only. Untouched components pass through BY REFERENCE —
+    * zero reads of their members beyond the label anti-join. Work per
+    * batch ∝ batch edges + affected-component membership, never corpus
+    * size.
+    *
+    * Correct because component membership only grows along edges: a
+    * new edge can merge existing components or attach new nodes, and
+    * both happen inside the affected subgraph; the min-label invariant
+    * is preserved since every existing member reaches its old root
+    * through the star edge and the old root carries the old minimum.
+    *
+    * @param labels   existing map: one (`id`, `component`) row per
+    *                 clustered node (component = min member id, the
+    *                 [[connectedComponents]] contract)
+    * @param newEdges batch edges (`d1`, `d2`)
+    * @return the updated (`id`, `component`) map
+    */
+  def mergeComponents(labels: DataFrame, newEdges: DataFrame,
+                      maxIter: Int = 25, reliable: Boolean = false): DataFrame = {
+    val ends = newEdges.select(col("d1").as("id"))
+      .unionByName(newEdges.select(col("d2").as("id"))).distinct()
+    // Components with at least one endpoint in the batch. Tiny by
+    // construction (bounded by batch size), so the membership pull is
+    // a broadcast-able semi/equi join against the label table.
+    val affected = labels.join(ends, Seq("id"), "left_semi")
+      .select(col("component")).distinct()
+    val affectedRows = labels.join(broadcast(affected), Seq("component"))
+    // Star edges member→root reconstruct each affected component's
+    // connectivity in diameter ≤ 2; roots are real node ids, so the
+    // id space stays consistent. Self-loops (the root's own row) carry
+    // no information — drop them; the root still appears through its
+    // members' edges, or through the new edges for singleton pulls.
+    val starEdges = affectedRows
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as("d1"), col("component").as("d2"))
+    val sub = connectedComponents(
+      newEdges.select(col("d1"), col("d2")).unionByName(starEdges),
+      maxIter, reliable)
+    labels.join(broadcast(affected), Seq("component"), "left_anti")
+      .select(col("id"), col("component"))
+      .unionByName(sub.select(col("id"), col("component")))
   }
 
   /** Incremental LSH near-dup: candidates between a NEW batch and an

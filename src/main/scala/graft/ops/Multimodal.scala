@@ -10,13 +10,16 @@ import org.apache.spark.sql.functions._
   * metadata-aware resize — with the codec itself pluggable behind
   * [[MediaCodec]].
   *
-  * Two REAL pure-JVM decoders ship with the engine — [[WavPcmCodec]]
-  * (RIFF/WAVE PCM audio) and [[BmpCodec]] (uncompressed 24-bit BMP
-  * images) — chosen because their formats are raw samples/pixels
-  * behind a fixed header, decodable without any media library. For
-  * compressed formats (JPEG/MP3/H.264) the deterministic [[FakeCodec]]
-  * stands in (no codec library exists in this environment); swap in a
-  * real binding through the same interface. Everything around the
+  * Three REAL pure-JVM decoders ship with the engine — [[WavPcmCodec]]
+  * (RIFF/WAVE PCM audio), [[BmpCodec]] (uncompressed 24-bit BMP
+  * images), and [[PngCodec]] (zlib-compressed PNG via the JDK's
+  * `Inflater`, full row-filter reconstruction, CRC-validated) — so
+  * both the raw-samples-behind-a-header AND the real
+  * compressed-format path run through the codec boundary. For formats
+  * whose codecs the JDK does not ship (JPEG/MP3/H.264) the
+  * deterministic [[FakeCodec]] stands in (no media library exists in
+  * this environment); swap in a real binding through the same
+  * interface. Everything around the
   * codec is the part that matters at 100 TB:
   *   - [[extractFeatures]] uses `mapPartitions` so the codec is
   *     initialized ONCE per partition and amortized across its rows —
@@ -93,6 +96,10 @@ object Multimodal {
           s"wav-pcm: chunk '$id' overruns the stream")
         id match {
           case "fmt " =>
+            // A PCM fmt chunk is >= 16 bytes; reading fields from a
+            // shorter (corrupt/truncated) one would read bytes
+            // belonging to the NEXT chunk instead of failing loudly.
+            require(size >= 16, "wav-pcm: fmt chunk too small")
             require(buf.getShort(pos + 8) == 1,
               "wav-pcm: only PCM (format 1) is supported")
             bits = buf.getShort(pos + 22).toInt
@@ -159,6 +166,115 @@ object Multimodal {
           out(y * width + x) = (299 * r + 587 * g + 114 * b) / 255000f
           x += 1
         }
+        y += 1
+      }
+      out
+    }
+  }
+
+  /** Real COMPRESSED-format image decode, zero libraries: PNG with
+    * 8-bit depth, grayscale (color type 0) or truecolor RGB (2), no
+    * interlace — the zlib inflate comes from `java.util.zip.Inflater`
+    * (the JDK ships the codec), all five row filters
+    * (None/Sub/Up/Average/Paeth) are reconstructed, and every chunk's
+    * CRC-32 is validated (corrupt blobs fail loudly, per the
+    * [[MediaCodec]] contract). Output: one gray intensity in [0, 1]
+    * per pixel, top-down row-major (PNG's stored order), RGB grayed
+    * with the same exact integer Rec.601 weights as [[BmpCodec]].
+    * Anything outside the subset (16-bit, palette, alpha, interlace)
+    * fails loudly rather than decoding approximately. */
+  final class PngCodec extends MediaCodec {
+    val name: String = "png-gray"
+    def init(): PngCodec = this
+    def decode(content: Array[Byte]): Array[Float] = {
+      val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+      require(content.length >= 8 && content.take(8).sameElements(sig),
+        "png-gray: not a PNG stream")
+      val buf = java.nio.ByteBuffer.wrap(content) // PNG integers are big-endian
+      var pos = 8
+      var width = 0
+      var height = 0
+      var channels = 0
+      val idat = new java.io.ByteArrayOutputStream()
+      var done = false
+      while (!done) {
+        require(pos + 8 <= content.length, "png-gray: truncated chunk header")
+        val len = buf.getInt(pos)
+        val ctype = new String(content, pos + 4, 4, "US-ASCII")
+        require(len >= 0 && pos + 12 + len <= content.length,
+          s"png-gray: chunk '$ctype' overruns the stream")
+        val crc = new java.util.zip.CRC32()
+        crc.update(content, pos + 4, 4 + len)
+        require(crc.getValue.toInt == buf.getInt(pos + 8 + len),
+          s"png-gray: CRC mismatch in '$ctype'")
+        ctype match {
+          case "IHDR" =>
+            width = buf.getInt(pos + 8)
+            height = buf.getInt(pos + 12)
+            val bitDepth = content(pos + 16)
+            val colorType = content(pos + 17)
+            require(bitDepth == 8, s"png-gray: only 8-bit depth supported, got $bitDepth")
+            require(colorType == 0 || colorType == 2,
+              s"png-gray: only grayscale/truecolor supported, got color type $colorType")
+            require(content(pos + 20) == 0, "png-gray: interlaced PNG not supported")
+            require(width > 0 && height > 0, "png-gray: empty image")
+            channels = if (colorType == 0) 1 else 3
+          case "IDAT" => idat.write(content, pos + 8, len)
+          case "IEND" => done = true
+          case _ => // ancillary chunks (tEXt, pHYs, gAMA, …): skip
+        }
+        pos += 12 + len
+      }
+      require(channels > 0, "png-gray: no IHDR chunk")
+      val stride = width * channels
+      val raw = new Array[Byte]((stride + 1) * height)
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(idat.toByteArray)
+      var off = 0
+      var n = 1
+      while (off < raw.length && n != 0) {
+        n = inf.inflate(raw, off, raw.length - off)
+        off += n
+      }
+      inf.end()
+      require(off == raw.length,
+        s"png-gray: IDAT inflated to $off bytes, expected ${raw.length}")
+      def paeth(a: Int, b: Int, c: Int): Int = {
+        val p = a + b - c
+        val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+        if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+      }
+      val out = new Array[Float](width * height)
+      val cur = new Array[Int](stride)
+      val prev = new Array[Int](stride) // zeroed = the spec's row -1
+      var y = 0
+      while (y < height) {
+        val rowOff = y * (stride + 1)
+        val filter = raw(rowOff) & 0xff
+        var x = 0
+        while (x < stride) {
+          val v = raw(rowOff + 1 + x) & 0xff
+          val a = if (x >= channels) cur(x - channels) else 0
+          val b = prev(x)
+          val c = if (x >= channels) prev(x - channels) else 0
+          cur(x) = (filter match {
+            case 0 => v
+            case 1 => v + a
+            case 2 => v + b
+            case 3 => v + (a + b) / 2
+            case 4 => v + paeth(a, b, c)
+            case f => throw new IllegalArgumentException(s"png-gray: unknown row filter $f")
+          }) & 0xff
+          x += 1
+        }
+        var px = 0
+        while (px < width) {
+          out(y * width + px) =
+            if (channels == 1) cur(px) / 255f
+            else (299 * cur(3 * px) + 587 * cur(3 * px + 1) + 114 * cur(3 * px + 2)) / 255000f
+          px += 1
+        }
+        System.arraycopy(cur, 0, prev, 0, stride)
         y += 1
       }
       out

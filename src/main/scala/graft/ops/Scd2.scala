@@ -188,7 +188,20 @@ object Scd2 {
     * delete membership for keys inside affected buckets only depends
     * on snapshot rows in those same buckets.
     *
-    * @return the rewritten bucket ids (telemetry; empty = no-op merge)
+    * Sizing `nBuckets` — practical range 2^10 to 2^14. The affected
+    * bucket list becomes an `isin` partition-pruning literal, bounded
+    * by the >50%-dirty fallback at nBuckets/2 entries, so the
+    * optimizer chews at most ~8k list elements at 2^14; below 2^10 a
+    * 1% daily batch dirties most buckets anyway (with B buckets and k
+    * dirty keys, expected dirty buckets ≈ B·(1−e^(−k/B)) — you want
+    * k ≪ B) and the scoped rewrite approaches the full swap. Above
+    * 2^14 the leaf directories outnumber what a 1%-batch prune saves
+    * and small-file pressure dominates. Scd2PartitionedSpec exercises
+    * the 2^12 point with a 1% batch.
+    *
+    * @return the rewritten bucket ids (telemetry; empty = no-op merge;
+    *         ALL bucket ids when the majority-dirty fallback rewrites
+    *         the whole directory)
     */
   def mergePartitioned(store: graft.io.TableStore, table: String,
                        batch: DataFrame, keys: Seq[String], tracked: Seq[String],
@@ -257,7 +270,9 @@ object Scd2 {
         batchTs, deleteKeys, deleteTs, passthrough, newTs)
       store.swapSnapshotPartitioned(table,
         merged.withColumn(BucketColName, kb), Seq(BucketColName))
-      return affected
+      // The whole directory was physically rewritten — the telemetry
+      // must say so, not understate it as the dirty subset.
+      return 0 until nBuckets
     }
 
     // Every frame scoped to the affected buckets: the dim scan is

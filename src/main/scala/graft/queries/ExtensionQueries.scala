@@ -12,6 +12,40 @@ object ExtensionQueries {
 
   val all: Seq[Q] = Seq(
 
+    // JSON / semi-structured surface over the `events.props` column
+    // (the harness's JSON-first event stream): schema-projected parse
+    // (`from_json` with an explicit struct — the production spelling:
+    // one parse, typed fields), path extraction (`get_json_object`,
+    // including a missing path → NULL), and a filter on an extracted
+    // field.
+    //
+    // Pushdown behavior, stated for the record: COLUMN PRUNING reaches
+    // the scan (ReadSchema carries only event_id/user_id/props —
+    // PlanSpec pins it), but a predicate on an EXTRACTED field cannot
+    // push into the parquet footer — JSON is an opaque string to the
+    // reader, so the filter evaluates post-scan, inside codegen. At
+    // 100 TB the move is to materialize hot JSON fields as real
+    // columns at ingest (one `from_json` pass, written wide), after
+    // which min/max pruning applies; this query is the read-side
+    // surface those pipelines start from.
+    Q("q72_json_props",
+      """SELECT event_id, user_id,
+        |       CAST(json_extract_string(props, '$.k') AS INT) AS k,
+        |       json_extract_string(props, '$.missing') AS missing_attr
+        |FROM events
+        |WHERE CAST(json_extract_string(props, '$.k') AS INT) % 7 = 0""".stripMargin) {
+      (s, d) =>
+        val parsed = from_json(col("props"),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.IntegerType))))
+        table(s, d, "events")
+          .select(col("event_id"), col("user_id"),
+            parsed.getField("k").as("k"),
+            get_json_object(col("props"), "$.missing").as("missing_attr"))
+          .filter(col("k") % 7 === 0)
+    },
+
     // Salted skew join: the hot-key mitigation (one hot key = one
     // straggler task at 100 TB). The oracle is the PLAIN join — the
     // whole point is that salting spreads rows without changing the

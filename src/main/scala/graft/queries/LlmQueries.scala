@@ -91,11 +91,14 @@ object LlmQueries {
       |         FROM reach GROUP BY src)""".stripMargin
 
   /** Shared Spark front of the pair family (q31/q57/q65/q66/q67):
-    * cached MinHash signatures → ONE banded candidate self join →
-    * per-pair intersection/union counts as `__inter`/`__union`
-    * alongside `d1`/`d2`. Signatures are cached per call — the
-    * candidate and verify joins reference them 3×; in production
-    * they are materialized once (DedupSpec's round-trip).
+    * PERSISTED MinHash signature index → ONE banded candidate self
+    * join → per-pair intersection/union counts as `__inter`/`__union`
+    * alongside `d1`/`d2`. The candidate and verify joins reference the
+    * signatures 3× — they read the [[Indexes.signatures]] table
+    * (built once per corpus per process), so every reference is a
+    * parquet read, never an md5-pipeline recompute; values are
+    * bit-identical to the inline pipeline (q70's oracle + DedupSpec's
+    * round-trip pin it).
     *
     * The candidate join runs with [[Dedup.DefaultMaxBandFreq]]
     * ENGAGED (the generator's default): the uncapped-SQL oracles stay
@@ -103,17 +106,9 @@ object LlmQueries {
     * DedupSpec pins `hotBands(…, DefaultMaxBandFreq).count() == 0`
     * on the sf0.01 corpus, so the cap provably prunes nothing at
     * oracle scale while bounding degenerate buckets at 100 TB. */
-  private def pairScores(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val sigs = Dedup.minhashSignatures(
-      docsHeavy(s, d).select("doc_id", "text"), "doc_id", "text").cache()
-    val withSets = Dedup.lshCandidates(sigs, "doc_id", Dedup.DefaultMaxBandFreq)
-      .join(sigs.select(col("doc_id").as("d1"), col("__hs").as("hs1")), "d1")
-      .join(sigs.select(col("doc_id").as("d2"), col("__hs").as("hs2")), "d2")
-    val (inter, uni) = Dedup.jaccardParts(col("hs1"), col("hs2"))
-    withSets
-      .withColumn("__inter", inter.cast("bigint"))
-      .withColumn("__union", uni.cast("bigint"))
-  }
+  private def pairScores(s: org.apache.spark.sql.SparkSession, d: String) =
+    Dedup.scoredCandidatePairs(Indexes.signatures(s, d), "doc_id",
+      Dedup.DefaultMaxBandFreq)
 
   /** Pairs passing the [[JaccardThreshold]] jaccard verify — the cluster family's
     * edge set. */
@@ -312,11 +307,10 @@ object LlmQueries {
          |$simhashSql
          |SELECT doc_id, simhash FROM fp""".stripMargin) {
       (s, d) =>
-        val sh = docsHeavy(s, d)
-          .select(col("doc_id"), Dedup.tokens(col("text")).as("ws"))
-          .filter(size(col("ws")) >= 3)
-          .select(col("doc_id"),
-            explode(Dedup.shingleHashes(Dedup.shingles(col("ws")))).as("h"))
+        // Shingle hashes from the persisted index — the SimHash vote
+        // aggregate is the only compute left in the timed path.
+        val sh = Indexes.shingles(s, d)
+          .select(col("doc_id"), explode(col("__hs")).as("h"))
         Dedup.simhash32(sh, "doc_id", "h")
     },
 
@@ -339,14 +333,13 @@ object LlmQueries {
          |SELECT d1, d2, fp1, fp2, bit_count(xor(fp1, fp2))::INT AS hamming
          |FROM cand WHERE bit_count(xor(fp1, fp2)) <= 3""".stripMargin) {
       (s, d) =>
-        val sh = docsHeavy(s, d)
-          .select(col("doc_id"), Dedup.tokens(col("text")).as("ws"))
-          .filter(size(col("ws")) >= 3)
-          .select(col("doc_id"),
-            explode(Dedup.shingleHashes(Dedup.shingles(col("ws")))).as("h"))
+        val sh = Indexes.shingles(s, d)
+          .select(col("doc_id"), explode(col("__hs")).as("h"))
         // Cache the per-doc fingerprints: the byte-band candidate joins
         // reference them repeatedly — uncached, each reference re-runs
-        // the explode + simhash aggregation.
+        // the explode + simhash aggregation. (The frame is one row per
+        // doc — bounded — unlike the corpus-scan fronts, which persist
+        // through Indexes instead.)
         val fps = Dedup.simhash32(sh, "doc_id", "h").cache()
         Dedup.simhashPairs(fps, "doc_id", "simhash")
           .select("d1", "d2", "fp1", "fp2", "hamming")
@@ -375,11 +368,8 @@ object LlmQueries {
          |SELECT d1, d2, fp1, fp2, bit_count(xor(fp1, fp2))::INT AS hamming
          |FROM cand WHERE bit_count(xor(fp1, fp2)) <= 3""".stripMargin) {
       (s, d) =>
-        val sh = docsHeavy(s, d)
-          .select(col("doc_id"), Dedup.tokens(col("text")).as("ws"))
-          .filter(size(col("ws")) >= 3)
-          .select(col("doc_id"),
-            explode(Dedup.shingleHashes(Dedup.shingles(col("ws")))).as("h"))
+        val sh = Indexes.shingles(s, d)
+          .select(col("doc_id"), explode(col("__hs")).as("h"))
         val fps = Dedup.simhashWide(sh, "doc_id", "h", bits = 60).cache()
         Dedup.simhashPairs(fps, "doc_id", "simhash", maxHamming = 3, fpBits = 60)
           .select("d1", "d2", "fp1", "fp2", "hamming")
@@ -405,8 +395,10 @@ object LlmQueries {
          |FROM hsrc a JOIN hsrc b ON a.source = b.source AND a.doc_id < b.doc_id
          |WHERE len(list_intersect(a.hs, b.hs))::DOUBLE / len(list_distinct(a.hs || b.hs)) >= $JaccardThreshold""".stripMargin) {
       (s, d) =>
-        Dedup.ngramJaccardPairs(docsHeavy(s, d).select("doc_id", "source", "text"),
-          "doc_id", "text", "source", JaccardThreshold)
+        // The shingle frame comes from the persisted index (size
+        // lookup + inverted index read it twice — both parquet reads).
+        Dedup.ngramJaccardPairsFromHashes(Indexes.shingles(s, d),
+          "doc_id", "source", JaccardThreshold)
     },
 
     // Text quality scoring: token/length stats, stopword ratio, and a
@@ -527,7 +519,9 @@ object LlmQueries {
     }) {
       (s, d) =>
         val docs = docsHeavy(s, d).select("doc_id", "text")
-        val corpusSigs = Dedup.minhashSignatures(docs, "doc_id", "text").cache()
+        // The corpus index is the PERSISTED table — exactly the
+        // at-scale contract (materialized once, probed per batch).
+        val corpusSigs = Indexes.signatures(s, d)
         val batch = docs.filter(col("doc_id") % 10 === 0).select(
           (col("doc_id") + 1000000).as("doc_id"),
           concat(col("text"), lit(" extracontent")).as("text"))
@@ -906,7 +900,12 @@ object LlmQueries {
         val evalDocs = docs.filter(col("doc_id") % 13 === 0)
           .select(col("doc_id"),
             array_join(slice(Dedup.tokens(col("text")), 1, 40), " ").as("text"))
-        Dedup.contaminationStats(docs, evalDocs, "doc_id", "text")
+        // Corpus side (the 100 TB side) explodes the persisted shingle
+        // index; only the tiny carved eval suite shingles from text.
+        Dedup.contaminationStatsFromHashes(
+          Indexes.shingles(s, d)
+            .select(col("doc_id"), explode(col("__hs")).as("__h")),
+          evalDocs, "doc_id", "text")
     },
 
     // Sequence packing: documents laid head-to-tail into 256-token
@@ -1054,6 +1053,24 @@ object LlmQueries {
           "source", "doc_id", size(Dedup.tokens(col("text"))),
           budgets = Map("src0" -> 400L, "src1" -> 1200L), defaultBudget = 700L)
           .select("doc_id", "source", "n_tok", "cum_tok")
+    },
+
+    // The materialized signature index itself, oracle-verified: the
+    // PERSISTED MinHash table every pair/cluster/incremental query
+    // reads (Dedup.buildSignatureIndex through the TableStore sink)
+    // hash-matches the inline md5→shingle→minhash pipeline computed
+    // from scratch by DuckDB — pinning that persistence is
+    // value-identity (bigint signatures round-trip parquet exactly),
+    // so routing the query family through the index instead of
+    // executor cache() changes nothing but the scan count.
+    Q("q70_signature_index",
+      s"""WITH $rawCorpus,
+         |$shingleCtes
+         |SELECT doc_id, $mhColsSql FROM hst""".stripMargin) {
+      (s, d) =>
+        Indexes.signatures(s, d)
+          .select(col("doc_id") +:
+            (0 until Dedup.NumHashes).map(i => col(s"mh$i")): _*)
     }
   )
 }

@@ -17,6 +17,25 @@ object ParityQueries {
 
   private val REPORT = "TIMESTAMP '2024-02-01 00:00:00'"
 
+  /** Per-process scratch roots for queries that exercise a physical
+    * store (q29's bucketed dimension, q71's report sink): created once,
+    * OVERWRITTEN by each invocation, deleted on JVM exit — a
+    * per-invocation `createTempDirectory` would leak one table copy
+    * per bench warmup/pass/retry. */
+  private val scratchRoots =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def scratchRoot(tag: String): String =
+    scratchRoots.getOrElseUpdate(tag, {
+      val dir = java.nio.file.Files.createTempDirectory(tag)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(dir.toFile)
+      }))
+      dir.toString
+    })
+
   /** q07/q29 shared oracle: the full SCD2 merge snapshot in ANSI SQL
     * (cards.py:86-176 semantics) — both the one-shot merge and the
     * partition-scoped bucketed merge must hash-match it exactly. */
@@ -60,6 +79,55 @@ object ParityQueries {
        |UNION ALL SELECT * FROM closed_change UNION ALL SELECT * FROM closed_delete
        |UNION ALL SELECT * FROM new_rows UNION ALL SELECT * FROM changed_rows
        |UNION ALL SELECT * FROM deleted_rows""".stripMargin
+
+  /** q12/q71 shared oracle: the flagship fraud report
+    * (report.py:63-113 semantics) — the inline pipeline and the
+    * exactly-once sink's folded read must hash-match it identically. */
+  private lazy val fraudOracleSql: String =
+    s"""WITH bl AS (
+       |  SELECT c_custkey AS bl_key, TIMESTAMP '2024-01-10 00:00:00' AS entry_dt
+       |  FROM customer WHERE c_custkey % 13 = 0),
+       |cl AS (
+       |  SELECT e.event_id, e.ts, e.user_id, e.event_type, e.value,
+       |         concat_ws(' ', 'Customer', c.c_name, c.c_mktsegment) AS fio,
+       |         CASE WHEN e.user_id % 4 = 0 THEN TIMESTAMP '2024-01-20 00:00:00'
+       |              ELSE TIMESTAMP '2024-12-31 00:00:00' END AS valid_to,
+       |         b.bl_key,
+       |         coalesce(b.entry_dt, TIMESTAMP '9999-12-31 00:00:00') AS bl_entry_dt,
+       |         CAST(json_extract_string(e.props, '$$.k') AS INT) AS k
+       |  FROM events e
+       |  LEFT JOIN customer c ON e.user_id = c.c_custkey
+       |  LEFT JOIN bl b ON e.user_id = b.bl_key),
+       |cl2 AS (
+       |  SELECT *, CAST(k % 10 AS VARCHAR) AS city,
+       |         CASE WHEN k % 3 = 0 THEN 'REJECT' ELSE 'SUCCESS' END AS oper_result
+       |  FROM cl),
+       |lg AS (
+       |  SELECT *,
+       |         lag(city) OVER w AS lag_city,
+       |         epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us,
+       |         lag(oper_result, 1) OVER w AS res1,
+       |         lag(oper_result, 2) OVER w AS res2,
+       |         lag(oper_result, 3) OVER w AS res3,
+       |         lag(value, 1) OVER w AS amt1,
+       |         lag(value, 2) OVER w AS amt2,
+       |         lag(value, 3) OVER w AS amt3,
+       |         lag(ts, 3) OVER w AS ts3
+       |  FROM cl2 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+       |SELECT ts AS event_dt, user_id, fio, CAST(1 AS INT) AS fraud_type, $REPORT AS report_dt
+       |  FROM lg WHERE bl_key IS NOT NULL AND ts >= bl_entry_dt
+       |UNION ALL
+       |SELECT ts, user_id, fio, CAST(2 AS INT), $REPORT FROM lg WHERE ts >= valid_to
+       |UNION ALL
+       |SELECT ts, user_id, fio, CAST(3 AS INT), $REPORT
+       |  FROM lg WHERE lag_city IS NOT NULL AND city <> lag_city AND gap_us <= 3600000000
+       |UNION ALL
+       |SELECT ts, user_id, fio, CAST(4 AS INT), $REPORT
+       |  FROM lg WHERE oper_result = 'SUCCESS'
+       |    AND res1 = 'REJECT' AND res2 = 'REJECT' AND res3 = 'REJECT'
+       |    AND value < amt1 AND amt1 < amt2 AND amt2 < amt3
+       |    AND epoch_us(ts) - epoch_us(ts3) <= 1200000000
+       |    AND event_type IN ('click','view')""".stripMargin
 
   val all: Seq[Q] = Seq(
 
@@ -212,11 +280,17 @@ object ParityQueries {
     // oracle verbatim — the scoped rewrite must change NOTHING
     // semantically, and the hash compare pins it. (Physical
     // untouched-leaf byte-identity is pinned by Scd2PartitionedSpec.)
+    //
+    // Bench note: this query times THREE physical table writes by
+    // design — the store IS the operator under test — so it reads as
+    // sink I/O, not plan cost, in bench totals. The store root is
+    // per-process (each invocation overwrites the same directory);
+    // per-invocation temp dirs would accumulate dimension copies
+    // across bench warmup + interleaved passes.
     Q("q29_scd2_bucketed", scd2MergeOracleSql) {
       (s, d) =>
         val batchTs = to_timestamp(lit("2024-02-01 00:00:00"))
-        val store = new graft.io.TableStore(s,
-          java.nio.file.Files.createTempDirectory("graft_q29").toString)
+        val store = new graft.io.TableStore(s, scratchRoot("graft_q29"))
         val dim = Fixtures.scd2Dim(s, d)
         store.overwritePartitioned("dim",
           dim.withColumn(Scd2.BucketColName, Scd2.bucketCol(Seq("k"), 8)),
@@ -323,52 +397,41 @@ object ParityQueries {
 
     // P7–P10/U1/F7/F9 — the flagship fraud report: enrichment star,
     // 9-lag window, 4 rule branches UNION ALL (report.py:63-113).
-    Q("q12_fraud_rules",
-      s"""WITH bl AS (
-         |  SELECT c_custkey AS bl_key, TIMESTAMP '2024-01-10 00:00:00' AS entry_dt
-         |  FROM customer WHERE c_custkey % 13 = 0),
-         |cl AS (
-         |  SELECT e.event_id, e.ts, e.user_id, e.event_type, e.value,
-         |         concat_ws(' ', 'Customer', c.c_name, c.c_mktsegment) AS fio,
-         |         CASE WHEN e.user_id % 4 = 0 THEN TIMESTAMP '2024-01-20 00:00:00'
-         |              ELSE TIMESTAMP '2024-12-31 00:00:00' END AS valid_to,
-         |         b.bl_key,
-         |         coalesce(b.entry_dt, TIMESTAMP '9999-12-31 00:00:00') AS bl_entry_dt,
-         |         CAST(json_extract_string(e.props, '$$.k') AS INT) AS k
-         |  FROM events e
-         |  LEFT JOIN customer c ON e.user_id = c.c_custkey
-         |  LEFT JOIN bl b ON e.user_id = b.bl_key),
-         |cl2 AS (
-         |  SELECT *, CAST(k % 10 AS VARCHAR) AS city,
-         |         CASE WHEN k % 3 = 0 THEN 'REJECT' ELSE 'SUCCESS' END AS oper_result
-         |  FROM cl),
-         |lg AS (
-         |  SELECT *,
-         |         lag(city) OVER w AS lag_city,
-         |         epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us,
-         |         lag(oper_result, 1) OVER w AS res1,
-         |         lag(oper_result, 2) OVER w AS res2,
-         |         lag(oper_result, 3) OVER w AS res3,
-         |         lag(value, 1) OVER w AS amt1,
-         |         lag(value, 2) OVER w AS amt2,
-         |         lag(value, 3) OVER w AS amt3,
-         |         lag(ts, 3) OVER w AS ts3
-         |  FROM cl2 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
-         |SELECT ts AS event_dt, user_id, fio, CAST(1 AS INT) AS fraud_type, $REPORT AS report_dt
-         |  FROM lg WHERE bl_key IS NOT NULL AND ts >= bl_entry_dt
-         |UNION ALL
-         |SELECT ts, user_id, fio, CAST(2 AS INT), $REPORT FROM lg WHERE ts >= valid_to
-         |UNION ALL
-         |SELECT ts, user_id, fio, CAST(3 AS INT), $REPORT
-         |  FROM lg WHERE lag_city IS NOT NULL AND city <> lag_city AND gap_us <= 3600000000
-         |UNION ALL
-         |SELECT ts, user_id, fio, CAST(4 AS INT), $REPORT
-         |  FROM lg WHERE oper_result = 'SUCCESS'
-         |    AND res1 = 'REJECT' AND res2 = 'REJECT' AND res3 = 'REJECT'
-         |    AND value < amt1 AND amt1 < amt2 AND amt2 < amt3
-         |    AND epoch_us(ts) - epoch_us(ts3) <= 1200000000
-         |    AND event_type IN ('click','view')""".stripMargin) {
+    Q("q12_fraud_rules", fraudOracleSql) {
       (s, d) => Fraud.report(table(s, d, "events"), table(s, d, "customer"))
+    },
+
+    // K6 corrected — the EXACTLY-ONCE report sink, oracle-green: the
+    // same flagship report written through the batch-id-keyed
+    // idempotent sink (Streaming.writeBatchIdempotent — the
+    // foreachBatch body of Streaming.reportSink) in two batches, with
+    // batch 0 WRITTEN TWICE to simulate the sink-succeeded /
+    // checkpoint-commit-lost crash replay. The folded read (drop
+    // `__batch_id`) must still hash-match q12's oracle exactly — the
+    // retried batch id overwrites its own partition instead of
+    // double-appending, which is precisely the fix for the
+    // reference's one non-idempotent stage (report.py:63-113 appends
+    // per run). StreamingSpec pins the same property through a real
+    // streaming checkpoint; this entry pins it through the
+    // correctness gate.
+    Q("q71_report_sink", fraudOracleSql) {
+      (s, d) =>
+        val report = Fraud.report(table(s, d, "events"), table(s, d, "customer"))
+        val path = scratchRoot("graft_q71") + "/report"
+        // Wipe the prior invocation's output: the sink's idempotence
+        // contract is per batch id WITHIN one checkpoint lineage, not
+        // across independent pipeline re-runs.
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(path), true)
+        val batch0 = report.filter(col("user_id") % 2 === 0)
+        val batch1 = report.filter(col("user_id") % 2 =!= 0)
+        graft.streaming.Streaming.writeBatchIdempotent(batch0, 0L, path)
+        graft.streaming.Streaming.writeBatchIdempotent(batch1, 1L, path)
+        // The simulated retry: batch 0 lands again under the same id.
+        graft.streaming.Streaming.writeBatchIdempotent(batch0, 0L, path)
+        s.read.parquet(path)
+          .select("event_dt", "user_id", "fio", "fraud_type", "report_dt")
     },
 
     // F5/F13 — European decimal parsing round-trip

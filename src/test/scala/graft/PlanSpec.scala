@@ -105,6 +105,18 @@ class PlanSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
   }
 
+  test("q72: JSON extraction prunes the scan to the referenced columns") {
+    // JSON fields are opaque to parquet (the filter on an extracted
+    // field CANNOT push into the footer — it evaluates post-scan,
+    // inside codegen), but COLUMN pruning must still hold: the scan
+    // reads event_id/user_id/props and nothing else.
+    val plan = planOf("q72_json_props")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(Seq("event_id", "user_id", "props").forall(readSchema.contains), readSchema)
+    assert(!readSchema.contains("event_type") && !readSchema.contains("value"),
+      s"column pruning failed: $readSchema")
+  }
+
   test("q60: eval shingle set joins as a broadcast (corpus never shuffles for the probe)") {
     val plan = planOf("q60_contamination")
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))

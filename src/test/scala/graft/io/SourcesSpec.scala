@@ -158,6 +158,59 @@ class SourcesSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("terminals"))
   }
 
+  test("xlsx-lite fails loudly on date-formatted numeric cells (Excel serials)") {
+    // styles.xml maps style index 1 → builtin date numFmtId 14; cell
+    // A2 carries s="1" with the raw serial 44197 (= 2021-01-01).
+    // Returning "44197" would silently diverge from the reference's
+    // pandas read — the parser must reject instead (the CSV fallback
+    // path is the documented route for such workbooks).
+    val entries = Seq(
+      "xl/workbook.xml" ->
+        """<?xml version="1.0"?>
+          |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+          |          xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+          |<sheets><sheet name="s" sheetId="1" r:id="rId1"/></sheets></workbook>""".stripMargin,
+      "xl/_rels/workbook.xml.rels" ->
+        """<?xml version="1.0"?>
+          |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+          |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
+          |</Relationships>""".stripMargin,
+      "xl/styles.xml" ->
+        """<?xml version="1.0"?>
+          |<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+          |<cellXfs count="2"><xf numFmtId="0"/><xf numFmtId="14" applyNumberFormat="1"/></cellXfs>
+          |</styleSheet>""".stripMargin,
+      "xl/worksheets/sheet1.xml" ->
+        """<?xml version="1.0"?>
+          |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+          |<sheetData>
+          |<row r="1"><c r="A1" t="inlineStr"><is><t>d</t></is></c></row>
+          |<row r="2"><c r="A2" s="1"><v>44197</v></c></row>
+          |</sheetData></worksheet>""".stripMargin)
+    val dir = Files.createTempDirectory("graft_xlsx_date")
+    val path = dir.resolve("dates_01012021.xlsx")
+    val zip = new java.util.zip.ZipOutputStream(Files.newOutputStream(path))
+    try entries.foreach { case (name, content) =>
+      zip.putNextEntry(new java.util.zip.ZipEntry(name))
+      zip.write(content.getBytes("UTF-8"))
+      zip.closeEntry()
+    } finally zip.close()
+    val ex = intercept[IllegalArgumentException] {
+      XlsxLite.read(path.toString, "s")
+    }
+    assert(ex.getMessage.contains("date-formatted"))
+    // An UNSTYLED numeric cell still reads as its stored text — only
+    // date styles reject.
+    val plain = dir.resolve("plain_01012021.xlsx")
+    val zip2 = new java.util.zip.ZipOutputStream(Files.newOutputStream(plain))
+    try entries.filterNot(_._1 == "xl/styles.xml").foreach { case (name, content) =>
+      zip2.putNextEntry(new java.util.zip.ZipEntry(name))
+      zip2.write(content.replace(""" s="1"""", "").getBytes("UTF-8"))
+      zip2.closeEntry()
+    } finally zip2.close()
+    assert(XlsxLite.read(plain.toString, "s")(1).toSeq === Seq("44197"))
+  }
+
   test("excel shim falls back to the pre-converted <name>.<sheet>.csv") {
     val dir = Files.createTempDirectory("graft_xlsx")
     Files.writeString(dir.resolve("terminals_01012021.terminals.csv"),

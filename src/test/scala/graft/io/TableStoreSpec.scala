@@ -141,4 +141,56 @@ class TableStoreSpec extends AnyFunSuite {
       Seq(("2024-01-03", 4)).toDF("load_date", "n"), Seq("load_date"))
     assert(store.read("facts").count() === 4)
   }
+
+  test("commitVersioned / readVersioned: manifest-committed generations") {
+    val store = newStore()
+    val g1 = store.commitVersioned("dim", Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    assert(g1 === 1L)
+    assert(store.readVersioned("dim").collect().map(_.getString(1)).sorted.toSeq
+      === Seq("a", "b"))
+    // The next generation may READ the live one (no rename of a
+    // directory anywhere — the pointer file moves instead).
+    val g2 = store.commitVersioned("dim",
+      store.readVersioned("dim").withColumn("v", upper(col("v"))))
+    assert(g2 === 2L)
+    assert(store.readVersioned("dim").collect().map(_.getString(1)).sorted.toSeq
+      === Seq("A", "B"))
+    assert(store.liveGeneration("dim") === Some(2L))
+  }
+
+  test("a writer killed mid-swap leaves readers on the old committed generation") {
+    val store = newStore()
+    store.commitVersioned("dim", Seq((1, "live")).toDF("id", "v"))
+    // Simulate the crash: the new generation directory materializes
+    // fully, but the process dies BEFORE the manifest record publishes
+    // — exactly what a failed rename-based swap cannot guarantee on an
+    // object store.
+    Seq((1, "orphan")).toDF("id", "v")
+      .write.parquet(store.path("dim") + "/g2")
+    assert(store.readVersioned("dim").collect().map(_.getString(1)).toSeq
+      === Seq("live"), "reader observed an uncommitted generation")
+    assert(store.liveGeneration("dim") === Some(1L))
+    // Recovery needs no manual cleanup: the next committer skips past
+    // the orphaned directory and becomes live.
+    val g = store.commitVersioned("dim", Seq((1, "next")).toDF("id", "v"))
+    assert(g === 3L)
+    assert(store.readVersioned("dim").collect().map(_.getString(1)).toSeq === Seq("next"))
+  }
+
+  test("vacuumVersioned drops old and orphaned generations, keeps live history") {
+    val store = newStore()
+    (1 to 4).foreach(i => store.commitVersioned("dim", Seq((i, s"v$i")).toDF("id", "v")))
+    // An orphan BELOW the live generation (a long-dead writer's
+    // leftovers) is reclaimable; gens 1-2 age out at keep=2.
+    val fs = new org.apache.hadoop.fs.Path(store.path("dim"))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(store.path("dim") + "/_manifest/" + "0" * 19 + "3"), false)
+    store.vacuumVersioned("dim", keepGenerations = 2)
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(store.path("dim")))
+      .map(_.getPath.getName).filter(_.startsWith("g")).sorted.toSeq
+    // Kept: g2 and g4 (the two newest COMMITTED); g3's record was
+    // deleted above, so it is an orphan below live and is dropped.
+    assert(dirs === Seq("g2", "g4"), dirs)
+    assert(store.readVersioned("dim").collect().map(_.getString(1)).toSeq === Seq("v4"))
+  }
 }

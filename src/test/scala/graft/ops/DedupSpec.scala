@@ -302,6 +302,82 @@ class DedupSpec extends AnyFunSuite {
     assert(fromStore === Set((101L, 1L)))
   }
 
+  test("buildSignatureIndex round-trip is value-identical to the inline pipeline") {
+    // The query family reads the PERSISTED index instead of executor
+    // cache() — valid only if parquet round-trips every signature and
+    // shingle-hash value exactly. Compare full rows (id, __hs,
+    // mh0..mh11) and the scored candidate pairs computed through each.
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs away fast"),
+      (2L, "the quick brown fox jumps over the lazy dog and runs away quickly"),
+      (3L, "completely different text about spark query engines and nothing else here"))
+      .toDF("doc_id", "text")
+    val store = new graft.io.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_sig_idx").toString)
+    val persisted = Dedup.buildSignatureIndex(store, docs, "doc_id", "text")
+    val inline = Dedup.signaturesFromHashes(
+      Dedup.shingleFrame(docs, "doc_id", "text"))
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      (r.getLong(0), r.getSeq[Long](r.fieldIndex("__hs")).toSeq,
+        (0 until Dedup.NumHashes).map(i => r.getAs[Long](s"mh$i")))
+    }.toSet
+    assert(key(persisted) === key(inline))
+    def pairs(sigs: org.apache.spark.sql.DataFrame) =
+      Dedup.scoredCandidatePairs(sigs, "doc_id")
+        .collect().map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"),
+          r.getAs[Long]("__inter"), r.getAs[Long]("__union"))).toSet
+    val viaIndex = pairs(store.read("minhash_sigs"))
+    assert(viaIndex === pairs(inline))
+    assert(viaIndex.exists(p => p._1 === 1L && p._2 === 2L))
+  }
+
+  test("buildShingleIndex round-trip feeds ngramJaccardPairsFromHashes identically") {
+    val docs = Seq(
+      (1L, "web", "the quick brown fox jumps over the lazy dog and runs away fast"),
+      (2L, "web", "the quick brown fox jumps over the lazy dog and runs away quickly"),
+      (3L, "books", "the quick brown fox jumps over the lazy dog and runs away fast"))
+      .toDF("doc_id", "source", "text")
+    val store = new graft.io.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_shingle_idx").toString)
+    val persisted = Dedup.buildShingleIndex(store, docs, "doc_id", "text",
+      extraCols = Seq("source"))
+    def pairs(hs: org.apache.spark.sql.DataFrame) =
+      Dedup.ngramJaccardPairsFromHashes(hs, "doc_id", "source", threshold = 0.4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val viaIndex = pairs(persisted)
+    assert(viaIndex === pairs(Dedup.shingleFrame(docs, "doc_id", "text", Seq("source"))))
+    assert(viaIndex.exists(p => p._1 === 1L && p._2 === 2L)) // within-source pair
+    assert(!viaIndex.exists(p => p._1 === 1L && p._2 === 3L)) // cross-source pruned
+  }
+
+  test("mergeComponents: a batch edge merging two clusters matches from-scratch CC") {
+    // Existing world: cluster {1,2,3} and cluster {10,11}, plus the
+    // untouched cluster {20,21}. The batch bridges 3-10 (merging the
+    // first two) and attaches a brand-new node 30 to 11.
+    val oldEdges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L)).toDF("d1", "d2")
+    val labels = Dedup.connectedComponents(oldEdges)
+      .select(col("id"), col("component"))
+    val batch = Seq((3L, 10L), (11L, 30L)).toDF("d1", "d2")
+    val incremental = Dedup.mergeComponents(labels, batch)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fromScratch = Dedup.connectedComponents(oldEdges.unionByName(batch))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(incremental === fromScratch)
+    // The merged cluster takes the global min label; the untouched
+    // cluster is passed through by reference with its old label.
+    assert(incremental(30L) === 1L && incremental(10L) === 1L)
+    assert(incremental(20L) === 20L && incremental(21L) === 20L)
+  }
+
+  test("mergeComponents: batch of only-new nodes adds clusters without touching old ones") {
+    val labels = Dedup.connectedComponents(Seq((1L, 2L)).toDF("d1", "d2"))
+      .select(col("id"), col("component"))
+    val batch = Seq((100L, 101L), (101L, 102L)).toDF("d1", "d2")
+    val got = Dedup.mergeComponents(labels, batch)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 100L -> 100L, 101L -> 100L, 102L -> 100L))
+  }
+
   test("simhashWide(32) reproduces simhash32 exactly; 60-bit adds upper bits") {
     val sh = Seq(1L -> "the quick brown fox jumps over the lazy dog runs far",
       2L -> "completely different text about spark engines and nothing else")

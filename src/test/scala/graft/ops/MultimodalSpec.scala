@@ -91,6 +91,125 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  /** Independent PNG writer (Deflater + CRC32 straight from the JDK,
+    * filters applied per the spec's FORWARD definition) so the decode
+    * assertion is against RFC 2083, not the codec's own inverse.
+    * `pixels` holds channel bytes per row; `rowFilters` picks the
+    * filter type per row, exercising the reconstruction paths. */
+  private def pngBytes(width: Int, height: Int, colorType: Int,
+                       pixels: Seq[Seq[Int]], rowFilters: Seq[Int]): Array[Byte] = {
+    val channels = if (colorType == 0) 1 else 3
+    val stride = width * channels
+    val raw = new java.io.ByteArrayOutputStream()
+    var prev = new Array[Int](stride)
+    for (y <- 0 until height) {
+      val cur = pixels(y).toArray
+      val f = rowFilters(y)
+      raw.write(f)
+      for (x <- 0 until stride) {
+        val a = if (x >= channels) cur(x - channels) else 0
+        val b = prev(x)
+        val c = if (x >= channels) prev(x - channels) else 0
+        val paeth = {
+          val p = a + b - c
+          val (pa, pb, pc) = (math.abs(p - a), math.abs(p - b), math.abs(p - c))
+          if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+        }
+        val pred = f match {
+          case 0 => 0; case 1 => a; case 2 => b; case 3 => (a + b) / 2; case 4 => paeth
+        }
+        raw.write((cur(x) - pred) & 0xff)
+      }
+      prev = cur
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw.toByteArray)
+    defl.finish()
+    val zout = new java.io.ByteArrayOutputStream()
+    val zbuf = new Array[Byte](256)
+    while (!defl.finished()) zout.write(zbuf, 0, defl.deflate(zbuf))
+    defl.end()
+    def chunk(ctype: String, data: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(12 + data.length)
+      out.putInt(data.length).put(ctype.getBytes("US-ASCII")).put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(ctype.getBytes("US-ASCII"))
+      crc.update(data)
+      out.putInt(crc.getValue.toInt)
+      out.array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(width).putInt(height).put(8.toByte).put(colorType.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", zout.toByteArray) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
+
+  test("PngCodec decodes grayscale through all five row filters bit-exactly") {
+    // 3x5 grayscale, one row per filter type (None/Sub/Up/Average/
+    // Paeth) — every reconstruction path runs, including the byte
+    // wraparound at 250+13.
+    val rows = Seq(
+      Seq(0, 128, 255), Seq(10, 250, 7), Seq(9, 30, 200),
+      Seq(100, 101, 102), Seq(250, 5, 130))
+    val png = pngBytes(3, 5, colorType = 0, pixels = rows,
+      rowFilters = Seq(0, 1, 2, 3, 4))
+    val got = new Multimodal.PngCodec().decode(png)
+    assert(got.toSeq === rows.flatten.map(_ / 255f))
+  }
+
+  test("PngCodec RGB decode matches BmpCodec's exact Rec.601 grays") {
+    // The same pixels through the compressed (PNG) and uncompressed
+    // (BMP) path must land identical feature values — the codec
+    // boundary's cross-format consistency contract.
+    val px = Seq((255, 255, 255), (0, 0, 0), (255, 0, 0), (100, 100, 100))
+    val png = pngBytes(2, 2, colorType = 2,
+      pixels = Seq(px.take(2).flatMap(t => Seq(t._1, t._2, t._3)),
+        px.drop(2).flatMap(t => Seq(t._1, t._2, t._3))),
+      rowFilters = Seq(4, 4))
+    val viaPng = new Multimodal.PngCodec().decode(png)
+    val viaBmp = new BmpCodec().decode(bmpBytes(2, 2, px))
+    assert(viaPng.toSeq === viaBmp.toSeq)
+  }
+
+  test("PngCodec fails loudly on corrupt, truncated, or unsupported input") {
+    val good = pngBytes(2, 2, colorType = 0,
+      pixels = Seq(Seq(1, 2), Seq(3, 4)), rowFilters = Seq(0, 0))
+    intercept[IllegalArgumentException] {
+      new Multimodal.PngCodec().decode("not a png at all".getBytes)
+    }
+    val corrupt = good.clone()
+    corrupt(good.length - 20) = (corrupt(good.length - 20) ^ 0x7f).toByte // flip an IDAT byte
+    intercept[IllegalArgumentException] { // CRC catches it
+      new Multimodal.PngCodec().decode(corrupt)
+    }
+    intercept[IllegalArgumentException] { // truncated stream
+      new Multimodal.PngCodec().decode(good.dropRight(8))
+    }
+    // Outside the declared subset (palette color type, well-formed
+    // chunks): reject at IHDR, never decode approximately.
+    val palette = pngBytes(2, 2, colorType = 3,
+      pixels = Seq(Seq(1, 2, 3, 4, 5, 6), Seq(7, 8, 9, 10, 11, 12)),
+      rowFilters = Seq(0, 0))
+    val ex = intercept[IllegalArgumentException] {
+      new Multimodal.PngCodec().decode(palette)
+    }
+    assert(ex.getMessage.contains("color type"))
+  }
+
+  test("extractFeatures runs real PNG bytes through the partition-batched path") {
+    val rows = Seq(Seq(0, 128, 255), Seq(10, 20, 30))
+    val png = pngBytes(3, 2, colorType = 0, pixels = rows, rowFilters = Seq(0, 2))
+    val ds = (1L to 3L).map(i => MediaRow(i, "image/png", png, 0L)).toDS()
+    val out = Multimodal.extractFeatures(ds, dim = 2,
+      mkCodec = () => new Multimodal.PngCodec).collect().sortBy(_.doc_id)
+    assert(out.length === 3)
+    assert(out.forall(_.codec === "png-gray"))
+    val expected = Multimodal.poolModulo(rows.flatten.map(_ / 255f).toArray, 2).toSeq
+    assert(out.forall(_.embedding.toSeq === expected))
+  }
+
   test("extractFeatures: schema, values, and per-row metadata") {
     val ds = media((1L, "hello world media blob"), (2L, "x")).toDS()
     val out = Multimodal.extractFeatures(ds, dim = 4).collect().sortBy(_.doc_id)

@@ -124,6 +124,82 @@ class Scd2PartitionedSpec extends AnyFunSuite {
     assert(!store.exists("dim.__tmp") && !store.exists("dim.__old"))
   }
 
+  test("2^12 buckets, 1% dirty batch: pruned scan, rename set = dirty buckets, bounded In-list") {
+    // The realistic operating point of the scaladoc's sizing rule
+    // (2^10–2^14): 4096 buckets, 8192 keys, a batch touching 1% of
+    // them. Everything the toy-scale tests pin must hold where the
+    // partition count is real: the dirty set (and therefore the
+    // isin partition-pruning literal AND the rename count) stays
+    // ~batch-sized, and the scoped scan reads only affected leaves.
+    val B = 4096
+    val nKeys = 8192
+    val store = newStore()
+    val day = (1 to nKeys).map(i => (s"k$i", s"v$i")).toDF("k", "a")
+    Scd2.mergePartitioned(store, "dim", day, Seq("k"), Seq("a"), lit(t0),
+      nBuckets = B, deleteKeys = Some(day.select("k")))
+    val totalFiles = store.read("dim").inputFiles.length
+
+    val dirtyKeys = (1 to nKeys).filter(_ % 100 == 0).map(i => s"k$i")
+    val batch2 = day.withColumn("a",
+      when(col("k").isin(dirtyKeys: _*), lit("CHANGED")).otherwise(col("a")))
+    val rewritten = Scd2.mergePartitioned(store, "dim", batch2,
+      Seq("k"), Seq("a"), lit(t1), nBuckets = B,
+      deleteKeys = Some(batch2.select("k")), deleteTs = Some(lit(t1)))
+
+    // (c) The In-list the scoped scan carries is bounded by the dirty
+    // KEY count — two orders of magnitude under nBuckets — never a
+    // B-sized literal.
+    val expectedDirty = dirtyKeys.toDF("k")
+      .select(Scd2.bucketCol(Seq("k"), B).as("b"))
+      .distinct().collect().map(_.getInt(0)).sorted.toSeq
+    assert(rewritten === expectedDirty)
+    assert(rewritten.size <= dirtyKeys.size && rewritten.size * 20 < B,
+      s"${rewritten.size} buckets dirty of $B")
+
+    // (a) Partition pruning holds at this leaf count: the scoped scan
+    // READS only the affected buckets' files. (`inputFiles` reports
+    // the relation's full listing regardless of filters — the scan
+    // node's numFiles metric is what pruning actually decides.)
+    val pruned = store.read("dim")
+      .filter(col(Scd2.BucketColName).isin(rewritten: _*))
+    val qe = pruned.queryExecution
+    qe.toRdd.count(): Unit
+    val scannedFiles = qe.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metrics("numFiles").value
+    }.sum
+    assert(scannedFiles > 0 && scannedFiles <= rewritten.size.toLong * 3,
+      s"$scannedFiles files scanned for ${rewritten.size} buckets")
+    assert(totalFiles >= B / 2, s"boot wrote only $totalFiles files")
+    assert(scannedFiles * 5 < totalFiles,
+      s"pruning ineffective: $scannedFiles of $totalFiles files")
+
+    // (b) Rename count = dirty buckets: untouched leaves carry their
+    // original files (same path set — a rename-in would change leaf
+    // contents); spot-check a sample rather than walking all 4096.
+    val root = java.nio.file.Paths.get(store.path("dim"))
+    val untouchedSample = (0 until B).filterNot(rewritten.contains).take(24)
+    untouchedSample.foreach { b =>
+      val leaf = root.resolve(s"${Scd2.BucketColName}=$b")
+      if (java.nio.file.Files.exists(leaf)) {
+        val names = java.nio.file.Files.list(leaf).iterator()
+        var sawParquet = false
+        while (names.hasNext) {
+          val n = names.next().getFileName.toString
+          assert(!n.startsWith(".__"), s"scratch residue in untouched leaf $b")
+          sawParquet |= n.endsWith(".parquet")
+        }
+        assert(sawParquet, s"untouched leaf $b lost its data file")
+      }
+    }
+    // Merged content spot-check: a dirty key gained its closed+opened
+    // version pair; a clean neighbor did not.
+    val k100 = store.read("dim").filter(col("k") === "k100")
+    assert(k100.count() === 2L)
+    val k101 = store.read("dim").filter(col("k") === "k101")
+    assert(k101.count() === 1L)
+  }
+
   test("the scoped dim scan is partition-pruned") {
     val store = newStore()
     Scd2.mergePartitioned(store, "dim", day1, Seq("k"), Seq("a"), lit(t0),

@@ -73,4 +73,40 @@ object Indexes {
         Dedup.signaturesFromHashes(shingles(spark, sfDir).drop("source")))
     st.read("minhash_sigs")
   }
+
+  /** Per-doc SimHash fingerprints (doc_id, simhash) at `bits` width —
+    * derived FROM the persisted shingle index (the vote aggregate is
+    * pure compute over `__hs`). The byte/15-bit-band candidate joins
+    * reference the fingerprints on BOTH sides; persisting means each
+    * reference is a parquet read of one row per doc, and an executor
+    * eviction can never silently re-run the vote aggregate. */
+  def simhashFingerprints(spark: SparkSession, sfDir: String,
+                          bits: Int): DataFrame = lock.synchronized {
+    require(bits == 32 || bits == 60, s"unsupported simhash width: $bits")
+    val name = s"simhash${bits}_fp"
+    val st = store(spark, sfDir)
+    if (!st.exists(name)) {
+      import org.apache.spark.sql.functions.{col, explode}
+      val th = shingles(spark, sfDir)
+        .select(col("doc_id"), explode(col("__hs")).as("h"))
+      st.overwrite(name,
+        if (bits == 32) Dedup.simhash32(th, "doc_id", "h")
+        else Dedup.simhashWide(th, "doc_id", "h", bits = bits))
+    }
+    st.read(name)
+  }
+
+  /** Random-hyperplane band signatures (vec_id, b0, b1) over the
+    * `embeddings` table — the cosine-space analogue of [[signatures]]:
+    * the 16 hyperplane dot products per vector are the dominant scan,
+    * run once and landed as a table; the banded candidate self join
+    * reads it on both sides. */
+  def rpSignatures(spark: SparkSession, sfDir: String): DataFrame = lock.synchronized {
+    val st = store(spark, sfDir)
+    if (!st.exists("rp_sigs"))
+      st.overwrite("rp_sigs", graft.ops.Similarity.rpSignatures(
+        graft.io.Sources.tableRebalanced(spark, sfDir, "embeddings"),
+        "vec_id", "embedding", dim = 64))
+    st.read("rp_sigs")
+  }
 }

@@ -122,6 +122,20 @@ object LlmQueries {
     Dedup.connectedComponents(verifiedPairs(s, d))
       .select(col("id").as("doc_id"), col("component"))
 
+  /** The from-scratch cluster oracle — shared verbatim by q57 (full
+    * CC) and q73 (incremental CC): incremental maintenance is correct
+    * exactly when it is indistinguishable from recomputing the world,
+    * so both queries must hash-match the SAME closure. */
+  private lazy val clusterOracleSql: String =
+    s"""WITH RECURSIVE $rawCorpus,
+       |$shingleCtes,
+       |sig AS (SELECT doc_id, hs, $mhColsSql FROM hst),
+       |cand AS ($bandJoinSql),
+       |$componentCtes
+       |SELECT c.component, c.doc_id,
+       |       count(*) OVER (PARTITION BY c.component) AS cluster_size
+       |FROM comp c""".stripMargin
+
   /** SimHash fingerprint select over a `th(doc_id, h)` relation,
     * oracle side — 32 unrolled ±1 vote sums, then bit assembly. */
   private val simhashSql: String = {
@@ -207,15 +221,7 @@ object LlmQueries {
     // its deterministic cluster id (= smallest member, the canonical
     // survivor) and the cluster size. The oracle computes the same
     // closure with a recursive CTE.
-    Q("q57_neardup_clusters",
-      s"""WITH RECURSIVE $rawCorpus,
-         |$shingleCtes,
-         |sig AS (SELECT doc_id, hs, $mhColsSql FROM hst),
-         |cand AS ($bandJoinSql),
-         |$componentCtes
-         |SELECT c.component, c.doc_id,
-         |       count(*) OVER (PARTITION BY c.component) AS cluster_size
-         |FROM comp c""".stripMargin) {
+    Q("q57_neardup_clusters", clusterOracleSql) {
       (s, d) =>
         val w = org.apache.spark.sql.expressions.Window.partitionBy(col("component"))
         components(s, d)
@@ -297,6 +303,38 @@ object LlmQueries {
             col("n_tok").as("survivor_n_tok"), col("n_members"))
     },
 
+    // INCREMENTAL cluster maintenance, declared: the verified edge set
+    // splits at a doc_id cutoff into the BASE corpus (both endpoints
+    // below — yesterday's world, labels already resolved) and an
+    // ARRIVING batch (every edge touching a newer doc). Base labels
+    // come from one full CC run; the batch then folds in through
+    // [[Dedup.mergeComponents]] — only components touched by a batch
+    // edge re-enter (as member→root star edges), so per-batch work is
+    // ∝ batch + affected membership, never the corpus. The oracle is
+    // q57's from-scratch recursive closure over ALL pairs, shared
+    // VERBATIM: incremental maintenance is correct exactly when it is
+    // indistinguishable from recomputing the world.
+    Q("q73_incremental_cc", clusterOracleSql) {
+      (s, d) =>
+        // The last 20% of the id space is "today's batch" — derived
+        // from a bounded scalar max, the watermark pattern (A1). At
+        // any sf the batch stays ∝ corpus fraction, not a fixed count.
+        val maxId = table(s, d, "documents")
+          .agg(max(col("doc_id")).cast("long")).head.getLong(0)
+        val cutoff = maxId * 4 / 5
+        val edges = verifiedPairs(s, d)
+        val base = edges.filter(col("d1") < cutoff && col("d2") < cutoff)
+        val batch = edges.filter(col("d1") >= cutoff || col("d2") >= cutoff)
+        val baseLabels = Dedup.connectedComponents(base)
+          .select(col("id"), col("component"))
+        val labels = Dedup.mergeComponents(baseLabels, batch)
+          .select(col("id").as("doc_id"), col("component"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("component"))
+        labels
+          .select(col("component"), col("doc_id"))
+          .withColumn("cluster_size", count(lit(1)).over(w))
+    },
+
     // SimHash: 32-bit bit-sampled fingerprint over distinct 3-gram
     // shingles — one explode + one hash aggregate (partial agg:
     // the shuffle carries 32 ints per doc, not the shingles).
@@ -307,11 +345,10 @@ object LlmQueries {
          |$simhashSql
          |SELECT doc_id, simhash FROM fp""".stripMargin) {
       (s, d) =>
-        // Shingle hashes from the persisted index — the SimHash vote
-        // aggregate is the only compute left in the timed path.
-        val sh = Indexes.shingles(s, d)
-          .select(col("doc_id"), explode(col("__hs")).as("h"))
-        Dedup.simhash32(sh, "doc_id", "h")
+        // The persisted per-doc fingerprint table — q32's oracle is
+        // what pins the persisted values against DuckDB's from-scratch
+        // vote pipeline (the same role q70 plays for MinHash).
+        Indexes.simhashFingerprints(s, d, bits = 32)
     },
 
     // SimHash near-dup pairs: bucket fingerprints by 8-bit bytes
@@ -333,14 +370,11 @@ object LlmQueries {
          |SELECT d1, d2, fp1, fp2, bit_count(xor(fp1, fp2))::INT AS hamming
          |FROM cand WHERE bit_count(xor(fp1, fp2)) <= 3""".stripMargin) {
       (s, d) =>
-        val sh = Indexes.shingles(s, d)
-          .select(col("doc_id"), explode(col("__hs")).as("h"))
-        // Cache the per-doc fingerprints: the byte-band candidate joins
-        // reference them repeatedly — uncached, each reference re-runs
-        // the explode + simhash aggregation. (The frame is one row per
-        // doc — bounded — unlike the corpus-scan fronts, which persist
-        // through Indexes instead.)
-        val fps = Dedup.simhash32(sh, "doc_id", "h").cache()
+        // Fingerprints from the persisted table — the byte-band
+        // candidate joins reference them repeatedly, and every
+        // reference is a one-row-per-doc parquet read (q32's oracle
+        // pins the persisted values).
+        val fps = Indexes.simhashFingerprints(s, d, bits = 32)
         Dedup.simhashPairs(fps, "doc_id", "simhash")
           .select("d1", "d2", "fp1", "fp2", "hamming")
     },
@@ -368,9 +402,7 @@ object LlmQueries {
          |SELECT d1, d2, fp1, fp2, bit_count(xor(fp1, fp2))::INT AS hamming
          |FROM cand WHERE bit_count(xor(fp1, fp2)) <= 3""".stripMargin) {
       (s, d) =>
-        val sh = Indexes.shingles(s, d)
-          .select(col("doc_id"), explode(col("__hs")).as("h"))
-        val fps = Dedup.simhashWide(sh, "doc_id", "h", bits = 60).cache()
+        val fps = Indexes.simhashFingerprints(s, d, bits = 60)
         Dedup.simhashPairs(fps, "doc_id", "simhash", maxHamming = 3, fpBits = 60)
           .select("d1", "d2", "fp1", "fp2", "hamming")
     },

@@ -261,12 +261,13 @@ object SimilarityQueries {
         import graft.functions.VectorExpressions.normF
         // Rebalanced: the 16 hyperplane dots per vector dominate the
         // scan, and the local corpus is one parquet file (one task).
-        // Signatures cached — both sides of the candidate self join
-        // read them (materialized once in production, like q31's).
+        // Signatures come from the persisted table
+        // ([[graft.queries.Indexes.rpSignatures]]) — both sides of the
+        // candidate self join read parquet, never re-run the dots.
         val e = graft.io.Sources.tableRebalanced(s, d, "embeddings")
         val ev = e.select(col("vec_id"), col("embedding"),
           normF(col("embedding")).as("nrm"))
-        val sigs = Similarity.rpSignatures(e, "vec_id", "embedding", dim = 64).cache()
+        val sigs = graft.queries.Indexes.rpSignatures(s, d)
         Similarity.rpCandidatesFromSigs(sigs, "vec_id")
           .join(ev.select(col("vec_id").as("v1"), col("embedding").as("e1"),
             col("nrm").as("n1")), "v1")

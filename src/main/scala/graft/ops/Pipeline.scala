@@ -193,10 +193,19 @@ object Pipeline {
     * touching 1% of keys rewrites ~1% of the table instead of all of
     * it). Semantics are identical (PipelineSpec pins content parity
     * with the snapshot path); downstream readers drop the bucket
-    * column ([[runReport]] does). */
+    * column ([[runReport]] does).
+    *
+    * `versionedDims = true` commits the dimension through the
+    * manifest protocol ([[Scd2.mergeVersioned]]) instead of the
+    * directory-rename swap — the object-store-safe deployment.
+    * Downstream reads auto-detect the layout
+    * (`TableStore.readResolved`), so the report stage needs no flag. */
   def runTerminals(spark: SparkSession, store: TableStore, srcDir: String,
                   archive: Boolean = false,
-                  bucketDims: Option[Int] = None): Unit =
+                  bucketDims: Option[Int] = None,
+                  versionedDims: Boolean = false): Unit = {
+    require(!(bucketDims.isDefined && versionedDims),
+      "runTerminals: bucketDims and versionedDims are mutually exclusive")
     processFiles(spark, store, srcDir, "terminals_\\d{8}\\.txt",
         "terminals", "stg_terminals", archive) {
       (path, s) => Sources.csv(s, path, Sources.stringSchema(TermSchema: _*))
@@ -206,6 +215,11 @@ object Pipeline {
         case Some(n) =>
           Scd2.mergePartitioned(store, "dim_terminals_hist", batch,
             Seq("terminal_id"), TermSchema.tail, batchTs = ts, nBuckets = n,
+            deleteKeys = Some(batch.select("terminal_id")),
+            deleteTs = Some(ts)): Unit
+        case None if versionedDims =>
+          Scd2.mergeVersioned(store, "dim_terminals_hist", batch,
+            Seq("terminal_id"), TermSchema.tail, batchTs = ts,
             deleteKeys = Some(batch.select("terminal_id")),
             deleteTs = Some(ts)): Unit
         case None =>
@@ -218,6 +232,7 @@ object Pipeline {
       }
       Some(isoToTs(fileDate))
     }
+  }
 
   /** One JDBC-sourced SCD2 dimension: where it comes from, what it's
     * called, and which source columns map to which dimension columns
@@ -340,12 +355,14 @@ object Pipeline {
     val noDb = Sources.JdbcSpec("", "", "", "")
     store.append("rep_fraud", reportFrame(
       facts = store.readOr("fact_transactions", factStruct),
-      // drop is a no-op on the snapshot layout; on the bucketed layout
-      // it strips the kb partition column so the join shape is identical.
-      ter = store.readOr("dim_terminals_hist", dimStruct).drop(Scd2.BucketColName),
-      cards = store.readOr("dim_cards_hist", emptyDim(cardsDim(noDb))),
-      accounts = store.readOr("dim_accounts_hist", emptyDim(accountsDim(noDb))),
-      clients = store.readOr("dim_clients_hist", emptyDim(clientsDim(noDb))),
+      // readResolvedOr auto-detects manifest-committed dimensions, so
+      // the report stage works unchanged against every dim layout;
+      // drop is a no-op on the snapshot layout and strips the kb
+      // partition column on the bucketed one.
+      ter = store.readResolvedOr("dim_terminals_hist", dimStruct).drop(Scd2.BucketColName),
+      cards = store.readResolvedOr("dim_cards_hist", emptyDim(cardsDim(noDb))),
+      accounts = store.readResolvedOr("dim_accounts_hist", emptyDim(accountsDim(noDb))),
+      clients = store.readResolvedOr("dim_clients_hist", emptyDim(clientsDim(noDb))),
       bl = store.readOr("fact_blacklist", blacklistStruct),
       reportDt = reportDt))
   }
@@ -439,10 +456,11 @@ object Pipeline {
           reportDt: Timestamp, archive: Boolean = false,
           dimDb: Option[Sources.JdbcSpec] = None,
           dimRunTs: Option[Timestamp] = None,
-          bucketDims: Option[Int] = None): Unit = {
+          bucketDims: Option[Int] = None,
+          versionedDims: Boolean = false): Unit = {
     runTransactions(spark, store, srcDir, archive)
     runBlacklist(spark, store, srcDir, archive)
-    runTerminals(spark, store, srcDir, archive, bucketDims)
+    runTerminals(spark, store, srcDir, archive, bucketDims, versionedDims)
     dimDb.foreach { db =>
       val ts = dimRunTs.getOrElse(reportDt)
       runJdbcDim(spark, store, cardsDim(db), ts)

@@ -220,6 +220,35 @@ class PipelineSpec extends AnyFunSuite {
       .exists(_.getName.startsWith(Scd2.BucketColName + "=")))
   }
 
+  test("versioned dimension storage: identical SCD2 content, no directory rename") {
+    val src = Files.createTempDirectory("graft_pipe_src_vr")
+    val plain = new TableStore(spark, Files.createTempDirectory("graft_pipe_wh_p2").toString)
+    val versioned = new TableStore(spark, Files.createTempDirectory("graft_pipe_wh_v").toString)
+    day1(src)
+    Pipeline.runTerminals(spark, plain, src.toString)
+    Pipeline.runTerminals(spark, versioned, src.toString, versionedDims = true)
+    day2(src)
+    Pipeline.runTerminals(spark, plain, src.toString)
+    Pipeline.runTerminals(spark, versioned, src.toString, versionedDims = true)
+    val cols = Pipeline.TermSchema ++ Seq("effective_from", "effective_to", "deleted_flg")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(cols.map(org.apache.spark.sql.functions.col): _*).collect().toSet
+    // Same merge history through the manifest-commit path — and the
+    // report stage's readResolvedOr picks the versioned layout up with
+    // no flag.
+    assert(rows(versioned.readVersioned("dim_terminals_hist")) ===
+      rows(plain.read("dim_terminals_hist")))
+    assert(rows(versioned.readResolvedOr("dim_terminals_hist",
+      plain.read("dim_terminals_hist").schema)) ===
+      rows(plain.read("dim_terminals_hist")))
+    // Two merges → two immutable generations behind the manifest; the
+    // live pointer resolves to the second.
+    assert(versioned.liveGeneration("dim_terminals_hist").contains(2L))
+    val leaves = new java.io.File(versioned.path("dim_terminals_hist"))
+      .listFiles().map(_.getName).toSet
+    assert(leaves.contains("g1") && leaves.contains("g2") && leaves.contains("_manifest"))
+  }
+
   test("streaming fact stage: checkpointed ingest + anti-join promotion") {
     val src = Files.createTempDirectory("graft_pipe_stream")
     val store = new TableStore(spark, Files.createTempDirectory("graft_pipe_wh3").toString)

@@ -10,16 +10,17 @@ import org.apache.spark.sql.functions._
   * metadata-aware resize — with the codec itself pluggable behind
   * [[MediaCodec]].
   *
-  * Three REAL pure-JVM decoders ship with the engine — [[WavPcmCodec]]
+  * Four REAL pure-JVM decoders ship with the engine — [[WavPcmCodec]]
   * (RIFF/WAVE PCM audio), [[BmpCodec]] (uncompressed 24-bit BMP
-  * images), and [[PngCodec]] (zlib-compressed PNG via the JDK's
-  * `Inflater`, full row-filter reconstruction, CRC-validated) — so
-  * both the raw-samples-behind-a-header AND the real
-  * compressed-format path run through the codec boundary. For formats
-  * whose codecs the JDK does not ship (JPEG/MP3/H.264) the
-  * deterministic [[FakeCodec]] stands in (no media library exists in
-  * this environment); swap in a real binding through the same
-  * interface. Everything around the
+  * images), [[PngCodec]] (zlib-compressed PNG via the JDK's
+  * `Inflater`, full row-filter reconstruction, CRC-validated), and
+  * [[GifCodec]] (GIF87a/89a with the LZW decompressor implemented
+  * in-engine) — so both the raw-samples-behind-a-header AND the real
+  * compressed-format paths run through the codec boundary. For
+  * formats needing codecs the JDK cannot express in ~100 lines
+  * (JPEG/MP3/H.264) the deterministic [[FakeCodec]] stands in (no
+  * media library exists in this environment); swap in a real binding
+  * through the same interface. Everything around the
   * codec is the part that matters at 100 TB:
   *   - [[extractFeatures]] uses `mapPartitions` so the codec is
   *     initialized ONCE per partition and amortized across its rows —
@@ -277,6 +278,166 @@ object Multimodal {
         System.arraycopy(cur, 0, prev, 0, stride)
         y += 1
       }
+      out
+    }
+  }
+
+  /** Real COMPRESSED-format image decode, zero libraries: GIF87a/89a
+    * with full LZW decompression — variable code widths (up to the
+    * spec's 12 bits), clear/end codes, and the deferred width bump at
+    * table-full — implemented directly (the JDK ships no GIF coder;
+    * LZW itself is ~80 lines). Decodes the FIRST image frame:
+    * non-interlaced, local-over-global palette precedence; extensions
+    * (graphic control, comments, application) are skipped as the spec
+    * allows. Output: one gray intensity in [0, 1] per pixel, top-down
+    * row-major, palette colors grayed with the same exact integer
+    * Rec.601 weights as [[BmpCodec]]/[[PngCodec]]. Interlaced images
+    * and malformed streams (bad signature, truncated sub-blocks, codes
+    * past the table, missing image block) fail loudly. */
+  final class GifCodec extends MediaCodec {
+    val name: String = "gif-gray"
+    def init(): GifCodec = this
+    def decode(content: Array[Byte]): Array[Float] = {
+      val sigOk = content.length >= 13 && {
+        val s = new String(content, 0, 6, "US-ASCII")
+        s == "GIF87a" || s == "GIF89a"
+      }
+      require(sigOk, "gif-gray: not a GIF stream")
+      def u8(i: Int): Int = content(i) & 0xff
+      def u16(i: Int): Int = u8(i) | (u8(i + 1) << 8) // little-endian
+      // Logical screen descriptor + optional global color table.
+      val gctFlag = (u8(10) & 0x80) != 0
+      val gctSize = 2 << (u8(10) & 7)
+      var pos = 13
+      val gctOff = pos
+      if (gctFlag) pos += 3 * gctSize
+      // Walk blocks to the first image descriptor.
+      var imgOff = -1
+      while (imgOff < 0) {
+        require(pos < content.length, "gif-gray: no image block before EOF")
+        u8(pos) match {
+          case 0x2c => imgOff = pos
+          case 0x21 => // extension: label byte, then sub-blocks to 0
+            pos += 2
+            while ({ require(pos < content.length, "gif-gray: truncated extension")
+                     u8(pos) != 0 }) pos += 1 + u8(pos)
+            pos += 1
+          case 0x3b => throw new IllegalArgumentException(
+            "gif-gray: trailer before any image block")
+          case b => throw new IllegalArgumentException(
+            f"gif-gray: unknown block 0x$b%02x")
+        }
+      }
+      require(imgOff + 10 <= content.length, "gif-gray: truncated image descriptor")
+      val width = u16(imgOff + 5)
+      val height = u16(imgOff + 7)
+      val iFlags = u8(imgOff + 9)
+      require((iFlags & 0x40) == 0, "gif-gray: interlaced GIF not supported")
+      require(width > 0 && height > 0, "gif-gray: empty image")
+      pos = imgOff + 10
+      val lctFlag = (iFlags & 0x80) != 0
+      val lctSize = 2 << (iFlags & 7)
+      val palOff = if (lctFlag) pos else gctOff
+      val palSize = if (lctFlag) lctSize else gctSize
+      require(lctFlag || gctFlag, "gif-gray: image has no color table")
+      if (lctFlag) pos += 3 * lctSize
+      require(palOff + 3 * palSize <= content.length, "gif-gray: truncated color table")
+      // Palette → gray, precomputed once.
+      val gray = new Array[Float](palSize)
+      var pi = 0
+      while (pi < palSize) {
+        gray(pi) = (299 * u8(palOff + 3 * pi) + 587 * u8(palOff + 3 * pi + 1) +
+          114 * u8(palOff + 3 * pi + 2)) / 255000f
+        pi += 1
+      }
+      // Concatenate the LZW sub-blocks.
+      require(pos < content.length, "gif-gray: missing LZW minimum code size")
+      val minCodeSize = u8(pos)
+      require(minCodeSize >= 2 && minCodeSize <= 8,
+        s"gif-gray: LZW minimum code size $minCodeSize out of range")
+      pos += 1
+      val data = new java.io.ByteArrayOutputStream()
+      while ({ require(pos < content.length, "gif-gray: truncated image data")
+               u8(pos) != 0 }) {
+        val n = u8(pos)
+        require(pos + 1 + n <= content.length, "gif-gray: image sub-block overruns")
+        data.write(content, pos + 1, n)
+        pos += 1 + n
+      }
+      val bytes = data.toByteArray
+      // LZW decode, LSB-first bit stream. Table entries are stored as
+      // (prefix code, appended byte); output is materialized by
+      // walking the prefix chain (bounded by table size).
+      val clearCode = 1 << minCodeSize
+      val endCode = clearCode + 1
+      val MaxCodes = 4096
+      val prefix = new Array[Int](MaxCodes)
+      val suffix = new Array[Byte](MaxCodes)
+      val stack = new Array[Byte](MaxCodes)
+      val out = new Array[Float](width * height)
+      var outPos = 0
+      var codeSize = minCodeSize + 1
+      var next = endCode + 1
+      var prev = -1
+      var acc = 0L
+      var accBits = 0
+      var bi = 0
+      var finished = false
+      def px(idx: Int): Float = {
+        require(idx < palSize, "gif-gray: pixel index outside the palette")
+        gray(idx)
+      }
+      def emit(code: Int): Unit = {
+        var sp = 0
+        var c = code
+        while (c >= clearCode) { // walk the chain; roots are literals
+          require(sp < MaxCodes, "gif-gray: corrupt LZW chain")
+          stack(sp) = suffix(c); sp += 1; c = prefix(c)
+        }
+        require(outPos + sp + 1 <= out.length,
+          "gif-gray: LZW output exceeds image size")
+        out(outPos) = px(c); outPos += 1
+        while (sp > 0) { sp -= 1; out(outPos) = px(stack(sp) & 0xff); outPos += 1 }
+      }
+      def firstByte(code: Int): Int = {
+        var c = code
+        while (c >= clearCode) c = prefix(c)
+        c
+      }
+      while (!finished) {
+        if (accBits < codeSize) {
+          require(bi < bytes.length, "gif-gray: LZW stream ended without end code")
+          acc |= (bytes(bi) & 0xffL) << accBits; accBits += 8; bi += 1
+        } else {
+          val code = (acc & ((1 << codeSize) - 1)).toInt
+          acc >>>= codeSize; accBits -= codeSize
+          if (code == clearCode) {
+            codeSize = minCodeSize + 1; next = endCode + 1; prev = -1
+          } else if (code == endCode) {
+            finished = true
+          } else if (prev < 0) {
+            require(code < clearCode, "gif-gray: first code after clear not a literal")
+            require(outPos < out.length, "gif-gray: LZW output exceeds image size")
+            out(outPos) = px(code); outPos += 1
+            prev = code
+          } else {
+            require(code <= next, "gif-gray: LZW code past the table")
+            if (code == next) { // the KwKwK case: cur = prev + first(prev)
+              require(next < MaxCodes, "gif-gray: LZW table overflow")
+              prefix(next) = prev; suffix(next) = firstByte(prev).toByte; next += 1
+              emit(code)
+            } else {
+              emit(code)
+              require(next < MaxCodes, "gif-gray: LZW table overflow")
+              prefix(next) = prev; suffix(next) = firstByte(code).toByte; next += 1
+            }
+            prev = code
+            if (next == (1 << codeSize) && codeSize < 12) codeSize += 1
+          }
+        }
+      }
+      require(outPos == out.length,
+        s"gif-gray: decoded $outPos pixels, expected ${out.length}")
       out
     }
   }

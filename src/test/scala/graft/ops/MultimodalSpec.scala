@@ -198,6 +198,125 @@ class MultimodalSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("color type"))
   }
 
+  /** Independent GIF89a writer: a forward walk of the spec emitting
+    * LITERAL LZW codes only (with periodic clear codes and the same
+    * deferred width-bump rule the spec mandates) — no compression and
+    * no code shared with [[Multimodal.GifCodec]]'s chain-walking
+    * decompressor, so a decode bug cannot cancel an encode bug. */
+  private def gifBytes(width: Int, height: Int, palette: Seq[(Int, Int, Int)],
+                       pixels: Seq[Int], minCodeSize: Int = 8,
+                       clearEvery: Int = 100,
+                       withExtension: Boolean = false): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    def w16(v: Int): Unit = { w8(v); w8(v >> 8) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    w16(width); w16(height)
+    val bits = math.max(1,
+      32 - Integer.numberOfLeadingZeros(math.max(palette.size - 1, 1)))
+    w8(0x80 | (bits - 1)); w8(0); w8(0) // GCT present, 2^bits entries
+    for (i <- 0 until (1 << bits)) {
+      val (r, g, b) = if (i < palette.size) palette(i) else (0, 0, 0)
+      w8(r); w8(g); w8(b)
+    }
+    if (withExtension) { // graphic control extension the decoder must skip
+      w8(0x21); w8(0xf9); w8(4); w8(0); w16(0); w8(0); w8(0)
+    }
+    w8(0x2c); w16(0); w16(0); w16(width); w16(height); w8(0)
+    w8(minCodeSize)
+    val clearCode = 1 << minCodeSize
+    val endCode = clearCode + 1
+    val bitBuf = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    var acc = 0L; var accBits = 0
+    var codeWidth = minCodeSize + 1
+    var next = endCode + 1
+    def put(code: Int): Unit = {
+      acc |= code.toLong << accBits; accBits += codeWidth
+      while (accBits >= 8) { bitBuf += (acc & 0xff).toByte; acc >>>= 8; accBits -= 8 }
+    }
+    put(clearCode)
+    var sinceClear = 0
+    for (p <- pixels) {
+      if (sinceClear == clearEvery) {
+        put(clearCode); codeWidth = minCodeSize + 1; next = endCode + 1; sinceClear = 0
+      }
+      put(p)
+      // The decoder grows its table by one entry per code AFTER the
+      // first following a clear, and widens when the table fills —
+      // mirror that so our literal codes stay in step with its reads.
+      if (sinceClear >= 1) {
+        next += 1
+        if (next == (1 << codeWidth) && codeWidth < 12) codeWidth += 1
+      }
+      sinceClear += 1
+    }
+    put(endCode)
+    if (accBits > 0) bitBuf += (acc & 0xff).toByte
+    bitBuf.grouped(255).foreach { blk => w8(blk.length); out.write(blk.toArray) }
+    w8(0); w8(0x3b)
+    out.toByteArray
+  }
+
+  test("GifCodec decodes an LZW stream with palette lookup bit-exactly") {
+    // 3x2 with a 4-color palette, plus a graphic-control extension the
+    // block walk must skip.
+    val pal = Seq((255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 255))
+    val px = Seq(0, 1, 2, 3, 0, 2)
+    val gif = gifBytes(3, 2, pal, px, withExtension = true)
+    val got = new Multimodal.GifCodec().decode(gif)
+    val expected = px.map { i =>
+      val (r, g, b) = pal(i); (299 * r + 587 * g + 114 * b) / 255000f
+    }
+    assert(got.toSeq === expected)
+  }
+
+  test("GifCodec: table growth widens codes 9->10 mid-stream (deferred bump)") {
+    // 24x24 = 576 literal codes with NO interior clear: the decoder's
+    // table crosses 512 entries, so it must widen its reads from 9 to
+    // 10 bits exactly where the encoder widened its writes.
+    val pal = (0 until 256).map(i => (i, i, i))
+    val px = (0 until 576).map(i => (i * 7 + 3) % 256)
+    val gif = gifBytes(24, 24, pal, px, clearEvery = 1000)
+    val got = new Multimodal.GifCodec().decode(gif)
+    assert(got.toSeq === px.map(_ / 255f))
+  }
+
+  test("GifCodec gray values match BmpCodec on identical pixels") {
+    val colors = Seq((255, 255, 255), (0, 0, 0), (255, 0, 0), (100, 100, 100))
+    val gif = gifBytes(2, 2, colors, Seq(0, 1, 2, 3))
+    val viaGif = new Multimodal.GifCodec().decode(gif)
+    val viaBmp = new BmpCodec().decode(bmpBytes(2, 2, colors))
+    assert(viaGif.toSeq === viaBmp.toSeq)
+  }
+
+  test("GifCodec fails loudly on corrupt, truncated, or unsupported input") {
+    val pal = Seq((0, 0, 0), (255, 255, 255))
+    val good = gifBytes(2, 2, pal, Seq(0, 1, 1, 0))
+    intercept[IllegalArgumentException] {
+      new Multimodal.GifCodec().decode("definitely not a gif".getBytes)
+    }
+    intercept[IllegalArgumentException] { // truncated mid image data
+      new Multimodal.GifCodec().decode(good.dropRight(6))
+    }
+    // Interlace flag set on an otherwise-valid image descriptor:
+    // reject, never de-interlace approximately. The descriptor flag
+    // byte sits after header(13) + GCT + the 0x2c..positions(9) bytes.
+    val palN = 2 // 2^1 entries
+    val flagOff = 13 + 3 * palN + 9
+    assert(good(flagOff - 9) === 0x2c.toByte) // sanity: descriptor found
+    val interlaced = good.clone()
+    interlaced(flagOff) = (interlaced(flagOff) | 0x40).toByte
+    val ex = intercept[IllegalArgumentException] {
+      new Multimodal.GifCodec().decode(interlaced)
+    }
+    assert(ex.getMessage.contains("interlaced"))
+    // Trailer with no image block at all.
+    val noImage = good.take(13 + 3 * palN) :+ 0x3b.toByte
+    intercept[IllegalArgumentException] {
+      new Multimodal.GifCodec().decode(noImage)
+    }
+  }
+
   test("extractFeatures runs real PNG bytes through the partition-batched path") {
     val rows = Seq(Seq(0, 128, 255), Seq(10, 20, 30))
     val png = pngBytes(3, 2, colorType = 0, pixels = rows, rowFilters = Seq(0, 2))

@@ -110,16 +110,18 @@ object LlmQueries {
     Dedup.scoredCandidatePairs(Indexes.signatures(s, d), "doc_id",
       Dedup.DefaultMaxBandFreq)
 
-  /** Pairs passing the [[JaccardThreshold]] jaccard verify — the cluster family's
-    * edge set. */
+  /** Pairs passing the [[JaccardThreshold]] jaccard verify — the
+    * cluster family's edge set, read from the persisted
+    * [[Indexes.neardupEdges]] table (built once per corpus). */
   private def verifiedPairs(s: org.apache.spark.sql.SparkSession, d: String) =
-    pairScores(s, d)
-      .filter(col("__inter").cast("double") / col("__union") >= JaccardThreshold)
-      .select("d1", "d2")
+    Indexes.neardupEdges(s, d, JaccardThreshold)
 
-  /** Verified pairs folded into components: `(doc_id, component)`. */
+  /** Resolved components `(doc_id, component)` from the persisted
+    * [[Indexes.neardupLabels]] table — CC runs once per corpus, and
+    * q57's oracle pins the persisted labels against the from-scratch
+    * recursive closure. */
   private def components(s: org.apache.spark.sql.SparkSession, d: String) =
-    Dedup.connectedComponents(verifiedPairs(s, d))
+    Indexes.neardupLabels(s, d, JaccardThreshold)
       .select(col("id").as("doc_id"), col("component"))
 
   /** The from-scratch cluster oracle — shared verbatim by q57 (full
@@ -320,12 +322,15 @@ object LlmQueries {
         // from a bounded scalar max, the watermark pattern (A1). At
         // any sf the batch stays ∝ corpus fraction, not a fixed count.
         val maxId = table(s, d, "documents")
-          .agg(max(col("doc_id")).cast("long")).head.getLong(0)
+          .agg(max(col("doc_id")).cast("long")).head().getLong(0)
         val cutoff = maxId * 4 / 5
-        val edges = verifiedPairs(s, d)
-        val base = edges.filter(col("d1") < cutoff && col("d2") < cutoff)
-        val batch = edges.filter(col("d1") >= cutoff || col("d2") >= cutoff)
-        val baseLabels = Dedup.connectedComponents(base)
+        val batch = verifiedPairs(s, d)
+          .filter(col("d1") >= cutoff || col("d2") >= cutoff)
+        // Yesterday's persisted labels (the previous corpus
+        // generation's neardup_labels table): the incremental step
+        // starts from state on disk, never re-runs history.
+        val baseLabels = Indexes
+          .neardupLabelsBase(s, d, JaccardThreshold, cutoff)
           .select(col("id"), col("component"))
         val labels = Dedup.mergeComponents(baseLabels, batch)
           .select(col("id").as("doc_id"), col("component"))
@@ -985,16 +990,12 @@ object LlmQueries {
         |FROM ranked WHERE rnk <= 3""".stripMargin) {
       (s, d) =>
         import org.apache.spark.sql.expressions.Window
-        val tok = docsHeavy(s, d)
-          .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("w"))
-        // Cached: df derives FROM tf — tf already holds exactly one
-        // row per (doc, term), so document frequency is a plain count
-        // by term over it. Computing df from the raw token rows would
-        // re-run the explode over the corpus AND pay count(DISTINCT)'s
-        // expand; this way one token pass feeds both aggregates. (At
-        // corpus scale tf is a materialized table, not executor cache
-        // — the same discipline as the signature pipelines.)
-        val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf")).cache()
+        // tf from the persisted index ([[Indexes.termFrequencies]] —
+        // one tokenize pass per corpus, landed as a table). df derives
+        // FROM tf: tf already holds exactly one row per (doc, term),
+        // so document frequency is a plain count by term over it —
+        // never a count(DISTINCT) expand over raw tokens.
+        val tf = Indexes.termFrequencies(s, d)
         val dfreq = tf.groupBy("w").agg(count(lit(1)).as("dfreq"))
         // Corpus size: one scalar off a count aggregate (J9-parity
         // driver read of a 1-row frame), embedded as a literal so the

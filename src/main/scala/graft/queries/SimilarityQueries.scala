@@ -119,7 +119,10 @@ object SimilarityQueries {
       s"""WITH $kmeansCtesSql
          |SELECT vec_id, cid, CAST(dist AS BIGINT) AS dist FROM a2""".stripMargin) {
       (s, d) =>
-        Similarity.kmeansFit(table(s, d, "embeddings"), k = 8, iters = 2)
+        // The persisted assignment table — q68's oracle is what pins
+        // the persisted cells against the from-scratch unrolled Lloyd
+        // iterations (the same role q70/q32 play for their indexes).
+        graft.queries.Indexes.kmeansCells(s, d)
     },
 
     // SemDeDup-style semantic dedup: the TRAINED k-means cells (q68's
@@ -147,7 +150,9 @@ object SimilarityQueries {
       (s, d) =>
         import graft.functions.VectorExpressions.normF
         val e = table(s, d, "embeddings")
-        val cells = Similarity.kmeansFit(e, k = 8, iters = 2)
+        // Blocking cells from the persisted codebook assignment —
+        // SemDeDup never retrains per query.
+        val cells = graft.queries.Indexes.kmeansCells(s, d)
           .select(col("vec_id"), col("cid"))
         val withVec = e.select(col("vec_id"), col("embedding"),
           normF(col("embedding")).as("nrm"))

@@ -302,6 +302,28 @@ final class TableStore(spark: SparkSession, root: String) {
     spark.read.parquet(new Path(path(name), s"g$gen").toString)
   }
 
+  /** All committed generation numbers, ascending — the queryable
+    * commit history (what Delta calls the transaction log listing). */
+  def generations(name: String): Seq[Long] = committedGens(name)
+
+  /** TIME TRAVEL: read a specific committed generation — the audit /
+    * reproduce-yesterday's-training-set read. Committed only: an
+    * orphaned (crashed-writer) directory is not a generation, and a
+    * vacuumed one is gone — pin retention to the longest look-back. */
+  def readVersionedAt(name: String, gen: Long): DataFrame = {
+    require(committedGens(name).contains(gen),
+      s"readVersionedAt: generation $gen of '$name' is not committed " +
+        s"(have: ${committedGens(name).mkString(", ")})")
+    spark.read.parquet(new Path(path(name), s"g$gen").toString)
+  }
+
+  /** [[compact]] for a versioned table: the live generation rewritten
+    * into `targetFiles` files as a NEW commit — readers never observe
+    * a half-compacted state, and time travel to pre-compaction
+    * generations still works until vacuum. */
+  def compactVersioned(name: String, targetFiles: Int): Long =
+    commitVersioned(name, readVersioned(name).repartition(targetFiles))
+
   /** Drop generation directories (and their manifest records) older
     * than the newest `keepGenerations` committed ones, plus orphaned
     * never-committed directories below the live generation. Run with

@@ -620,6 +620,23 @@ object Dedup {
                            maxBandFreq: Option[Int] = DefaultMaxBandFreq): DataFrame =
     lshCandidateHits(batchSigs, corpusSigs, idCol, maxBandFreq).distinct()
 
+  /** Batch × corpus VERIFIED near-dup edges: [[lshCandidatesAgainst]]
+    * candidates passing the exact-jaccard verify at `threshold` —
+    * the incremental edge feed for [[mergeComponents]] and the
+    * streaming cluster-maintenance sink
+    * ([[graft.streaming.Streaming.maintainClusters]]). Both signature
+    * frames must carry `__hs` (a [[minhashSignatures]] /
+    * persisted-index shape). */
+  def verifiedEdgesAgainst(batchSigs: DataFrame, corpusSigs: DataFrame,
+                           idCol: String, threshold: Double,
+                           maxBandFreq: Option[Int] = DefaultMaxBandFreq): DataFrame = {
+    val withSets = lshCandidatesAgainst(batchSigs, corpusSigs, idCol, maxBandFreq)
+      .join(batchSigs.select(col(idCol).as("d1"), col("__hs").as("hs1")), "d1")
+      .join(corpusSigs.select(col(idCol).as("d2"), col("__hs").as("hs2")), "d2")
+    val (inter, uni) = jaccardParts(col("hs1"), col("hs2"))
+    withSets.filter(inter.cast("double") / uni >= threshold).select("d1", "d2")
+  }
+
   /** The raw batch × corpus band join underneath
     * [[lshCandidatesAgainst]], WITHOUT the final `distinct`: a pair
     * appears once per band it collides in. Streaming-safe — `distinct`

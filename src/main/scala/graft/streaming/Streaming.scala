@@ -152,6 +152,56 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** STREAMING CLUSTER MAINTENANCE: each micro-batch of documents is
+    * signed, near-dup edges are found against the static corpus index
+    * AND within the batch, and the edges fold into the PERSISTED
+    * cluster-labels table via [[graft.ops.Dedup.mergeComponents]] —
+    * per-trigger work ∝ batch + affected membership, never the corpus.
+    * This is the production composition of the three incremental
+    * pieces: the materialized signature index (probed, never rebuilt),
+    * incremental connected components (touched clusters only), and
+    * the manifest commit protocol (each trigger publishes a new
+    * labels generation atomically; a crash mid-merge leaves readers
+    * on the previous generation).
+    *
+    * Retry safety comes from merge IDEMPOTENCE rather than batch-id
+    * partitioning: folding the same edges into already-merged labels
+    * is a content no-op, so a replayed trigger commits a new
+    * generation with identical rows (StreamingSpec pins this).
+    * Singleton docs (no edges) carry no label row — the same contract
+    * as batch CC; readers coalesce missing labels to the doc id
+    * (q66's pattern). */
+  def maintainClusters(docs: DataFrame, store: graft.io.TableStore,
+                       labelsTable: String, corpusSigs: DataFrame,
+                       idCol: String, textCol: String, threshold: Double,
+                       checkpoint: String,
+                       maxBandFreq: Option[Int] =
+                         graft.ops.Dedup.DefaultMaxBandFreq): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import graft.ops.Dedup
+        val batchSigs = Dedup.minhashSignatures(
+          batch.select(col(idCol), col(textCol)), idCol, textCol)
+        // New docs link to the corpus AND to each other: batch×corpus
+        // through the banded probe, batch×batch through the same
+        // capped self join the batch path uses.
+        val crossEdges = Dedup.verifiedEdgesAgainst(
+          batchSigs, corpusSigs, idCol, threshold, maxBandFreq)
+        val selfEdges = Dedup.scoredCandidatePairs(batchSigs, idCol, maxBandFreq)
+          .filter(col("__inter").cast("double") / col("__union") >= threshold)
+          .select("d1", "d2")
+        val edges = crossEdges.unionByName(selfEdges)
+        val labels =
+          if (store.liveGeneration(labelsTable).isDefined)
+            store.readVersioned(labelsTable)
+          else edges.select(col("d1").as("id"), col("d1").as("component")).limit(0)
+        store.commitVersioned(labelsTable,
+          Dedup.mergeComponents(labels, edges)): Unit
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   final case class KeyUpdate(k: String, v: String, ts: Timestamp)
   final case class VersionState(v: String, since: Timestamp)
   final case class ChangeEvent(k: String, prev_v: String, curr_v: String, ts: Timestamp)

@@ -177,6 +177,27 @@ class TableStoreSpec extends AnyFunSuite {
     assert(store.readVersioned("dim").collect().map(_.getString(1)).toSeq === Seq("next"))
   }
 
+  test("readVersionedAt time-travels committed generations only; compactVersioned commits") {
+    val store = newStore()
+    store.commitVersioned("dim", Seq((1, "day1")).toDF("id", "v"))
+    store.commitVersioned("dim", Seq((1, "day2"), (2, "day2")).toDF("id", "v"))
+    assert(store.generations("dim") === Seq(1L, 2L))
+    // Reproduce yesterday's read while the live pointer is on day 2.
+    assert(store.readVersionedAt("dim", 1L).collect().map(_.getString(1)).toSeq
+      === Seq("day1"))
+    assert(store.readVersioned("dim").count() === 2)
+    // An orphaned directory is NOT a time-travel target.
+    Seq((9, "orphan")).toDF("id", "v").write.parquet(store.path("dim") + "/g3")
+    intercept[IllegalArgumentException] { store.readVersionedAt("dim", 3L) }
+    // Compaction is itself a commit: contents unchanged, file count
+    // bounded, and the pre-compaction generation still readable.
+    val g = store.compactVersioned("dim", targetFiles = 1)
+    assert(g === 4L)
+    assert(store.readVersioned("dim").collect().map(r => (r.getInt(0), r.getString(1)))
+      .sortBy(_._1).toSeq === Seq((1, "day2"), (2, "day2")))
+    assert(store.readVersionedAt("dim", 2L).count() === 2)
+  }
+
   test("vacuumVersioned drops old and orphaned generations, keeps live history") {
     val store = newStore()
     (1 to 4).foreach(i => store.commitVersioned("dim", Seq((i, s"v$i")).toDF("id", "v")))

@@ -1,0 +1,59 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.ops.{Dedup, Similarity}
+
+/** The per-process index registry must be a pure MATERIALIZATION: every
+  * persisted artifact value-identical to the inline pipeline it
+  * replaces (the declared-query oracles pin the same property at
+  * sf0.01 — q57 for labels, q64 for tf, q68 for cells; this is the
+  * unit-level pin at sf0.001, including artifacts a query reads only
+  * partially). */
+class IndexesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val sf = "/root/testdata/sf0.001"
+  private val thr = 0.4
+
+  private def docs = graft.io.Sources.table(spark, sf, "documents")
+
+  test("neardup edges and labels match the inline signature pipeline") {
+    val inlineEdges = Dedup.scoredCandidatePairs(
+        Dedup.minhashSignatures(docs.select("doc_id", "text"), "doc_id", "text"),
+        "doc_id", Dedup.DefaultMaxBandFreq)
+      .filter(col("__inter").cast("double") / col("__union") >= thr)
+      .select("d1", "d2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fromIndex = Indexes.neardupEdges(spark, sf, thr)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fromIndex === inlineEdges)
+    assert(fromIndex.nonEmpty, "fixture corpus must contain near-dups")
+    val inlineLabels = Dedup.connectedComponents(
+        Indexes.neardupEdges(spark, sf, thr))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val labelIndex = Indexes.neardupLabels(spark, sf, thr)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(labelIndex === inlineLabels)
+  }
+
+  test("term frequencies match the inline tokenize aggregate") {
+    val inline = docs
+      .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val fromIndex = Indexes.termFrequencies(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(fromIndex === inline)
+  }
+
+  test("k-means cells match an inline fit (deterministic integer training)") {
+    val inline = Similarity.kmeansFit(
+        graft.io.Sources.table(spark, sf, "embeddings"), k = 8, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val fromIndex = Indexes.kmeansCells(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fromIndex === inline)
+  }
+}

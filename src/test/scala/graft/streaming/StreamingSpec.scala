@@ -198,6 +198,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(!streamed.exists(_._1 == 102L))
   }
 
+  test("maintainClusters: streamed labels match from-scratch CC; replay is content-idempotent") {
+    implicit val ctx = spark.sqlContext
+    import graft.ops.Dedup
+    val thr = 0.4
+    // Corpus: docs 1 and 2 are exact duplicates (their edge seeds one
+    // existing cluster); doc 3 stands alone.
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val t3 = "totally different words about streaming cluster maintenance under spark"
+    val corpus = Seq((1L, t1), (2L, t1), (3L, t3)).toDF("doc_id", "text")
+    val corpusSigs = Dedup.minhashSignatures(corpus, "doc_id", "text")
+    def verified(sigs: org.apache.spark.sql.DataFrame) =
+      Dedup.scoredCandidatePairs(sigs, "doc_id")
+        .filter(org.apache.spark.sql.functions.col("__inter").cast("double") /
+          org.apache.spark.sql.functions.col("__union") >= thr)
+        .select("d1", "d2")
+    val store = new graft.io.TableStore(spark,
+      Files.createTempDirectory("graft_stream_cc").toString)
+    // Yesterday's labels: CC over the corpus's own verified pairs.
+    store.commitVersioned("labels",
+      Dedup.connectedComponents(verified(corpusSigs)))
+    // The stream delivers: 101 (dup of 3 — attaches to a singleton),
+    // 102 (dup of 1 — joins the existing {1,2} cluster), 103 (dup of
+    // 102 — a batch-INTERNAL edge that must also fold in).
+    val ms = MemoryStream[(Long, String)]
+    def drain(): Unit = {
+      val q = Streaming.maintainClusters(ms.toDF().toDF("doc_id", "text"),
+        store, "labels", corpusSigs, "doc_id", "text", thr,
+        Files.createTempDirectory("graft_stream_cc_cp").toString)
+      q.processAllAvailable(); q.stop()
+    }
+    ms.addData((101L, t3), (102L, t1), (103L, t1))
+    drain()
+    def labelRows() = store.readVersioned("labels")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val streamed = labelRows()
+    // From-scratch truth: CC over the verified pairs of the WHOLE
+    // world (corpus + stream docs).
+    val world = corpus.unionByName(
+      Seq((101L, t3), (102L, t1), (103L, t1)).toDF("doc_id", "text"))
+    val truth = Dedup.connectedComponents(
+        verified(Dedup.minhashSignatures(world, "doc_id", "text")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed === truth)
+    assert(streamed.contains((102L, 1L)) && streamed.contains((103L, 1L)))
+    assert(streamed.contains((101L, 3L)))
+    // Replay the same batch through a FRESH checkpoint (the
+    // commit-lost crash): merge idempotence means the recommitted
+    // generation is content-identical, never corrupted.
+    val genBefore = store.liveGeneration("labels").get
+    drain()
+    assert(store.liveGeneration("labels").get > genBefore)
+    assert(labelRows() === streamed)
+  }
+
   test("stateless contamination flags agree with the batch join formulation, streaming") {
     implicit val ctx = spark.sqlContext
     val evalDocs = Seq((100L, "the quick brown fox jumps high x y z"))

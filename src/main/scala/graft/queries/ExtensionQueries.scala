@@ -95,6 +95,44 @@ object ExtensionQueries {
             col("sum_value").as("sum_value_cents"))
     },
 
+    // Ordered funnel analysis: per user, the earliest minimal
+    // view → click → purchase chain (each step strictly after the
+    // previous one's timestamp) — the product-analytics staple the
+    // event stream exists for. Formulated as a conditional-min CHAIN
+    // (filter → join on user → min), not a per-user sort: every
+    // aggregate and join keys on user_id, so the plan is three partial
+    // aggregates over one reusable hash partitioning and two
+    // user-keyed equi joins — no window over the whole event stream,
+    // no per-user array collection (collect_list-based funnels
+    // materialize each user's full history; at 100 TB that's the OOM).
+    Q("q75_funnel",
+      """WITH s1 AS (SELECT user_id, min(ts) AS t_view FROM events
+        |            WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, s1.t_view, min(e.ts) AS t_click
+        |       FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t_view
+        |       GROUP BY e.user_id, s1.t_view),
+        |s3 AS (SELECT e.user_id, s2.t_view, s2.t_click, min(e.ts) AS t_purchase
+        |       FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t_click
+        |       GROUP BY e.user_id, s2.t_view, s2.t_click)
+        |SELECT user_id, t_view, t_click, t_purchase FROM s3""".stripMargin) {
+      (s, d) =>
+        val e = table(s, d, "events").select("user_id", "event_type", "ts")
+        val s1 = e.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("ts")).as("t_view"))
+        val s2 = e.filter(col("event_type") === "click")
+          .join(s1, "user_id")
+          .filter(col("ts") > col("t_view"))
+          .groupBy("user_id", "t_view").agg(min(col("ts")).as("t_click"))
+        e.filter(col("event_type") === "purchase")
+          .join(s2, "user_id")
+          .filter(col("ts") > col("t_click"))
+          .groupBy("user_id", "t_view", "t_click")
+          .agg(min(col("ts")).as("t_purchase"))
+          .select("user_id", "t_view", "t_click", "t_purchase")
+    },
+
     // CDC change log → SCD2 history: consecutive same-value rows
     // collapse into versions bounded [first observation, next change −
     // 1 s), open version = infinity. Two stacked windows, one key

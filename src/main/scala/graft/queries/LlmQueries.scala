@@ -340,6 +340,52 @@ object LlmQueries {
           .withColumn("cluster_size", count(lit(1)).over(w))
     },
 
+    // Edit-distance near-dup verify: the SAME banded LSH candidate
+    // generator as q31, with a string-metric verify policy — exact
+    // Levenshtein bounded at 20% of the longer text. The comparison
+    // stays in integer space on both engines (5·lev ≤ max_len, never a
+    // float ratio), and candidate generation stays the capped banded
+    // join — Levenshtein is O(n·m) per pair, affordable ONLY because
+    // LSH bounds the pair count first (an all-pairs edit-distance scan
+    // is the canonical quadratic blow-up at corpus scale).
+    Q("q74_editdist_neardup",
+      s"""WITH $rawCorpus,
+         |$shingleCtes,
+         |sig AS (SELECT doc_id, hs, $mhColsSql FROM hst),
+         |cand AS ($bandJoinSql)
+         |SELECT c.d1, c.d2,
+         |       CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev,
+         |       CAST(greatest(length(a.text), length(b.text)) AS BIGINT) AS max_len
+         |FROM cand c JOIN documents a ON a.doc_id = c.d1
+         |            JOIN documents b ON b.doc_id = c.d2
+         |WHERE 5 * levenshtein(a.text, b.text) <= greatest(length(a.text), length(b.text))""".stripMargin) {
+      (s, d) =>
+        val docs = table(s, d, "documents").select(col("doc_id"), col("text"))
+        val nPart = s.sessionState.conf.numShufflePartitions
+        // EXPLICIT round-robin repartition before the verify: the
+        // candidate list is small in BYTES, so AQE coalesces its
+        // exchange to one partition — and the O(n·m) levenshtein
+        // (pushed into the text join's condition) would run serially.
+        // A user repartition with an explicit count is exempt from AQE
+        // coalescing, and round-robin (unlike re-keying on (d1, d2),
+        // which CollapseRepartition folds into the distinct's
+        // identical exchange) survives the optimizer — so the
+        // compute-heavy verify stage keeps full parallelism while the
+        // exchange moves only (d1, d2) pairs. Same cost model at
+        // 100 TB: cheap rows, dear CPU — partition by compute, not by
+        // bytes.
+        Dedup.lshCandidates(Indexes.signatures(s, d), "doc_id",
+            Dedup.DefaultMaxBandFreq)
+          .repartition(nPart)
+          .join(docs.select(col("doc_id").as("d1"), col("text").as("t1")), "d1")
+          .join(docs.select(col("doc_id").as("d2"), col("text").as("t2")), "d2")
+          .withColumn("lev", levenshtein(col("t1"), col("t2")).cast("bigint"))
+          .withColumn("max_len",
+            greatest(length(col("t1")), length(col("t2"))).cast("bigint"))
+          .filter(col("lev") * 5 <= col("max_len"))
+          .select("d1", "d2", "lev", "max_len")
+    },
+
     // SimHash: 32-bit bit-sampled fingerprint over distinct 3-gram
     // shingles — one explode + one hash aggregate (partial agg:
     // the shuffle carries 32 ints per doc, not the shingles).

@@ -117,6 +117,18 @@ class PlanSpec extends AnyFunSuite {
       s"column pruning failed: $readSchema")
   }
 
+  test("q75: funnel is a window-free aggregate chain with pushed step filters") {
+    // The conditional-min chain must not plan a WindowExec (a
+    // sort-the-world funnel) and each step's event_type filter must
+    // reach the parquet scan — at 100 TB the three steps read three
+    // pushdown-pruned slices, never the full stream three times.
+    val plan = planOf("q75_funnel")
+    assert(!plan.contains("WindowExec"), "funnel planned a window sort")
+    assert(plan.contains("EqualTo(event_type,view"), plan.take(2000))
+    assert(plan.contains("EqualTo(event_type,click"), plan.take(2000))
+    assert(plan.contains("EqualTo(event_type,purchase"), plan.take(2000))
+  }
+
   test("q60: eval shingle set joins as a broadcast (corpus never shuffles for the probe)") {
     val plan = planOf("q60_contamination")
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))

@@ -95,6 +95,28 @@ object Streaming {
         col("session_window.end").as("sess_end"),
         col(keyCol), col("n"), col("sum_value"))
 
+  /** STREAM-STREAM interval join: correlate two live event streams on
+    * a key where the right event lands within `[0, maxDelaySec]` AFTER
+    * the left (click → purchase attribution, request → response
+    * pairing). Both sides carry watermarks and the join condition
+    * carries explicit event-time bounds — that pair is what lets Spark
+    * BOUND the join state: each side buffers only rows younger than
+    * watermark + the interval, and evicts the rest. An unbounded
+    * stream-stream join (no time bound) buffers both streams forever —
+    * the OOM-by-design anti-pattern this operator exists to replace.
+    *
+    * Column names must be disjoint across the two sides apart from
+    * nothing at all (the key columns are named per side) — the caller
+    * renames; this keeps the time-bound expression unambiguous. */
+  def intervalJoin(left: DataFrame, leftKey: String, leftTs: String,
+                   right: DataFrame, rightKey: String, rightTs: String,
+                   maxDelaySec: Long, delay: String): DataFrame =
+    left.withWatermark(leftTs, delay)
+      .join(right.withWatermark(rightTs, delay),
+        expr(s"""$leftKey = $rightKey
+                 AND $rightTs >= $leftTs
+                 AND $rightTs <= $leftTs + interval $maxDelaySec seconds"""))
+
   /** Streaming near-dup ingest: documents arriving as a STREAM are
     * signature-computed (pure array expressions — fully streaming-
     * compatible, no state) and probed against the STATIC materialized
@@ -191,12 +213,17 @@ object Streaming {
           .filter(col("__inter").cast("double") / col("__union") >= threshold)
           .select("d1", "d2")
         val edges = crossEdges.unionByName(selfEdges)
-        val labels =
-          if (store.liveGeneration(labelsTable).isDefined)
-            store.readVersioned(labelsTable)
-          else edges.select(col("d1").as("id"), col("d1").as("component")).limit(0)
-        store.commitVersioned(labelsTable,
-          Dedup.mergeComponents(labels, edges)): Unit
+        // An edge-free trigger is a label no-op: skip the commit
+        // rather than churn an identical generation per idle batch
+        // (vacuum pressure for nothing).
+        if (!edges.isEmpty) {
+          val labels =
+            if (store.liveGeneration(labelsTable).isDefined)
+              store.readVersioned(labelsTable)
+            else edges.select(col("d1").as("id"), col("d1").as("component")).limit(0)
+          store.commitVersioned(labelsTable,
+            Dedup.mergeComponents(labels, edges)): Unit
+        }
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())

@@ -198,6 +198,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(!streamed.exists(_._1 == 102L))
   }
 
+  test("intervalJoin: stream-stream attribution matches the batch join") {
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[(String, Timestamp)]
+    val buys = MemoryStream[(String, Timestamp)]
+    val q = Streaming.intervalJoin(
+        clicks.toDF().toDF("c_user", "c_ts"), "c_user", "c_ts",
+        buys.toDF().toDF("b_user", "b_ts"), "b_user", "b_ts",
+        maxDelaySec = 3600, delay = "1 hour")
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    clicks.addData(
+      ("u1", ts("2024-01-01 10:00:00")),
+      ("u2", ts("2024-01-01 10:05:00")),
+      ("u3", ts("2024-01-01 10:10:00")))
+    buys.addData(
+      ("u1", ts("2024-01-01 10:30:00")), // within the hour → attributed
+      ("u2", ts("2024-01-01 12:00:00")), // 1h55m later → outside
+      ("u3", ts("2024-01-01 10:05:00"))) // BEFORE the click → outside
+    q.processAllAvailable()
+    // Advance both watermarks so all eligible pairs emit.
+    clicks.addData(("zz", ts("2024-01-01 23:00:00")))
+    buys.addData(("zz", ts("2024-01-01 23:30:00")))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("attrib")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1),
+        r.getTimestamp(3))).toSet
+    // Batch truth over the same rows and the same time predicate.
+    val batch = Set(
+      ("u1", ts("2024-01-01 10:00:00"), ts("2024-01-01 10:30:00")),
+      ("zz", ts("2024-01-01 23:00:00"), ts("2024-01-01 23:30:00")))
+    assert(streamed === batch)
+  }
+
   test("maintainClusters: streamed labels match from-scratch CC; replay is content-idempotent") {
     implicit val ctx = spark.sqlContext
     import graft.ops.Dedup

@@ -154,4 +154,43 @@ object Functions {
   /** Cosine similarity of two embedding arrays. */
   def cosineSim(a: Column, b: Column): Column =
     dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Morton (Z-order) key: interleave the low `bits` bits of each
+    * column, most-significant bit first, into one non-negative BIGINT.
+    * Rows sorted by this key cluster on EVERY input dimension at once —
+    * a range of z-values maps to a hyper-rectangle neighborhood — which
+    * is what makes multi-column min/max file skipping work
+    * ([[graft.io.TableStore.commitVersionedClustered]]): a linear sort
+    * clusters only its leading column; z-order gives every listed
+    * column tight per-file bounds.
+    *
+    * Inputs must already be non-negative and < 2^bits (scale first —
+    * the clustered commit rank-normalizes for exactly this reason).
+    * The expression is a static tree of `bits × n` shift/and/or terms —
+    * pure Catalyst built-ins, whole-stage-codegen'd, no UDF. Total
+    * output width `bits × n` must fit a signed long (≤ 62 bits).
+    * [[zorderKeySql]] emits the identical computation as ANSI/DuckDB
+    * SQL from the same bit enumeration, so oracle agreement is by
+    * construction, not coincidence. */
+  def zorderKey(bits: Int, cols: Column*): Column = {
+    val n = cols.length
+    require(n >= 1 && bits >= 1 && bits * n <= 62,
+      s"zorderKey: bits*cols must be in [1, 62], got $bits*$n")
+    val terms = for (b <- (bits - 1) to 0 by -1; i <- cols.indices) yield
+      shiftleft(shiftright(cols(i).cast(LongType), b).bitwiseAND(lit(1L)),
+        b * n + (n - 1 - i))
+    terms.reduce(_ bitwiseOR _)
+  }
+
+  /** [[zorderKey]] as a SQL expression string over the given column
+    * (or expression) spellings — same term enumeration, DuckDB/ANSI
+    * bitwise operators. */
+  def zorderKeySql(bits: Int, cols: Seq[String]): String = {
+    val n = cols.length
+    require(n >= 1 && bits >= 1 && bits * n <= 62,
+      s"zorderKeySql: bits*cols must be in [1, 62], got $bits*$n")
+    val terms = for (b <- (bits - 1) to 0 by -1; i <- cols.indices) yield
+      s"(((CAST(${cols(i)} AS BIGINT) >> $b) & 1) << ${b * n + (n - 1 - i)})"
+    terms.mkString("(", " | ", ")")
+  }
 }

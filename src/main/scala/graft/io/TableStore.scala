@@ -257,9 +257,20 @@ final class TableStore(spark: SparkSession, root: String) {
     * `df` may read the table's live generation (it is fully
     * materialized into its own directory before the pointer moves).
     * @return the committed generation number */
-  def commitVersioned(name: String, df: DataFrame): Long = {
+  def commitVersioned(name: String, df: DataFrame): Long =
+    commitGen(name, df, _ => ())
+
+  /** [[commitVersioned]] plus a pre-publish hook: the hook runs after
+    * the generation directory is fully materialized but BEFORE the
+    * manifest record exists — anything it writes (file statistics, a
+    * secondary index) is guaranteed present whenever the commit is
+    * visible, and a crash inside the hook leaves an invisible orphan,
+    * never a half-described committed generation. */
+  private def commitGen(name: String, df: DataFrame,
+                        beforePublish: Long => Unit): Long = {
     val gen = (committedGens(name) ++ genDirs(name)).foldLeft(0L)(math.max) + 1
     df.write.parquet(new Path(path(name), s"g$gen").toString)
+    beforePublish(gen)
     val md = manifestDir(name)
     fs.mkdirs(md)
     val rec = new Path(md, f"$gen%020d")
@@ -337,9 +348,249 @@ final class TableStore(spark: SparkSession, root: String) {
     val live = committed.lastOption.getOrElse(Long.MinValue)
     genDirs(name)
       .filter(g => !keep.contains(g) && g < live)
-      .foreach(g => fs.delete(new Path(path(name), s"g$g"), true))
+      .foreach { g =>
+        fs.delete(new Path(path(name), s"g$g"), true)
+        fs.delete(statsDir(name, g), true): Unit
+      }
     committed.dropRight(keepGenerations)
       .foreach(g => fs.delete(new Path(manifestDir(name), f"$g%020d"), true))
+  }
+
+  // ------------------------------------------------------------------
+  // Data-skipping file statistics — the second half of the Delta-shaped
+  // commit. [[commitVersionedWithStats]] records per-FILE min/max/null
+  // counts for chosen columns alongside each generation, harvested from
+  // the parquet FOOTERS the write already produced (metadata-only — no
+  // second pass over the data). [[readVersionedPruned]] then plans a
+  // range scan from the stats: files whose [min,max] cannot intersect
+  // the predicate are never listed into the scan at all. Parquet's own
+  // row-group skipping still applies WITHIN the files that survive;
+  // this layer removes whole files from the query before any footer is
+  // opened at read time — at 100 TB the difference between scheduling
+  // 100k tasks and scheduling the 40 whose files can match.
+  //
+  // File-level min/max only helps if values are CLUSTERED into files.
+  // [[commitVersionedClustered]] provides the layout half: rows sorted
+  // by a Z-order key over the cluster columns
+  // ([[graft.functions.Functions.zorderKey]]) and range-partitioned
+  // into files, so EVERY cluster column gets tight per-file bounds — a
+  // linear sort gives them only to its leading column.
+  // ------------------------------------------------------------------
+
+  private def statsDir(name: String, gen: Long) =
+    new Path(new Path(path(name), "_stats"), s"g$gen")
+
+  private val statsSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("file", org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("col", org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("ptype", org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("nulls", org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("min_long", org.apache.spark.sql.types.LongType, nullable = true),
+    org.apache.spark.sql.types.StructField("max_long", org.apache.spark.sql.types.LongType, nullable = true),
+    org.apache.spark.sql.types.StructField("min_double", org.apache.spark.sql.types.DoubleType, nullable = true),
+    org.apache.spark.sql.types.StructField("max_double", org.apache.spark.sql.types.DoubleType, nullable = true),
+    org.apache.spark.sql.types.StructField("min_str", org.apache.spark.sql.types.StringType, nullable = true),
+    org.apache.spark.sql.types.StructField("max_str", org.apache.spark.sql.types.StringType, nullable = true)))
+
+  /** [[commitVersioned]] recording per-file min/max/null-count
+    * statistics for `statsCols` (from the written generation's parquet
+    * footers; see the section comment). The stats table is itself
+    * parquet, under `_stats/g<N>` (underscore-prefixed: invisible to
+    * data scans), written before the manifest record publishes.
+    *
+    * Footers are read driver-side here (one ~KB read per file — the
+    * same work `spark.read` does at planning time); a deployment
+    * committing hundreds of thousands of files per generation would
+    * lift the identical loop into `spark.parallelize(files)`. */
+  def commitVersionedWithStats(name: String, df: DataFrame,
+                               statsCols: Seq[String]): Long =
+    commitGen(name, df, gen => writeFooterStats(name, gen, statsCols))
+
+  private def writeFooterStats(name: String, gen: Long,
+                               statsCols: Seq[String]): Unit = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val genDir = new Path(path(name), s"g$gen")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = fs.listStatus(genDir).toSeq.map(_.getPath)
+      .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("."))
+    val rows = files.flatMap { p =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+      try {
+        val blocks = reader.getFooter.getBlocks
+        import scala.jdk.CollectionConverters._
+        statsCols.map { c =>
+          val chunks = blocks.asScala.toSeq.map { b =>
+            b.getColumns.asScala.find(_.getPath.toDotString == c).getOrElse(
+              throw new IllegalArgumentException(
+                s"commitVersionedWithStats: column '$c' absent from ${p.getName}"))
+          }
+          val ptn = chunks.head.getPrimitiveType.getPrimitiveTypeName
+          val nulls = chunks.map(_.getStatistics.getNumNulls).sum
+          val nonEmpty = chunks.filter(_.getStatistics.hasNonNullValue)
+          def mins = nonEmpty.map(_.getStatistics.genericGetMin)
+          def maxs = nonEmpty.map(_.getStatistics.genericGetMax)
+          val (ptype, mnL, mxL, mnD, mxD, mnS, mxS): (String, Any, Any, Any, Any, Any, Any) = ptn match {
+            case INT32 if nonEmpty.nonEmpty =>
+              ("long", mins.map(_.asInstanceOf[Number].longValue).min,
+                maxs.map(_.asInstanceOf[Number].longValue).max, null, null, null, null)
+            case INT64 if nonEmpty.nonEmpty =>
+              ("long", mins.map(_.asInstanceOf[Number].longValue).min,
+                maxs.map(_.asInstanceOf[Number].longValue).max, null, null, null, null)
+            case FLOAT | DOUBLE if nonEmpty.nonEmpty =>
+              ("double", null, null, mins.map(_.asInstanceOf[Number].doubleValue).min,
+                maxs.map(_.asInstanceOf[Number].doubleValue).max, null, null)
+            case BINARY if nonEmpty.nonEmpty =>
+              ("string",
+                null, null, null, null,
+                mins.map(_.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8).min,
+                maxs.map(_.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8).max)
+            case INT32 | INT64 | FLOAT | DOUBLE | BINARY =>
+              // all-null column in this file: typed but boundless
+              (ptn match {
+                case FLOAT | DOUBLE => "double"
+                case BINARY => "string"
+                case _ => "long"
+              }, null, null, null, null, null, null)
+            case other => throw new IllegalArgumentException(
+              s"commitVersionedWithStats: unsupported parquet type $other for '$c'")
+          }
+          org.apache.spark.sql.Row(p.getName, c, ptype, nulls,
+            mnL, mxL, mnD, mxD, mnS, mxS)
+        }
+      } finally reader.close()
+    }
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), statsSchema)
+      .coalesce(1).write.parquet(statsDir(name, gen).toString)
+  }
+
+  /** Range scan over the live generation planned through its file
+    * statistics: only files whose recorded [min,max] for `column` can
+    * intersect [lo, hi] are listed into the scan; the row-level
+    * `BETWEEN` filter is applied on top, so the result is exactly
+    * `readVersioned(name).filter(column between (lo, hi))` — the stats
+    * change which files are READ, never which rows qualify. A
+    * generation committed without stats (plain [[commitVersioned]])
+    * falls back to the unpruned scan. */
+  def readVersionedPruned(name: String, column: String, lo: Any, hi: Any): DataFrame = {
+    val gen = liveGeneration(name).getOrElse(throw new java.util.NoSuchElementException(
+      s"readVersionedPruned: no committed generation for '$name'"))
+    val full = spark.read.parquet(new Path(path(name), s"g$gen").toString)
+    val bounded = full.filter(
+      org.apache.spark.sql.functions.col(column)
+        .between(org.apache.spark.sql.functions.lit(lo),
+          org.apache.spark.sql.functions.lit(hi)))
+    val sd = statsDir(name, gen)
+    if (!fs.exists(sd)) return bounded
+    val st = spark.read.parquet(sd.toString)
+      .filter(org.apache.spark.sql.functions.col("col") === column).collect()
+    require(st.nonEmpty,
+      s"readVersionedPruned: no stats recorded for column '$column' of '$name'")
+    def num(v: Any): Double = v match {
+      case n: Number => n.doubleValue
+      case other => throw new IllegalArgumentException(
+        s"readVersionedPruned: non-numeric bound $other for numeric column '$column'")
+    }
+    val keep = st.filter { r =>
+      r.getString(r.fieldIndex("ptype")) match {
+        // an all-null file has NULL bounds: BETWEEN can never match it
+        case "long" if r.isNullAt(r.fieldIndex("min_long")) => false
+        case "double" if r.isNullAt(r.fieldIndex("min_double")) => false
+        case "string" if r.isNullAt(r.fieldIndex("min_str")) => false
+        case "long" =>
+          num(lo) <= r.getLong(r.fieldIndex("max_long")) &&
+            num(hi) >= r.getLong(r.fieldIndex("min_long"))
+        case "double" =>
+          num(lo) <= r.getDouble(r.fieldIndex("max_double")) &&
+            num(hi) >= r.getDouble(r.fieldIndex("min_double"))
+        case "string" =>
+          lo.toString <= r.getString(r.fieldIndex("max_str")) &&
+            hi.toString >= r.getString(r.fieldIndex("min_str"))
+      }
+    }.map(r => new Path(new Path(path(name), s"g$gen"), r.getString(r.fieldIndex("file"))).toString)
+    if (keep.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], full.schema)
+    else
+      spark.read.schema(full.schema).parquet(keep.toIndexedSeq: _*)
+        .filter(org.apache.spark.sql.functions.col(column)
+          .between(org.apache.spark.sql.functions.lit(lo),
+            org.apache.spark.sql.functions.lit(hi)))
+  }
+
+  /** [[commitVersionedWithStats]] with the LAYOUT that makes the stats
+    * bite on every cluster column at once: rows are Z-order-sorted
+    * over `clusterCols` (each min/max-normalized to `bits` bits in one
+    * aggregate pass) and range-partitioned into `files` files, so each
+    * file covers a compact hyper-rectangle of the cluster-column space
+    * and [[readVersionedPruned]] skips files for predicates on ANY of
+    * them. Cluster columns must be numeric; normalization is
+    * double-precision (layout-only — row VALUES are untouched, and
+    * stats are exact footer bounds). The z key is dropped before the
+    * write: it orders the writer, it is not data. */
+  def commitVersionedClustered(name: String, df: DataFrame,
+                               clusterCols: Seq[String], files: Int,
+                               bits: Int = 12,
+                               statsCols: Seq[String] = Seq.empty): Long = {
+    import org.apache.spark.sql.functions._
+    require(clusterCols.nonEmpty, "commitVersionedClustered: no cluster columns")
+    val side = 1L << bits
+    val aggCols = clusterCols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(min(col(c)).cast("double").as(s"mn$i"),
+        max(col(c)).cast("double").as(s"mx$i"))
+    }
+    val bounds = df.agg(aggCols.head, aggCols.tail: _*).head()
+    val scaled = clusterCols.zipWithIndex.map { case (c, i) =>
+      val (mn, mx) = (bounds.getDouble(bounds.fieldIndex(s"mn$i")),
+        bounds.getDouble(bounds.fieldIndex(s"mx$i")))
+      if (mx <= mn) lit(0L)
+      else least(lit(side - 1),
+        floor((col(c).cast("double") - lit(mn)) / lit(mx - mn) * lit(side.toDouble - 1)))
+    }
+    val zc = graft.functions.Functions.zorderKey(bits, scaled: _*)
+    commitGen(name,
+      df.withColumn("__z", zc)
+        .repartitionByRange(files, col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z"),
+      gen => writeFooterStats(name, gen,
+        if (statsCols.nonEmpty) statsCols else clusterCols))
+  }
+
+  /** Generation-diff CDC feed: the key-level changes that turn
+    * generation `fromGen` into `toGen` — `insert` (key only in new),
+    * `delete` (key only in old), `update` (key in both, any non-key
+    * attribute differs, null-safely). Unchanged keys produce no row.
+    * This is the read side of the versioned commit a downstream
+    * incremental consumer wants: instead of re-scanning the new
+    * snapshot, it processes a feed bounded by what actually changed.
+    * One shuffle (the full outer join on the key); both sides are
+    * single committed generations, so the work is bounded by the two
+    * snapshots compared, never the table's history. Keys must be
+    * non-null. */
+  def tableChanges(name: String, fromGen: Long, toGen: Long,
+                   keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val oldDf = readVersionedAt(name, fromGen)
+    val newDf = readVersionedAt(name, toGen)
+    require(oldDf.columns.sorted.sameElements(newDf.columns.sorted),
+      s"tableChanges: schema drift between g$fromGen and g$toGen of '$name'")
+    val nonKey = oldDf.columns.filterNot(keyCols.contains).sorted.toSeq
+    def side(df: DataFrame, p: String) =
+      df.select(keyCols.map(c => col(c).as(s"${p}_$c")) ++
+        Seq(struct(nonKey.map(col): _*).as(s"${p}_v"), lit(1).as(s"${p}_present")): _*)
+    val l = side(oldDf, "l")
+    val r = side(newDf, "r")
+    val cond = keyCols.map(c => col(s"l_$c") === col(s"r_$c")).reduce(_ && _)
+    l.join(r, cond, "full_outer")
+      .withColumn("change_type",
+        when(col("r_present").isNull, "delete")
+          .when(col("l_present").isNull, "insert")
+          .when(!(col("l_v") <=> col("r_v")), "update"))
+      .filter(col("change_type").isNotNull)
+      .select(keyCols.map(c =>
+        coalesce(col(s"l_$c"), col(s"r_$c")).as(c)) :+ col("change_type"): _*)
   }
 
   /** The rename dance shared by snapshot and per-partition swaps:

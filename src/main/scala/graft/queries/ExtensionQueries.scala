@@ -12,6 +12,29 @@ object ExtensionQueries {
 
   val all: Seq[Q] = Seq(
 
+    // Z-order (Morton) clustering key: the multi-dimensional sort key
+    // behind clustered table layout (TableStore.commitVersionedClustered
+    // — files sorted by z cluster on EVERY listed column, so min/max
+    // file skipping prunes on any of them, not just a leading sort
+    // column). Here the key itself is the query: 8 bits of part key ×
+    // 8 bits of supplier key interleaved MSB-first. The oracle SQL is
+    // GENERATED from the same bit enumeration as the Spark expression
+    // (Functions.zorderKeySql), so the two engines compute identical
+    // shift/and/or terms by construction. Pure built-ins, one
+    // projection, no shuffle.
+    Q("q76_zorder_key",
+      s"""SELECT l_orderkey, l_linenumber,
+         |       ${graft.functions.Functions.zorderKeySql(8,
+                   Seq("l_partkey % 256", "l_suppkey % 256"))} AS z_key
+         |FROM lineitem""".stripMargin) {
+      (s, d) =>
+        table(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            graft.functions.Functions.zorderKey(8,
+              pmod(col("l_partkey"), lit(256)),
+              pmod(col("l_suppkey"), lit(256))).as("z_key"))
+    },
+
     // JSON / semi-structured surface over the `events.props` column
     // (the harness's JSON-first event stream): schema-projected parse
     // (`from_json` with an explicit struct — the production spelling:

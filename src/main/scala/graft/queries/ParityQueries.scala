@@ -303,6 +303,43 @@ object ParityQueries {
           .select("k", "seg", "bal_cents", "effective_from", "effective_to", "deleted_flg")
     },
 
+    // Generation-diff CDC feed over the versioned (manifest-committed)
+    // store: two customer snapshots land as commits g1/g2, and
+    // TableStore.tableChanges derives the key-level insert / delete /
+    // update feed between them — the read side an incremental consumer
+    // uses instead of re-scanning the new snapshot. The oracle
+    // recomputes the same three sets from the base table with the same
+    // deterministic perturbations (deletes: k%13=0; updates:
+    // bal+100 where k%7=0 among survivors; inserts: k+1000000 where
+    // k%11=0 — offset far above any harness key range).
+    Q("q77_table_changes",
+      """SELECT c_custkey AS k, 'delete' AS change_type
+        |FROM customer WHERE c_custkey % 13 = 0
+        |UNION ALL
+        |SELECT c_custkey + 1000000, 'insert'
+        |FROM customer WHERE c_custkey % 11 = 0
+        |UNION ALL
+        |SELECT c_custkey, 'update'
+        |FROM customer WHERE c_custkey % 13 <> 0 AND c_custkey % 7 = 0""".stripMargin) {
+      (s, d) =>
+        val store = new graft.io.TableStore(s, scratchRoot("graft_q77"))
+        val c = table(s, d, "customer")
+          .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
+            graft.functions.Functions.cents(col("c_acctbal")).as("bal_cents"))
+        val g1 = store.commitVersioned("cust_v", c)
+        val next = c.filter(col("k") % 13 =!= 0)
+          .withColumn("bal_cents",
+            col("bal_cents") + when(col("k") % 7 === 0, 100L).otherwise(0L))
+          .unionByName(c.filter(col("k") % 11 === 0)
+            .withColumn("k", col("k") + 1000000L))
+        val g2 = store.commitVersioned("cust_v", next)
+        val changes = store.tableChanges("cust_v", g1, g2, Seq("k"))
+        // generations accumulate across bench passes in the per-process
+        // scratch root: keep only the two this invocation compares
+        store.vacuumVersioned("cust_v", keepGenerations = 2)
+        changes
+    },
+
 
     // J6/P5/P6 — temporal as-of join with strict range bounds
     // (report.py:38-41).

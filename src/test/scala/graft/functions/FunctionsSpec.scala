@@ -138,4 +138,24 @@ class FunctionsSpec extends AnyFunSuite {
       .collect().map(_.getDouble(0))
     assert(out.toSeq === Seq(0.0, 1.0))
   }
+
+  test("zorderKey interleaves bits MSB-first; SQL twin agrees term-for-term") {
+    // x=1010b, y=0101b at 4 bits → z bits x3 y3 x2 y2 x1 y1 x0 y0 =
+    // 10011001b = 153. Hand-derived, pins both the bit order and the
+    // column order (first column takes the higher bit of each pair).
+    val z = Seq((10L, 5L)).toDF("x", "y")
+      .select(zorderKey(4, col("x"), col("y"))).collect().head.getLong(0)
+    assert(z === 153L)
+    // Adjacent keys in z-space are neighbors in BOTH dims: the four
+    // cells of a 2×2 block share the same z prefix.
+    val block = Seq((0L, 0L), (0L, 1L), (1L, 0L), (1L, 1L))
+      .toDF("x", "y")
+      .select(zorderKey(4, col("x"), col("y"))).collect().map(_.getLong(0))
+    assert(block.sorted.toSeq === Seq(0L, 1L, 2L, 3L))
+    // The generated SQL computes the identical key (run through Spark
+    // SQL here; DuckDB executes the same operators in the oracle).
+    val viaSql = Seq((10L, 5L)).toDF("x", "y")
+      .selectExpr(zorderKeySql(4, Seq("x", "y"))).collect().head.getLong(0)
+    assert(viaSql === 153L)
+  }
 }

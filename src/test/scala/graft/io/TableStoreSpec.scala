@@ -198,6 +198,85 @@ class TableStoreSpec extends AnyFunSuite {
     assert(store.readVersionedAt("dim", 2L).count() === 2)
   }
 
+  test("commitVersionedWithStats: footer stats prune files on long/double/string ranges") {
+    val store = newStore()
+    // 4 contiguous files on k (range partitioning), with a parallel
+    // string spelling, a double, and an always-null column.
+    val df = (0 until 1000).map(i => (i.toLong, f"s$i%04d", i / 4.0))
+      .toDF("k", "s", "x")
+      .withColumn("n", lit(null).cast("string"))
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+    store.commitVersionedWithStats("t", df, Seq("k", "s", "x", "n"))
+    val full = store.readVersioned("t")
+    assert(full.inputFiles.length === 4)
+    // A narrow k range touches 1 contiguous file (2 if a sampled range
+    // boundary lands inside it) — never all 4.
+    val pk = store.readVersionedPruned("t", "k", 100L, 150L)
+    assert(pk.inputFiles.length <= 2, s"kept ${pk.inputFiles.length} of 4")
+    assert(pk.collect().map(_.getLong(0)).sorted.toSeq === (100L to 150L))
+    // Same skipping through the string and double stats.
+    val ps = store.readVersionedPruned("t", "s", "s0100", "s0150")
+    assert(ps.inputFiles.length <= 2 && ps.count() === 51)
+    val px = store.readVersionedPruned("t", "x", 0.0, 10.0)
+    assert(px.inputFiles.length <= 2 && px.count() === 41)
+    // Out-of-range predicate: zero files listed, schema preserved.
+    val none = store.readVersionedPruned("t", "k", 5000L, 6000L)
+    assert(none.inputFiles.isEmpty && none.count() === 0)
+    assert(none.columns.toSeq === full.columns.toSeq)
+    // An all-null column can never satisfy BETWEEN: everything skips.
+    assert(store.readVersionedPruned("t", "n", "a", "z").inputFiles.isEmpty)
+    // A generation committed WITHOUT stats falls back to the unpruned
+    // (still correct) scan.
+    store.commitVersioned("t", df)
+    val fb = store.readVersionedPruned("t", "k", 100L, 150L)
+    assert(fb.inputFiles.length === 4 && fb.count() === 51)
+  }
+
+  test("commitVersionedClustered: z-order layout skips files on EVERY cluster column") {
+    val store = newStore()
+    // A deterministic 128×128 grid (values 0, 8, …, 1016 in each dim):
+    // uniform 2D mass, no RNG.
+    val grid = for (i <- 0 until 128; j <- 0 until 128)
+      yield ((i * 128 + j).toLong, i.toLong * 8, j.toLong * 8)
+    val df = grid.toDF("id", "x", "y")
+    store.commitVersionedClustered("zt", df, Seq("x", "y"), files = 16, bits = 10)
+    assert(store.readVersioned("zt").inputFiles.length === 16)
+    // A 1/16 strip in x touches only the files whose z-block intersects
+    // it — and the SAME holds for y, which a linear sort cannot give.
+    val px = store.readVersionedPruned("zt", "x", 0L, 63L)
+    val py = store.readVersionedPruned("zt", "y", 0L, 63L)
+    assert(px.inputFiles.length <= 8, s"x strip kept ${px.inputFiles.length}/16")
+    assert(py.inputFiles.length <= 8, s"y strip kept ${py.inputFiles.length}/16")
+    assert(px.count() === grid.count(_._2 <= 63).toLong)
+    assert(py.count() === grid.count(_._3 <= 63).toLong)
+    // Control: the linear-sort layout gives y no locality — the same
+    // y-strip predicate must read every file.
+    store.commitVersionedWithStats("lin",
+      df.repartitionByRange(16, col("x")).sortWithinPartitions("x"),
+      Seq("x", "y"))
+    val ly = store.readVersionedPruned("lin", "y", 0L, 63L)
+    assert(ly.inputFiles.length === 16,
+      s"linear layout unexpectedly pruned: ${ly.inputFiles.length}/16")
+    assert(ly.count() === grid.count(_._3 <= 63).toLong)
+  }
+
+  test("tableChanges classifies inserts, deletes, and null-safe updates") {
+    val store = newStore()
+    store.commitVersioned("d", Seq(
+      (1, Option("a")), (2, Option("b")), (3, None), (5, None)).toDF("id", "v"))
+    store.commitVersioned("d", Seq(
+      (2, Option("B")), (3, None), (4, Option("d")), (5, Option("e"))).toDF("id", "v"))
+    val changes = store.tableChanges("d", 1L, 2L, Seq("id"))
+      .collect().map(r => (r.getInt(0), r.getString(1))).sortBy(_._1).toSeq
+    // 1 vanished, 2 changed, 3 unchanged (null <=> null — NO row),
+    // 4 appeared, 5 changed null → value.
+    assert(changes === Seq((1, "delete"), (2, "update"), (4, "insert"), (5, "update")))
+    intercept[IllegalArgumentException] {
+      store.commitVersioned("d", Seq((1, "x", "extra")).toDF("id", "v", "w"))
+      store.tableChanges("d", 2L, 3L, Seq("id"))
+    }
+  }
+
   test("vacuumVersioned drops old and orphaned generations, keeps live history") {
     val store = newStore()
     (1 to 4).foreach(i => store.commitVersioned("dim", Seq((i, s"v$i")).toDF("id", "v")))

@@ -10,16 +10,17 @@ import org.apache.spark.sql.functions._
   * metadata-aware resize — with the codec itself pluggable behind
   * [[MediaCodec]].
   *
-  * Four REAL pure-JVM decoders ship with the engine — [[WavPcmCodec]]
+  * Five REAL pure-JVM decoders ship with the engine — [[WavPcmCodec]]
   * (RIFF/WAVE PCM audio), [[BmpCodec]] (uncompressed 24-bit BMP
   * images), [[PngCodec]] (zlib-compressed PNG via the JDK's
-  * `Inflater`, full row-filter reconstruction, CRC-validated), and
+  * `Inflater`, full row-filter reconstruction, CRC-validated),
   * [[GifCodec]] (GIF87a/89a with the LZW decompressor implemented
-  * in-engine) — so both the raw-samples-behind-a-header AND the real
-  * compressed-format paths run through the codec boundary. For
-  * formats needing codecs the JDK cannot express in ~100 lines
-  * (JPEG/MP3/H.264) the deterministic [[FakeCodec]] stands in (no
-  * media library exists in this environment); swap in a real binding
+  * in-engine), and [[JpegCodec]] (lossy JPEG through the JDK's
+  * bundled ImageIO reader) — raw-samples-behind-a-header, real
+  * compressed, and real LOSSY formats all run through the codec
+  * boundary. For formats the JDK ships no codec or primitives for
+  * (MP3/H.264) the deterministic [[FakeCodec]] stands in (no media
+  * library exists in this environment); swap in a real binding
   * through the same interface. Everything around the
   * codec is the part that matters at 100 TB:
   *   - [[extractFeatures]] uses `mapPartitions` so the codec is
@@ -438,6 +439,62 @@ object Multimodal {
       }
       require(outPos == out.length,
         s"gif-gray: decoded $outPos pixels, expected ${out.length}")
+      out
+    }
+  }
+
+  /** Real LOSSY-format image decode, zero external libraries: JPEG
+    * through the JDK's bundled ImageIO reader (`javax.imageio` ships a
+    * baseline+progressive JPEG codec in every JRE — headless-safe, no
+    * AWT display needed). This retires the [[FakeCodec]] stand-in for
+    * the single most common compressed image format: where PNG/GIF
+    * demanded in-engine decoders ([[PngCodec]]/[[GifCodec]] — the JDK
+    * exposes only their *primitives*), JPEG's full codec is already in
+    * the JDK, and wrapping it IS the production move (never
+    * re-implement a DCT pipeline a vetted decoder already provides).
+    *
+    * Output: one gray intensity in [0, 1] per pixel, top-down
+    * row-major, the same exact integer Rec.601 weights as the other
+    * image codecs — so a JPEG and a PNG of the same pixels produce
+    * features that differ only by the JPEG's own quantization loss
+    * (MultimodalSpec pins the bound). Decode is deterministic for a
+    * given JRE; JPEG being lossy, cross-library bit-exactness is NOT
+    * part of the contract (and is why q51 stays rows-only). Non-JPEG
+    * or corrupt streams fail loudly per the [[MediaCodec]] contract. */
+  final class JpegCodec extends MediaCodec {
+    val name: String = "jpeg-gray"
+    def init(): JpegCodec = this
+    def decode(content: Array[Byte]): Array[Float] = {
+      // SOI marker check first: ImageIO would happily decode PNG/GIF/BMP
+      // bytes too, and a format-specific codec silently accepting the
+      // wrong format hides pipeline wiring bugs.
+      require(content.length >= 2 &&
+        (content(0) & 0xff) == 0xff && (content(1) & 0xff) == 0xd8,
+        "jpeg-gray: not a JPEG stream (missing SOI marker)")
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+        catch {
+          case e: Exception =>
+            throw new IllegalArgumentException(s"jpeg-gray: ${e.getMessage}", e)
+        }
+      require(img != null, "jpeg-gray: ImageIO could not decode the stream")
+      val width = img.getWidth
+      val height = img.getHeight
+      require(width > 0 && height > 0, "jpeg-gray: empty image")
+      val out = new Array[Float](width * height)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xff
+          val g = (rgb >> 8) & 0xff
+          val b = rgb & 0xff
+          out(y * width + x) = (299 * r + 587 * g + 114 * b) / 255000f
+          x += 1
+        }
+        y += 1
+      }
       out
     }
   }

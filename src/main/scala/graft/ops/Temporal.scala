@@ -18,6 +18,44 @@ import org.apache.spark.sql.functions._
   */
 object Temporal {
 
+  /** Pure range (point-in-interval) join with NO equi key — the shape
+    * Spark's planner can only execute as a broadcast-nested-loop or
+    * cartesian product, both of which are O(points × intervals) and
+    * die at scale. Bucketing turns it into an equi join: each interval
+    * explodes into the fixed-width buckets it covers, each point keys
+    * to its single containing bucket, the join hashes on the bucket
+    * id, and the true range predicate `start <= point < end`
+    * (half-open) evaluates as a join residual inside the hash join. A
+    * matching (point, interval) pair surfaces EXACTLY once — the point
+    * owns one bucket and the interval covers that bucket once — so no
+    * distinct pass is needed.
+    *
+    * Scale shape: work ∝ |points| + Σ(span/width) over intervals +
+    * |matches|; a 100 TB point side shuffles ONCE on the bucket id
+    * (or not at all if AQE broadcasts the exploded interval side).
+    * `bucketWidth` trades interval replication (≈ span/width rows per
+    * interval) against bucket selectivity (points sharing a bucket) —
+    * set it near the typical interval span. Inputs must be integer
+    * spaces (epoch days/seconds; see the determinism notes on
+    * integer-space math). Empty intervals (`end <= start`) match
+    * nothing and are dropped before the explode — `sequence` would
+    * otherwise generate a DESCENDING range for them. */
+  def rangeJoin(points: DataFrame, intervals: DataFrame,
+                point: Column, start: Column, end: Column,
+                bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"rangeJoin: bucketWidth must be positive, got $bucketWidth")
+    val w = lit(bucketWidth.toDouble)
+    // floor(x / w) on doubles is the mathematical floor for negative
+    // values too (integer `div` truncates toward zero instead).
+    def bucketOf(c: Column): Column = floor(c / w).cast("long")
+    val iv = intervals
+      .filter(end > start)
+      .withColumn("__bucket", explode(sequence(bucketOf(start), bucketOf(end - 1))))
+    val pt = points.withColumn("__bucket", bucketOf(point))
+    pt.join(iv, pt("__bucket") === iv("__bucket") && point >= start && point < end)
+      .drop("__bucket")
+  }
+
   /** As-of join a fact to an SCD2 dimension. Strictness of the range
     * bounds is parameterized; reference parity = both strict
     * (`report.py:40-41`). */

@@ -121,4 +121,23 @@ object TextAnalysis {
     * `start` (shorter at the tail, like any clamping slice). */
   def chunkAt(ws: Column, start: Column, chunkSize: Int): Column =
     slice(ws, start + 1, lit(chunkSize))
+
+  /** All `n`-token sliding spans of the token array, each re-joined
+    * with single spaces — the unit of SPAN-LEVEL exact dedup
+    * (duplicated n-gram passages across documents, the
+    * boilerplate/citation/license-block signal exact doc-level dedup
+    * misses). Pure array expressions (`sequence` + `slice` +
+    * `concat_ws`): generating every span of a 100 TB corpus is one
+    * codegen'd map pass, and each span SLICES the token array rather
+    * than copying the document. Documents shorter than `n` tokens
+    * yield an empty array — guarded explicitly because
+    * `sequence(1, len-n+1)` would otherwise generate a DESCENDING
+    * range when `len < n`. */
+  def spanGrams(ws: Column, n: Int): Column = {
+    require(n > 0, s"spanGrams: span length must be positive, got $n")
+    when(size(ws) >= n,
+      transform(sequence(lit(1), size(ws) - (n - 1)),
+        i => concat_ws(" ", slice(ws, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
 }

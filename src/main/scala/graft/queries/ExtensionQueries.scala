@@ -69,6 +69,60 @@ object ExtensionQueries {
           .filter(col("k") % 7 === 0)
     },
 
+    // Pure range join (NO equi key) — point-in-interval matching of
+    // lineitem ship-dates against order-derived campaign windows,
+    // executed through Temporal.rangeJoin's bucketed rewrite: explode
+    // intervals into week buckets, hash-join on the bucket id, range
+    // residual inside the join. The oracle is the PLAIN inequality
+    // join — bucketing must not change the result, and the naive plan
+    // (BroadcastNestedLoopJoin, O(points × intervals)) is exactly what
+    // the rewrite exists to avoid; PlanSpec pins the rewritten plan
+    // nested-loop-free. Day arithmetic in integer space on both sides.
+    Q("q78_range_join",
+      """WITH c AS (
+        |  SELECT o_orderkey AS campaign_id,
+        |         datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS start_day,
+        |         datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) + 7 AS end_day
+        |  FROM orders WHERE o_orderkey % 500 = 0)
+        |SELECT l.l_orderkey, l.l_linenumber, c.campaign_id,
+        |       CAST(datediff('day', DATE '1992-01-01', CAST(l.l_shipdate AS DATE)) AS BIGINT) AS ship_day
+        |FROM lineitem l JOIN c
+        |  ON datediff('day', DATE '1992-01-01', CAST(l.l_shipdate AS DATE)) >= c.start_day
+        | AND datediff('day', DATE '1992-01-01', CAST(l.l_shipdate AS DATE)) < c.end_day""".stripMargin) {
+      (s, d) =>
+        val day0 = lit("1992-01-01").cast("date")
+        val points = table(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            datediff(col("l_shipdate").cast("date"), day0).cast("long").as("ship_day"))
+        val startDay = datediff(col("o_orderdate").cast("date"), day0).cast("long")
+        val intervals = table(s, d, "orders")
+          .filter(col("o_orderkey") % 500 === 0)
+          .select(col("o_orderkey").as("campaign_id"),
+            startDay.as("start_day"), (startDay + 7).as("end_day"))
+        graft.ops.Temporal.rangeJoin(points, intervals,
+            point = col("ship_day"), start = col("start_day"),
+            end = col("end_day"), bucketWidth = 7L)
+          .select("l_orderkey", "l_linenumber", "campaign_id", "ship_day")
+    },
+
+    // Equi-width histogram profile — the data-profiling pass that
+    // sizes everything else (bucket boundaries for range partitioning,
+    // skew detection, layout decisions). One hash aggregation with
+    // partial agg; bucket ids and cents bounds in integer space.
+    Q("q81_histogram",
+      """SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS bucket,
+        |       count(*) AS n,
+        |       CAST(min(round(o_totalprice * 100)) AS BIGINT) AS min_cents,
+        |       CAST(max(round(o_totalprice * 100)) AS BIGINT) AS max_cents
+        |FROM orders GROUP BY bucket""".stripMargin) {
+      (s, d) =>
+        table(s, d, "orders")
+          .groupBy(floor(col("o_totalprice") / 25000).cast("bigint").as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            min(graft.functions.Functions.cents(col("o_totalprice"))).as("min_cents"),
+            max(graft.functions.Functions.cents(col("o_totalprice"))).as("max_cents"))
+    },
+
     // Salted skew join: the hot-key mitigation (one hot key = one
     // straggler task at 100 TB). The oracle is the PLAIN join — the
     // whole point is that salting spreads rows without changing the

@@ -687,6 +687,65 @@ object LlmQueries {
           TextAnalysis.scrubPii(col("text")).as("clean_text"))
     },
 
+    // SPAN-level exact dedup (Lee et al., "Deduplicating Training Data
+    // Makes Language Models Better"): duplicated 8-token passages
+    // ACROSS documents — the boilerplate/license-block/citation signal
+    // that doc-level exact dedup (q30) and near-dup (q31/q34) both
+    // miss when the surrounding document differs. Normalize → token
+    // spans (TextAnalysis.spanGrams, pure array expressions — span
+    // generation never leaves codegen and slices the token array
+    // instead of copying the document) → ONE hash aggregation on the
+    // span. At 100 TB: the explode multiplies rows ~tokens-per-doc ×,
+    // but each span row is small and partial aggregation collapses
+    // repeats map-side; the shuffle carries only distinct spans with
+    // their partial counts — the same single-shuffle shape as q30.
+    Q("q79_span_dedup",
+      """WITH norm AS (
+        |  SELECT doc_id,
+        |         string_split(trim(regexp_replace(regexp_replace(lower(text),
+        |           '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |spans AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(1, len(t) - 6),
+        |                               i -> array_to_string(t[i:i+7], ' '))) AS span
+        |  FROM norm)
+        |SELECT span, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |       count(*) AS n_occ
+        |FROM spans GROUP BY span HAVING count(DISTINCT doc_id) >= 2""".stripMargin) {
+      (s, d) =>
+        val toks = split(TextAnalysis.normalize(col("text")), " ")
+        docsHeavy(s, d)
+          .select(col("doc_id"),
+            explode(TextAnalysis.spanGrams(toks, 8)).as("span"))
+          .groupBy("span")
+          .agg(countDistinct(col("doc_id")).as("n_docs"),
+            count(lit(1)).as("n_occ"))
+          .filter(col("n_docs") >= 2)
+    },
+
+    // k-anonymity / l-diversity release gate (Anonymize.profile): per
+    // quasi-identifier group, the size and the sensitive-attribute
+    // diversity, with integer release flags — the post-PII-scrub
+    // privacy screen a corpus runs before rows ship. One hash
+    // aggregation over the QI key (partial agg applies); the
+    // suppression variant rides the same key as a window count
+    // (AnonymizeSpec pins row-level suppression semantics).
+    Q("q80_k_anonymity",
+      """SELECT c_nationkey,
+        |       CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+        |       count(*) AS n,
+        |       CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_sensitive,
+        |       CAST(CASE WHEN count(*) >= 5 THEN 1 ELSE 0 END AS INT) AS k_ok,
+        |       CAST(CASE WHEN count(DISTINCT c_mktsegment) >= 3 THEN 1 ELSE 0 END AS INT) AS l_ok
+        |FROM customer GROUP BY c_nationkey, bal_bucket""".stripMargin) {
+      (s, d) =>
+        graft.ops.Anonymize.profile(table(s, d, "customer"),
+          qi = Seq(col("c_nationkey"),
+            floor(col("c_acctbal") / 1000).cast("bigint").as("bal_bucket")),
+          sensitive = col("c_mktsegment"), k = 5, l = 3)
+    },
+
     // End-to-end corpus preparation: quality gate → exact dedup with
     // deterministic survivor choice → survivors with their stats. The
     // composition a training-data pipeline actually runs, as one

@@ -105,6 +105,30 @@ class PlanSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
   }
 
+  test("q78: range join plans as an equi join on the bucket id, never a nested loop") {
+    // A pure range predicate with no equi key would plan a
+    // BroadcastNestedLoopJoin — O(points × intervals). The bucketed
+    // rewrite must surface as a HASH-KEYED join (bucket equi key, range
+    // residual inside), which is the only shape that survives 100 TB.
+    val plan = planOf("q78_range_join")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"range join fell back to a quadratic plan:\n${plan.take(2000)}")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      plan.take(2000))
+  }
+
+  test("q79: span dedup aggregates with map-side partial aggregation") {
+    // The exploded span stream must collapse BEFORE the shuffle:
+    // HashAggregate(partial) under the exchange, final above — the
+    // only shape where the wire carries distinct spans, not every
+    // token window of the corpus.
+    val plan = planOf("q79_span_dedup")
+    val aggs = plan.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs >= 2, s"expected partial+final aggregates:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("q72: JSON extraction prunes the scan to the referenced columns") {
     // JSON fields are opaque to parquet (the filter on an extracted
     // field CANNOT push into the footer — it evaluates post-scan,

@@ -317,6 +317,86 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  /** Independent JPEG producer: the JDK's own ImageIO ENCODER (the
+    * decode assertion is then against the format contract — encode a
+    * known image, decode through the codec, bound the quantization
+    * loss — not against the codec's own inverse). */
+  private def jpegBytes(width: Int, height: Int,
+                        rgbAt: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until height; x <- 0 until width) {
+      val (r, g, b) = rgbAt(x, y)
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos), "JDK JPEG writer missing")
+    bos.toByteArray
+  }
+
+  test("JpegCodec decodes a JDK-encoded flat image near-exactly and deterministically") {
+    // A solid-color image is DC-only per DCT block — quantization loss
+    // is at most rounding, so the decoded grays must sit within 2/255
+    // of the source. Decode is bit-deterministic for a given JRE.
+    val jpg = jpegBytes(16, 16, (_, _) => (128, 128, 128))
+    val codec = new Multimodal.JpegCodec().init()
+    val got = codec.decode(jpg)
+    assert(got.length === 256)
+    val want = 128 * 1000 / 255000f // integer Rec.601 on (128,128,128)
+    assert(got.forall(v => math.abs(v - want) <= 2f / 255),
+      s"flat gray drifted: ${got.take(5).toSeq}")
+    assert(got.toSeq === codec.decode(jpg).toSeq) // determinism
+  }
+
+  test("JpegCodec matches PngCodec within the quantization bound on a smooth image") {
+    // Same pixels through the lossless (PNG) and lossy (JPEG) paths:
+    // features differ only by JPEG's own loss, bounded on a smooth
+    // horizontal gradient (no high-frequency content to ring on).
+    val w = 16; val h = 8
+    def level(x: Int) = 40 + x * 12 // 40..220 across 16 columns
+    val jpg = jpegBytes(w, h, (x, _) => (level(x), level(x), level(x)))
+    val png = pngBytes(w, h, colorType = 0,
+      pixels = (0 until h).map(_ => (0 until w).map(level)),
+      rowFilters = Seq.fill(h)(0))
+    val viaJpg = new Multimodal.JpegCodec().decode(jpg)
+    val viaPng = new Multimodal.PngCodec().decode(png)
+    assert(viaJpg.length === viaPng.length)
+    val maxDiff = viaJpg.zip(viaPng).map { case (a, b) => math.abs(a - b) }.max
+    assert(maxDiff <= 6f / 255, s"JPEG loss out of bound: $maxDiff")
+  }
+
+  test("JpegCodec fails loudly on non-JPEG or corrupt input") {
+    // PNG bytes are a VALID image — but not a JPEG; the format check
+    // must reject them (a codec silently decoding the wrong format
+    // hides pipeline wiring bugs).
+    val png = pngBytes(2, 2, colorType = 0,
+      pixels = Seq(Seq(1, 2), Seq(3, 4)), rowFilters = Seq(0, 0))
+    val ex = intercept[IllegalArgumentException] {
+      new Multimodal.JpegCodec().decode(png)
+    }
+    assert(ex.getMessage.contains("SOI"))
+    intercept[IllegalArgumentException] {
+      new Multimodal.JpegCodec().decode(Array[Byte](0xff.toByte))
+    }
+    // SOI marker present but the stream is garbage after it.
+    val garbage = Array[Byte](0xff.toByte, 0xd8.toByte) ++
+      Array.fill[Byte](64)(0x5a)
+    intercept[IllegalArgumentException] {
+      new Multimodal.JpegCodec().decode(garbage)
+    }
+  }
+
+  test("extractFeatures runs real JPEG bytes through the partition-batched path") {
+    val jpg = jpegBytes(8, 8, (_, _) => (200, 200, 200))
+    val ds = (1L to 3L).map(i => MediaRow(i, "image/jpeg", jpg, 0L)).toDS()
+    val out = Multimodal.extractFeatures(ds, dim = 2,
+      mkCodec = () => new Multimodal.JpegCodec).collect().sortBy(_.doc_id)
+    assert(out.length === 3)
+    assert(out.forall(_.codec === "jpeg-gray"))
+    val want = 200 * 1000 / 255000f
+    assert(out.forall(_.embedding.forall(v => math.abs(v - want) <= 2f / 255)))
+  }
+
   test("extractFeatures runs real PNG bytes through the partition-batched path") {
     val rows = Seq(Seq(0, 128, 255), Seq(10, 20, 30))
     val png = pngBytes(3, 2, colorType = 0, pixels = rows, rowFilters = Seq(0, 2))

@@ -43,4 +43,60 @@ class TemporalSpec extends AnyFunSuite {
     assert(lookup("2024-01-10 00:00:00", key = "T2") === Seq(null))
     assert(lookup("2024-01-10 00:00:00", key = "T2", liveOnly = false) === Seq("dead"))
   }
+
+  // --- rangeJoin: the bucketed pure-range (no equi key) join ---
+
+  private val rjPoints = Seq(
+    (1L, 0L), (2L, 3L), (3L, 7L), (4L, 10L), (5L, 19L), (6L, 20L),
+    (7L, 25L), (8L, -5L), (9L, 40L))
+    .toDF("pid", "p")
+  private val rjIntervals = Seq(
+    (10L, 0L, 8L),    // spans buckets 0..1 (width 4)
+    (11L, 3L, 21L),   // spans buckets 0..5, overlaps interval 10
+    (12L, 20L, 20L),  // empty (end == start): matches nothing
+    (13L, 24L, 23L),  // inverted: matches nothing, must not explode
+    (14L, -7L, -3L))  // negative space: floor division, not truncation
+    .toDF("iid", "s", "e")
+
+  private def rjPairs(width: Long): Set[(Long, Long)] =
+    Temporal.rangeJoin(rjPoints, rjIntervals,
+        point = col("p"), start = col("s"), end = col("e"), bucketWidth = width)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("rangeJoin matches the naive cross-filter exactly, at several widths") {
+    val expected = rjPoints.crossJoin(rjIntervals)
+      .filter(col("p") >= col("s") && col("p") < col("e"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Half-open semantics visible in the expectation: p=7 in [0,8) and
+    // [3,21); p=20 in [3,21) but NOT in the empty [20,20) (end is
+    // exclusive); p=-5 in [-7,-3) via negative-space floor buckets.
+    assert(expected === Set((1L, 10L), (2L, 10L), (2L, 11L), (3L, 10L),
+      (3L, 11L), (4L, 11L), (5L, 11L), (6L, 11L), (8L, 14L)))
+    for (width <- Seq(1L, 3L, 4L, 7L, 100L))
+      assert(rjPairs(width) === expected, s"width $width diverged")
+  }
+
+  test("rangeJoin surfaces each match exactly once (multi-bucket intervals do not duplicate)") {
+    // Interval 11 spans 6 buckets at width 4; each matching point must
+    // still produce ONE row — the point owns a single bucket.
+    val rows = Temporal.rangeJoin(rjPoints, rjIntervals,
+        point = col("p"), start = col("s"), end = col("e"), bucketWidth = 4L)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows.size === rows.toSet.size)
+  }
+
+  test("rangeJoin plans as an equi join on the bucket id, never a nested loop") {
+    val plan = Temporal.rangeJoin(rjPoints, rjIntervals,
+        point = col("p"), start = col("s"), end = col("e"), bucketWidth = 4L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"range join fell back to a quadratic plan:\n$plan")
+  }
+
+  test("rangeJoin rejects a non-positive bucket width") {
+    intercept[IllegalArgumentException] {
+      Temporal.rangeJoin(rjPoints, rjIntervals,
+        point = col("p"), start = col("s"), end = col("e"), bucketWidth = 0L)
+    }
+  }
 }

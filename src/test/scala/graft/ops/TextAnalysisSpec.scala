@@ -44,6 +44,20 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(chunks("a b c d", 2, 2) === Seq(Seq("a", "b"), Seq("c", "d")))
   }
 
+  test("spanGrams: sliding n-token spans; short documents yield none") {
+    def spans(text: String, n: Int): Seq[String] =
+      Seq(text).toDF("t")
+        .select(explode(TextAnalysis.spanGrams(split(col("t"), " "), n)))
+        .collect().map(_.getString(0)).toSeq
+    assert(spans("a b c d", 3) === Seq("a b c", "b c d"))
+    assert(spans("a b c", 3) === Seq("a b c")) // exactly n tokens: one span
+    assert(spans("a b", 3) === Seq.empty)      // shorter than n: no spans
+    assert(spans("a a a a", 2) === Seq("a a", "a a", "a a")) // repeats kept
+    intercept[IllegalArgumentException] {
+      TextAnalysis.spanGrams(split(col("t"), " "), 0)
+    }
+  }
+
   test("langPredict ties break alphabetically on profile order") {
     val scores = Seq(lit(2L), lit(2L), lit(1L), lit(0L), lit(0L))
     val got = Seq("x").toDF("t")

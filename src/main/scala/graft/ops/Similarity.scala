@@ -255,6 +255,28 @@ object Similarity {
     transform(vecCol, x =>
       round((x.cast("double") + lit(4.0)) * lit(1000000.0)).cast("long"))
 
+  /** Argmin-of-squared-euclidean fold over a literal scaled-integer
+    * codebook: `struct(cid, dist)` of the nearest centroid to `sv`
+    * (ties to the smallest cid — strict `<` keeps the earlier entry of
+    * the cid-ascending array). Pure expression, no join/window/
+    * exchange. CALLER CONTRACT: `sv` must be a materialized column
+    * reference — the fold's lambda captures it, and captured subtrees
+    * re-evaluate once per CENTROID (see [[TextAnalysis.spanGrams]]). */
+  private def nearestScaled(sv: Column, cents: Seq[Array[Long]]): Column = {
+    val centArr = array(cents.zipWithIndex.map { case (s, cid) =>
+      struct(lit(cid.toLong).as("cid"), typedlit(s.toSeq).as("s"))
+    }: _*)
+    aggregate(centArr,
+      struct(lit(-1L).as("cid"), lit(Long.MaxValue).as("dist")),
+      (acc, c) => {
+        val d = aggregate(
+          zip_with(sv, c.getField("s"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (s, x) => s + x)
+        when(d < acc.getField("dist"),
+          struct(c.getField("cid").as("cid"), d.as("dist"))).otherwise(acc)
+      })
+  }
+
   /** Nearest-centroid assignment in scaled-integer space: argmin of
     * squared euclidean distance over a literal codebook, ties to the
     * smallest cid. Shuffle-free — the same plan shape as
@@ -262,26 +284,11 @@ object Similarity {
     * inside the scan stage, no join, no window, no exchange. Output:
     * `idCol`, `__sv` (scaled vector, internal), `cid`, `dist`. */
   private def kmeansAssign(corpus: DataFrame, cents: Seq[Array[Long]],
-                           idCol: String, vecCol: String): DataFrame = {
-    val centArr = array(cents.zipWithIndex.map { case (s, cid) =>
-      struct(lit(cid.toLong).as("cid"), typedlit(s.toSeq).as("s"))
-    }: _*)
-    val best = aggregate(centArr,
-      struct(lit(-1L).as("cid"), lit(Long.MaxValue).as("dist")),
-      (acc, c) => {
-        val d = aggregate(
-          zip_with(col("__sv"), c.getField("s"), (a, b) => (a - b) * (a - b)),
-          lit(0L), (s, x) => s + x)
-        // Strict < keeps the earlier (smaller) cid on ties — the
-        // codebook array is cid-ascending by construction.
-        when(d < acc.getField("dist"),
-          struct(c.getField("cid").as("cid"), d.as("dist"))).otherwise(acc)
-      })
+                           idCol: String, vecCol: String): DataFrame =
     corpus.select(col(idCol), scaledVec(col(vecCol)).as("__sv"))
-      .withColumn("__best", best)
+      .withColumn("__best", nearestScaled(col("__sv"), cents))
       .select(col(idCol), col("__sv"),
         col("__best.cid").as("cid"), col("__best.dist").as("dist"))
-  }
 
   /** Distributed Lloyd's k-means over an embedding column — the
     * trainer for the IVF codebook ([[assignCells]]/[[ivfKnn]] take
@@ -339,6 +346,98 @@ object Similarity {
       }
     }
     cents
+  }
+
+  // ── Product quantization (PQ) ─────────────────────────────────────
+
+  /** Train PQ codebooks (Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search"): the `dim`-dimensional vector splits
+    * into `m` contiguous subspaces of `dim/m` dims, and each subspace
+    * gets its own [[kmeansCentroids]] codebook of `kPerSub` entries in
+    * scaled-integer space — deterministic by the same construction as
+    * q68 (smallest-id init, exact bigint distances, integer centroid
+    * updates). Returns `m` codebooks; entry `(j)(c)` is centroid `c`
+    * of subspace `j`.
+    *
+    * Scale shape: `m` training runs, each the [[kmeansCentroids]]
+    * shape (shuffle-free assignment scan + one k×subdim partial-agg
+    * shuffle per iteration, bounded driver collect). */
+  def pqTrainCodebooks(corpus: DataFrame, dim: Int, m: Int, kPerSub: Int,
+                       iters: Int, idCol: String = "vec_id",
+                       vecCol: String = "embedding"): Seq[Seq[Array[Long]]] = {
+    require(m >= 1 && dim % m == 0,
+      s"pqTrainCodebooks: m=$m must divide dim=$dim")
+    val sub = dim / m
+    (0 until m).map { j =>
+      kmeansCentroids(
+        corpus.select(col(idCol), slice(col(vecCol), j * sub + 1, sub).as(vecCol)),
+        kPerSub, iters, idCol, vecCol)
+    }
+  }
+
+  /** Encode each vector as its `m` per-subspace nearest-centroid codes
+    * — the compact representation PQ searches over (`m` small ints
+    * instead of `dim` floats: at `m=8`, `k=256` a 768-dim float vector
+    * compresses 384×). One shuffle-free map pass: every subspace's
+    * argmin folds over its literal codebook inside the scan stage; the
+    * sliced subvectors are materialized as columns FIRST (the fold's
+    * lambda captures them — the [[TextAnalysis.spanGrams]] contract).
+    * Output: `idCol`, `codes` (array of `m` codebook indices). */
+  def pqEncode(corpus: DataFrame, codebooks: Seq[Seq[Array[Long]]],
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val m = codebooks.length
+    require(m >= 1, "pqEncode: empty codebook list")
+    val sub = codebooks.head.head.length
+    val sliced = corpus
+      .select(col(idCol), scaledVec(col(vecCol)).as("__sv"))
+      .select(col(idCol) +: (0 until m).map(j =>
+        slice(col("__sv"), j * sub + 1, sub).as(s"__sv$j")): _*)
+    sliced
+      .select(col(idCol) +: (0 until m).map(j =>
+        nearestScaled(col(s"__sv$j"), codebooks(j)).getField("cid").as(s"__c$j")): _*)
+      .select(col(idCol),
+        array((0 until m).map(j => col(s"__c$j")): _*).as("codes"))
+  }
+
+  /** PQ top-k by asymmetric distance (ADC): the query stays a full
+    * scaled vector, the corpus is its `codes`, and the approximate
+    * distance is the sum over subspaces of the EXACT scaled squared
+    * distance from the query's subvector to the centroid the code
+    * names. All-integer arithmetic → bit-deterministic ranking
+    * (distance asc, id asc).
+    *
+    * Scale shape: queries are a bounded broadcast batch (the
+    * [[bruteForceKnn]] contract); the corpus side streams its compact
+    * codes through `m` literal-codebook lookups per query — the
+    * quantized-scan kernel that makes PQ memory-bound instead of
+    * FLOP-bound. In production this composes with IVF cells exactly
+    * like [[ivfKnnIndexed]] (IVF-PQ: prune candidates by cell, score
+    * survivors by ADC); here the full-scan form keeps the oracle
+    * exact. */
+  def pqTopK(codes: DataFrame, codebooks: Seq[Seq[Array[Long]]],
+             queries: DataFrame, k: Int, idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame = {
+    val m = codebooks.length
+    require(m >= 1, "pqTopK: empty codebook list")
+    val sub = codebooks.head.head.length
+    val q = queries
+      .select(col(idCol).as("qid"), scaledVec(col(vecCol)).as("__qs"))
+      .select(col("qid") +: (0 until m).map(j =>
+        slice(col("__qs"), j * sub + 1, sub).as(s"__qs$j")): _*)
+    val subDists = (0 until m).map { j =>
+      val cb = array(codebooks(j).map(cvec => typedlit(cvec.toSeq)): _*)
+      aggregate(
+        zip_with(col(s"__qs$j"),
+          element_at(cb, (col("codes").getItem(j) + 1).cast("int")),
+          (a, b) => (a - b) * (a - b)),
+        lit(0L), (s, x) => s + x)
+    }
+    val w = Window.partitionBy("qid").orderBy(col("adist"), col(idCol))
+    codes.join(broadcast(q), col(idCol) =!= col("qid"))
+      .withColumn("adist", subDists.reduce(_ + _))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col(idCol), col("rnk"), col("adist"))
   }
 
   /** The query batch's `nProbe` nearest cells, one output row per

@@ -132,7 +132,16 @@ object TextAnalysis {
     * than copying the document. Documents shorter than `n` tokens
     * yield an empty array — guarded explicitly because
     * `sequence(1, len-n+1)` would otherwise generate a DESCENDING
-    * range when `len < n`. */
+    * range when `len < n`.
+    *
+    * CALLER CONTRACT: pass `ws` as a MATERIALIZED column reference
+    * (`.select(tokenExpr.as("toks"))` first, then
+    * `spanGrams(col("toks"), n)`), never an inline expression tree.
+    * The slice lambda CAPTURES `ws`, and Spark performs no
+    * subexpression elimination inside higher-order-function lambdas —
+    * an inline `split(normalize(text))` would re-run its regexes once
+    * per SPAN instead of once per document (measured 7x slower at
+    * harness scale, and span-count-proportional at 100 TB). */
   def spanGrams(ws: Column, n: Int): Column = {
     require(n > 0, s"spanGrams: span length must be positive, got $n")
     when(size(ws) >= n,

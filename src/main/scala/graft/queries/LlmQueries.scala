@@ -716,8 +716,15 @@ object LlmQueries {
       (s, d) =>
         val toks = split(TextAnalysis.normalize(col("text")), " ")
         docsHeavy(s, d)
+          // Materialize the token array BEFORE spanGrams: the slice
+          // lambda inside transform() re-evaluates captured subtrees
+          // per element (no subexpression elimination inside
+          // higher-order lambdas), so inlining `toks` would re-run the
+          // normalize regexes once per SPAN instead of once per doc —
+          // measured 7x slower at sf0.1 (see spanGrams scaladoc).
+          .select(col("doc_id"), toks.as("toks"))
           .select(col("doc_id"),
-            explode(TextAnalysis.spanGrams(toks, 8)).as("span"))
+            explode(TextAnalysis.spanGrams(col("toks"), 8)).as("span"))
           .groupBy("span")
           .agg(countDistinct(col("doc_id")).as("n_docs"),
             count(lit(1)).as("n_occ"))

@@ -22,41 +22,47 @@ object SimilarityQueries {
   private def cosSql(a: String, b: String): String =
     s"round(${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)}), 6)"
 
-  /** Shared q68/q69 oracle CTE chain: two unrolled Lloyd iterations in
-    * the same scaled-integer space as [[graft.ops.Similarity.kmeansFit]]
-    * (init = 8 smallest vec_ids; exact bigint squared euclidean;
-    * centroid update = integer sum-div-count; empty cells keep their
-    * centroid). `a2` = each vector's final (cid, dist). */
-  private val kmeansCtesSql: String =
-    """sv AS (
-      |  SELECT vec_id,
-      |         list_transform(embedding, x -> CAST(round((CAST(x AS DOUBLE) + 4.0) * 1000000.0) AS BIGINT)) AS s
-      |  FROM embeddings),
-      |init AS (
-      |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, s
-      |  FROM (SELECT * FROM sv ORDER BY vec_id LIMIT 8)),
-      |a1 AS (
-      |  SELECT vec_id, cid FROM (
-      |    SELECT v.vec_id, c.cid,
-      |           row_number() OVER (PARTITION BY v.vec_id
-      |             ORDER BY list_sum(list_transform(v.s, (x, i) -> (x - c.s[i]) * (x - c.s[i]))), c.cid) AS rn
-      |    FROM sv v CROSS JOIN init c) WHERE rn = 1),
-      |u AS (
-      |  SELECT a.cid, generate_subscripts(v.s, 1) AS i, unnest(v.s) AS x
-      |  FROM a1 a JOIN sv v USING (vec_id)),
-      |c1 AS (
-      |  SELECT init.cid, coalesce(agg.s, init.s) AS s
-      |  FROM init LEFT JOIN (
-      |    SELECT cid, list(q ORDER BY i) AS s
-      |    FROM (SELECT cid, i, sum(x) // count(*) AS q FROM u GROUP BY cid, i)
-      |    GROUP BY cid) agg USING (cid)),
-      |a2 AS (
-      |  SELECT vec_id, cid, dist FROM (
-      |    SELECT v.vec_id, c.cid,
-      |           list_sum(list_transform(v.s, (x, i) -> (x - c.s[i]) * (x - c.s[i]))) AS dist,
-      |           row_number() OVER (PARTITION BY v.vec_id
-      |             ORDER BY list_sum(list_transform(v.s, (x, i) -> (x - c.s[i]) * (x - c.s[i]))), c.cid) AS rn
-      |    FROM sv v CROSS JOIN c1 c) WHERE rn = 1)""".stripMargin
+  /** Unrolled two-iteration Lloyd CTE chain in the same scaled-integer
+    * space as [[graft.ops.Similarity.kmeansFit]] (init = `k`
+    * smallest vec_ids; exact bigint squared euclidean; centroid update
+    * = integer sum-div-count; empty cells keep their centroid),
+    * parameterized so the PQ oracle (q82) can train one chain PER
+    * SUBSPACE over a sliced vector: every CTE name carries `sfx`, the
+    * trained codebook is `c1$sfx`, and `a2$sfx` = each vector's final
+    * (cid, dist) under it. */
+  private def kmeansCtes(sfx: String, vecExpr: String, k: Int): String =
+    s"""sv$sfx AS (
+       |  SELECT vec_id,
+       |         list_transform($vecExpr, x -> CAST(round((CAST(x AS DOUBLE) + 4.0) * 1000000.0) AS BIGINT)) AS s
+       |  FROM embeddings),
+       |init$sfx AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, s
+       |  FROM (SELECT * FROM sv$sfx ORDER BY vec_id LIMIT $k)),
+       |a1$sfx AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT v.vec_id, c.cid,
+       |           row_number() OVER (PARTITION BY v.vec_id
+       |             ORDER BY list_sum(list_transform(v.s, (x, i) -> (x - c.s[i]) * (x - c.s[i]))), c.cid) AS rn
+       |    FROM sv$sfx v CROSS JOIN init$sfx c) WHERE rn = 1),
+       |u$sfx AS (
+       |  SELECT a.cid, generate_subscripts(v.s, 1) AS i, unnest(v.s) AS x
+       |  FROM a1$sfx a JOIN sv$sfx v USING (vec_id)),
+       |c1$sfx AS (
+       |  SELECT init$sfx.cid, coalesce(agg.s, init$sfx.s) AS s
+       |  FROM init$sfx LEFT JOIN (
+       |    SELECT cid, list(q ORDER BY i) AS s
+       |    FROM (SELECT cid, i, sum(x) // count(*) AS q FROM u$sfx GROUP BY cid, i)
+       |    GROUP BY cid) agg USING (cid)),
+       |a2$sfx AS (
+       |  SELECT vec_id, cid, dist FROM (
+       |    SELECT v.vec_id, c.cid,
+       |           list_sum(list_transform(v.s, (x, i) -> (x - c.s[i]) * (x - c.s[i]))) AS dist,
+       |           row_number() OVER (PARTITION BY v.vec_id
+       |             ORDER BY list_sum(list_transform(v.s, (x, i) -> (x - c.s[i]) * (x - c.s[i]))), c.cid) AS rn
+       |    FROM sv$sfx v CROSS JOIN c1$sfx c) WHERE rn = 1)""".stripMargin
+
+  /** Shared q68/q69 chain: the whole vector, k = 8, no suffix. */
+  private val kmeansCtesSql: String = kmeansCtes("", "embedding", 8)
 
   val all: Seq[Q] = Seq(
 
@@ -165,6 +171,58 @@ object SimilarityQueries {
           .select(col("vec_id_2").as("vec_id")).distinct()
         withVec.join(dropped, Seq("vec_id"), "left_anti")
           .select(col("vec_id"), col("cid"))
+    },
+
+    // Product quantization ANN (Jégou et al.): the 64-dim vector
+    // splits into 4 subspaces of 16 dims, each trained to its own
+    // 4-entry scaled-integer k-means codebook (the q68 recipe, once
+    // per subspace); vectors compress to 4 codes; queries rank the
+    // corpus by ASYMMETRIC distance — sum over subspaces of the exact
+    // bigint squared distance from the query's subvector to the
+    // centroid each code names. All-integer → the oracle unrolls the
+    // same four training chains and agrees bit-for-bit. At scale the
+    // codes table is the memory story (4 bytes/vector here; 8-byte
+    // codes for 768-dim in production) and ADC is the quantized-scan
+    // kernel; production composes it with IVF cells (IVF-PQ) exactly
+    // like q41/q55 compose cells with exact cosine.
+    Q("q82_pq_ann", {
+      val subs = 0 until 4
+      val chains = subs.map(j =>
+        kmeansCtes(j.toString, s"embedding[${j * 16 + 1}:${(j + 1) * 16}]", 4))
+        .mkString(",\n")
+      val codeCols = subs.map(j => s"v$j.cid AS c$j").mkString(", ")
+      val codeJoins = subs.map(j =>
+        if (j == 0) "FROM a20 v0"
+        else s"JOIN a2$j v$j USING (vec_id)").mkString(" ")
+      val cbJoins = subs.map(j => s"JOIN c1$j k$j ON k$j.cid = codes.c$j").mkString(" ")
+      val distTerms = subs.map(j =>
+        s"list_sum(list_transform(range(1,17), i -> (q.qs[${j * 16} + i] - k$j.s[i]) * (q.qs[${j * 16} + i] - k$j.s[i])))")
+        .mkString("\n         + ")
+      s"""WITH $chains,
+         |q AS (
+         |  SELECT vec_id AS qid,
+         |         list_transform(embedding, x -> CAST(round((CAST(x AS DOUBLE) + 4.0) * 1000000.0) AS BIGINT)) AS qs
+         |  FROM embeddings WHERE vec_id % 50 = 0),
+         |codes AS (
+         |  SELECT v0.vec_id, $codeCols $codeJoins),
+         |adc AS (
+         |  SELECT q.qid, codes.vec_id,
+         |         $distTerms AS adist
+         |  FROM q CROSS JOIN codes $cbJoins
+         |  WHERE codes.vec_id <> q.qid),
+         |ranked AS (
+         |  SELECT qid, vec_id, adist,
+         |         row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rnk
+         |  FROM adc)
+         |SELECT qid, vec_id, CAST(rnk AS BIGINT) AS rnk, CAST(adist AS BIGINT) AS adist
+         |FROM ranked WHERE rnk <= 5""".stripMargin
+    }) {
+      (s, d) =>
+        val e = table(s, d, "embeddings")
+        val cbs = Similarity.pqTrainCodebooks(e, dim = 64, m = 4, kPerSub = 4, iters = 2)
+        val codes = Similarity.pqEncode(e, cbs)
+        Similarity.pqTopK(codes, cbs, e.filter(col("vec_id") % 50 === 0), k = 5)
+          .withColumn("rnk", col("rnk").cast("bigint"))
     },
 
     // IVF with nProbe = 2 — the recall/cost knob of a real IVF

@@ -123,6 +123,30 @@ object ExtensionQueries {
             max(graft.functions.Functions.cents(col("o_totalprice"))).as("max_cents"))
     },
 
+    // Bloom-filtered semi join (RuntimeFilter.bloomSemiJoin): the
+    // key-side sketch builds distributed, re-enters the plan as a
+    // bounded binary literal, and prunes the fact INSIDE its scan
+    // stage before the exact semi join — so the join shuffles true
+    // matches plus the false-positive tail, not the full fact table.
+    // The oracle is the PLAIN semi join: the exact join clears false
+    // positives, so the reduction must be row-invisible (the salted
+    // join/q19 proof pattern). PlanSpec pins the might_contain filter
+    // under the join.
+    Q("q84_bloom_semijoin",
+      """SELECT e.event_id, e.user_id, e.event_type
+        |FROM events e
+        |WHERE EXISTS (SELECT 1 FROM customer c
+        |              WHERE c.c_custkey = e.user_id AND c.c_acctbal >= 9000)""".stripMargin) {
+      (s, d) =>
+        val keys = table(s, d, "customer")
+          .filter(col("c_acctbal") >= 9000)
+          .select(col("c_custkey").as("user_id"))
+        graft.ops.RuntimeFilter.bloomSemiJoin(
+            table(s, d, "events"), keys, "user_id",
+            estItems = 100000L, numBits = 1L << 20)
+          .select("event_id", "user_id", "event_type")
+    },
+
     // Salted skew join: the hot-key mitigation (one hot key = one
     // straggler task at 100 TB). The oracle is the PLAIN join — the
     // whole point is that salting spreads rows without changing the

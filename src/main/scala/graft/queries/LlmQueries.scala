@@ -1078,6 +1078,39 @@ object LlmQueries {
           .select("doc_id", "lang", "n_tok", "seq_id", "seq_off")
     },
 
+    // Rare-token-ratio quality gate: the share of a document's tokens
+    // that are corpus-rare (document frequency ≤ 2) — the
+    // OOV/gibberish signal CCNet-style pipelines get from LM
+    // perplexity, formulated in EXACT integer space instead: a float
+    // log-prob would hang cross-engine agreement on libm ulp behavior
+    // (the q64 idf lesson), while counts and a cross-multiplied
+    // integer compare (n_rare·10 < n_tokens, i.e. <10% rare) are
+    // hash-stable by construction. Reads the persisted tf index, df
+    // derives FROM tf, and the term join is salted 16 ways like q64
+    // (a stopword's tf rows would otherwise pile one shuffle
+    // partition).
+    Q("q83_rare_token_ratio",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w),
+        |df AS (SELECT w, count(*) AS dfreq FROM tf GROUP BY w)
+        |SELECT tf.doc_id,
+        |       CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+        |       CAST(sum(CASE WHEN df.dfreq <= 2 THEN tf.tf ELSE 0 END) AS BIGINT) AS n_rare,
+        |       CAST(CASE WHEN sum(CASE WHEN df.dfreq <= 2 THEN tf.tf ELSE 0 END) * 10
+        |                      < sum(tf.tf) THEN 1 ELSE 0 END AS INT) AS quality_ok
+        |FROM tf JOIN df ON tf.w = df.w
+        |GROUP BY tf.doc_id""".stripMargin) {
+      (s, d) =>
+        val tf = Indexes.termFrequencies(s, d)
+        val dfreq = tf.groupBy("w").agg(count(lit(1)).as("dfreq"))
+        graft.ops.Skew.saltedJoin(tf, dfreq, "w", saltBy = col("doc_id"), salts = 16)
+          .groupBy("doc_id")
+          .agg(sum(col("tf")).as("n_tokens"),
+            sum(when(col("dfreq") <= 2, col("tf")).otherwise(0L)).as("n_rare"))
+          .withColumn("quality_ok",
+            when(col("n_rare") * 10 < col("n_tokens"), 1).otherwise(0).cast("int"))
+    },
+
     // TF-IDF keyword extraction: corpus-level document frequencies
     // feeding per-doc term ranking — the classic text-feature step.
     // The idf factor is INTEGER-scaled (tf · ⌊N·10^6/df⌋) so scoring

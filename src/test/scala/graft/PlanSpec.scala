@@ -129,6 +129,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("q84: the bloom prune filters the fact scan stage below the exact semi join") {
+    // The sketch is a plan literal probed by might_contain INSIDE the
+    // fact's scan stage; the exact semi join above it then shuffles/
+    // broadcasts only the pruned stream. At 100 TB the prune is the
+    // difference between shuffling the fact table and shuffling its
+    // matching slice.
+    val plan = planOf("q84_bloom_semijoin")
+    assert(plan.contains("might_contain"), s"no bloom prune:\n${plan.take(2000)}")
+    val pruneLine = plan.linesIterator.indexWhere(_.contains("might_contain"))
+    val joinLine = plan.linesIterator.indexWhere(_.contains("Join"))
+    assert(joinLine >= 0 && pruneLine > joinLine,
+      "prune should sit under (print below) the join")
+  }
+
   test("q72: JSON extraction prunes the scan to the referenced columns") {
     // JSON fields are opaque to parquet (the filter on an extracted
     // field CANNOT push into the footer — it evaluates post-scan,

@@ -105,6 +105,26 @@ object ExtensionQueries {
           .select("l_orderkey", "l_linenumber", "campaign_id", "ship_day")
     },
 
+    // GROUPING SETS — the general multi-grouping form (q25's rollup is
+    // the prefix-hierarchy special case): three grouping sets in ONE
+    // pass over the scan via the Expand operator, partial aggregation
+    // per set — never three scans. Expressed through spark.sql (the
+    // engine's SQL surface is first-class; GROUPING SETS has no
+    // DataFrame spelling pre-4.0 worth preferring).
+    Q("q85_grouping_sets",
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())""".stripMargin) {
+      (s, d) =>
+        table(s, d, "orders").createOrReplaceTempView("orders_gs")
+        s.sql(
+          """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+            |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+            |FROM orders_gs
+            |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())""".stripMargin)
+    },
+
     // Equi-width histogram profile — the data-profiling pass that
     // sizes everything else (bucket boundaries for range partitioning,
     // skew detection, layout decisions). One hash aggregation with

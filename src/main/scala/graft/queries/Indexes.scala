@@ -175,6 +175,39 @@ object Indexes {
     st.read("kmeans_cells")
   }
 
+  /** Trained PQ codebooks (4 subspaces × 4 entries over the 64-dim
+    * `embeddings`, 2 Lloyd iterations each — the declared q82 config).
+    * Driver-side by nature (a codebook IS bounded metadata, the
+    * [[graft.ops.Similarity.MaxCentroids]] discipline); memoized per
+    * corpus so the four training passes run once per process. In
+    * production the codebooks serialize next to the codes table as
+    * part of the index generation. */
+  private val pqCodebookCache =
+    scala.collection.mutable.Map.empty[String, Seq[Seq[Array[Long]]]]
+  def pqCodebooks(spark: SparkSession, sfDir: String): Seq[Seq[Array[Long]]] =
+    lock.synchronized {
+      pqCodebookCache.getOrElseUpdate(sfDir,
+        graft.ops.Similarity.pqTrainCodebooks(
+          graft.io.Sources.table(spark, sfDir, "embeddings"),
+          dim = 64, m = 4, kPerSub = 4, iters = 2))
+    }
+
+  /** PQ codes (vec_id, codes array<bigint>) — the compact searched
+    * representation, encoded once per corpus from [[pqCodebooks]] and
+    * landed as a table. ADC queries stream THIS table; encoding (m
+    * argmin folds over the scan) never re-runs per query batch.
+    * Deterministic integer math end-to-end, so the persisted codes
+    * are bit-identical to an inline encode (q82's oracle pins the
+    * whole chain). */
+  def pqCodes(spark: SparkSession, sfDir: String): DataFrame = lock.synchronized {
+    val st = store(spark, sfDir)
+    if (!st.exists("pq_codes"))
+      st.overwrite("pq_codes", graft.ops.Similarity.pqEncode(
+        graft.io.Sources.tableRebalanced(spark, sfDir, "embeddings"),
+        pqCodebooks(spark, sfDir)))
+    st.read("pq_codes")
+  }
+
   /** Random-hyperplane band signatures (vec_id, b0, b1) over the
     * `embeddings` table — the cosine-space analogue of [[signatures]]:
     * the 16 hyperplane dot products per vector are the dominant scan,

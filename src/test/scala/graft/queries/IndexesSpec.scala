@@ -56,4 +56,17 @@ class IndexesSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(fromIndex === inline)
   }
+
+  test("PQ codes round-trip the inline train+encode bit-exactly") {
+    val e = graft.io.Sources.table(spark, sf, "embeddings")
+    val inlineCbs = Similarity.pqTrainCodebooks(e, dim = 64, m = 4,
+      kPerSub = 4, iters = 2)
+    assert(Indexes.pqCodebooks(spark, sf).map(_.map(_.toSeq)) ===
+      inlineCbs.map(_.map(_.toSeq)))
+    val inlineCodes = Similarity.pqEncode(e, inlineCbs)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    val fromIndex = Indexes.pqCodes(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(fromIndex === inlineCodes)
+  }
 }

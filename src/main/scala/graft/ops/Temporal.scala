@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Temporal / as-of joins (SURVEY.md J6; reference `report.py:38-41`):
@@ -54,6 +55,72 @@ object Temporal {
     val pt = points.withColumn("__bucket", bucketOf(point))
     pt.join(iv, pt("__bucket") === iv("__bucket") && point >= start && point < end)
       .drop("__bucket")
+  }
+
+  /** Backward as-of join (the `merge_asof` shape): for every LEFT row,
+    * the latest RIGHT row of the same key with `rightTs <= leftTs` —
+    * the last-known-sensor-reading / last-view-before-purchase lookup
+    * every time-series feature pipeline runs.
+    *
+    * NOT implemented as a join: a key+range join explodes to one row
+    * per (left, earlier-right) pair before any per-left argmax can
+    * prune — at 100 TB the pair blow-up is the job. Instead both
+    * sides UNION into one stream tagged by side, and one window pass
+    * per key (ordered by ts, right rows before left rows on ties so
+    * `<=` holds, right-id ascending so equal-ts right rows resolve to
+    * the LARGEST id deterministically) carries the last right row
+    * forward via `last_value(ignoreNulls)`. Cost: ONE shuffle of
+    * left+right on the key, no pair multiplication, no range probe.
+    *
+    * Output: every `left` row plus `asof_ts` / `asof_id` of the
+    * matched right row (null when no right row precedes). `tolerance`
+    * (same unit as the timestamps' ordering type, applied as
+    * `leftTs - asof_ts <= tolerance` on epoch seconds) nulls out
+    * stale matches. */
+  def asofBackward(left: DataFrame, right: DataFrame, key: String,
+                   leftTs: String, rightTs: String, rightId: String,
+                   toleranceSec: Option[Long] = None): DataFrame = {
+    val l = left.withColumn("__is_left", lit(1))
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__rts", lit(null).cast("timestamp"))
+      .withColumn("__rid", lit(null).cast("long"))
+    val r = right.select(col(key), col(rightTs), col(rightId))
+      .withColumn("__is_left", lit(0))
+      .withColumn("__ts", col(rightTs))
+      .withColumn("__rts", col(rightTs))
+      .withColumn("__rid", col(rightId).cast("long"))
+    val unioned = l.select(
+      left.columns.map(col) ++ Seq(col("__is_left"), col("__ts"), col("__rts"), col("__rid")): _*)
+      .unionByName(r.select(
+        left.schema.fields.map(f =>
+          if (f.name == key) col(key)
+          else lit(null).cast(f.dataType).as(f.name)).toIndexedSeq ++
+          Seq(col("__is_left"), col("__ts"), col("__rts"), col("__rid")): _*))
+    // Right rows sort before left rows at equal ts (so <= matches);
+    // among equal-ts right rows the largest id wins (documented
+    // deterministic tie-break). The carried struct must be NULL (not a
+    // struct of nulls) on left rows — `last(ignoreNulls)` skips null
+    // values, not null fields.
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__ts"), col("__is_left"), col("__rid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = unioned
+      .withColumn("__asof",
+        last(when(col("__is_left") === 0,
+          struct(col("__rts"), col("__rid"))), ignoreNulls = true).over(w))
+      .filter(col("__is_left") === 1)
+    val withAsof = matched
+      .withColumn("asof_ts", col("__asof.__rts"))
+      .withColumn("asof_id", col("__asof.__rid"))
+    val bounded = toleranceSec match {
+      case Some(tol) =>
+        val fresh = unix_timestamp(col(leftTs)) - unix_timestamp(col("asof_ts")) <= tol
+        withAsof
+          .withColumn("asof_id", when(fresh, col("asof_id")))
+          .withColumn("asof_ts", when(fresh, col("asof_ts")))
+      case None => withAsof
+    }
+    bounded.select(left.columns.map(col) :+ col("asof_ts") :+ col("asof_id"): _*)
   }
 
   /** As-of join a fact to an SCD2 dimension. Strictness of the range

@@ -105,6 +105,34 @@ object ExtensionQueries {
           .select("l_orderkey", "l_linenumber", "campaign_id", "ship_day")
     },
 
+    // Backward as-of join (merge_asof): each purchase matched to the
+    // user's latest view at-or-before it — the last-known-reading
+    // lookup of every time-series feature pipeline. The Spark side is
+    // Temporal.asofBackward's union+window formulation: ONE key
+    // shuffle, no key+range join (which multiplies to one row per
+    // (left, earlier-right) pair before any argmax can prune — at
+    // 100 TB that blow-up is the job). The oracle IS that naive
+    // join+argmax, so the window formulation must reproduce it
+    // exactly, ties and all.
+    Q("q86_asof_join",
+      """WITH v AS (SELECT user_id, ts AS vts, event_id AS vid FROM events
+        |           WHERE event_type = 'view'),
+        |p AS (SELECT event_id AS pid, user_id, ts AS pts FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT p.pid, p.user_id, p.pts, max(v.vts) AS asof_ts
+        |FROM p LEFT JOIN v ON v.user_id = p.user_id AND v.vts <= p.pts
+        |GROUP BY p.pid, p.user_id, p.pts""".stripMargin) {
+      (s, d) =>
+        val e = table(s, d, "events")
+        val views = e.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts").as("vts"), col("event_id").as("vid"))
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("pid"), col("user_id"), col("ts").as("pts"))
+        graft.ops.Temporal.asofBackward(purchases, views, key = "user_id",
+            leftTs = "pts", rightTs = "vts", rightId = "vid")
+          .select("pid", "user_id", "pts", "asof_ts")
+    },
+
     // GROUPING SETS — the general multi-grouping form (q25's rollup is
     // the prefix-hierarchy special case): three grouping sets in ONE
     // pass over the scan via the Expand operator, partial aggregation

@@ -99,4 +99,53 @@ class TemporalSpec extends AnyFunSuite {
         point = col("p"), start = col("s"), end = col("e"), bucketWidth = 0L)
     }
   }
+
+  // --- asofBackward: the union+window merge_asof ---
+
+  private val abLeft = Seq(
+    (100L, "u1", ts("2024-01-10 00:00:00")),
+    (101L, "u1", ts("2024-01-20 00:00:00")),
+    (102L, "u2", ts("2024-01-05 00:00:00")), // before any right row
+    (103L, "u3", ts("2024-01-05 00:00:00"))) // key with no right rows
+    .toDF("lid", "k", "lts")
+  private val abRight = Seq(
+    (1L, "u1", ts("2024-01-08 00:00:00")),
+    (2L, "u1", ts("2024-01-10 00:00:00")), // equal ts: <= must match
+    (3L, "u1", ts("2024-01-10 00:00:00")), // equal ts tie: larger id wins
+    (4L, "u1", ts("2024-01-15 00:00:00")),
+    (5L, "u2", ts("2024-01-09 00:00:00")))
+    .toDF("rid", "k", "rts")
+
+  private def abRun(tol: Option[Long] = None) =
+    Temporal.asofBackward(abLeft, abRight, key = "k",
+        leftTs = "lts", rightTs = "rts", rightId = "rid", toleranceSec = tol)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getTimestamp(3)).map(_.toString).orNull,
+          if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+
+  test("asofBackward: latest right at-or-before, inclusive ties, max-id tie-break") {
+    val got = abRun()
+    assert(got(100L) === (("2024-01-10 00:00:00.0", 3L))) // equal ts matches; rid 3 > 2
+    assert(got(101L) === (("2024-01-15 00:00:00.0", 4L)))
+    assert(got(102L) === ((null, -1L))) // no right row precedes
+    assert(got(103L) === ((null, -1L))) // key absent from right side
+  }
+
+  test("asofBackward tolerance nulls out stale matches") {
+    // 101's match is 5 days old; a 1-day tolerance drops it, while
+    // 100's same-instant match survives.
+    val got = abRun(tol = Some(86400L))
+    assert(got(100L) === (("2024-01-10 00:00:00.0", 3L)))
+    assert(got(101L) === ((null, -1L)))
+  }
+
+  test("asofBackward plans one window over the union — no join anywhere") {
+    val plan = Temporal.asofBackward(abLeft, abRight, key = "k",
+        leftTs = "lts", rightTs = "rts", rightId = "rid")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"asof fell back to a join:\n$plan")
+    val windows = plan.linesIterator.count(l => l.trim.startsWith("Window ") ||
+      l.trim.matches("^[+:\\-\\s]*Window \\[.*"))
+    assert(windows === 1, s"expected 1 Window exec, got $windows:\n$plan")
+  }
 }

@@ -57,6 +57,42 @@ object Temporal {
       .drop("__bucket")
   }
 
+  /** Interval-overlap join (interval × interval, half-open semantics:
+    * overlap iff `lStart < rEnd && rStart < lEnd`) with NO equi key —
+    * the meeting-scheduler / downtime-correlation / validity-window
+    * shape. Same bucketing rewrite as [[rangeJoin]], with one extra
+    * idea: BOTH sides explode into their covered buckets, so an
+    * overlapping pair meets in every shared bucket — instead of a
+    * `distinct` pass over the multiplied matches (a full extra
+    * shuffle of the result), each pair is emitted only by the bucket
+    * that OWNS it: the bucket containing `greatest(lStart, rStart)`,
+    * the first instant of the intersection. Both sides provably cover
+    * that bucket, and exactly one joined bucket satisfies the
+    * ownership predicate, so the pair set needs no dedup — the
+    * residual does what the extra exchange would have.
+    *
+    * Work ∝ Σ spans/width on each side + matches, one shuffle each
+    * side on the bucket id. Empty/inverted intervals drop before the
+    * explode (descending `sequence` hazard, as in [[rangeJoin]]). */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+                          lStart: Column, lEnd: Column,
+                          rStart: Column, rEnd: Column,
+                          bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0,
+      s"intervalOverlapJoin: bucketWidth must be positive, got $bucketWidth")
+    val w = lit(bucketWidth.toDouble)
+    def bucketOf(c: Column): Column = floor(c / w).cast("long")
+    val l = left.filter(lEnd > lStart).withColumn("__lb",
+      explode(sequence(bucketOf(lStart), bucketOf(lEnd - 1))))
+    val r = right.filter(rEnd > rStart).withColumn("__rb",
+      explode(sequence(bucketOf(rStart), bucketOf(rEnd - 1))))
+    l.join(r,
+        col("__lb") === col("__rb") &&
+          lStart < rEnd && rStart < lEnd &&
+          col("__lb") === bucketOf(greatest(lStart, rStart)))
+      .drop("__lb", "__rb")
+  }
+
   /** Backward as-of join (the `merge_asof` shape): for every LEFT row,
     * the latest RIGHT row of the same key with `rightTs <= leftTs` —
     * the last-known-sensor-reading / last-view-before-purchase lookup

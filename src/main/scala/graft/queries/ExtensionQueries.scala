@@ -105,6 +105,44 @@ object ExtensionQueries {
           .select("l_orderkey", "l_linenumber", "campaign_id", "ship_day")
     },
 
+    // Interval-overlap join (interval × interval, no equi key):
+    // overlapping pairs of two order-derived campaign window sets,
+    // through Temporal.intervalOverlapJoin's bucketed rewrite — both
+    // sides explode into week buckets, and each overlapping pair is
+    // emitted ONLY by the bucket owning the intersection's first
+    // instant, so no distinct pass exists anywhere. The oracle is the
+    // plain inequality join; overlap length comes out in integer days.
+    Q("q87_interval_overlap",
+      """WITH a AS (SELECT o_orderkey AS aid,
+        |                  datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS a_start,
+        |                  datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) + 7 AS a_end
+        |           FROM orders WHERE o_orderkey % 500 = 0),
+        |b AS (SELECT o_orderkey AS bid,
+        |             datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS b_start,
+        |             datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) + 14 AS b_end
+        |      FROM orders WHERE o_orderkey % 300 = 7)
+        |SELECT a.aid, b.bid,
+        |       CAST(least(a.a_end, b.b_end) - greatest(a.a_start, b.b_start) AS BIGINT) AS overlap_days
+        |FROM a JOIN b ON a.a_start < b.b_end AND b.b_start < a.a_end""".stripMargin) {
+      (s, d) =>
+        val day0 = lit("1992-01-01").cast("date")
+        def dayOf(c: org.apache.spark.sql.Column) = datediff(c.cast("date"), day0).cast("long")
+        val a = table(s, d, "orders").filter(col("o_orderkey") % 500 === 0)
+          .select(col("o_orderkey").as("aid"),
+            dayOf(col("o_orderdate")).as("a_start"),
+            (dayOf(col("o_orderdate")) + 7).as("a_end"))
+        val b = table(s, d, "orders").filter(col("o_orderkey") % 300 === 7)
+          .select(col("o_orderkey").as("bid"),
+            dayOf(col("o_orderdate")).as("b_start"),
+            (dayOf(col("o_orderdate")) + 14).as("b_end"))
+        graft.ops.Temporal.intervalOverlapJoin(a, b,
+            lStart = col("a_start"), lEnd = col("a_end"),
+            rStart = col("b_start"), rEnd = col("b_end"), bucketWidth = 7L)
+          .select(col("aid"), col("bid"),
+            (least(col("a_end"), col("b_end")) -
+              greatest(col("a_start"), col("b_start"))).as("overlap_days"))
+    },
+
     // Backward as-of join (merge_asof): each purchase matched to the
     // user's latest view at-or-before it — the last-known-reading
     // lookup of every time-series feature pipeline. The Spark side is
@@ -193,6 +231,72 @@ object ExtensionQueries {
             table(s, d, "events"), keys, "user_id",
             estItems = 100000L, numBits = 1L << 20)
           .select("event_id", "user_id", "event_type")
+    },
+
+    // INTERSECT / EXCEPT — the set operators (SURVEY §2.8 lists only
+    // UNION ALL in the reference; an engine needs all three). Both
+    // branches share one distinct-by-key shape; segment labels make
+    // the union one frame.
+    Q("q88_set_ops",
+      """WITH hi AS (SELECT c_custkey FROM customer WHERE c_acctbal >= 5000),
+        |ev AS (SELECT DISTINCT user_id AS c_custkey FROM events)
+        |SELECT 'active_rich' AS segment, c_custkey
+        |FROM ((SELECT c_custkey FROM hi) INTERSECT (SELECT c_custkey FROM ev))
+        |UNION ALL
+        |SELECT 'rich_silent' AS segment, c_custkey
+        |FROM ((SELECT c_custkey FROM hi) EXCEPT (SELECT c_custkey FROM ev))""".stripMargin) {
+      (s, d) =>
+        val hi = table(s, d, "customer")
+          .filter(col("c_acctbal") >= 5000).select("c_custkey")
+        val ev = table(s, d, "events")
+          .select(col("user_id").as("c_custkey")).distinct()
+        hi.intersect(ev).withColumn("segment", lit("active_rich"))
+          .unionByName(hi.except(ev).withColumn("segment", lit("rich_silent")))
+          .select("segment", "c_custkey")
+    },
+
+    // Equi-DEPTH histogram (deciles) — the boundary-based scale-safe
+    // formulation: 9 exact percentile boundaries in integer cents
+    // (one aggregate — q54 pins cross-engine percentile parity), then
+    // bucket assignment as a broadcast map pass counting boundaries
+    // strictly below each value. Deliberately NOT a global ntile()
+    // window: ntile orders the entire table in ONE partition — the
+    // canonical does-not-survive-100-TB plan; boundary counting gives
+    // the same profiling read with two aggregation passes.
+    Q("q89_equidepth_histogram", {
+      val qs = (1 to 9).map(i => i / 10.0)
+      val oracleBounds = qs.zipWithIndex.map { case (q, i) =>
+        s"quantile_cont(cents, $q) AS q${i + 1}" }.mkString(", ")
+      val oracleDecile = (1 to 9).map(i => s"CAST(c.cents > b.q$i AS INT)")
+        .mkString("1 + ", " + ", "")
+      s"""WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+         |b AS (SELECT $oracleBounds FROM c),
+         |t AS (SELECT c.cents, $oracleDecile AS decile FROM c CROSS JOIN b)
+         |SELECT CAST(decile AS INT) AS decile, count(*) AS n,
+         |       min(cents) AS min_cents, max(cents) AS max_cents
+         |FROM t GROUP BY decile""".stripMargin
+    }) {
+      (s, d) =>
+        val cents = table(s, d, "orders")
+          .select(graft.functions.Functions.cents(col("o_totalprice")).as("cents"))
+        val bounds = cents.agg(
+          percentile(col("cents"), lit(0.1)).as("q1"),
+          percentile(col("cents"), lit(0.2)).as("q2"),
+          percentile(col("cents"), lit(0.3)).as("q3"),
+          percentile(col("cents"), lit(0.4)).as("q4"),
+          percentile(col("cents"), lit(0.5)).as("q5"),
+          percentile(col("cents"), lit(0.6)).as("q6"),
+          percentile(col("cents"), lit(0.7)).as("q7"),
+          percentile(col("cents"), lit(0.8)).as("q8"),
+          percentile(col("cents"), lit(0.9)).as("q9"))
+        val decile = (1 to 9).map(i =>
+          when(col("cents") > col(s"q$i"), 1).otherwise(0))
+          .foldLeft(lit(1))(_ + _)
+        cents.crossJoin(broadcast(bounds))
+          .withColumn("decile", decile.cast("int"))
+          .groupBy("decile")
+          .agg(count(lit(1)).as("n"),
+            min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"))
     },
 
     // Salted skew join: the hot-key mitigation (one hot key = one

@@ -50,4 +50,25 @@ class RangeJoinPropertySpec extends AnyFunSuite {
       SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
     assert(result.passed, result.status.toString)
   }
+
+  test("bucket-ownership interval overlap equals the naive cross-filter for random inputs") {
+    val prop = Prop.forAll(genIntervals, genIntervals, genWidth) { (as, bs, w) =>
+      val a = as.toDF("aid", "as", "ae")
+      val b = bs.map { case (i, s, e) => (i + 1000, s, e) }.toDF("bid", "bs", "be")
+      val got = Temporal.intervalOverlapJoin(a, b,
+          col("as"), col("ae"), col("bs"), col("be"), bucketWidth = w)
+        .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val want = for {
+        (aid, s1, e1) <- as
+        (bid, s2, e2) <- bs.map { case (i, s, e) => (i + 1000, s, e) }
+        if s1 < e2 && s2 < e1 && e1 > s1 && e2 > s2
+      } yield (aid, bid)
+      (Prop(got.sorted == want.sorted) :|
+        s"width=$w got=${got.sorted} want=${want.sorted}") &&
+        (Prop(got.size == got.toSet.size) :| "duplicate pairs")
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(result.passed, result.status.toString)
+  }
 }

@@ -100,6 +100,30 @@ class TemporalSpec extends AnyFunSuite {
     }
   }
 
+  // --- intervalOverlapJoin: bucket-ownership dedup-free overlap ---
+
+  test("intervalOverlapJoin matches the naive cross-filter, each pair exactly once") {
+    val a = Seq((1L, 0L, 10L), (2L, 5L, 6L), (3L, 20L, 40L), (4L, 7L, 7L))
+      .toDF("aid", "as", "ae")
+    val b = Seq((10L, 8L, 25L), (11L, 0L, 3L), (12L, 39L, 60L), (13L, 50L, 45L))
+      .toDF("bid", "bs", "be")
+    val expected = a.crossJoin(b)
+      .filter(col("as") < col("be") && col("bs") < col("ae"))
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Sanity on half-open semantics: (1,10) overlap [0,10)x[8,25);
+    // (3,10) and (3,12); (1,11); empty interval 4 and inverted 13
+    // match nothing.
+    assert(expected === Set((1L, 10L), (1L, 11L), (3L, 10L), (3L, 12L)))
+    for (width <- Seq(1L, 4L, 7L, 100L)) {
+      val rows = Temporal.intervalOverlapJoin(a, b,
+          col("as"), col("ae"), col("bs"), col("be"), bucketWidth = width)
+        .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(rows.toSet === expected, s"width $width diverged")
+      assert(rows.size === rows.toSet.size,
+        s"width $width duplicated pairs despite bucket ownership")
+    }
+  }
+
   // --- asofBackward: the union+window merge_asof ---
 
   private val abLeft = Seq(

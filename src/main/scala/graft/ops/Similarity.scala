@@ -440,6 +440,48 @@ object Similarity {
       .select(col("qid"), col(idCol), col("rnk"), col("adist"))
   }
 
+  /** IVF-PQ: the production ANN composition — IVF cells prune the
+    * candidate set (only the query's own cell is scored, as
+    * [[ivfKnnIndexed]] at `nProbe = 1`), and the survivors are scored
+    * by PQ asymmetric distance over their compact codes instead of
+    * full vectors (as [[pqTopK]]). Per query the work drops from
+    * |corpus| × dim float ops to |cell| × m table lookups; both the
+    * `cells` assignment and the `codes` table are corpus artifacts
+    * materialized once (the index registry / q70 discipline).
+    * All-integer ADC → deterministic ranking (distance asc, id asc).
+    *
+    * `cells` = (idCol, cid[, …]) from [[kmeansFit]]/[[assignCells]];
+    * `codes` = (idCol, codes) from [[pqEncode]]; `queries` supplies
+    * full vectors (ADC is asymmetric: queries stay unquantized). */
+  def ivfPqTopK(cells: DataFrame, codes: DataFrame,
+                codebooks: Seq[Seq[Array[Long]]], queries: DataFrame, k: Int,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val m = codebooks.length
+    require(m >= 1, "ivfPqTopK: empty codebook list")
+    val sub = codebooks.head.head.length
+    val q = queries
+      .join(cells.select(col(idCol), col("cid")), Seq(idCol))
+      .select(col(idCol).as("qid"), col("cid").as("qcid"),
+        scaledVec(col(vecCol)).as("__qs"))
+      .select(col("qid") +: col("qcid") +: (0 until m).map(j =>
+        slice(col("__qs"), j * sub + 1, sub).as(s"__qs$j")): _*)
+    val subDists = (0 until m).map { j =>
+      val cb = array(codebooks(j).map(cvec => typedlit(cvec.toSeq)): _*)
+      aggregate(
+        zip_with(col(s"__qs$j"),
+          element_at(cb, (col("codes").getItem(j) + 1).cast("int")),
+          (a, b) => (a - b) * (a - b)),
+        lit(0L), (s, x) => s + x)
+    }
+    val w = Window.partitionBy("qid").orderBy(col("adist"), col(idCol))
+    codes.join(cells.select(col(idCol), col("cid")), Seq(idCol))
+      .join(broadcast(q), col("cid") === col("qcid") && col(idCol) =!= col("qid"))
+      .withColumn("adist", subDists.reduce(_ + _))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col(idCol), col("rnk"), col("adist"))
+  }
+
   /** The query batch's `nProbe` nearest cells, one output row per
     * (query, probed cell). The per-query sort runs as an array
     * expression over the literal codebook — interpreted, but the

@@ -230,6 +230,56 @@ object SimilarityQueries {
           .withColumn("rnk", col("rnk").cast("bigint"))
     },
 
+    // IVF-PQ — the production ANN composition, and the capstone of
+    // the similarity family: q68's trained cells prune candidates to
+    // the query's own cell, q82's codes+codebooks score the survivors
+    // by asymmetric distance. Per query: |cell| × m integer lookups,
+    // never |corpus| × dim float ops. Both corpus artifacts come from
+    // the index registry (built once per process); the oracle
+    // recomposes the ENTIRE chain from scratch — full-vector k-means
+    // cells, four subspace trainings, encode, in-cell ADC — and must
+    // hash-match bit-for-bit.
+    Q("q90_ivf_pq", {
+      val subs = 0 until 4
+      val chains = subs.map(j =>
+        kmeansCtes(j.toString, s"embedding[${j * 16 + 1}:${(j + 1) * 16}]", 4))
+        .mkString(",\n")
+      val codeCols = subs.map(j => s"v$j.cid AS c$j").mkString(", ")
+      val codeJoins = subs.map(j =>
+        if (j == 0) "FROM a20 v0"
+        else s"JOIN a2$j v$j USING (vec_id)").mkString(" ")
+      val cbJoins = subs.map(j => s"JOIN c1$j k$j ON k$j.cid = codes.c$j").mkString(" ")
+      val distTerms = subs.map(j =>
+        s"list_sum(list_transform(range(1,17), i -> (q.qs[${j * 16} + i] - k$j.s[i]) * (q.qs[${j * 16} + i] - k$j.s[i])))")
+        .mkString("\n         + ")
+      s"""WITH $kmeansCtesSql,
+         |$chains,
+         |q AS (
+         |  SELECT sv.vec_id AS qid, a2.cid AS qcid, sv.s AS qs
+         |  FROM sv JOIN a2 USING (vec_id) WHERE sv.vec_id % 50 = 0),
+         |codes AS (
+         |  SELECT v0.vec_id, $codeCols $codeJoins),
+         |adc AS (
+         |  SELECT q.qid, codes.vec_id,
+         |         $distTerms AS adist
+         |  FROM q JOIN a2 cell ON cell.cid = q.qcid AND cell.vec_id <> q.qid
+         |  JOIN codes ON codes.vec_id = cell.vec_id $cbJoins),
+         |ranked AS (
+         |  SELECT qid, vec_id, adist,
+         |         row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rnk
+         |  FROM adc)
+         |SELECT qid, vec_id, CAST(rnk AS BIGINT) AS rnk, CAST(adist AS BIGINT) AS adist
+         |FROM ranked WHERE rnk <= 5""".stripMargin
+    }) {
+      (s, d) =>
+        val cells = graft.queries.Indexes.kmeansCells(s, d)
+        Similarity.ivfPqTopK(cells,
+            graft.queries.Indexes.pqCodes(s, d),
+            graft.queries.Indexes.pqCodebooks(s, d),
+            table(s, d, "embeddings").filter(col("vec_id") % 50 === 0), k = 5)
+          .withColumn("rnk", col("rnk").cast("bigint"))
+    },
+
     // IVF with nProbe = 2 — the recall/cost knob of a real IVF
     // deployment: each query scores candidates from its TWO nearest
     // cells (2× the candidate cost of q41, still never the whole

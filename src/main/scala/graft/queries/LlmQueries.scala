@@ -1111,6 +1111,81 @@ object LlmQueries {
             when(col("n_rare") * 10 < col("n_tokens"), 1).otherwise(0).cast("int"))
     },
 
+    // Curation v2 — the composed release pipeline over the round's
+    // new gates, as ONE lineage: token-count bounds → rare-token
+    // (OOV/gibberish) gate → cross-document span-duplication gate
+    // (docs that are mostly duplicated passages drop). Every signal is
+    // exact integer math; the survivors ship with their gate stats.
+    // Shapes: tf/df ride the persisted index with the q64 salted
+    // join; the span side needs ONE explode (the per-doc span count
+    // is just greatest(tokens-7, 0) — a map expression, so only the
+    // duplicated-occurrence count touches the exploded stream). At
+    // 100 TB the span stream lands as an index table like the shingle
+    // front (same discipline, see Indexes).
+    Q("q91_curation_v2",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w),
+        |df AS (SELECT w, count(*) AS dfreq FROM tf GROUP BY w),
+        |tstats AS (
+        |  SELECT tf.doc_id, sum(tf.tf) AS n_tokens,
+        |         sum(CASE WHEN df.dfreq <= 2 THEN tf.tf ELSE 0 END) AS n_rare
+        |  FROM tf JOIN df ON tf.w = df.w GROUP BY tf.doc_id),
+        |norm AS (
+        |  SELECT doc_id,
+        |         string_split(trim(regexp_replace(regexp_replace(lower(text),
+        |           '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |nsp AS (SELECT doc_id, greatest(len(t) - 7, 0) AS n_spans FROM norm),
+        |spans AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(1, len(t) - 6),
+        |                               i -> array_to_string(t[i:i+7], ' '))) AS span
+        |  FROM norm),
+        |multi AS (SELECT span FROM spans GROUP BY span
+        |          HAVING count(DISTINCT doc_id) >= 2),
+        |nd AS (SELECT s.doc_id, count(*) AS n_dup
+        |       FROM spans s JOIN multi m ON s.span = m.span GROUP BY s.doc_id)
+        |SELECT t.doc_id, CAST(t.n_tokens AS BIGINT) AS n_tokens,
+        |       CAST(t.n_rare AS BIGINT) AS n_rare,
+        |       CAST(nsp.n_spans AS BIGINT) AS n_spans,
+        |       CAST(coalesce(nd.n_dup, 0) AS BIGINT) AS n_dup
+        |FROM tstats t
+        |JOIN nsp ON t.doc_id = nsp.doc_id
+        |LEFT JOIN nd ON t.doc_id = nd.doc_id
+        |WHERE t.n_tokens BETWEEN 20 AND 400
+        |  AND t.n_rare * 10 < t.n_tokens
+        |  AND coalesce(nd.n_dup, 0) * 2 <= nsp.n_spans""".stripMargin) {
+      (s, d) =>
+        val tf = Indexes.termFrequencies(s, d)
+        val dfreq = tf.groupBy("w").agg(count(lit(1)).as("dfreq"))
+        val tstats = graft.ops.Skew
+          .saltedJoin(tf, dfreq, "w", saltBy = col("doc_id"), salts = 16)
+          .groupBy("doc_id")
+          .agg(sum(col("tf")).as("n_tokens"),
+            sum(when(col("dfreq") <= 2, col("tf")).otherwise(0L)).as("n_rare"))
+        val toks = split(TextAnalysis.normalize(col("text")), " ")
+        // Materialized token array first — the spanGrams lambda-capture
+        // contract (q79).
+        val normed = docsHeavy(s, d).select(col("doc_id"), toks.as("toks"))
+        val nsp = normed.select(col("doc_id"),
+          greatest(size(col("toks")) - 7, lit(0)).cast("bigint").as("n_spans"))
+        val spans = normed.select(col("doc_id"),
+          explode(TextAnalysis.spanGrams(col("toks"), 8)).as("span"))
+        val multi = spans.groupBy("span")
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= 2).select("span")
+        val nDup = graft.ops.Skew
+          .saltedJoin(spans, multi, "span", saltBy = col("doc_id"), salts = 16)
+          .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+        tstats.join(nsp, "doc_id")
+          .join(nDup, Seq("doc_id"), "left")
+          .na.fill(0L, Seq("n_dup"))
+          .filter(col("n_tokens").between(20, 400) &&
+            col("n_rare") * 10 < col("n_tokens") &&
+            col("n_dup") * 2 <= col("n_spans"))
+          .select("doc_id", "n_tokens", "n_rare", "n_spans", "n_dup")
+    },
+
     // TF-IDF keyword extraction: corpus-level document frequencies
     // feeding per-doc term ranking — the classic text-feature step.
     // The idf factor is INTEGER-scaled (tf · ⌊N·10^6/df⌋) so scoring

@@ -115,7 +115,27 @@ object Temporal {
     * stale matches. */
   def asofBackward(left: DataFrame, right: DataFrame, key: String,
                    leftTs: String, rightTs: String, rightId: String,
-                   toleranceSec: Option[Long] = None): DataFrame = {
+                   toleranceSec: Option[Long] = None): DataFrame =
+    asofUnionWindow(left, right, key, leftTs, rightTs, rightId,
+      toleranceSec, forward = false)
+
+  /** Forward as-of join: for every LEFT row, the EARLIEST right row
+    * of the same key with `rightTs >= leftTs` — next-touch
+    * attribution, time-to-next-event features. Same union+window
+    * shape as [[asofBackward]] with the traversal reversed (ties
+    * still inclusive; equal-ts right rows resolve to the SMALLEST id
+    * — the mirror of backward's largest-id rule). `toleranceSec`
+    * bounds `asof_ts - leftTs`. */
+  def asofForward(left: DataFrame, right: DataFrame, key: String,
+                  leftTs: String, rightTs: String, rightId: String,
+                  toleranceSec: Option[Long] = None): DataFrame =
+    asofUnionWindow(left, right, key, leftTs, rightTs, rightId,
+      toleranceSec, forward = true)
+
+  private def asofUnionWindow(left: DataFrame, right: DataFrame, key: String,
+                              leftTs: String, rightTs: String, rightId: String,
+                              toleranceSec: Option[Long],
+                              forward: Boolean): DataFrame = {
     val l = left.withColumn("__is_left", lit(1))
       .withColumn("__ts", col(leftTs))
       .withColumn("__rts", lit(null).cast("timestamp"))
@@ -132,13 +152,18 @@ object Temporal {
           if (f.name == key) col(key)
           else lit(null).cast(f.dataType).as(f.name)).toIndexedSeq ++
           Seq(col("__is_left"), col("__ts"), col("__rts"), col("__rid")): _*))
-    // Right rows sort before left rows at equal ts (so <= matches);
-    // among equal-ts right rows the largest id wins (documented
-    // deterministic tie-break). The carried struct must be NULL (not a
+    // Right rows sort before left rows at equal ts (so the inclusive
+    // bound holds in either direction); among equal-ts right rows the
+    // LAST traversed wins — ascending rid forward-in-time (backward
+    // join: largest id), descending rid backward-in-time (forward
+    // join: smallest id). The carried struct must be NULL (not a
     // struct of nulls) on left rows — `last(ignoreNulls)` skips null
     // values, not null fields.
+    val ordering =
+      if (forward) Seq(col("__ts").desc, col("__is_left"), col("__rid").desc)
+      else Seq(col("__ts"), col("__is_left"), col("__rid"))
     val w = Window.partitionBy(col(key))
-      .orderBy(col("__ts"), col("__is_left"), col("__rid"))
+      .orderBy(ordering: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = unioned
       .withColumn("__asof",
@@ -150,7 +175,10 @@ object Temporal {
       .withColumn("asof_id", col("__asof.__rid"))
     val bounded = toleranceSec match {
       case Some(tol) =>
-        val fresh = unix_timestamp(col(leftTs)) - unix_timestamp(col("asof_ts")) <= tol
+        val gap =
+          if (forward) unix_timestamp(col("asof_ts")) - unix_timestamp(col(leftTs))
+          else unix_timestamp(col(leftTs)) - unix_timestamp(col("asof_ts"))
+        val fresh = gap <= tol
         withAsof
           .withColumn("asof_id", when(fresh, col("asof_id")))
           .withColumn("asof_ts", when(fresh, col("asof_ts")))

@@ -171,6 +171,29 @@ object ExtensionQueries {
           .select("pid", "user_id", "pts", "asof_ts")
     },
 
+    // Forward as-of join: each purchase's NEXT view at-or-after it —
+    // next-touch attribution / time-to-next-event, the mirror of q86
+    // through the same union+window core with the traversal reversed.
+    // Oracle: the naive join+argmin.
+    Q("q92_asof_forward",
+      """WITH v AS (SELECT user_id, ts AS vts, event_id AS vid FROM events
+        |           WHERE event_type = 'view'),
+        |p AS (SELECT event_id AS pid, user_id, ts AS pts FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT p.pid, p.user_id, p.pts, min(v.vts) AS asof_ts
+        |FROM p LEFT JOIN v ON v.user_id = p.user_id AND v.vts >= p.pts
+        |GROUP BY p.pid, p.user_id, p.pts""".stripMargin) {
+      (s, d) =>
+        val e = table(s, d, "events")
+        val views = e.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts").as("vts"), col("event_id").as("vid"))
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("pid"), col("user_id"), col("ts").as("pts"))
+        graft.ops.Temporal.asofForward(purchases, views, key = "user_id",
+            leftTs = "pts", rightTs = "vts", rightId = "vid")
+          .select("pid", "user_id", "pts", "asof_ts")
+    },
+
     // GROUPING SETS — the general multi-grouping form (q25's rollup is
     // the prefix-hierarchy special case): three grouping sets in ONE
     // pass over the scan via the Expand operator, partial aggregation

@@ -163,6 +163,29 @@ class TemporalSpec extends AnyFunSuite {
     assert(got(101L) === ((null, -1L)))
   }
 
+  test("asofForward: earliest right at-or-after, inclusive ties, min-id tie-break") {
+    val got = Temporal.asofForward(abLeft, abRight, key = "k",
+        leftTs = "lts", rightTs = "rts", rightId = "rid")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getTimestamp(3)).map(_.toString).orNull,
+          if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+    assert(got(100L) === (("2024-01-10 00:00:00.0", 2L))) // equal ts; rid 2 < 3 wins
+    assert(got(101L) === ((null, -1L))) // nothing at-or-after 01-20
+    assert(got(102L) === (("2024-01-09 00:00:00.0", 5L)))
+    assert(got(103L) === ((null, -1L)))
+  }
+
+  test("asofForward tolerance drops far-future matches") {
+    // 102's next view is 4 days ahead; a 1-day tolerance nulls it.
+    val got = Temporal.asofForward(abLeft, abRight, key = "k",
+        leftTs = "lts", rightTs = "rts", rightId = "rid",
+        toleranceSec = Some(86400L))
+      .collect().map(r => r.getLong(0) ->
+        Option(r.getTimestamp(3)).map(_.toString).orNull).toMap
+    assert(got(100L) === "2024-01-10 00:00:00.0")
+    assert(got(102L) === null)
+  }
+
   test("asofBackward plans one window over the union — no join anywhere") {
     val plan = Temporal.asofBackward(abLeft, abRight, key = "k",
         leftTs = "lts", rightTs = "rts", rightId = "rid")

@@ -158,6 +158,26 @@ class TableStoreSpec extends AnyFunSuite {
     assert(store.liveGeneration("dim") === Some(2L))
   }
 
+  test("versioned generations evolve schema freely; time travel keeps old shapes") {
+    // Each generation is a self-contained directory and readers
+    // resolve ONE generation through the manifest — so adding,
+    // widening, or dropping columns is just a new commit: no
+    // mergeSchema union, no migration rewrite of history, and time
+    // travel reproduces yesterday's exact shape (the property a
+    // training-set snapshot read depends on).
+    val store = newStore()
+    val g1 = store.commitVersioned("dim", Seq((1, "a")).toDF("id", "v"))
+    val g2 = store.commitVersioned("dim",
+      Seq((1, "a", 10L), (2, "b", 20L)).toDF("id", "v", "score"))
+    assert(store.readVersioned("dim").columns.toSeq === Seq("id", "v", "score"))
+    assert(store.readVersionedAt("dim", g1).columns.toSeq === Seq("id", "v"))
+    val g3 = store.commitVersioned("dim",
+      store.readVersioned("dim").drop("v"))
+    assert(store.readVersioned("dim").columns.toSeq === Seq("id", "score"))
+    assert(store.readVersionedAt("dim", g2).columns.toSeq === Seq("id", "v", "score"))
+    assert(store.generations("dim") === Seq(g1, g2, g3))
+  }
+
   test("a writer killed mid-swap leaves readers on the old committed generation") {
     val store = newStore()
     store.commitVersioned("dim", Seq((1, "live")).toDF("id", "v"))

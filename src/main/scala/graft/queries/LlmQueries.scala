@@ -216,6 +216,43 @@ object LlmQueries {
           .select("d1", "d2", "inter_cnt", "union_cnt", "jac")
     },
 
+    // MinHash estimator calibration: per candidate pair, the
+    // signature-agreement count (the estimator — agree/NumHashes ≈
+    // jaccard) NEXT TO the exact shingle intersection/union — the
+    // diagnostic that tunes band/row choices before a corpus-wide run
+    // commits to them (estimate-vs-truth over the candidates the
+    // banding actually surfaces). All counts integer; reads the
+    // persisted signature index on every side.
+    Q("q93_minhash_calibration", {
+      val agreeTerms = (0 until Dedup.NumHashes)
+        .map(i => s"(CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH $rawCorpus,
+         |$shingleCtes,
+         |sig AS (SELECT doc_id, hs, $mhColsSql FROM hst),
+         |cand AS ($bandJoinSql)
+         |SELECT c.d1, c.d2,
+         |       CAST($agreeTerms AS BIGINT) AS mh_agree,
+         |       len(list_intersect(a.hs, b.hs)) AS inter_cnt,
+         |       len(list_distinct(a.hs || b.hs)) AS union_cnt
+         |FROM cand c JOIN sig a ON a.doc_id = c.d1
+         |            JOIN sig b ON b.doc_id = c.d2""".stripMargin
+    }) {
+      (s, d) =>
+        val sig = Indexes.signatures(s, d)
+        val mhIdx = 0 until Dedup.NumHashes
+        val a = sig.select(col("doc_id").as("d1") +:
+          mhIdx.map(i => col(s"mh$i").as(s"__a$i")): _*)
+        val b = sig.select(col("doc_id").as("d2") +:
+          mhIdx.map(i => col(s"mh$i").as(s"__b$i")): _*)
+        pairScores(s, d)
+          .join(a, "d1").join(b, "d2")
+          .withColumn("mh_agree",
+            mhIdx.map(i => when(col(s"__a$i") === col(s"__b$i"), 1).otherwise(0))
+              .reduce(_ + _).cast("bigint"))
+          .select(col("d1"), col("d2"), col("mh_agree"),
+            col("__inter").as("inter_cnt"), col("__union").as("union_cnt"))
+    },
+
     // Near-dup CLUSTER resolution: the step after pair generation a
     // production dedup actually needs — fold the verified LSH pairs
     // into connected components (iterative min-label propagation,

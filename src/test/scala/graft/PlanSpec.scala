@@ -118,6 +118,13 @@ class PlanSpec extends AnyFunSuite {
       plan.take(2000))
   }
 
+  test("q87: interval overlap plans as a bucket equi join, never a nested loop") {
+    val plan = planOf("q87_interval_overlap")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"overlap join fell back to a quadratic plan:\n${plan.take(2000)}")
+  }
+
   test("q79: span dedup aggregates with map-side partial aggregation") {
     // The exploded span stream must collapse BEFORE the shuffle:
     // HashAggregate(partial) under the exchange, final above — the

@@ -175,6 +175,30 @@ object Indexes {
     st.read("kmeans_cells")
   }
 
+  /** Per-doc span occurrences (doc_id, span, occ) — every 8-token
+    * sliding span of the NORMALIZED token stream, pre-collapsed to
+    * one row per (doc, span). ONE normalize+explode pass over the
+    * corpus, landed as a table; the span-dedup family (q79's
+    * duplicated-span aggregate, q91's span-duplication gate) derives
+    * from it without re-running the regex scan per consumer — the
+    * same discipline as [[shingles]]/[[termFrequencies]]. */
+  def spanOccurrences(spark: SparkSession, sfDir: String): DataFrame = lock.synchronized {
+    import org.apache.spark.sql.functions.{col, count, explode, lit, split}
+    val st = store(spark, sfDir)
+    if (!st.exists("doc_spans")) {
+      val toks = split(graft.ops.TextAnalysis.normalize(col("text")), " ")
+      st.overwrite("doc_spans",
+        graft.io.Sources.tableRebalanced(spark, sfDir, "documents")
+          // Materialize the token array first (spanGrams lambda-capture
+          // contract).
+          .select(col("doc_id"), toks.as("toks"))
+          .select(col("doc_id"),
+            explode(graft.ops.TextAnalysis.spanGrams(col("toks"), 8)).as("span"))
+          .groupBy("doc_id", "span").agg(count(lit(1)).as("occ")))
+    }
+    st.read("doc_spans")
+  }
+
   /** Trained PQ codebooks (4 subspaces × 4 entries over the 64-dim
     * `embeddings`, 2 Lloyd iterations each — the declared q82 config).
     * Driver-side by nature (a codebook IS bounded metadata, the

@@ -751,20 +751,13 @@ object LlmQueries {
         |       count(*) AS n_occ
         |FROM spans GROUP BY span HAVING count(DISTINCT doc_id) >= 2""".stripMargin) {
       (s, d) =>
-        val toks = split(TextAnalysis.normalize(col("text")), " ")
-        docsHeavy(s, d)
-          // Materialize the token array BEFORE spanGrams: the slice
-          // lambda inside transform() re-evaluates captured subtrees
-          // per element (no subexpression elimination inside
-          // higher-order lambdas), so inlining `toks` would re-run the
-          // normalize regexes once per SPAN instead of once per doc —
-          // measured 7x slower at sf0.1 (see spanGrams scaladoc).
-          .select(col("doc_id"), toks.as("toks"))
-          .select(col("doc_id"),
-            explode(TextAnalysis.spanGrams(col("toks"), 8)).as("span"))
+        // From the persisted span index (one normalize+explode pass
+        // per corpus — Indexes.spanOccurrences): occ holds one row per
+        // (doc, span), so n_docs is a plain count and n_occ a sum —
+        // no countDistinct expand over raw span rows.
+        Indexes.spanOccurrences(s, d)
           .groupBy("span")
-          .agg(countDistinct(col("doc_id")).as("n_docs"),
-            count(lit(1)).as("n_occ"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("occ")).as("n_occ"))
           .filter(col("n_docs") >= 2)
     },
 
@@ -1202,18 +1195,21 @@ object LlmQueries {
             sum(when(col("dfreq") <= 2, col("tf")).otherwise(0L)).as("n_rare"))
         val toks = split(TextAnalysis.normalize(col("text")), " ")
         // Materialized token array first — the spanGrams lambda-capture
-        // contract (q79).
-        val normed = docsHeavy(s, d).select(col("doc_id"), toks.as("toks"))
-        val nsp = normed.select(col("doc_id"),
-          greatest(size(col("toks")) - 7, lit(0)).cast("bigint").as("n_spans"))
-        val spans = normed.select(col("doc_id"),
-          explode(TextAnalysis.spanGrams(col("toks"), 8)).as("span"))
-        val multi = spans.groupBy("span")
-          .agg(countDistinct(col("doc_id")).as("nd"))
+        // contract (q79); only the cheap per-doc span COUNT needs the
+        // tokens, the span stream itself reads the persisted index.
+        val nsp = docsHeavy(s, d).select(col("doc_id"), toks.as("toks"))
+          .select(col("doc_id"),
+            greatest(size(col("toks")) - 7, lit(0)).cast("bigint").as("n_spans"))
+        // (doc, span, occ) from the span index — one corpus pass per
+        // process; both derivations below are parquet reads, so the
+        // normalize+explode scan never runs twice inside this query.
+        val occ = Indexes.spanOccurrences(s, d)
+        val multi = occ.groupBy("span")
+          .agg(count(lit(1)).as("nd"))
           .filter(col("nd") >= 2).select("span")
         val nDup = graft.ops.Skew
-          .saltedJoin(spans, multi, "span", saltBy = col("doc_id"), salts = 16)
-          .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+          .saltedJoin(occ, multi, "span", saltBy = col("doc_id"), salts = 16)
+          .groupBy("doc_id").agg(sum(col("occ")).as("n_dup"))
         tstats.join(nsp, "doc_id")
           .join(nDup, Seq("doc_id"), "left")
           .na.fill(0L, Seq("n_dup"))

@@ -57,6 +57,19 @@ class IndexesSpec extends AnyFunSuite {
     assert(fromIndex === inline)
   }
 
+  test("span occurrences match the inline normalize+explode aggregate") {
+    import spark.implicits._
+    val toks = split(graft.ops.TextAnalysis.normalize(col("text")), " ")
+    val inline = docs.select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"),
+        explode(graft.ops.TextAnalysis.spanGrams(col("toks"), 8)).as("span"))
+      .groupBy("doc_id", "span").count()
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val fromIndex = Indexes.spanOccurrences(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(fromIndex === inline)
+  }
+
   test("PQ codes round-trip the inline train+encode bit-exactly") {
     val e = graft.io.Sources.table(spark, sf, "embeddings")
     val inlineCbs = Similarity.pqTrainCodebooks(e, dim = 64, m = 4,

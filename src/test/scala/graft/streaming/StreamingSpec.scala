@@ -198,6 +198,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(!streamed.exists(_._1 == 102L))
   }
 
+  test("streaming PQ encode matches the batch encode (codes are a pure map)") {
+    implicit val ctx = spark.sqlContext
+    // PQ encoding is m shuffle-free argmin folds — stateless per row,
+    // so it composes with Structured Streaming unchanged: encode a
+    // stream of embeddings against STATIC codebooks (trained upfront,
+    // the ivfKnn "fixed centroids" contract) and the codes must equal
+    // the batch encode of the same rows.
+    val train = (0L until 8L).map(i =>
+      (i, Array.tabulate(4)(j => (i % 4 + j).toFloat / 4)))
+      .toDF("vec_id", "embedding")
+    val cbs = graft.ops.Similarity.pqTrainCodebooks(train, dim = 4, m = 2,
+      kPerSub = 2, iters = 2)
+    val rows = Seq(
+      (100L, Array(0.1f, 0.3f, 0.9f, 0.2f)),
+      (101L, Array(0.8f, 0.7f, 0.1f, 0.6f)),
+      (102L, Array(0.5f, 0.5f, 0.5f, 0.5f)))
+    val ms = MemoryStream[(Long, Array[Float])]
+    val q = graft.ops.Similarity.pqEncode(
+        ms.toDF().toDF("vec_id", "embedding"), cbs)
+      .writeStream.format("memory").queryName("pq_stream")
+      .outputMode("append").start()
+    ms.addData(rows.take(2): _*)
+    q.processAllAvailable()
+    ms.addData(rows.drop(2): _*)
+    q.processAllAvailable()
+    val streamed = spark.table("pq_stream")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    q.stop()
+    val batch = graft.ops.Similarity.pqEncode(rows.toDF("vec_id", "embedding"), cbs)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(streamed === batch)
+    assert(streamed.keySet === Set(100L, 101L, 102L))
+  }
+
   test("intervalJoin: stream-stream attribution matches the batch join") {
     implicit val ctx = spark.sqlContext
     val clicks = MemoryStream[(String, Timestamp)]

@@ -256,6 +256,39 @@ object ExtensionQueries {
           .select("event_id", "user_id", "event_type")
     },
 
+    // RANGE-framed window: the trailing 7-day spend per customer —
+    // time-based moving aggregates are RANGE frames (all rows whose
+    // ORDER value falls in the value interval), not ROWS frames (a
+    // row count). The frame is tie-insensitive by construction — equal
+    // days aggregate identically whatever their physical order — so
+    // integer day/cents space keeps it hash-exact. One key shuffle,
+    // one WindowExec.
+    Q("q94_trailing_window",
+      """WITH o AS (SELECT o_custkey, o_orderkey,
+        |                  datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS day,
+        |                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |           FROM orders)
+        |SELECT o_custkey, o_orderkey, CAST(day AS BIGINT) AS day,
+        |       CAST(sum(cents) OVER (PARTITION BY o_custkey ORDER BY day
+        |              RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS trailing7_cents,
+        |       CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY day
+        |              RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS trailing7_orders
+        |FROM o""".stripMargin) {
+      (s, d) =>
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+          .rangeBetween(-6, Window.currentRow)
+        table(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            datediff(col("o_orderdate").cast("date"),
+              lit("1992-01-01").cast("date")).cast("bigint").as("day"),
+            graft.functions.Functions.cents(col("o_totalprice")).as("cents"))
+          .withColumn("trailing7_cents", sum(col("cents")).over(w).cast("bigint"))
+          .withColumn("trailing7_orders", count(lit(1)).over(w).cast("bigint"))
+          .select("o_custkey", "o_orderkey", "day",
+            "trailing7_cents", "trailing7_orders")
+    },
+
     // INTERSECT / EXCEPT — the set operators (SURVEY §2.8 lists only
     // UNION ALL in the reference; an engine needs all three). Both
     // branches share one distinct-by-key shape; segment labels make

@@ -49,6 +49,29 @@ object Sources {
     else df
   }
 
+  /** Streaming scan of the harness `events` table with the same
+    * `ts` normalization as [[table]] — the `readStream` entry for
+    * declared streaming-replay queries (batch-replaying a live
+    * pipeline over the static file, q95's shape). */
+  def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val sch = spark.read.parquet(s"$sfDir/events.parquet").schema
+    // The file streaming source wants a DIRECTORY: the harness ships
+    // events.parquet as a single file (stream its parent, glob-limited
+    // to it); a rewritten/scaled copy is a directory of parts (stream
+    // it directly).
+    val reader = spark.readStream.schema(sch)
+    val df =
+      if (new java.io.File(s"$sfDir/events.parquet").isDirectory)
+        reader.parquet(s"$sfDir/events.parquet")
+      else reader.option("pathGlobFilter", "events.parquet").parquet(sfDir)
+    if (sch("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else if (sch("ts").dataType == TimestampNTZType)
+      df.withColumn("ts", col("ts").cast(TimestampType))
+    else df
+  }
+
   /** Input-layout-aware parallelization for compute-heavy per-row
     * pipelines (shingle/hash/signature passes). A corpus at scale
     * arrives as thousands of file splits and passes through UNTOUCHED

@@ -256,6 +256,38 @@ object ExtensionQueries {
           .select("event_id", "user_id", "event_type")
     },
 
+    // Streaming windowed aggregation, ORACLE-GREEN: the live pipeline
+    // (readStream → watermark → tumbling window → memory sink,
+    // AvailableNow) batch-replayed over the static events file and
+    // hash-compared against DuckDB's time_bucket aggregate — the same
+    // move q71 made for the report sink, so streaming windows are no
+    // longer spec-only. Complete output mode emits every window (a
+    // bounded replay; append mode would hold back windows the final
+    // watermark never passes). `value` pre-converted to integer cents
+    // so the windowed sum is order-insensitive; both engines bucket
+    // from the same 1970-01-01 origin.
+    Q("q95_stream_windows",
+      """SELECT time_bucket(INTERVAL '10 minutes', ts, TIMESTAMP '1970-01-01 00:00:00') AS win_start,
+        |       event_type, count(*) AS n,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events GROUP BY win_start, event_type""".stripMargin) {
+      (s, d) =>
+        val stream = graft.io.Sources.eventsStream(s, d)
+          .withColumn("value", graft.functions.Functions.cents(col("value")))
+        val agg = graft.streaming.Streaming.windowedCounts(stream, "ts", "event_type",
+          windowDur = "10 minutes", slide = "10 minutes", delay = "1 minute")
+        val sinkName = "q95_stream_windows_sink"
+        s.catalog.dropTempView(sinkName)
+        val q = agg.writeStream.format("memory").queryName(sinkName)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination(300000) finally q.stop()
+        s.table(sinkName)
+          .select(col("win_start"), col("event_type"), col("n"),
+            col("sum_value").cast("bigint").as("sum_cents"))
+    },
+
     // RANGE-framed window: the trailing 7-day spend per customer —
     // time-based moving aggregates are RANGE frames (all rows whose
     // ORDER value falls in the value interval), not ROWS frames (a

@@ -288,6 +288,47 @@ object ExtensionQueries {
             col("sum_value").cast("bigint").as("sum_cents"))
     },
 
+    // Streaming SESSION windows, oracle-green via the q95 replay
+    // pattern: per-user activity bursts separated by an hour of quiet
+    // become one window (session_window + watermark, complete mode,
+    // AvailableNow). The oracle re-derives sessions with the q23
+    // lag/cumsum trick; the boundary is Spark's session semantics —
+    // the window ends at last_event + gap EXCLUSIVE, so an event
+    // exactly `gap` after the previous one starts a NEW session
+    // (diff >= gap in the oracle's is_start, where q23's batch
+    // formulation used strict >).
+    Q("q96_stream_sessions",
+      """WITH marked AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) IS NULL
+        |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 3600000000
+        |              THEN 1 ELSE 0 END AS is_start
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sess AS (
+        |  SELECT *, sum(is_start) OVER (PARTITION BY user_id ORDER BY ts
+        |                                ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked)
+        |SELECT min(ts) AS sess_start, max(ts) + INTERVAL 1 HOUR AS sess_end,
+        |       user_id, count(*) AS n,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM sess GROUP BY user_id, sid""".stripMargin) {
+      (s, d) =>
+        val stream = graft.io.Sources.eventsStream(s, d)
+          .withColumn("value", graft.functions.Functions.cents(col("value")))
+        val agg = graft.streaming.Streaming.sessionCounts(stream, "ts", "user_id",
+          gap = "1 hour", delay = "1 minute")
+        val sinkName = "q96_stream_sessions_sink"
+        s.catalog.dropTempView(sinkName)
+        val q = agg.writeStream.format("memory").queryName(sinkName)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination(300000) finally q.stop()
+        s.table(sinkName)
+          .select(col("sess_start"), col("sess_end"), col("user_id"), col("n"),
+            col("sum_value").cast("bigint").as("sum_cents"))
+    },
+
     // RANGE-framed window: the trailing 7-day spend per customer —
     // time-based moving aggregates are RANGE frames (all rows whose
     // ORDER value falls in the value interval), not ROWS frames (a

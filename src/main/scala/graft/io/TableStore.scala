@@ -380,6 +380,21 @@ final class TableStore(spark: SparkSession, root: String) {
   private def statsDir(name: String, gen: Long) =
     new Path(new Path(path(name), "_stats"), s"g$gen")
 
+  /** Parquet stats and Spark's string comparisons order strings by
+    * UTF-8 bytes (unsigned — equivalently by code point); the JVM's
+    * `String` ordering is UTF-16 code-unit order, which DISAGREES for
+    * supplementary-plane characters (≥ U+10000, surrogate pairs
+    * starting 0xD800) vs characters in [U+E000, U+FFFF]. Every stats
+    * bound and pruning comparison uses THIS order so a file can never
+    * be skipped while containing rows the BETWEEN residual would
+    * keep. */
+  private val utf8Order: Ordering[String] = new Ordering[String] {
+    def compare(a: String, b: String): Int =
+      java.util.Arrays.compareUnsigned(
+        a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
   private val statsSchema = StructType(Seq(
     org.apache.spark.sql.types.StructField("file", org.apache.spark.sql.types.StringType, nullable = false),
     org.apache.spark.sql.types.StructField("col", org.apache.spark.sql.types.StringType, nullable = false),
@@ -420,7 +435,10 @@ final class TableStore(spark: SparkSession, root: String) {
       try {
         val blocks = reader.getFooter.getBlocks
         import scala.jdk.CollectionConverters._
-        statsCols.map { c =>
+        // A file with no row groups holds no rows: it needs no stats
+        // row, and pruning it out of every scan is exactly right.
+        if (blocks.isEmpty) Seq.empty
+        else statsCols.map { c =>
           val chunks = blocks.asScala.toSeq.map { b =>
             b.getColumns.asScala.find(_.getPath.toDotString == c).getOrElse(
               throw new IllegalArgumentException(
@@ -444,8 +462,8 @@ final class TableStore(spark: SparkSession, root: String) {
             case BINARY if nonEmpty.nonEmpty =>
               ("string",
                 null, null, null, null,
-                mins.map(_.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8).min,
-                maxs.map(_.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8).max)
+                mins.map(_.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8).min(utf8Order),
+                maxs.map(_.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8).max(utf8Order))
             case INT32 | INT64 | FLOAT | DOUBLE | BINARY =>
               // all-null column in this file: typed but boundless
               (ptn match {
@@ -486,8 +504,11 @@ final class TableStore(spark: SparkSession, root: String) {
     if (!fs.exists(sd)) return bounded
     val st = spark.read.parquet(sd.toString)
       .filter(org.apache.spark.sql.functions.col("col") === column).collect()
-    require(st.nonEmpty,
-      s"readVersionedPruned: no stats recorded for column '$column' of '$name'")
+    // A column absent from the stats table is the same logical
+    // situation as a generation with no stats dir at all (stats were
+    // recorded, just not for THIS column): fall back to the bounded
+    // full scan rather than failing one case and not the other.
+    if (st.isEmpty) return bounded
     def num(v: Any): Double = v match {
       case n: Number => n.doubleValue
       case other => throw new IllegalArgumentException(
@@ -506,8 +527,8 @@ final class TableStore(spark: SparkSession, root: String) {
           num(lo) <= r.getDouble(r.fieldIndex("max_double")) &&
             num(hi) >= r.getDouble(r.fieldIndex("min_double"))
         case "string" =>
-          lo.toString <= r.getString(r.fieldIndex("max_str")) &&
-            hi.toString >= r.getString(r.fieldIndex("min_str"))
+          utf8Order.lteq(lo.toString, r.getString(r.fieldIndex("max_str"))) &&
+            utf8Order.gteq(hi.toString, r.getString(r.fieldIndex("min_str")))
       }
     }.map(r => new Path(new Path(path(name), s"g$gen"), r.getString(r.fieldIndex("file"))).toString)
     if (keep.isEmpty)
@@ -541,6 +562,22 @@ final class TableStore(spark: SparkSession, root: String) {
         max(col(c)).cast("double").as(s"mx$i"))
     }
     val bounds = df.agg(aggCols.head, aggCols.tail: _*).head()
+    val nullCols = clusterCols.zipWithIndex.collect {
+      case (c, i) if bounds.isNullAt(bounds.fieldIndex(s"mn$i")) => c
+    }
+    if (nullCols.nonEmpty) {
+      // min/max aggregate to NULL for an empty frame (every cluster
+      // column) or an all-null cluster column. An empty frame has no
+      // layout to choose — commit it plainly (readers prune/fall back
+      // through the normal stats path); an all-null cluster column on
+      // a NON-empty frame is a caller bug and fails by name.
+      if (df.isEmpty)
+        return commitGen(name, df, gen => writeFooterStats(name, gen,
+          if (statsCols.nonEmpty) statsCols else clusterCols))
+      throw new IllegalArgumentException(
+        "commitVersionedClustered: cluster column(s) " +
+          nullCols.mkString("'", "', '", "'") + " are entirely null")
+    }
     val scaled = clusterCols.zipWithIndex.map { case (c, i) =>
       val (mn, mx) = (bounds.getDouble(bounds.fieldIndex(s"mn$i")),
         bounds.getDouble(bounds.fieldIndex(s"mx$i")))

@@ -422,15 +422,21 @@ object Multimodal {
             out(outPos) = px(code); outPos += 1
             prev = code
           } else {
-            require(code <= next, "gif-gray: LZW code past the table")
+            // When the table is FULL (next == 4096) the spec lets an
+            // encoder defer the clear code indefinitely: it keeps
+            // emitting 12-bit codes against the frozen table, so the
+            // decoder must keep decoding WITHOUT inserting — only a
+            // code past the (frozen) table is corrupt.
+            require(code <= next && code < MaxCodes,
+              "gif-gray: LZW code past the table")
             if (code == next) { // the KwKwK case: cur = prev + first(prev)
-              require(next < MaxCodes, "gif-gray: LZW table overflow")
               prefix(next) = prev; suffix(next) = firstByte(prev).toByte; next += 1
               emit(code)
             } else {
               emit(code)
-              require(next < MaxCodes, "gif-gray: LZW table overflow")
-              prefix(next) = prev; suffix(next) = firstByte(code).toByte; next += 1
+              if (next < MaxCodes) {
+                prefix(next) = prev; suffix(next) = firstByte(code).toByte; next += 1
+              }
             }
             prev = code
             if (next == (1 << codeSize) && codeSize < 12) codeSize += 1

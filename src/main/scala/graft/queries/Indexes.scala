@@ -96,22 +96,29 @@ object Indexes {
     st.read(name)
   }
 
+  /** Parameter suffix for threshold-keyed table names: a cached build
+    * must never be silently served to a caller who asked for a
+    * DIFFERENT threshold/cutoff, so the parameters are part of the
+    * table identity (permille keeps the name filesystem-safe). */
+  private def permille(threshold: Double): Long = math.round(threshold * 1000)
+
   /** Verified near-dup edges (d1, d2): the banded candidate join over
     * [[signatures]] filtered at `threshold` jaccard — the cluster
-    * family's edge set, landed as a table. One threshold per process
-    * (the declared query set shares [[graft.queries.LlmQueries]]'s
-    * constant); production keys the table name by threshold. */
+    * family's edge set, landed as a table keyed by its threshold (two
+    * callers with different thresholds get independent builds, never
+    * each other's cache). */
   def neardupEdges(spark: SparkSession, sfDir: String,
                    threshold: Double): DataFrame = lock.synchronized {
     import org.apache.spark.sql.functions.col
     val st = store(spark, sfDir)
-    if (!st.exists("neardup_edges"))
-      st.overwrite("neardup_edges",
+    val name = s"neardup_edges_t${permille(threshold)}"
+    if (!st.exists(name))
+      st.overwrite(name,
         Dedup.scoredCandidatePairs(signatures(spark, sfDir), "doc_id",
             Dedup.DefaultMaxBandFreq)
           .filter(col("__inter").cast("double") / col("__union") >= threshold)
           .select("d1", "d2"))
-    st.read("neardup_edges")
+    st.read(name)
   }
 
   /** Resolved cluster labels (id, component) — connected components
@@ -123,10 +130,11 @@ object Indexes {
   def neardupLabels(spark: SparkSession, sfDir: String,
                     threshold: Double): DataFrame = lock.synchronized {
     val st = store(spark, sfDir)
-    if (!st.exists("neardup_labels"))
-      st.overwrite("neardup_labels",
+    val name = s"neardup_labels_t${permille(threshold)}"
+    if (!st.exists(name))
+      st.overwrite(name,
         Dedup.connectedComponents(neardupEdges(spark, sfDir, threshold)))
-    st.read("neardup_labels")
+    st.read(name)
   }
 
   /** Yesterday's labels: components over only the edges whose BOTH
@@ -140,11 +148,12 @@ object Indexes {
                         threshold: Double, cutoff: Long): DataFrame = lock.synchronized {
     import org.apache.spark.sql.functions.col
     val st = store(spark, sfDir)
-    if (!st.exists("neardup_labels_base"))
-      st.overwrite("neardup_labels_base",
+    val name = s"neardup_labels_base_t${permille(threshold)}_c$cutoff"
+    if (!st.exists(name))
+      st.overwrite(name,
         Dedup.connectedComponents(neardupEdges(spark, sfDir, threshold)
           .filter(col("d1") < cutoff && col("d2") < cutoff)))
-    st.read("neardup_labels_base")
+    st.read(name)
   }
 
   /** Per-doc term frequencies (doc_id, w, tf) — ONE tokenize pass over

@@ -280,6 +280,47 @@ class TableStoreSpec extends AnyFunSuite {
     assert(ly.count() === grid.count(_._3 <= 63).toLong)
   }
 
+  test("string pruning orders by UTF-8 bytes, not JVM UTF-16 code units") {
+    val store = newStore()
+    // U+E000 (0xE000 as one UTF-16 unit) sorts ABOVE the emoji
+    // U+1F600 (surrogate pair starting 0xD83D) in JVM String order,
+    // but BELOW it in UTF-8/code-point order — the order parquet
+    // stats and the BETWEEN residual use. With JVM-ordered bounds the
+    // file's recorded max would be U+E000 and a query range above
+    // it would skip the file even though it holds the matching emoji
+    // row.
+    val emoji = "😀" // U+1F600
+    val df = Seq((1L, "\uE000"), (2L, emoji)).toDF("k", "s").coalesce(1)
+    store.commitVersionedWithStats("u", df, Seq("s"))
+    val got = store.readVersionedPruned("u", "s", "\uF000", emoji)
+    assert(got.collect().map(_.getLong(0)).toSeq === Seq(2L),
+      "file containing the emoji row was pruned away")
+  }
+
+  test("readVersionedPruned falls back when stats cover other columns only") {
+    val store = newStore()
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+    store.commitVersionedWithStats("p", df, Seq("k"))
+    // Stats exist for k but not s: same logical situation as no stats
+    // dir — a bounded full scan, never an error.
+    val got = store.readVersionedPruned("p", "s", "a", "a")
+    assert(got.collect().map(_.getLong(0)).toSeq === Seq(1L))
+  }
+
+  test("commitVersionedClustered: empty frame commits; all-null column fails by name") {
+    val store = newStore()
+    val empty = Seq.empty[(Long, Double)].toDF("id", "x")
+    val gen = store.commitVersionedClustered("e", empty, Seq("x"), files = 4)
+    assert(gen === 1L && store.readVersioned("e").count() === 0)
+    assert(store.readVersionedPruned("e", "x", 0.0, 1.0).count() === 0)
+    val allNull = Seq(1L, 2L).toDF("id")
+      .withColumn("x", lit(null).cast("double"))
+    val ex = intercept[IllegalArgumentException] {
+      store.commitVersionedClustered("an", allNull, Seq("x"), files = 4)
+    }
+    assert(ex.getMessage.contains("'x'"))
+  }
+
   test("tableChanges classifies inserts, deletes, and null-safe updates") {
     val store = newStore()
     store.commitVersioned("d", Seq(

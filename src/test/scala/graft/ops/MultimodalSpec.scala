@@ -281,6 +281,19 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got.toSeq === px.map(_ / 255f))
   }
 
+  test("GifCodec: deferred clear — table fills to 4096 and codes keep flowing") {
+    // 72x64 = 4608 literal codes, no interior clear: the table hits
+    // the 4096-entry cap mid-stream (258 + 4095 inserts > 4096) and
+    // the encoder legally KEEPS emitting 12-bit codes with no clear
+    // code — the spec's deferred-clear mode. The decoder must freeze
+    // the table and keep decoding, not throw.
+    val pal = (0 until 256).map(i => (i, i, i))
+    val px = (0 until 4608).map(i => (i * 11 + 5) % 256)
+    val gif = gifBytes(72, 64, pal, px, clearEvery = 100000)
+    val got = new Multimodal.GifCodec().decode(gif)
+    assert(got.toSeq === px.map(_ / 255f))
+  }
+
   test("GifCodec gray values match BmpCodec on identical pixels") {
     val colors = Seq((255, 255, 255), (0, 0, 0), (255, 0, 0), (100, 100, 100))
     val gif = gifBytes(2, 2, colors, Seq(0, 1, 2, 3))

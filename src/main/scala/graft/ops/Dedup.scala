@@ -726,7 +726,10 @@ object Dedup {
     * divisible by 4. */
   def simhashPairs(fps: DataFrame, idCol: String, fpCol: String,
                    maxHamming: Int = 3, fpBits: Int = 32): DataFrame = {
-    require(fpBits % 4 == 0 && fpBits <= 60, s"fpBits must be ≤60, ÷4: $fpBits")
+    // Full-width 64-bit fingerprints (image dHash) use the long's sign
+    // bit; the band mask strips shiftright's sign extension, so the
+    // pigeonhole stays exact at any width up to 64.
+    require(fpBits % 4 == 0 && fpBits <= 64, s"fpBits must be ≤64, ÷4: $fpBits")
     val bandBits = fpBits / 4
     val mask = (1L << bandBits) - 1
     // One (band_id, band_value) row per doc per band, ONE self equi

@@ -505,6 +505,106 @@ object Multimodal {
     }
   }
 
+  /** Real 24-bpp BMP ENCODER (the exact inverse of [[BmpCodec]]'s
+    * subset): one gray byte per pixel, stored as r=g=b in bottom-up
+    * rows padded to 4 bytes — so `BmpCodec.decode(encodeBmp24Gray(g))
+    * .map(f => round(f*255))` reproduces `g` bit-exactly (the Rec.601
+    * weights sum to 1000, so gray pixels survive the integer
+    * weighting: (299+587+114)·v / 255000 = v/255). Exists so media
+    * pipelines can be driven end-to-end through a REAL container
+    * format — fixture synthesis, round-trip specs, and the
+    * perceptual-hash dedup chain all encode with this and decode with
+    * the production codec. */
+  def encodeBmp24Gray(gray: Array[Byte], width: Int, height: Int): Array[Byte] = {
+    require(width > 0 && height > 0 && gray.length == width * height,
+      s"encodeBmp24Gray: ${gray.length} bytes for ${width}x$height")
+    val rowSize = ((24 * width + 31) / 32) * 4
+    val out = new Array[Byte](54 + rowSize * height)
+    val buf = java.nio.ByteBuffer.wrap(out)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(out.length)
+      .putInt(0).putInt(54)
+      .putInt(40).putInt(width).putInt(height) // positive height = bottom-up
+      .putShort(1).putShort(24)
+      .putInt(0).putInt(rowSize * height)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0): Unit
+    var sy = 0
+    while (sy < height) {
+      val imgRow = height - 1 - sy // stored row sy holds image row h-1-sy
+      var x = 0
+      while (x < width) {
+        val v = gray(imgRow * width + x)
+        val p = 54 + sy * rowSize + 3 * x
+        out(p) = v; out(p + 1) = v; out(p + 2) = v // b, g, r
+        x += 1
+      }
+      sy += 1
+    }
+    out
+  }
+
+  /** 64-bit difference hash (dHash) of a decoded grayscale image: the
+    * perceptual fingerprint behind image NEAR-dup dedup. Pixels are
+    * re-quantized to exact ints (`round(f·255)` — lossless for codec
+    * outputs that came from 8-bit sources), 2×2 block-SUM pooled to
+    * 9×8 (integer sums, no division — nothing to round differently
+    * anywhere else), and each of the 64 bits records whether a pooled
+    * cell exceeds its right neighbor (strict >). Gradient direction
+    * survives brightness scaling and small local edits, which is the
+    * dHash family's whole point. Integer space end-to-end, so an
+    * ANSI-SQL oracle reproduces the hash bit-for-bit from the same
+    * pixel bytes (q97). */
+  def dhash64(gray: Array[Float], width: Int, height: Int): Long = {
+    val pw = width / 2
+    val ph = height / 2
+    require(width == 2 * pw && height == 2 * ph && pw == 9 && ph == 8,
+      s"dhash64: image must 2x2-pool to 9x8, got ${width}x$height")
+    val pooled = new Array[Int](pw * ph)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        pooled((y / 2) * pw + x / 2) += math.round(gray(y * width + x) * 255f)
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var py = 0
+    while (py < ph) {
+      var px = 0
+      while (px < 8) {
+        if (pooled(py * pw + px) > pooled(py * pw + px + 1))
+          hash |= 1L << (py * 8 + px)
+        px += 1
+      }
+      py += 1
+    }
+    hash
+  }
+
+  /** Per-image perceptual hash over REAL decoded pixels: the same
+    * partition-batched decode shape as [[extractFeatures]] (codec
+    * constructed once per partition), emitting `(doc_id, phash)` for
+    * [[graft.ops.Dedup.simhashPairs]]'s banded Hamming join. At
+    * 100 TB this is the map pass of the media-dedup job: decode cost
+    * amortizes per partition, the shuffle carries 16 bytes per image,
+    * and candidate generation downstream is a hash join on 16-bit
+    * bands — never all-pairs pixel comparison. */
+  def imageDhash(media: DataFrame, width: Int, height: Int,
+                 mkCodec: () => MediaCodec = () => new BmpCodec): DataFrame = {
+    import media.sparkSession.implicits._
+    media.select(col("doc_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val codec = mkCodec().init()
+        rows.map { case (id, bytes) =>
+          (id, dhash64(codec.decode(bytes), width, height))
+        }
+      }
+      .toDF("doc_id", "phash")
+  }
+
   /** Modulo-bucket mean pooling: raw signal of ANY length → a fixed
     * `dim`-sized feature vector (bucket j = mean of samples at
     * positions ≡ j mod dim). The engine's codec-agnostic featurizer —

@@ -241,6 +241,39 @@ object Indexes {
     st.read("pq_codes")
   }
 
+  /** Per-image perceptual hashes (doc_id, phash) — the media-dedup
+    * analogue of [[signatures]]: each document's text bytes become a
+    * REAL 18×16 BMP blob (the harness ships no media, so the blob is
+    * synthesized through [[graft.ops.Multimodal.encodeBmp24Gray]] —
+    * a real container format, exactly invertible for gray pixels),
+    * decoded by the production [[graft.ops.Multimodal.BmpCodec]], and
+    * dHashed ([[graft.ops.Multimodal.dhash64]]). The decode+hash map
+    * pass runs ONCE per corpus and lands as a table; the banded
+    * Hamming candidate join reads it on both sides. */
+  def imagePhash(spark: SparkSession, sfDir: String): DataFrame = lock.synchronized {
+    val st = store(spark, sfDir)
+    if (!st.exists("image_phash")) {
+      import spark.implicits._
+      import org.apache.spark.sql.functions.col
+      val docs = graft.io.Sources.tableRebalanced(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+      val media = docs.mapPartitions { it =>
+        it.map { case (id, text) =>
+          // Pixel i = byte i of the UTF-8 text (ASCII corpus), space-
+          // padded to 18·16 — row-major, the layout the q97 oracle
+          // recomputes with ascii(substring(...)).
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val gray = Array.fill[Byte](18 * 16)(32)
+          System.arraycopy(bytes, 0, gray, 0, math.min(bytes.length, gray.length))
+          (id, graft.ops.Multimodal.encodeBmp24Gray(gray, 18, 16))
+        }
+      }.toDF("doc_id", "content")
+      st.overwrite("image_phash",
+        graft.ops.Multimodal.imageDhash(media, 18, 16))
+    }
+    st.read("image_phash")
+  }
+
   /** Random-hyperplane band signatures (vec_id, b0, b1) over the
     * `embeddings` table — the cosine-space analogue of [[signatures]]:
     * the 16 hyperplane dot products per vector are the dominant scan,

@@ -42,6 +42,49 @@ object MultimodalQueries {
             col("frame").cast("string").as("frame_str"))
     },
 
+    // Image near-dup dedup over REAL decoded pixels: text bytes →
+    // real 18×16 BMP blobs → the production BmpCodec decode → 64-bit
+    // dHash (2×2 integer pooling, right-neighbor comparisons) → the
+    // SAME banded Hamming join the SimHash family uses (4×16-bit
+    // bands; pigeonhole exact for radius 3). This connects the media
+    // codecs to the dedup machinery: at 100 TB the decode+hash is one
+    // amortized map pass landed as an index table (Indexes.imagePhash)
+    // and candidate generation is a 16-byte-per-image hash join. The
+    // oracle recomputes pixels from the SAME text bytes (the BMP
+    // round-trip is exactly invertible for gray pixels — pinned by
+    // MultimodalSpec), then pools/hashes/pairs in pure integer SQL,
+    // via ALL-pairs: banding is provably exact at radius 3, so the
+    // plain formulation is a true oracle AND a proof the banded join
+    // drops no pair.
+    Q("q97_image_phash_neardup",
+      """WITH px AS (
+        |  SELECT doc_id, i,
+        |         CASE WHEN i <= length(text) THEN ascii(substring(text, CAST(i AS INT), 1))
+        |              ELSE 32 END AS v
+        |  FROM documents, unnest(generate_series(1, 288)) AS t(i)),
+        |pooled AS (
+        |  SELECT doc_id, ((i-1)//18)//2 AS py, ((i-1)%18)//2 AS px, sum(v) AS s
+        |  FROM px GROUP BY doc_id, ((i-1)//18)//2, ((i-1)%18)//2),
+        |bits AS (
+        |  SELECT a.doc_id, a.py*8 + a.px AS k,
+        |         CASE WHEN a.s > b.s THEN 1 ELSE 0 END AS bit
+        |  FROM pooled a JOIN pooled b ON a.doc_id = b.doc_id AND a.py = b.py AND b.px = a.px + 1
+        |  WHERE a.px < 8),
+        |fp AS (
+        |  SELECT doc_id, bit_or(CASE WHEN bit = 0 THEN 0
+        |                             WHEN k = 63 THEN (-9223372036854775807 - 1)
+        |                             ELSE (1::BIGINT << CAST(k AS INT)) END) AS phash
+        |  FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS d1, b.doc_id AS d2, a.phash AS fp1, b.phash AS fp2,
+        |       bit_count(xor(a.phash, b.phash))::INT AS hamming
+        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.phash, b.phash)) <= 3""".stripMargin) {
+      (s, d) =>
+        graft.ops.Dedup.simhashPairs(Indexes.imagePhash(s, d),
+            "doc_id", "phash", maxHamming = 3, fpBits = 64)
+          .select("d1", "d2", "fp1", "fp2", "hamming")
+    },
+
     // Partition-batched feature extraction through the stub codec —
     // rows-only check (JVM decode is not SQL-expressible); the codec
     // and plumbing are unit-tested (MultimodalSpec).

@@ -281,6 +281,73 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got.toSeq === px.map(_ / 255f))
   }
 
+  test("encodeBmp24Gray round-trips through BmpCodec bit-exactly") {
+    // Every byte value appears; 18x16 is the q97 dedup geometry.
+    val gray = Array.tabulate[Byte](288)(i => ((i * 37 + 11) % 256).toByte)
+    val decoded = new BmpCodec().decode(Multimodal.encodeBmp24Gray(gray, 18, 16))
+    assert(decoded.length === 288)
+    val back = decoded.map(f => math.round(f * 255f).toByte)
+    assert(back.toSeq === gray.toSeq,
+      "gray bytes did not survive the encode->decode round trip")
+  }
+
+  test("dhash64 matches an independent pooled-comparison computation") {
+    val rnd = new scala.util.Random(7)
+    val bytes = Array.fill[Byte](288)((rnd.nextInt(256)).toByte)
+    val gray = bytes.map(b => (b & 0xff) / 255f)
+    val got = Multimodal.dhash64(gray, 18, 16)
+    // Independent recomputation: integer 2x2 sums, strict > on the
+    // right neighbor — written as plain for-comprehensions, no code
+    // shared with the op's while-loop form.
+    val pooled = Array.ofDim[Int](8, 9)
+    for (y <- 0 until 16; x <- 0 until 18)
+      pooled(y / 2)(x / 2) += bytes(y * 18 + x) & 0xff
+    var expected = 0L
+    for (py <- 0 until 8; px <- 0 until 8)
+      if (pooled(py)(px) > pooled(py)(px + 1)) expected |= 1L << (py * 8 + px)
+    assert(got === expected)
+    // A brightness-shifted image (all pixels +20, saturating) keeps
+    // the same gradient signs away from saturation — dHash's point.
+    val brighter = bytes.map(b => math.min((b & 0xff) + 20, 255) / 255f)
+    val shifted = Multimodal.dhash64(brighter, 18, 16)
+    assert(java.lang.Long.bitCount(got ^ shifted) <= 16,
+      "dhash should be stable under uniform brightness shift")
+  }
+
+  test("imageDhash runs real BMP blobs through the partition-batched path") {
+    import spark.implicits._
+    val imgs = (0L until 6L).map { id =>
+      val gray = Array.tabulate[Byte](288)(i => ((i + id * 3) % 256).toByte)
+      (id, Multimodal.encodeBmp24Gray(gray, 18, 16))
+    }
+    val got = Multimodal.imageDhash(imgs.toDF("doc_id", "content"), 18, 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = imgs.map { case (id, bmp) =>
+      id -> Multimodal.dhash64(new BmpCodec().decode(bmp), 18, 16)
+    }.toMap
+    assert(got === expected)
+  }
+
+  test("simhashPairs at fpBits=64 finds exact and near image duplicates only") {
+    import spark.implicits._
+    val base = Array.tabulate[Byte](288)(i => ((i * 5 + 1) % 256).toByte)
+    val nearDup = base.clone; nearDup(0) = (base(0) + 1).toByte // one-pixel edit
+    val other = Array.tabulate[Byte](288)(i => ((i * 131 + 77) % 256).toByte)
+    val media = Seq(
+      1L -> base, 2L -> base.clone, 3L -> nearDup, 4L -> other)
+      .map { case (id, g) => (id, Multimodal.encodeBmp24Gray(g, 18, 16)) }
+      .toDF("doc_id", "content")
+    val fps = Multimodal.imageDhash(media, 18, 16)
+    val pairs = graft.ops.Dedup.simhashPairs(fps, "doc_id", "phash",
+        maxHamming = 3, fpBits = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "exact duplicate must pair")
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)),
+      "one-pixel edit must stay within Hamming 3")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      "unrelated image must not pair")
+  }
+
   test("GifCodec: deferred clear — table fills to 4096 and codes keep flowing") {
     // 72x64 = 4608 literal codes, no interior clear: the table hits
     // the 4096-entry cap mid-stream (258 + 4095 inserts > 4096) and

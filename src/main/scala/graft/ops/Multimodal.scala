@@ -635,6 +635,40 @@ object Multimodal {
     }
   }
 
+  final case class PooledIntRow(doc_id: Long, bucket: Int, psum: Long,
+                                pcnt: Long, n_bytes: Long, codec: String)
+
+  /** Integer-space modulo pooling: the same partition-batched decode
+    * as [[extractFeatures]], but the [0, 1] signal is re-quantized to
+    * exact 8-bit ints (`round(f·255)` — lossless for codecs whose
+    * source was 8-bit) and each modulo bucket emits its SUM and COUNT
+    * instead of a float mean. Sums and counts are exact integers in
+    * ANY engine, so the whole decode→pool chain carries a bit-exact
+    * ANSI-SQL oracle (q51) — the float mean is a trailing division the
+    * consumer applies when it actually wants one. Buckets with no
+    * samples emit (0, 0) so the output shape is fixed at `dim` rows
+    * per document. */
+  def extractPooledInts(media: Dataset[MediaRow], dim: Int,
+                        mkCodec: () => MediaCodec = () => new FakeCodec): Dataset[PooledIntRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val codec = mkCodec().init()
+      rows.flatMap { m =>
+        val raw = codec.decode(m.content)
+        val sums = new Array[Long](dim)
+        val cnts = new Array[Long](dim)
+        var i = 0
+        while (i < raw.length) {
+          sums(i % dim) += math.round(raw(i) * 255f)
+          cnts(i % dim) += 1
+          i += 1
+        }
+        (0 until dim).map(j => PooledIntRow(m.doc_id, j, sums(j), cnts(j),
+          m.content.length.toLong, codec.name))
+      }
+    }
+  }
+
   /** Frame sampling: one row per `everyMs` tick of `duration_ms`, the
     * frame payload a deterministic byte slice of the blob (stub for a
     * real frame grab at that timestamp). Pure Catalyst — `sequence`

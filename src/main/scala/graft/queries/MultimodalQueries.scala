@@ -85,10 +85,29 @@ object MultimodalQueries {
           .select("d1", "d2", "fp1", "fp2", "hamming")
     },
 
-    // Partition-batched feature extraction through the stub codec —
-    // rows-only check (JVM decode is not SQL-expressible); the codec
-    // and plumbing are unit-tested (MultimodalSpec).
-    Q.noOracle("q51_media_features") {
+    // Partition-batched feature extraction, ORACLE-GREEN: the decode
+    // runs through the per-partition codec exactly as before (the
+    // plumbing under test), but features are INTEGER-SPACE pooled
+    // sums/counts — the stub codec's byte→[0,1]→byte re-quantization
+    // is lossless, so DuckDB recomputes the whole chain from the same
+    // text bytes and must agree bit-for-bit. The float mean the old
+    // shape emitted is a trailing division consumers apply themselves;
+    // keeping sums keeps the gate hash-exact (was rows-only until r8).
+    Q("q51_media_features",
+      """WITH b AS (SELECT unnest(generate_series(0, 7)) AS bucket),
+        |px AS (
+        |  SELECT doc_id, i, ascii(substring(text, CAST(i AS INT), 1)) AS v
+        |  FROM documents, unnest(generate_series(1, length(text))) AS t(i)),
+        |agg AS (
+        |  SELECT doc_id, (i-1) % 8 AS bucket, sum(v) AS s, count(*) AS c
+        |  FROM px GROUP BY doc_id, (i-1) % 8)
+        |SELECT d.doc_id, CAST(b.bucket AS INT) AS bucket,
+        |       CAST(coalesce(a.s, 0) AS BIGINT) AS psum,
+        |       CAST(coalesce(a.c, 0) AS BIGINT) AS pcnt,
+        |       CAST(length(d.text) AS BIGINT) AS n_bytes,
+        |       'fake-codec' AS codec
+        |FROM documents d CROSS JOIN b
+        |LEFT JOIN agg a ON a.doc_id = d.doc_id AND a.bucket = b.bucket""".stripMargin) {
       (s, d) =>
         import s.implicits._
         val media = table(s, d, "documents").select(
@@ -97,11 +116,9 @@ object MultimodalQueries {
           col("text").cast("binary").as("content"),
           length(col("text")).cast("bigint").as("duration_ms"))
           .as[Multimodal.MediaRow]
-        Multimodal.extractFeatures(media, dim = 8).toDF()
-          .select(col("doc_id"), col("n_bytes"), col("codec"),
-            size(col("embedding")).as("emb_dim"),
-            round(aggregate(col("embedding"), lit(0.0),
-              (a, v) => a + v * v), 6).as("emb_sq_norm"))
+        Multimodal.extractPooledInts(media, dim = 8).toDF()
+          .select(col("doc_id"), col("bucket"), col("psum"), col("pcnt"),
+            col("n_bytes"), col("codec"))
     }
   )
 }

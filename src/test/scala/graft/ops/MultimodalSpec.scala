@@ -281,6 +281,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got.toSeq === px.map(_ / 255f))
   }
 
+  test("extractPooledInts: exact integer sums/counts per modulo bucket") {
+    import spark.implicits._
+    val content = Array.tabulate[Byte](11)(i => (i * 40 % 256).toByte)
+    val media = Seq(Multimodal.MediaRow(7L, "image/fake", content, 11L)).toDS()
+    val rows = Multimodal.extractPooledInts(media, dim = 4).collect()
+      .map(r => r.bucket -> ((r.psum, r.pcnt, r.n_bytes, r.codec))).toMap
+    // byte i lands in bucket i%4; the fake codec's byte→[0,1]→byte
+    // re-quantization must be lossless.
+    val expected = (0 until 4).map { j =>
+      val vs = content.indices.filter(_ % 4 == j).map(content(_) & 0xff)
+      j -> ((vs.sum.toLong, vs.size.toLong, 11L, "fake-codec"))
+    }.toMap
+    assert(rows === expected)
+    // dim exceeding the signal length still emits one row per bucket.
+    val wide = Multimodal.extractPooledInts(media, dim = 16).collect()
+    assert(wide.length === 16 && wide.count(_.pcnt == 0L) === 5)
+  }
+
   test("encodeBmp24Gray round-trips through BmpCodec bit-exactly") {
     // Every byte value appears; 18x16 is the q97 dedup geometry.
     val gray = Array.tabulate[Byte](288)(i => ((i * 37 + 11) % 256).toByte)

@@ -34,7 +34,11 @@ object TextAnalysis {
   /** Whitespace token count. */
   def wsTokenCount(text: Column): Column = size(split(text, " "))
 
-  /** BPE-ish token count (regex token stream length). */
+  /** BPE-ish token count (regex token stream length) — the documented
+    * one-pass APPROXIMATION of a trained tokenizer's budget, for
+    * pipelines that cannot afford a vocabulary. The real trained
+    * merge-table tokenizer is [[Bpe]] (q98); budget queries that need
+    * true token counts should apply its merge table instead. */
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit(BpeIshRegex), lit(0)))
 

@@ -241,6 +241,23 @@ object Indexes {
     st.read("pq_codes")
   }
 
+  /** Trained BPE merge table over a corpus's `documents.text`
+    * (driver-side bounded metadata, the [[pqCodebooks]] discipline:
+    * `nMerges` rules of a few bytes each). Training runs once per
+    * (corpus, nMerges) per process; application is a pure map
+    * expression reading this table. In production the merge table
+    * serializes next to the tokenized output as part of the corpus
+    * generation. */
+  private val bpeMergeCache =
+    scala.collection.mutable.Map.empty[(String, Int), Seq[(String, String)]]
+  def bpeMerges(spark: SparkSession, sfDir: String,
+                nMerges: Int): Seq[(String, String)] = lock.synchronized {
+    bpeMergeCache.getOrElseUpdate((sfDir, nMerges),
+      graft.ops.Bpe.trainMerges(
+        graft.io.Sources.tableRebalanced(spark, sfDir, "documents"),
+        "text", nMerges))
+  }
+
   /** Per-image perceptual hashes (doc_id, phash) — the media-dedup
     * analogue of [[signatures]]: each document's text bytes become a
     * REAL 18×16 BMP blob (the harness ships no media, so the blob is

@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+class BpeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("trainMerges learns the hand-computed greedy merges in order") {
+    // Corpus: "low low lower lowest". Pair counts round 1:
+    // (l,o)=4, (o,w)=4, (w,e)=2, (e,r)=1, (e,s)=1, (s,t)=1 →
+    // tie 4-4 breaks to (l,o) (a ASC). Round 2: lo+w appears 4x →
+    // (lo,w). Round 3: (low,e)=2 wins over the 1-count pairs.
+    val docs = Seq("low low lower lowest").toDF("text")
+    val merges = Bpe.trainMerges(docs, "text", 3)
+    assert(merges === Seq(("l", "o"), ("lo", "w"), ("low", "e")))
+  }
+
+  test("applyMerges reproduces greedy leftmost application, runs included") {
+    val docs = Seq("aaaa aaa").toDF("text")
+    // Round 1: (a,a) count = 3+2 = 5 → merge. "aaaa"→<aa><aa>,
+    // "aaa"→<aa><a> (leftmost non-overlapping — the odd 'a' stays).
+    // Round 2: (aa,aa)=1, (aa,a)=1 → tie on count, (aa,a) < (aa,aa)
+    // lexicographically on b.
+    val merges = Bpe.trainMerges(docs, "text", 2)
+    assert(merges === Seq(("a", "a"), ("aa", "a")))
+    val got = docs
+      .select(transform(Bpe.wordArray(col("text")),
+        w => Bpe.applyMerges(Bpe.charWrap(w), merges)).as("reps"))
+      .select(array_join(col("reps"), " "))
+      .as[String].head()
+    assert(got === "<aa><aa> <aaa>")
+  }
+
+  test("training stops early when no adjacent pair remains") {
+    // Single-char words only: zero adjacencies, zero merges.
+    val docs = Seq("a b c d").toDF("text")
+    assert(Bpe.trainMerges(docs, "text", 5) === Seq.empty)
+  }
+
+  test("symbol counts: merge table shrinks token counts, never grows them") {
+    val docs = Seq("stream streaming streams", "the theme then").toDF("text")
+    val merges = Bpe.trainMerges(docs, "text", 6)
+    assert(merges.size === 6)
+    val counts = docs
+      .select(Bpe.wordArray(col("text")).as("words"))
+      .select(
+        aggregate(transform(col("words"), w => length(w)), lit(0),
+          (a, n) => a + n).as("chars"),
+        aggregate(transform(col("words"),
+            w => size(Bpe.symbols(Bpe.applyMerges(Bpe.charWrap(w), merges)))),
+          lit(0), (a, n) => a + n).as("bpe"))
+      .collect()
+    counts.foreach { r =>
+      assert(r.getInt(1) < r.getInt(0), "merges must compress")
+      assert(r.getInt(1) > 0)
+    }
+  }
+}

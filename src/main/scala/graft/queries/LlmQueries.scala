@@ -377,6 +377,42 @@ object LlmQueries {
           .withColumn("cluster_size", count(lit(1)).over(w))
     },
 
+    // STREAMING cluster maintenance under the oracle gate: the corpus
+    // replayed as a REAL document stream (file source, 4 triggers via
+    // maxFilesPerTrigger, AvailableNow — the q95/q96 replay pattern
+    // applied to the near-dup pipeline). Each micro-batch is signed,
+    // probed against the PERSISTED signature index (stream-static
+    // banded join; per-trigger cost ∝ batch, never corpus), batch-
+    // internal edges join in, and the edges fold into the versioned
+    // labels table through mergeComponents — one atomic generation
+    // per trigger. The final labels table must hash-match q57's
+    // from-scratch recursive-CTE closure: incremental streaming
+    // maintenance is only correct when it is indistinguishable from
+    // recomputing the world, whatever the batch boundaries were.
+    Q("q99_stream_cluster_maintenance", clusterOracleSql) {
+      (s, d) =>
+        val sigs = Indexes.signatures(s, d)
+        val docs = table(s, d, "documents").select(col("doc_id"), col("text"))
+        val scratch = java.nio.file.Files.createTempDirectory("graft_q99")
+        val staging = s"$scratch/docs"
+        // Stage the stream's arrival log: 4 range files = 4 triggers.
+        // A distributed write, not a driver collect; any batch split
+        // yields the same final labels (full-index probing covers
+        // every true pair whichever batch its endpoints arrive in).
+        docs.repartitionByRange(4, col("doc_id")).write.parquet(staging)
+        val stream = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(staging)
+        val store = new graft.io.TableStore(s, s"$scratch/store")
+        val q = graft.streaming.Streaming.maintainClusters(stream, store,
+          "labels", sigs, "doc_id", "text", JaccardThreshold,
+          checkpoint = s"$scratch/cp")
+        try q.awaitTermination(300000) finally q.stop()
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("component"))
+        store.readVersioned("labels")
+          .select(col("component"), col("id").as("doc_id"))
+          .withColumn("cluster_size", count(lit(1)).over(w))
+    },
+
     // Edit-distance near-dup verify: the SAME banded LSH candidate
     // generator as q31, with a string-metric verify policy — exact
     // Levenshtein bounded at 20% of the longer text. The comparison

@@ -207,8 +207,14 @@ object Streaming {
         // New docs link to the corpus AND to each other: batch×corpus
         // through the banded probe, batch×batch through the same
         // capped self join the batch path uses.
+        // A doc already present in the corpus index (at-least-once
+        // redelivery, or an index maintained ahead of labels) probes
+        // ITSELF at jaccard 1 — a degenerate self edge that would
+        // mint a label row for a true singleton. Drop self pairs;
+        // real duplicate PAIRS keep their edge.
         val crossEdges = Dedup.verifiedEdgesAgainst(
-          batchSigs, corpusSigs, idCol, threshold, maxBandFreq)
+            batchSigs, corpusSigs, idCol, threshold, maxBandFreq)
+          .filter(col("d1") =!= col("d2"))
         val selfEdges = Dedup.scoredCandidatePairs(batchSigs, idCol, maxBandFreq)
           .filter(col("__inter").cast("double") / col("__union") >= threshold)
           .select("d1", "d2")

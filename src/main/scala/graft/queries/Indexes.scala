@@ -25,6 +25,12 @@ import graft.ops.Dedup
   * using them produces results BIT-IDENTICAL to the inline pipeline —
   * signatures are deterministic and parquet round-trips bigint arrays
   * exactly (pinned by q70's oracle and DedupSpec's round-trip test).
+  *
+  * Index namespaces are keyed by the corpus GENERATION
+  * ([[corpusEpoch]]): recommitting a versioned corpus moves its
+  * derived indexes to a fresh namespace, so a long-lived process can
+  * never serve indexes of a superseded generation (IndexesSpec pins
+  * the rebuild).
   */
 object Indexes {
 
@@ -45,10 +51,34 @@ object Indexes {
     * reentrant, so derived builds can call base builds inside it. */
   private val lock = new Object
 
+  /** The corpus's index EPOCH. A corpus addressed by an immutable raw
+    * directory (the harness testdata) is epoch 0 forever. A corpus
+    * that is a [[TableStore]]-versioned `documents` table (root =
+    * `sfDir`) reports its live generation — so a corpus RECOMMIT
+    * moves every derived index to a fresh namespace, and the first
+    * reader after the commit rebuilds instead of a long-lived process
+    * silently serving indexes of a superseded generation. */
+  def corpusEpoch(spark: SparkSession, sfDir: String): Long = {
+    val st = new TableStore(spark, sfDir)
+    if (st.exists("documents")) st.liveGeneration("documents").getOrElse(0L)
+    else 0L
+  }
+
+  /** The corpus `documents` frame the builders scan: the live
+    * generation for a versioned corpus, the raw parquet file for the
+    * harness layout — rebalanced either way (single-file local inputs
+    * must not serialize the build onto one core). */
+  private def corpusDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    val st = new TableStore(spark, sfDir)
+    if (st.exists("documents"))
+      graft.io.Sources.rebalance(spark, st.readVersioned("documents"))
+    else graft.io.Sources.tableRebalanced(spark, sfDir, "documents")
+  }
+
   private def store(spark: SparkSession, sfDir: String): TableStore = {
     val key = Integer.toHexString(
       scala.util.hashing.MurmurHash3.stringHash(sfDir))
-    new TableStore(spark, s"$root/$key")
+    new TableStore(spark, s"$root/$key/e${corpusEpoch(spark, sfDir)}")
   }
 
   /** The corpus shingle index: one (doc_id, source, `__hs`) row per
@@ -58,7 +88,7 @@ object Indexes {
     val st = store(spark, sfDir)
     if (!st.exists("doc_shingles"))
       Dedup.buildShingleIndex(st,
-        graft.io.Sources.tableRebalanced(spark, sfDir, "documents"),
+        corpusDocs(spark, sfDir),
         "doc_id", "text", extraCols = Seq("source"))
     st.read("doc_shingles")
   }
@@ -164,7 +194,7 @@ object Indexes {
     val st = store(spark, sfDir)
     if (!st.exists("doc_tf"))
       st.overwrite("doc_tf",
-        graft.io.Sources.tableRebalanced(spark, sfDir, "documents")
+        corpusDocs(spark, sfDir)
           .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("w"))
           .groupBy("doc_id", "w").agg(count(lit(1)).as("tf")))
     st.read("doc_tf")
@@ -197,7 +227,7 @@ object Indexes {
     if (!st.exists("doc_spans")) {
       val toks = split(graft.ops.TextAnalysis.normalize(col("text")), " ")
       st.overwrite("doc_spans",
-        graft.io.Sources.tableRebalanced(spark, sfDir, "documents")
+        corpusDocs(spark, sfDir)
           // Materialize the token array first (spanGrams lambda-capture
           // contract).
           .select(col("doc_id"), toks.as("toks"))
@@ -216,10 +246,10 @@ object Indexes {
     * production the codebooks serialize next to the codes table as
     * part of the index generation. */
   private val pqCodebookCache =
-    scala.collection.mutable.Map.empty[String, Seq[Seq[Array[Long]]]]
+    scala.collection.mutable.Map.empty[(String, Long), Seq[Seq[Array[Long]]]]
   def pqCodebooks(spark: SparkSession, sfDir: String): Seq[Seq[Array[Long]]] =
     lock.synchronized {
-      pqCodebookCache.getOrElseUpdate(sfDir,
+      pqCodebookCache.getOrElseUpdate((sfDir, corpusEpoch(spark, sfDir)),
         graft.ops.Similarity.pqTrainCodebooks(
           graft.io.Sources.table(spark, sfDir, "embeddings"),
           dim = 64, m = 4, kPerSub = 4, iters = 2))
@@ -249,12 +279,12 @@ object Indexes {
     * serializes next to the tokenized output as part of the corpus
     * generation. */
   private val bpeMergeCache =
-    scala.collection.mutable.Map.empty[(String, Int), Seq[(String, String)]]
+    scala.collection.mutable.Map.empty[(String, Long, Int), Seq[(String, String)]]
   def bpeMerges(spark: SparkSession, sfDir: String,
                 nMerges: Int): Seq[(String, String)] = lock.synchronized {
-    bpeMergeCache.getOrElseUpdate((sfDir, nMerges),
+    bpeMergeCache.getOrElseUpdate((sfDir, corpusEpoch(spark, sfDir), nMerges),
       graft.ops.Bpe.trainMerges(
-        graft.io.Sources.tableRebalanced(spark, sfDir, "documents"),
+        corpusDocs(spark, sfDir),
         "text", nMerges))
   }
 
@@ -272,7 +302,7 @@ object Indexes {
     if (!st.exists("image_phash")) {
       import spark.implicits._
       import org.apache.spark.sql.functions.col
-      val docs = graft.io.Sources.tableRebalanced(spark, sfDir, "documents")
+      val docs = corpusDocs(spark, sfDir)
         .select(col("doc_id"), col("text")).as[(Long, String)]
       val media = docs.mapPartitions { it =>
         it.map { case (id, text) =>

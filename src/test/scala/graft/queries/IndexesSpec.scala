@@ -70,6 +70,35 @@ class IndexesSpec extends AnyFunSuite {
     assert(fromIndex === inline)
   }
 
+  test("a corpus recommit moves the registry to a new epoch and rebuilds") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_vers_corpus").toString
+    val st = new graft.io.TableStore(spark, root)
+    st.commitVersioned("documents", Seq(
+      (1L, "alpha beta alpha", "s0"), (2L, "alpha beta gamma", "s0"))
+      .toDF("doc_id", "text", "source"))
+    assert(Indexes.corpusEpoch(spark, root) === 1L)
+    val words1 = Indexes.termFrequencies(spark, root)
+      .collect().map(_.getString(1)).toSet
+    assert(words1 === Set("alpha", "beta", "gamma"))
+    // Gen-1 top pair: alpha's chars dominate, tie-break lands (a, l).
+    assert(Indexes.bpeMerges(spark, root, 1) === Seq(("a", "l")))
+    // Recommit the corpus: generation 2 with disjoint vocabulary. The
+    // registry must serve indexes of the LIVE generation, not the
+    // cached build of the superseded one.
+    st.commitVersioned("documents", Seq(
+      (1L, "delta epsilon", "s0")).toDF("doc_id", "text", "source"))
+    assert(Indexes.corpusEpoch(spark, root) === 2L)
+    val words2 = Indexes.termFrequencies(spark, root)
+      .collect().map(_.getString(1)).toSet
+    assert(words2 === Set("delta", "epsilon"),
+      "registry served a stale generation's index")
+    // The driver-side merge-table cache is epoch-keyed too: the same
+    // call now trains on the gen-2 vocabulary ((d, e) is its
+    // lexicographic all-ties winner), not the memoized gen-1 table.
+    assert(Indexes.bpeMerges(spark, root, 1) === Seq(("d", "e")))
+  }
+
   test("PQ codes round-trip the inline train+encode bit-exactly") {
     val e = graft.io.Sources.table(spark, sf, "embeddings")
     val inlineCbs = Similarity.pqTrainCodebooks(e, dim = 64, m = 4,

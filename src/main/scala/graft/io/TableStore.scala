@@ -400,6 +400,7 @@ final class TableStore(spark: SparkSession, root: String) {
     org.apache.spark.sql.types.StructField("col", org.apache.spark.sql.types.StringType, nullable = false),
     org.apache.spark.sql.types.StructField("ptype", org.apache.spark.sql.types.StringType, nullable = false),
     org.apache.spark.sql.types.StructField("nulls", org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("rows", org.apache.spark.sql.types.LongType, nullable = false),
     org.apache.spark.sql.types.StructField("min_long", org.apache.spark.sql.types.LongType, nullable = true),
     org.apache.spark.sql.types.StructField("max_long", org.apache.spark.sql.types.LongType, nullable = true),
     org.apache.spark.sql.types.StructField("min_double", org.apache.spark.sql.types.DoubleType, nullable = true),
@@ -446,6 +447,7 @@ final class TableStore(spark: SparkSession, root: String) {
           }
           val ptn = chunks.head.getPrimitiveType.getPrimitiveTypeName
           val nulls = chunks.map(_.getStatistics.getNumNulls).sum
+          val fileRows = blocks.asScala.map(_.getRowCount).sum
           val nonEmpty = chunks.filter(_.getStatistics.hasNonNullValue)
           def mins = nonEmpty.map(_.getStatistics.genericGetMin)
           def maxs = nonEmpty.map(_.getStatistics.genericGetMax)
@@ -474,7 +476,7 @@ final class TableStore(spark: SparkSession, root: String) {
             case other => throw new IllegalArgumentException(
               s"commitVersionedWithStats: unsupported parquet type $other for '$c'")
           }
-          org.apache.spark.sql.Row(p.getName, c, ptype, nulls,
+          org.apache.spark.sql.Row(p.getName, c, ptype, nulls, fileRows,
             mnL, mxL, mnD, mxD, mnS, mxS)
         }
       } finally reader.close()
@@ -482,6 +484,22 @@ final class TableStore(spark: SparkSession, root: String) {
     spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1), statsSchema)
       .coalesce(1).write.parquet(statsDir(name, gen).toString)
+  }
+
+  /** The live generation's recorded file statistics for `column`:
+    * one row per data file with exact footer bounds, null count, and
+    * row count. `None` when the generation carries no stats or none
+    * for this column. Cost-model consumers (e.g.
+    * [[graft.ops.Temporal.autoBucketWidth]]) read THIS instead of
+    * scanning data — the same few-KB read the pruned scan plans
+    * from. */
+  def columnStats(name: String, column: String): Option[DataFrame] = {
+    val gen = liveGeneration(name).getOrElse(return None)
+    val sd = statsDir(name, gen)
+    if (!fs.exists(sd)) return None
+    val st = spark.read.parquet(sd.toString)
+      .filter(org.apache.spark.sql.functions.col("col") === column)
+    if (st.isEmpty) None else Some(st)
   }
 
   /** Range scan over the live generation planned through its file

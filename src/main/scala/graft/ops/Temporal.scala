@@ -19,6 +19,43 @@ import org.apache.spark.sql.functions._
   */
 object Temporal {
 
+  /** Derive the bucket width for [[rangeJoin]]/[[intervalOverlapJoin]]
+    * from a VERSIONED interval table's footer statistics instead of a
+    * hand-tuned knob: `width = extent / rowCount` (at least 1), where
+    * the extent spans [min(startCol), max(endCol)] over the recorded
+    * per-file bounds and rowCount comes from the recorded file row
+    * counts — a few-KB stats read
+    * ([[graft.io.TableStore.columnStats]]), never a data scan.
+    *
+    * Why this width bounds replication: an interval of span `s`
+    * explodes into at most `s/width + 2` bucket rows, so AVERAGE
+    * replication ≤ Σspan/(width·n) + 2 = Σspan/extent + 2 — the
+    * interval set's OVERLAP FACTOR (how many times it covers its own
+    * domain) plus a constant. For validity windows / sessions /
+    * campaign schedules the overlap factor is a small constant, so
+    * replication is too, at any scale (RangeJoinPropertySpec pins the
+    * bound; correctness needs no tuning at all — ANY width produces
+    * the identical pair set, also property-pinned). A width far above
+    * a typical span costs residual comparisons instead of replication;
+    * the stats-derived choice keeps expected buckets ≈ rows, the
+    * balanced middle. */
+  def autoBucketWidth(store: graft.io.TableStore, name: String,
+                      startCol: String, endCol: String): Long = {
+    import org.apache.spark.sql.functions.{max => fmax, min => fmin, sum => fsum}
+    def stats(c: String) = store.columnStats(name, c).getOrElse(
+      throw new IllegalArgumentException(
+        s"autoBucketWidth: no recorded stats for '$c' of '$name' — " +
+          "commit the interval table with commitVersionedWithStats"))
+    val s = stats(startCol).agg(
+      fmin(col("min_long")), fsum(col("rows"))).head()
+    val e = stats(endCol).agg(fmax(col("max_long"))).head()
+    require(!s.isNullAt(0) && !e.isNullAt(0),
+      s"autoBucketWidth: '$startCol'/'$endCol' of '$name' are all-null")
+    val extent = e.getLong(0) - s.getLong(0)
+    val n = math.max(s.getLong(1), 1L)
+    math.max(1L, extent / n)
+  }
+
   /** Pure range (point-in-interval) join with NO equi key — the shape
     * Spark's planner can only execute as a broadcast-nested-loop or
     * cartesian product, both of which are O(points × intervals) and

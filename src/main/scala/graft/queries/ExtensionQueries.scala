@@ -265,7 +265,11 @@ object ExtensionQueries {
     // bounded replay; append mode would hold back windows the final
     // watermark never passes). `value` pre-converted to integer cents
     // so the windowed sum is order-insensitive; both engines bucket
-    // from the same 1970-01-01 origin.
+    // from the same 1970-01-01 origin. NOTE: memory+complete is the
+    // ORACLE-REPLAY harness shape, not the production sink — jobs use
+    // foreachBatch (Streaming.ingest/reportSink) in update mode,
+    // where each trigger carries only changed windows (StreamingSpec
+    // pins the delta-fold equivalence).
     Q("q95_stream_windows",
       """SELECT time_bucket(INTERVAL '10 minutes', ts, TIMESTAMP '1970-01-01 00:00:00') AS win_start,
         |       event_type, count(*) AS n,
@@ -296,7 +300,9 @@ object ExtensionQueries {
     // the window ends at last_event + gap EXCLUSIVE, so an event
     // exactly `gap` after the previous one starts a NEW session
     // (diff >= gap in the oracle's is_start, where q23's batch
-    // formulation used strict >).
+    // formulation used strict >). Same replay-harness caveat as q95:
+    // memory+complete is the oracle shape, foreachBatch+update is the
+    // production sink.
     Q("q96_stream_sessions",
       """WITH marked AS (
         |  SELECT user_id, ts, value,

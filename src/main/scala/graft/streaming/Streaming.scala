@@ -74,6 +74,16 @@ object Streaming {
     df.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(keys)
 
   /** Event-time windowed counts/sums with late-data eviction. */
+  /** Watermarked tumbling/sliding window aggregate. Sink guidance:
+    * production jobs pair this with `foreachBatch` sinks ([[ingest]] /
+    * [[reportSink]]) in `update` mode — each trigger then carries only
+    * the CHANGED windows and the watermark bounds both state and
+    * output (StreamingSpec pins the delta-fold equivalence). The
+    * `memory` + `complete` combination in the declared oracle replays
+    * (q95/q96) is the REPLAY HARNESS only: driver-collected, emitting
+    * every window each trigger — bounded there by the replay's window
+    * count, unbounded in a long-running job. Do not copy that shape
+    * into production. */
   def windowedCounts(df: DataFrame, tsCol: String, keyCol: String,
                      windowDur: String, slide: String, delay: String): DataFrame =
     df.withWatermark(tsCol, delay)

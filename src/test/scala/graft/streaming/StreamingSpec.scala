@@ -120,6 +120,45 @@ class StreamingSpec extends AnyFunSuite {
       (ts("2024-01-01 10:00:00"), "view", 1L, 8.0)))
   }
 
+  test("windowedCounts update mode: per-trigger deltas fold to the complete aggregate") {
+    // The PRODUCTION sink shape (foreachBatch + update), vs q95/q96's
+    // memory+complete replay harness: each trigger emits only the
+    // windows the batch CHANGED, so sink traffic is bounded by the
+    // trigger's data, and folding the deltas (last write per window
+    // wins) reproduces the full aggregate exactly.
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, String, Double)]
+    val df = ms.toDF().toDF("ts", "event_type", "value")
+    val agg = Streaming.windowedCounts(df, "ts", "event_type",
+      "10 minutes", "10 minutes", "5 minutes")
+    val state = scala.collection.mutable.Map.empty[(Timestamp, String), (Long, Double)]
+    var emitted = 0L
+    val q = agg.writeStream.outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = batch
+          .select("win_start", "event_type", "n", "sum_value").collect()
+        emitted += rows.length
+        rows.foreach(r => state((r.getTimestamp(0), r.getString(1))) =
+          (r.getLong(2), r.getDouble(3)))
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_upd_cp").toString)
+      .start()
+    ms.addData(
+      (ts("2024-01-01 10:01:00"), "click", 1.0),
+      (ts("2024-01-01 10:11:00"), "click", 4.0))
+    q.processAllAvailable()
+    // Trigger 2 touches ONLY the 10:10 window: update mode must emit
+    // that one row, not re-emit the untouched 10:00 window.
+    ms.addData((ts("2024-01-01 10:12:00"), "click", 8.0))
+    q.processAllAvailable()
+    q.stop()
+    assert(emitted === 3L, s"update mode re-emitted unchanged windows: $emitted")
+    assert(state.toMap === Map(
+      (ts("2024-01-01 10:00:00"), "click") -> ((1L, 1.0)),
+      (ts("2024-01-01 10:10:00"), "click") -> ((2L, 12.0))))
+  }
+
   test("dedupStream drops same-key duplicates across micro-batches") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[(String, Timestamp, String)]

@@ -85,6 +85,57 @@ object MultimodalQueries {
           .select("d1", "d2", "fp1", "fp2", "hamming")
     },
 
+    // Image near-dup CLUSTERS: connected components over the q97
+    // perceptual-hash pair set — the full media-dedup pipeline
+    // (decode → dHash → banded Hamming pairs → CC labels), the same
+    // cluster artifact the text family lands (q57), produced from
+    // pixels. Oracle: the q97 integer-SQL hash chain feeding the
+    // recursive-CTE closure; component ids are the cluster's minimum
+    // doc id in both engines, singletons carry no row.
+    Q("q100_image_phash_clusters",
+      """WITH RECURSIVE px AS (
+        |  SELECT doc_id, i,
+        |         CASE WHEN i <= length(text) THEN ascii(substring(text, CAST(i AS INT), 1))
+        |              ELSE 32 END AS v
+        |  FROM documents, unnest(generate_series(1, 288)) AS t(i)),
+        |pooled AS (
+        |  SELECT doc_id, ((i-1)//18)//2 AS py, ((i-1)%18)//2 AS px, sum(v) AS s
+        |  FROM px GROUP BY doc_id, ((i-1)//18)//2, ((i-1)%18)//2),
+        |bits AS (
+        |  SELECT a.doc_id, a.py*8 + a.px AS k,
+        |         CASE WHEN a.s > b.s THEN 1 ELSE 0 END AS bit
+        |  FROM pooled a JOIN pooled b ON a.doc_id = b.doc_id AND a.py = b.py AND b.px = a.px + 1
+        |  WHERE a.px < 8),
+        |fp AS (
+        |  SELECT doc_id, bit_or(CASE WHEN bit = 0 THEN 0
+        |                             WHEN k = 63 THEN (-9223372036854775807 - 1)
+        |                             ELSE (1::BIGINT << CAST(k AS INT)) END) AS phash
+        |  FROM bits GROUP BY doc_id),
+        |prs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+        |sym AS (SELECT d1 AS src, d2 AS dst FROM prs
+        |        UNION SELECT d2, d1 FROM prs),
+        |reach AS (
+        |  SELECT src, dst FROM sym
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN sym e ON r.dst = e.src),
+        |comp AS (SELECT src AS doc_id, least(src, min(dst)) AS component
+        |         FROM reach GROUP BY src)
+        |SELECT c.component, c.doc_id,
+        |       count(*) OVER (PARTITION BY c.component) AS cluster_size
+        |FROM comp c""".stripMargin) {
+      (s, d) =>
+        val pairs = graft.ops.Dedup.simhashPairs(Indexes.imagePhash(s, d),
+            "doc_id", "phash", maxHamming = 3, fpBits = 64)
+          .select("d1", "d2")
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("component"))
+        graft.ops.Dedup.connectedComponents(pairs)
+          .select(col("component"), col("id").as("doc_id"))
+          .withColumn("cluster_size", count(lit(1)).over(w))
+    },
+
     // Partition-batched feature extraction, ORACLE-GREEN: the decode
     // runs through the per-partition codec exactly as before (the
     // plumbing under test), but features are INTEGER-SPACE pooled

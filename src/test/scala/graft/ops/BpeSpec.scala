@@ -40,6 +40,29 @@ class BpeSpec extends AnyFunSuite {
     assert(Bpe.trainMerges(docs, "text", 5) === Seq.empty)
   }
 
+  test("the real-BPE counter plugs into the budget operator unchanged") {
+    // tokenBudget/packSequences are parameterized by a token-count
+    // COLUMN: swapping the whitespace counter for the trained-BPE
+    // counter is this expression — no operator change. (The declared
+    // q62/q63 keep whitespace counts so their oracles stay about
+    // packing mechanics; q98 oracles the BPE chain itself.)
+    val docs = Seq((1L, "sa", "low low lower"), (2L, "sa", "lowest low"))
+      .toDF("doc_id", "source", "text")
+    val merges = Bpe.trainMerges(docs, "text", 3)
+    assert(merges === Seq(("l", "o"), ("lo", "w"), ("low", "e")))
+    val bpeCount = aggregate(
+      transform(Bpe.wordArray(col("text")),
+        w => size(Bpe.symbols(Bpe.applyMerges(Bpe.charWrap(w), merges)))),
+      lit(0), (a, n) => a + n)
+    val got = graft.ops.Sampling.tokenBudget(docs, "source", "doc_id",
+        bpeCount, budgets = Map.empty, defaultBudget = 8L)
+      .select("doc_id", "n_tok").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // low=1 symbol, lower=<lowe><r>=2, lowest=<lowe><s><t>=3 →
+    // doc 1: 1+1+2 = 4, doc 2: 3+1 = 4; both fit the budget.
+    assert(got === Map(1L -> 4L, 2L -> 4L))
+  }
+
   test("symbol counts: merge table shrinks token counts, never grows them") {
     val docs = Seq("stream streaming streams", "the theme then").toDF("text")
     val merges = Bpe.trainMerges(docs, "text", 6)

@@ -61,6 +61,21 @@ class PlanSpec extends AnyFunSuite {
     assert(scans <= 8, s"q07 scans regressed to $scans")
   }
 
+  test("q98: trained-BPE application is one shuffle-free map pass") {
+    // The tokenize path (wrap → replace chain → counts) must stay a
+    // pure projection over the scan: tokenizing 100 TB is a map job.
+    // (Training runs driver-memoized aggregates BEFORE this plan.)
+    val plan = planOf("q98_bpe_tokenize")
+    assert(!plan.contains("Exchange"),
+      s"BPE apply path shuffles:\n${plan.take(1500)}")
+  }
+
+  test("q97: image phash pairing is banded hash joins, never nested-loop") {
+    val plan = planOf("q97_image_phash_neardup")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+  }
+
   test("no declared query plans a cartesian product") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
       planOf(name).contains("CartesianProduct")

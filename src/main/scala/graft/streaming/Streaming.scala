@@ -212,8 +212,13 @@ object Streaming {
     docs.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         import graft.ops.Dedup
+        // The batch signature frame feeds FOUR consumers (the corpus
+        // probe, its hs1 verify join, and both sides of the batch
+        // self join) — materialize the shingle/minhash pass once per
+        // trigger instead of once per consumer.
         val batchSigs = Dedup.minhashSignatures(
           batch.select(col(idCol), col(textCol)), idCol, textCol)
+          .localCheckpoint(true)
         // New docs link to the corpus AND to each other: batch×corpus
         // through the banded probe, batch×batch through the same
         // capped self join the batch path uses.
@@ -228,7 +233,15 @@ object Streaming {
         val selfEdges = Dedup.scoredCandidatePairs(batchSigs, idCol, maxBandFreq)
           .filter(col("__inter").cast("double") / col("__union") >= threshold)
           .select("d1", "d2")
-        val edges = crossEdges.unionByName(selfEdges)
+        // The banded joins above are the expensive part of the
+        // trigger, and the edge frame is consumed several times: the
+        // empty-guard below, then mergeComponents' endpoint pull,
+        // affected-component broadcast, and the iterative CC — each a
+        // separate job over the same DAG. Materialize ONCE, eagerly,
+        // and cut the lineage (the same localCheckpoint discipline CC
+        // itself uses internally; blocks are reclaimed by the context
+        // cleaner when the trigger's frame goes out of scope).
+        val edges = crossEdges.unionByName(selfEdges).localCheckpoint(true)
         // An edge-free trigger is a label no-op: skip the commit
         // rather than churn an identical generation per idle batch
         // (vacuum pressure for nothing).

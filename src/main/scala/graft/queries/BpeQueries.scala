@@ -27,11 +27,13 @@ object BpeQueries {
   private val NormSql =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
 
-  /** The unrolled training+apply chain. `MATERIALIZED` is load-bearing:
-    * each `w{k}` is referenced twice (pair counts and the next
-    * iteration), and without it DuckDB's inlining doubles the plan per
-    * iteration — 2^10 blow-up, ~30x slower measured. */
-  private def oracleSql(n: Int): String = {
+  /** The unrolled training CTE chain (`w0` … `w$n`). `MATERIALIZED`
+    * is load-bearing: each `w{k}` is referenced twice (pair counts and
+    * the next iteration), and without it DuckDB's inlining doubles the
+    * plan per iteration — 2^10 blow-up, ~30x slower measured. Shared
+    * by q98 (tokenize) and q101 (trained-count budget mixing), so the
+    * two oracles cannot drift on the training replay. */
+  private def trainingCtes(n: Int): String = {
     val parts = Seq(
       s"""w0 AS MATERIALIZED (
          |  SELECT doc_id, j, regexp_replace(words[CAST(j AS INT)], '(.)', '<\\1>', 'g') AS rep
@@ -50,7 +52,21 @@ object BpeQueries {
            |         replace(w.rep, '<'||m.a||'><'||m.b||'>', '<'||m.a||m.b||'>') AS rep
            |  FROM w$k w, m$k m)""".stripMargin
       }
-    s"""WITH ${parts.mkString(",\n")}
+    parts.mkString(",\n")
+  }
+
+  /** Per-doc trained token counts from the final `w$n` generation,
+    * joined back to `documents` (word-free docs count 0). */
+  private def countCte(n: Int): String =
+    s"""bt AS (SELECT d.doc_id, d.source,
+       |         CAST(coalesce(t.bpe_tokens, 0) AS BIGINT) AS n_tok
+       |       FROM documents d LEFT JOIN (
+       |         SELECT doc_id,
+       |                sum(len(str_split(trim(rep, '<>'), '><'))) AS bpe_tokens
+       |         FROM w$n GROUP BY doc_id) t ON d.doc_id = t.doc_id)""".stripMargin
+
+  private def oracleSql(n: Int): String =
+    s"""WITH ${trainingCtes(n)}
        |SELECT d.doc_id,
        |       CAST(coalesce(t.bpe_tokens, 0) AS BIGINT) AS bpe_tokens,
        |       coalesce(t.bpe_text, '') AS bpe_text
@@ -59,7 +75,29 @@ object BpeQueries {
        |         sum(len(str_split(trim(rep, '<>'), '><'))) AS bpe_tokens,
        |         string_agg(rep, ' ' ORDER BY j) AS bpe_text
        |  FROM w$n GROUP BY doc_id) t ON d.doc_id = t.doc_id""".stripMargin
-  }
+
+  /** q101 budgets (trained-token units — roughly normalized chars
+    * minus merges, so ~5-7k per sf0.01 source): a mixed selection per
+    * stratum, with boundary docs provably dropped. */
+  private val Budgets = Map("src0" -> 2000L, "src1" -> 5000L)
+  private val DefaultBudget = 3500L
+
+  /** q63's budget mixing driven by TRAINED counts: the same unrolled
+    * training chain feeds a per-source hash-ordered prefix sum (the
+    * `Sampling.tokenBudget` contract — md5-derived sample key, ROWS
+    * frame, hard caps). */
+  private def budgetOracleSql(n: Int): String =
+    s"""WITH ${trainingCtes(n)},
+       |${countCte(n)},
+       |c AS (SELECT doc_id, source, n_tok,
+       |        CAST(sum(n_tok) OVER (PARTITION BY source
+       |          ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000, doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok
+       |      FROM bt)
+       |SELECT doc_id, source, n_tok, cum_tok FROM c
+       |WHERE cum_tok <= (CASE source WHEN 'src0' THEN ${Budgets("src0")}
+       |                              WHEN 'src1' THEN ${Budgets("src1")}
+       |                              ELSE $DefaultBudget END)""".stripMargin
 
   val all: Seq[Q] = Seq(
 
@@ -78,6 +116,31 @@ object BpeQueries {
             aggregate(col("reps"), lit(0L),
               (acc, r) => acc + size(Bpe.symbols(r))).as("bpe_tokens"),
             array_join(col("reps"), " ").as("bpe_text"))
+    },
+
+    // Trained-BPE counts composed into the token-budget mixing
+    // operator (q63's shape) in ONE lineage: train → count → budget.
+    // A real curation pipeline budgets with the tokenizer it trains —
+    // q63 demonstrates the operator with the documented regex
+    // approximation; this is the production composition. The oracle
+    // replays the full unrolled training chain AND the hash-ordered
+    // prefix-sum selection, so a drift in either half fails the row.
+    // Scale shape: training is memoized per corpus generation
+    // (bounded metadata); the count is a pure map expression; the
+    // budget is one prefix-sum window per stratum — the whole lineage
+    // adds ONE shuffle on `source` over the tokenize pass.
+    Q("q101_bpe_token_budget", budgetOracleSql(NMerges)) {
+      (s, d) =>
+        val merges = Indexes.bpeMerges(s, d, NMerges)
+        val trainedCount = aggregate(
+          transform(Bpe.wordArray(col("text")),
+            w => Bpe.applyMerges(Bpe.charWrap(w), merges)),
+          lit(0L), (acc, r) => acc + size(Bpe.symbols(r)))
+        graft.ops.Sampling.tokenBudget(
+          table(s, d, "documents").select("doc_id", "source", "text"),
+          "source", "doc_id", trainedCount,
+          budgets = Budgets, defaultBudget = DefaultBudget)
+          .select("doc_id", "source", "n_tok", "cum_tok")
     }
   )
 }

@@ -1136,6 +1136,9 @@ object LlmQueries {
     // training sequences per language — each doc's start sequence and
     // offset via one prefix-sum window (a single shuffle; the
     // production group key is a composite shard, Packing scaladoc).
+    // Counts here are whitespace tokens (the operator demo); the
+    // production counter is the TRAINED tokenizer — a drop-in column
+    // swap, demonstrated end-to-end by q101's budget composition.
     Q("q62_seq_packing",
       """WITH t AS (SELECT doc_id, lang, len(string_split(text,' ')) AS n_tok FROM documents),
         |c AS (SELECT doc_id, lang, n_tok,
@@ -1367,7 +1370,9 @@ object LlmQueries {
     // deterministic hash order until the source's token budget is
     // hit — hard caps, boundary doc dropped. One prefix-sum window
     // per stratum (Sampling.tokenBudget scaladoc has the sharded
-    // 100 TB spelling).
+    // 100 TB spelling). Whitespace counts demo the operator; the
+    // production counter is the trained tokenizer — q101 runs this
+    // same operator on trained-BPE counts in one lineage.
     Q("q63_token_budget",
       s"""WITH t AS (SELECT doc_id, source, len(string_split(text,' ')) AS n_tok,
          |             ${h64("CAST(doc_id AS VARCHAR)")} % 1000000 AS k FROM documents),

@@ -543,6 +543,55 @@ object Multimodal {
     out
   }
 
+  /** Real grayscale PNG ENCODER (the inverse of [[PngCodec]]'s
+    * color-type-0 subset): one gray byte per pixel, 8-bit depth,
+    * filter 0 on every row, IDAT deflated with the JDK `Deflater`,
+    * every chunk CRC-32-stamped. PNG stores exact sample bytes, so
+    * `PngCodec.decode(encodePngGray(g)).map(f => round(f*255))`
+    * reproduces `g` bit-exactly — the same round-trip contract as
+    * [[encodeBmp24Gray]], which is what lets the perceptual-hash
+    * dedup chain run over a COMPRESSED container under the same
+    * integer-SQL oracle (q102). */
+  def encodePngGray(gray: Array[Byte], width: Int, height: Int): Array[Byte] = {
+    require(width > 0 && height > 0 && gray.length == width * height,
+      s"encodePngGray: ${gray.length} bytes for ${width}x$height")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    def chunk(ctype: String, payload: Array[Byte]): Unit = {
+      val len = java.nio.ByteBuffer.allocate(4).putInt(payload.length).array()
+      out.write(len)
+      val tagged = ctype.getBytes("US-ASCII") ++ payload
+      out.write(tagged)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tagged)
+      out.write(java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array())
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(width).putInt(height)
+      .put(8.toByte)  // bit depth
+      .put(0.toByte)  // color type 0 = grayscale
+      .put(0.toByte).put(0.toByte).put(0.toByte) // deflate, filter 0, no interlace
+      .array()
+    chunk("IHDR", ihdr)
+    // Scanlines: a filter-type-0 byte then the row's samples.
+    val raw = new Array[Byte]((width + 1) * height)
+    var y = 0
+    while (y < height) {
+      System.arraycopy(gray, y * width, raw, y * (width + 1) + 1, width)
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw)
+    defl.finish()
+    val zipped = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!defl.finished()) zipped.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    chunk("IDAT", zipped.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
   /** 64-bit difference hash (dHash) of a decoded grayscale image: the
     * perceptual fingerprint behind image NEAR-dup dedup. Pixels are
     * re-quantized to exact ints (`round(f·255)` — lossless for codec

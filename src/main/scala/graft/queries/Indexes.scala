@@ -297,29 +297,49 @@ object Indexes {
     * dHashed ([[graft.ops.Multimodal.dhash64]]). The decode+hash map
     * pass runs ONCE per corpus and lands as a table; the banded
     * Hamming candidate join reads it on both sides. */
-  def imagePhash(spark: SparkSession, sfDir: String): DataFrame = lock.synchronized {
-    val st = store(spark, sfDir)
-    if (!st.exists("image_phash")) {
-      import spark.implicits._
-      import org.apache.spark.sql.functions.col
-      val docs = corpusDocs(spark, sfDir)
-        .select(col("doc_id"), col("text")).as[(Long, String)]
-      val media = docs.mapPartitions { it =>
-        it.map { case (id, text) =>
-          // Pixel i = byte i of the UTF-8 text (ASCII corpus), space-
-          // padded to 18·16 — row-major, the layout the q97 oracle
-          // recomputes with ascii(substring(...)).
-          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          val gray = Array.fill[Byte](18 * 16)(32)
-          System.arraycopy(bytes, 0, gray, 0, math.min(bytes.length, gray.length))
-          (id, graft.ops.Multimodal.encodeBmp24Gray(gray, 18, 16))
-        }
-      }.toDF("doc_id", "content")
-      st.overwrite("image_phash",
-        graft.ops.Multimodal.imageDhash(media, 18, 16))
+  def imagePhash(spark: SparkSession, sfDir: String): DataFrame =
+    imagePhashVia(spark, sfDir, "image_phash",
+      graft.ops.Multimodal.encodeBmp24Gray,
+      () => new graft.ops.Multimodal.BmpCodec)
+
+  /** The SAME phash index built through a COMPRESSED container: text
+    * bytes → grayscale PNG blobs ([[graft.ops.Multimodal
+    * .encodePngGray]]) → the production PNG codec (zlib inflate, row
+    * filters, CRC checks) → dHash. PNG stores exact sample bytes, so
+    * the hashes are bit-identical to the BMP path — which is the
+    * point: q102 pins the dedup chain as codec-agnostic in practice,
+    * not just by the `mkCodec` signature. */
+  def imagePhashPng(spark: SparkSession, sfDir: String): DataFrame =
+    imagePhashVia(spark, sfDir, "image_phash_png",
+      graft.ops.Multimodal.encodePngGray,
+      () => new graft.ops.Multimodal.PngCodec)
+
+  private def imagePhashVia(spark: SparkSession, sfDir: String, name: String,
+                            encode: (Array[Byte], Int, Int) => Array[Byte],
+                            mkCodec: () => graft.ops.Multimodal.MediaCodec): DataFrame =
+    lock.synchronized {
+      val st = store(spark, sfDir)
+      if (!st.exists(name)) {
+        import spark.implicits._
+        import org.apache.spark.sql.functions.col
+        val docs = corpusDocs(spark, sfDir)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+        val media = docs.mapPartitions { it =>
+          it.map { case (id, text) =>
+            // Pixel i = byte i of the UTF-8 text (ASCII corpus), space-
+            // padded to 18·16 — row-major, the layout the q97 oracle
+            // recomputes with ascii(substring(...)).
+            val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val gray = Array.fill[Byte](18 * 16)(32)
+            System.arraycopy(bytes, 0, gray, 0, math.min(bytes.length, gray.length))
+            (id, encode(gray, 18, 16))
+          }
+        }.toDF("doc_id", "content")
+        st.overwrite(name,
+          graft.ops.Multimodal.imageDhash(media, 18, 16, mkCodec))
+      }
+      st.read(name)
     }
-    st.read("image_phash")
-  }
 
   /** Random-hyperplane band signatures (vec_id, b0, b1) over the
     * `embeddings` table — the cosine-space analogue of [[signatures]]:

@@ -13,6 +13,37 @@ import graft.ops.Multimodal
   * JVM codec is exactly the kind of op the SQL oracle cannot express. */
 object MultimodalQueries {
 
+  /** The phash pair-family oracle: recomputes the 18×16 gray pixels
+    * from the SAME text bytes (container round-trips are exact for
+    * gray — pinned by MultimodalSpec), 2×2 sum-pools, dHashes, and
+    * pairs via ALL-pairs Hamming (banding is pigeonhole-exact at
+    * radius 3, so the plain formulation is a true oracle AND a proof
+    * the banded join drops no pair). Shared by q97 (BMP path) and
+    * q102 (PNG path) — same pixels, so the same oracle pins both. */
+  private val PhashPairOracle =
+    """WITH px AS (
+      |  SELECT doc_id, i,
+      |         CASE WHEN i <= length(text) THEN ascii(substring(text, CAST(i AS INT), 1))
+      |              ELSE 32 END AS v
+      |  FROM documents, unnest(generate_series(1, 288)) AS t(i)),
+      |pooled AS (
+      |  SELECT doc_id, ((i-1)//18)//2 AS py, ((i-1)%18)//2 AS px, sum(v) AS s
+      |  FROM px GROUP BY doc_id, ((i-1)//18)//2, ((i-1)%18)//2),
+      |bits AS (
+      |  SELECT a.doc_id, a.py*8 + a.px AS k,
+      |         CASE WHEN a.s > b.s THEN 1 ELSE 0 END AS bit
+      |  FROM pooled a JOIN pooled b ON a.doc_id = b.doc_id AND a.py = b.py AND b.px = a.px + 1
+      |  WHERE a.px < 8),
+      |fp AS (
+      |  SELECT doc_id, bit_or(CASE WHEN bit = 0 THEN 0
+      |                             WHEN k = 63 THEN (-9223372036854775807 - 1)
+      |                             ELSE (1::BIGINT << CAST(k AS INT)) END) AS phash
+      |  FROM bits GROUP BY doc_id)
+      |SELECT a.doc_id AS d1, b.doc_id AS d2, a.phash AS fp1, b.phash AS fp2,
+      |       bit_count(xor(a.phash, b.phash))::INT AS hamming
+      |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.phash, b.phash)) <= 3""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // Frame sampling over fake video blobs: one row per 100 ms tick,
@@ -56,31 +87,24 @@ object MultimodalQueries {
     // via ALL-pairs: banding is provably exact at radius 3, so the
     // plain formulation is a true oracle AND a proof the banded join
     // drops no pair.
-    Q("q97_image_phash_neardup",
-      """WITH px AS (
-        |  SELECT doc_id, i,
-        |         CASE WHEN i <= length(text) THEN ascii(substring(text, CAST(i AS INT), 1))
-        |              ELSE 32 END AS v
-        |  FROM documents, unnest(generate_series(1, 288)) AS t(i)),
-        |pooled AS (
-        |  SELECT doc_id, ((i-1)//18)//2 AS py, ((i-1)%18)//2 AS px, sum(v) AS s
-        |  FROM px GROUP BY doc_id, ((i-1)//18)//2, ((i-1)%18)//2),
-        |bits AS (
-        |  SELECT a.doc_id, a.py*8 + a.px AS k,
-        |         CASE WHEN a.s > b.s THEN 1 ELSE 0 END AS bit
-        |  FROM pooled a JOIN pooled b ON a.doc_id = b.doc_id AND a.py = b.py AND b.px = a.px + 1
-        |  WHERE a.px < 8),
-        |fp AS (
-        |  SELECT doc_id, bit_or(CASE WHEN bit = 0 THEN 0
-        |                             WHEN k = 63 THEN (-9223372036854775807 - 1)
-        |                             ELSE (1::BIGINT << CAST(k AS INT)) END) AS phash
-        |  FROM bits GROUP BY doc_id)
-        |SELECT a.doc_id AS d1, b.doc_id AS d2, a.phash AS fp1, b.phash AS fp2,
-        |       bit_count(xor(a.phash, b.phash))::INT AS hamming
-        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.phash, b.phash)) <= 3""".stripMargin) {
+    Q("q97_image_phash_neardup", PhashPairOracle) {
       (s, d) =>
         graft.ops.Dedup.simhashPairs(Indexes.imagePhash(s, d),
+            "doc_id", "phash", maxHamming = 3, fpBits = 64)
+          .select("d1", "d2", "fp1", "fp2", "hamming")
+    },
+
+    // The q97 chain through a COMPRESSED container: the same gray
+    // pixels encoded as real grayscale PNGs, decoded by the
+    // production PngCodec (zlib inflate, row-filter reconstruction,
+    // CRC validation), dHashed, banded-Hamming paired. PNG stores
+    // exact sample bytes, so the SAME integer-SQL oracle applies
+    // verbatim — a green row here is machine proof the media-dedup
+    // chain is codec-agnostic in practice (imageDhash's mkCodec seam
+    // exercised end-to-end under the oracle gate, not just in specs).
+    Q("q102_image_phash_png", PhashPairOracle) {
+      (s, d) =>
+        graft.ops.Dedup.simhashPairs(Indexes.imagePhashPng(s, d),
             "doc_id", "phash", maxHamming = 3, fpBits = 64)
           .select("d1", "d2", "fp1", "fp2", "hamming")
     },

@@ -309,6 +309,21 @@ class MultimodalSpec extends AnyFunSuite {
       "gray bytes did not survive the encode->decode round trip")
   }
 
+  test("encodePngGray round-trips through PngCodec and preserves the dHash") {
+    // Every byte value appears; 18x16 is the q97/q102 dedup geometry.
+    val gray = Array.tabulate[Byte](288)(i => ((i * 37 + 11) % 256).toByte)
+    val decoded = new Multimodal.PngCodec().decode(Multimodal.encodePngGray(gray, 18, 16))
+    assert(decoded.length === 288)
+    val back = decoded.map(f => math.round(f * 255f).toByte)
+    assert(back.toSeq === gray.toSeq,
+      "gray bytes did not survive the PNG encode->decode round trip")
+    // Same pixels through the BMP container: identical perceptual
+    // hash — the codec-agnosticism q102 pins under the oracle gate.
+    val viaBmp = new BmpCodec().decode(Multimodal.encodeBmp24Gray(gray, 18, 16))
+    assert(Multimodal.dhash64(decoded, 18, 16) ===
+      Multimodal.dhash64(viaBmp, 18, 16))
+  }
+
   test("dhash64 matches an independent pooled-comparison computation") {
     val rnd = new scala.util.Random(7)
     val bytes = Array.fill[Byte](288)((rnd.nextInt(256)).toByte)

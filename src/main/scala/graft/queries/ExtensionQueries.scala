@@ -556,15 +556,51 @@ object ExtensionQueries {
     // Mergeable-sketch aggregates: HLL++ distinct estimate and
     // approximate percentiles — the sub-linear-state path for 100 TB
     // rollups (exact distinct shuffles every key; the sketch shuffles
-    // ~kilobytes per group). Rows-only: sketch internals are
-    // engine-specific, so no bit-exact oracle exists by construction.
-    Q.noOracle("q22_sketches") {
+    // ~kilobytes per group). Sketch INTERNALS are engine-specific, so
+    // the estimates themselves carry no cross-engine oracle — instead
+    // the query emits the EXACT aggregates alongside integer flags
+    // asserting each estimate sits inside its published error bound
+    // (HLL++ rsd=0.02 → 3σ = 6 %; percentile_approx accuracy=10000 →
+    // rank error ≤ n/10000, checked via the estimate's own rank with
+    // one row of floor/ceil slack). The oracle recomputes the exact
+    // aggregates and pins every flag at 1: an out-of-bound sketch
+    // hash-mismatches the row. Bounded verification, not rows-only.
+    Q("q22_sketches",
+      """SELECT event_type,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       1 AS hll_ok, 1 AS p50_ok, 1 AS p95_ok
+        |FROM events GROUP BY event_type""".stripMargin) {
       (s, d) =>
         import graft.io.Sources.table
-        table(s, d, "events").groupBy("event_type").agg(
+        val err = 1.0 / 10000 // percentile_approx's published rank error
+        val e = table(s, d, "events")
+          .select(col("event_type"), col("user_id"), col("value"))
+        val sk = e.groupBy("event_type").agg(
           approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
-          percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50_value"),
-          percentile_approx(col("value"), lit(0.95), lit(10000)).as("p95_value"))
+          percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50_est"),
+          percentile_approx(col("value"), lit(0.95), lit(10000)).as("p95_est"),
+          countDistinct(col("user_id")).as("n_users"),
+          count(col("value")).as("n_vals"),
+          count(lit(1)).as("n_events"))
+        val ranks = e
+          .join(sk.select("event_type", "p50_est", "p95_est"), Seq("event_type"))
+          .groupBy("event_type").agg(
+            sum(when(col("value") <= col("p50_est"), 1L).otherwise(0L)).as("r50_le"),
+            sum(when(col("value") < col("p50_est"), 1L).otherwise(0L)).as("r50_lt"),
+            sum(when(col("value") <= col("p95_est"), 1L).otherwise(0L)).as("r95_le"),
+            sum(when(col("value") < col("p95_est"), 1L).otherwise(0L)).as("r95_lt"))
+        def rankOk(le: String, lt: String, q: Double) =
+          (col(le) + 1 >= (lit(q) - err) * col("n_vals")) &&
+            (col(lt) <= (lit(q) + err) * col("n_vals") + 1)
+        sk.join(ranks, Seq("event_type")).select(
+          col("event_type"), col("n_users"), col("n_events"),
+          when(abs(col("approx_users") - col("n_users")) * 100 <= col("n_users") * 6, 1)
+            .otherwise(0).cast("int").as("hll_ok"),
+          when(col("p50_est").isNull, (col("n_vals") === 0).cast("int"))
+            .otherwise(rankOk("r50_le", "r50_lt", 0.5).cast("int")).as("p50_ok"),
+          when(col("p95_est").isNull, (col("n_vals") === 0).cast("int"))
+            .otherwise(rankOk("r95_le", "r95_lt", 0.95).cast("int")).as("p95_ok"))
     },
 
     // Full-outer join with side flags — the join type the reference

@@ -1,11 +1,10 @@
 package graft.queries
 
-import java.nio.file.Files
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.io.TableStore
 import graft.ops.Dedup
 
-/** Per-process registry of MATERIALIZED corpus indexes — the
+/** PERSISTENT registry of MATERIALIZED corpus indexes — the
   * production table-flow behind the near-dup query family.
   *
   * The md5→shingle→minhash pipeline is the dominant scan of every
@@ -19,12 +18,25 @@ import graft.ops.Dedup
   * and shares nothing across queries.
   *
   * This registry gives the declared query set the same discipline:
-  * first consumer of a corpus builds its indexes (one corpus pass),
-  * the tables live for the process (Bench's warmup pass builds them;
-  * timed passes measure the production read path), and every query
-  * using them produces results BIT-IDENTICAL to the inline pipeline —
-  * signatures are deterministic and parquet round-trips bigint arrays
-  * exactly (pinned by q70's oracle and DedupSpec's round-trip test).
+  * the first consumer of a corpus builds its indexes (one corpus
+  * pass), the tables OUTLIVE the process — a versioned corpus keeps
+  * them co-located under `<corpus>/_indexes`, a raw corpus under a
+  * stable shared root — so a second process (or a restarted cluster)
+  * REUSES the build instead of re-scanning the corpus, and every
+  * query using them produces results BIT-IDENTICAL to the inline
+  * pipeline — signatures are deterministic and parquet round-trips
+  * bigint arrays exactly (pinned by q70's oracle and DedupSpec's
+  * round-trip test).
+  *
+  * Cross-process safety: a build lands in a dot-prefixed scratch
+  * namespace and publishes with ONE atomic directory rename, so a
+  * published table is always complete (it carries its `_SUCCESS`
+  * marker before the rename); two processes racing the same build
+  * both succeed — the rename loser discards its scratch and reads
+  * the winner. Staleness safety: raw corpora are namespace-keyed by
+  * a parquet-listing fingerprint (file names, lengths, mtimes), so a
+  * regenerated dataset at the same path can never be served indexes
+  * of the bytes it replaced.
   *
   * Index namespaces are keyed by the corpus GENERATION
   * ([[corpusEpoch]]): recommitting a versioned corpus moves its
@@ -34,17 +46,18 @@ import graft.ops.Dedup
   */
 object Indexes {
 
-  /** One scratch root per process, removed on JVM exit. */
-  private lazy val root: String = {
-    val dir = Files.createTempDirectory("graft_indexes")
-    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRec(dir.toFile)))
-    dir.toString
-  }
+  /** Registry FORMAT version — part of every namespace path, so an
+    * incompatible index-schema change (bump this when making one) can
+    * never be served from a registry written by older code. */
+  private val FormatVersion = 1
 
-  private def deleteRec(f: java.io.File): Unit = {
-    Option(f.listFiles).foreach(_.foreach(deleteRec))
-    f.delete(): Unit
-  }
+  /** Shared registry root for RAW (non-TableStore) corpora, read per
+    * call so tests can repoint it. Stable across processes by design —
+    * persistence is the point; in production this is a durable store
+    * path next to the data lake. */
+  private def sharedRoot: String =
+    sys.props.getOrElse("graft.index.root",
+      s"${System.getProperty("java.io.tmpdir")}/graft_index_registry")
 
   /** Builds serialize on one lock (a build is a full corpus pass —
     * two concurrent suites must not race it); the monitor is
@@ -75,33 +88,87 @@ object Indexes {
     else graft.io.Sources.tableRebalanced(spark, sfDir, "documents")
   }
 
+  /** Parquet-listing fingerprint of a RAW corpus directory: names,
+    * lengths, and mtimes of the top-level `*.parquet` entries. Cheap
+    * (one directory listing, no data read) and changes whenever the
+    * dataset is regenerated in place — the raw-layout analogue of a
+    * versioned corpus's generation number. */
+  private def rawFingerprint(spark: SparkSession, sfDir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(sfDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries =
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+        .sorted
+    java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.orderedHash(entries).toLong & 0xffffffffL)
+  }
+
   private def store(spark: SparkSession, sfDir: String): TableStore = {
-    val key = Integer.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(sfDir))
-    new TableStore(spark, s"$root/$key/e${corpusEpoch(spark, sfDir)}")
+    val corpus = new TableStore(spark, sfDir)
+    val base =
+      if (corpus.exists("documents") && corpus.liveGeneration("documents").isDefined)
+        // Versioned corpus: co-locate with the data, namespace = the
+        // live generation (a recommit moves indexes to a fresh epoch).
+        s"$sfDir/_indexes/v$FormatVersion/e${corpusEpoch(spark, sfDir)}"
+      else {
+        // Raw corpus (possibly read-only): shared registry root,
+        // namespace = path key + content fingerprint.
+        val key = Integer.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(sfDir))
+        s"$sharedRoot/v$FormatVersion/$key/f${rawFingerprint(spark, sfDir)}"
+      }
+    new TableStore(spark, base)
+  }
+
+  /** Cross-process-safe memoized build: a COMPLETE published table
+    * (its `_SUCCESS` marker present — guaranteed by publish order) is
+    * reused as-is; otherwise `build` writes `name` into a
+    * process-unique dot-prefixed scratch store and the result is
+    * published with one atomic rename. Losing the rename race to a
+    * concurrent process is fine: the winner's table is complete by
+    * the same invariant, so the loser discards its scratch and reads
+    * the winner. */
+  private def cached(spark: SparkSession, st: TableStore, name: String)
+                    (build: TableStore => Unit): DataFrame = {
+    val dst = new org.apache.hadoop.fs.Path(st.path(name))
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def complete = fs.exists(new org.apache.hadoop.fs.Path(dst, "_SUCCESS"))
+    if (!complete) {
+      val scratchRoot = st.path(s".build_${java.util.UUID.randomUUID}")
+      try {
+        build(new TableStore(spark, scratchRoot))
+        fs.mkdirs(dst.getParent): Unit
+        if (!fs.rename(new org.apache.hadoop.fs.Path(s"$scratchRoot/$name"), dst))
+          require(complete,
+            s"index publish failed for $name: rename rejected and no complete table present")
+      } finally
+        fs.delete(new org.apache.hadoop.fs.Path(scratchRoot), true): Unit
+    }
+    st.read(name)
   }
 
   /** The corpus shingle index: one (doc_id, source, `__hs`) row per
     * document of `sfDir`'s `documents` table (docs under 3 tokens
     * drop — no shingles, no signal). */
   def shingles(spark: SparkSession, sfDir: String): DataFrame = lock.synchronized {
-    val st = store(spark, sfDir)
-    if (!st.exists("doc_shingles"))
-      Dedup.buildShingleIndex(st,
+    cached(spark, store(spark, sfDir), "doc_shingles") { bst =>
+      Dedup.buildShingleIndex(bst,
         corpusDocs(spark, sfDir),
-        "doc_id", "text", extraCols = Seq("source"))
-    st.read("doc_shingles")
+        "doc_id", "text", extraCols = Seq("source")): Unit
+    }
   }
 
   /** The MinHash signature index (doc_id, `__hs`, mh0..mh{n-1}) —
     * derived FROM the persisted shingle index, so the md5 pass never
     * runs twice even at build time. */
   def signatures(spark: SparkSession, sfDir: String): DataFrame = lock.synchronized {
-    val st = store(spark, sfDir)
-    if (!st.exists("minhash_sigs"))
-      st.overwrite("minhash_sigs",
+    cached(spark, store(spark, sfDir), "minhash_sigs") { bst =>
+      bst.overwrite("minhash_sigs",
         Dedup.signaturesFromHashes(shingles(spark, sfDir).drop("source")))
-    st.read("minhash_sigs")
+    }
   }
 
   /** Per-doc SimHash fingerprints (doc_id, simhash) at `bits` width —
@@ -114,16 +181,14 @@ object Indexes {
                           bits: Int): DataFrame = lock.synchronized {
     require(bits == 32 || bits == 60, s"unsupported simhash width: $bits")
     val name = s"simhash${bits}_fp"
-    val st = store(spark, sfDir)
-    if (!st.exists(name)) {
+    cached(spark, store(spark, sfDir), name) { bst =>
       import org.apache.spark.sql.functions.{col, explode}
       val th = shingles(spark, sfDir)
         .select(col("doc_id"), explode(col("__hs")).as("h"))
-      st.overwrite(name,
+      bst.overwrite(name,
         if (bits == 32) Dedup.simhash32(th, "doc_id", "h")
         else Dedup.simhashWide(th, "doc_id", "h", bits = bits))
     }
-    st.read(name)
   }
 
   /** Parameter suffix for threshold-keyed table names: a cached build
@@ -140,15 +205,14 @@ object Indexes {
   def neardupEdges(spark: SparkSession, sfDir: String,
                    threshold: Double): DataFrame = lock.synchronized {
     import org.apache.spark.sql.functions.col
-    val st = store(spark, sfDir)
     val name = s"neardup_edges_t${permille(threshold)}"
-    if (!st.exists(name))
-      st.overwrite(name,
+    cached(spark, store(spark, sfDir), name) { bst =>
+      bst.overwrite(name,
         Dedup.scoredCandidatePairs(signatures(spark, sfDir), "doc_id",
             Dedup.DefaultMaxBandFreq)
           .filter(col("__inter").cast("double") / col("__union") >= threshold)
           .select("d1", "d2"))
-    st.read(name)
+    }
   }
 
   /** Resolved cluster labels (id, component) — connected components
@@ -159,12 +223,11 @@ object Indexes {
     * recursive closure). */
   def neardupLabels(spark: SparkSession, sfDir: String,
                     threshold: Double): DataFrame = lock.synchronized {
-    val st = store(spark, sfDir)
     val name = s"neardup_labels_t${permille(threshold)}"
-    if (!st.exists(name))
-      st.overwrite(name,
+    cached(spark, store(spark, sfDir), name) { bst =>
+      bst.overwrite(name,
         Dedup.connectedComponents(neardupEdges(spark, sfDir, threshold)))
-    st.read(name)
+    }
   }
 
   /** Yesterday's labels: components over only the edges whose BOTH
@@ -177,13 +240,12 @@ object Indexes {
   def neardupLabelsBase(spark: SparkSession, sfDir: String,
                         threshold: Double, cutoff: Long): DataFrame = lock.synchronized {
     import org.apache.spark.sql.functions.col
-    val st = store(spark, sfDir)
     val name = s"neardup_labels_base_t${permille(threshold)}_c$cutoff"
-    if (!st.exists(name))
-      st.overwrite(name,
+    cached(spark, store(spark, sfDir), name) { bst =>
+      bst.overwrite(name,
         Dedup.connectedComponents(neardupEdges(spark, sfDir, threshold)
           .filter(col("d1") < cutoff && col("d2") < cutoff)))
-    st.read(name)
+    }
   }
 
   /** Per-doc term frequencies (doc_id, w, tf) — ONE tokenize pass over
@@ -191,13 +253,12 @@ object Indexes {
     * scoring derive from it without re-running the explode. */
   def termFrequencies(spark: SparkSession, sfDir: String): DataFrame = lock.synchronized {
     import org.apache.spark.sql.functions.{col, count, explode, lit}
-    val st = store(spark, sfDir)
-    if (!st.exists("doc_tf"))
-      st.overwrite("doc_tf",
+    cached(spark, store(spark, sfDir), "doc_tf") { bst =>
+      bst.overwrite("doc_tf",
         corpusDocs(spark, sfDir)
           .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("w"))
           .groupBy("doc_id", "w").agg(count(lit(1)).as("tf")))
-    st.read("doc_tf")
+    }
   }
 
   /** Trained k-means cell assignments (vec_id, cid, dist) over the
@@ -207,11 +268,10 @@ object Indexes {
     * (q68's oracle pins it); SemDeDup blocking joins this table
     * instead of retraining per query. */
   def kmeansCells(spark: SparkSession, sfDir: String): DataFrame = lock.synchronized {
-    val st = store(spark, sfDir)
-    if (!st.exists("kmeans_cells"))
-      st.overwrite("kmeans_cells", graft.ops.Similarity.kmeansFit(
+    cached(spark, store(spark, sfDir), "kmeans_cells") { bst =>
+      bst.overwrite("kmeans_cells", graft.ops.Similarity.kmeansFit(
         graft.io.Sources.table(spark, sfDir, "embeddings"), k = 8, iters = 2))
-    st.read("kmeans_cells")
+    }
   }
 
   /** Per-doc span occurrences (doc_id, span, occ) — every 8-token
@@ -223,10 +283,9 @@ object Indexes {
     * same discipline as [[shingles]]/[[termFrequencies]]. */
   def spanOccurrences(spark: SparkSession, sfDir: String): DataFrame = lock.synchronized {
     import org.apache.spark.sql.functions.{col, count, explode, lit, split}
-    val st = store(spark, sfDir)
-    if (!st.exists("doc_spans")) {
+    cached(spark, store(spark, sfDir), "doc_spans") { bst =>
       val toks = split(graft.ops.TextAnalysis.normalize(col("text")), " ")
-      st.overwrite("doc_spans",
+      bst.overwrite("doc_spans",
         corpusDocs(spark, sfDir)
           // Materialize the token array first (spanGrams lambda-capture
           // contract).
@@ -235,7 +294,6 @@ object Indexes {
             explode(graft.ops.TextAnalysis.spanGrams(col("toks"), 8)).as("span"))
           .groupBy("doc_id", "span").agg(count(lit(1)).as("occ")))
     }
-    st.read("doc_spans")
   }
 
   /** Trained PQ codebooks (4 subspaces × 4 entries over the 64-dim
@@ -249,10 +307,25 @@ object Indexes {
     scala.collection.mutable.Map.empty[(String, Long), Seq[Seq[Array[Long]]]]
   def pqCodebooks(spark: SparkSession, sfDir: String): Seq[Seq[Array[Long]]] =
     lock.synchronized {
-      pqCodebookCache.getOrElseUpdate((sfDir, corpusEpoch(spark, sfDir)),
-        graft.ops.Similarity.pqTrainCodebooks(
-          graft.io.Sources.table(spark, sfDir, "embeddings"),
-          dim = 64, m = 4, kPerSub = 4, iters = 2))
+      pqCodebookCache.getOrElseUpdate((sfDir, corpusEpoch(spark, sfDir)), {
+        // Bounded metadata, but the TRAINING is corpus aggregates —
+        // persist through the registry so a second process reads the
+        // table instead of re-running four Lloyd chains.
+        val df = cached(spark, store(spark, sfDir), "pq_codebooks") { bst =>
+          import spark.implicits._
+          val rows = graft.ops.Similarity.pqTrainCodebooks(
+            graft.io.Sources.table(spark, sfDir, "embeddings"),
+            dim = 64, m = 4, kPerSub = 4, iters = 2)
+            .zipWithIndex.flatMap { case (subs, m) =>
+              subs.zipWithIndex.map { case (c, cid) => (m, cid, c.toSeq) }
+            }
+          bst.overwrite("pq_codebooks", rows.toDF("sub", "cid", "centroid"))
+        }
+        df.collect()
+          .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2).toArray))
+          .groupBy(_._1).toSeq.sortBy(_._1)
+          .map(_._2.sortBy(_._2).map(_._3).toSeq)
+      })
     }
 
   /** PQ codes (vec_id, codes array<bigint>) — the compact searched
@@ -263,12 +336,11 @@ object Indexes {
     * are bit-identical to an inline encode (q82's oracle pins the
     * whole chain). */
   def pqCodes(spark: SparkSession, sfDir: String): DataFrame = lock.synchronized {
-    val st = store(spark, sfDir)
-    if (!st.exists("pq_codes"))
-      st.overwrite("pq_codes", graft.ops.Similarity.pqEncode(
+    cached(spark, store(spark, sfDir), "pq_codes") { bst =>
+      bst.overwrite("pq_codes", graft.ops.Similarity.pqEncode(
         graft.io.Sources.tableRebalanced(spark, sfDir, "embeddings"),
         pqCodebooks(spark, sfDir)))
-    st.read("pq_codes")
+    }
   }
 
   /** Trained BPE merge table over a corpus's `documents.text`
@@ -282,10 +354,21 @@ object Indexes {
     scala.collection.mutable.Map.empty[(String, Long, Int), Seq[(String, String)]]
   def bpeMerges(spark: SparkSession, sfDir: String,
                 nMerges: Int): Seq[(String, String)] = lock.synchronized {
-    bpeMergeCache.getOrElseUpdate((sfDir, corpusEpoch(spark, sfDir), nMerges),
-      graft.ops.Bpe.trainMerges(
-        corpusDocs(spark, sfDir),
-        "text", nMerges))
+    bpeMergeCache.getOrElseUpdate((sfDir, corpusEpoch(spark, sfDir), nMerges), {
+      // Training is nMerges corpus-wide aggregates — persist the rule
+      // table (ordered) so a second process reads it instead of
+      // re-training.
+      val name = s"bpe_merges_n$nMerges"
+      val df = cached(spark, store(spark, sfDir), name) { bst =>
+        import spark.implicits._
+        val rules = graft.ops.Bpe.trainMerges(
+          corpusDocs(spark, sfDir), "text", nMerges)
+          .zipWithIndex.map { case ((a, b), i) => (i, a, b) }
+        bst.overwrite(name, rules.toDF("i", "a", "b"))
+      }
+      df.collect().sortBy(_.getInt(0))
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+    })
   }
 
   /** Per-image perceptual hashes (doc_id, phash) — the media-dedup
@@ -318,8 +401,7 @@ object Indexes {
                             encode: (Array[Byte], Int, Int) => Array[Byte],
                             mkCodec: () => graft.ops.Multimodal.MediaCodec): DataFrame =
     lock.synchronized {
-      val st = store(spark, sfDir)
-      if (!st.exists(name)) {
+      cached(spark, store(spark, sfDir), name) { bst =>
         import spark.implicits._
         import org.apache.spark.sql.functions.col
         val docs = corpusDocs(spark, sfDir)
@@ -335,10 +417,9 @@ object Indexes {
             (id, encode(gray, 18, 16))
           }
         }.toDF("doc_id", "content")
-        st.overwrite(name,
+        bst.overwrite(name,
           graft.ops.Multimodal.imageDhash(media, 18, 16, mkCodec))
       }
-      st.read(name)
     }
 
   /** Random-hyperplane band signatures (vec_id, b0, b1) over the
@@ -347,11 +428,10 @@ object Indexes {
     * run once and landed as a table; the banded candidate self join
     * reads it on both sides. */
   def rpSignatures(spark: SparkSession, sfDir: String): DataFrame = lock.synchronized {
-    val st = store(spark, sfDir)
-    if (!st.exists("rp_sigs"))
-      st.overwrite("rp_sigs", graft.ops.Similarity.rpSignatures(
+    cached(spark, store(spark, sfDir), "rp_sigs") { bst =>
+      bst.overwrite("rp_sigs", graft.ops.Similarity.rpSignatures(
         graft.io.Sources.tableRebalanced(spark, sfDir, "embeddings"),
         "vec_id", "embedding", dim = 64))
-    st.read("rp_sigs")
+    }
   }
 }

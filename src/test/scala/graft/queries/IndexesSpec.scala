@@ -97,6 +97,47 @@ class IndexesSpec extends AnyFunSuite {
     // call now trains on the gen-2 vocabulary ((d, e) is its
     // lexicographic all-ties winner), not the memoized gen-1 table.
     assert(Indexes.bpeMerges(spark, root, 1) === Seq(("d", "e")))
+    // A versioned corpus keeps its derived indexes CO-LOCATED with the
+    // data — the registry survives with the corpus, not the process.
+    assert(new java.io.File(s"$root/_indexes").isDirectory,
+      "versioned corpus indexes must land under <corpus>/_indexes")
+  }
+
+  test("registry persists across independent consumers without a rebuild") {
+    import spark.implicits._
+    val reg = java.nio.file.Files.createTempDirectory("graft_reg").toString
+    val corpus = java.nio.file.Files.createTempDirectory("graft_raw_corpus").toString
+    Seq((1L, "alpha beta gamma delta", "s0"), (2L, "alpha beta gamma epsilon", "s0"),
+        (3L, "alpha beta gamma delta", "s1"))
+      .toDF("doc_id", "text", "source")
+      .coalesce(1).write.parquet(s"$corpus/documents.parquet")
+    val prev = sys.props.get("graft.index.root")
+    try {
+      sys.props("graft.index.root") = reg
+      def listing: Seq[(String, Long)] = {
+        def rec(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) Option(f.listFiles).toSeq.flatten.flatMap(rec)
+          else Seq(f)
+        rec(new java.io.File(reg)).map(f => f.getPath -> f.lastModified).sortBy(_._1)
+      }
+      val first = Indexes.signatures(spark, corpus)
+        .collect().map(_.toString).sorted.toSeq
+      val published = listing
+      assert(published.nonEmpty, "build published nothing into the registry root")
+      // A second consumer: the registry holds no in-process table
+      // state, so this call resolves purely through the filesystem —
+      // the exact path a fresh JVM (second process, restarted cluster)
+      // takes. The published files must be byte-untouched: reuse, not
+      // a silent rebuild.
+      val again = Indexes.signatures(spark, corpus)
+        .collect().map(_.toString).sorted.toSeq
+      assert(listing === published,
+        "second consumer rebuilt instead of reusing the published table")
+      assert(again === first)
+    } finally prev match {
+      case Some(v) => sys.props("graft.index.root") = v
+      case None => sys.props -= "graft.index.root": Unit
+    }
   }
 
   test("PQ codes round-trip the inline train+encode bit-exactly") {

@@ -75,7 +75,16 @@ object DataScale {
       }.reduce(_ unionByName _)
     }
 
-    val vowels = "aeiou"
+    // Per-replica text transform: rotate letters by i%26 and digits by
+    // i%10 — a char-class-preserving bijection, so within-replica
+    // near-dup structure survives exactly while replicas stay textually
+    // DISJOINT for any factor up to lcm(26,10)=130. (A 5-variant vowel
+    // rotation was enough at factor 10 but collides at factor 100:
+    // 20-replica exact-dup groups would make dedup candidate work
+    // quadratic in the factor — a different experiment than the
+    // corpus-size scaling envelope.)
+    val letters = "abcdefghijklmnopqrstuvwxyz"
+    val digits = "0123456789"
     val tables: Map[String, DataFrame] = Map(
       "region" -> load("region"),
       "nation" -> load("nation"),
@@ -87,10 +96,24 @@ object DataScale {
         Seq("l_orderkey", "l_partkey", "l_suppkey"))(),
       "events" -> replicate("events", Seq("event_id", "user_id"))(),
       "documents" -> replicate("documents", Seq("doc_id")) { (d, i) =>
-        val rot = vowels.drop(i % 5) + vowels.take(i % 5)
-        d.withColumn("text", translate(col("text"), vowels, rot))
+        val rotL = letters.drop(i % 26) + letters.take(i % 26)
+        val rotD = digits.drop(i % 10) + digits.take(i % 10)
+        d.withColumn("text",
+          translate(col("text"), letters + digits, rotL + rotD))
       },
-      "embeddings" -> replicate("embeddings", Seq("vec_id"))())
+      // Embeddings: rotate each vector's dimensions by i%64 positions.
+      // A coordinate permutation preserves norms and all WITHIN-replica
+      // dot products exactly (near-dup structure intact), while
+      // cross-replica cosines decorrelate — without it every vector
+      // would gain factor-1 exact copies and the ANN/near-dup family's
+      // bucket work would grow with the factor squared, not the corpus.
+      "embeddings" -> replicate("embeddings", Seq("vec_id")) { (d, i) =>
+        val r = i % 64
+        if (r == 0) d
+        else d.withColumn("embedding",
+          concat(slice(col("embedding"), r + 1, 64 - r),
+            slice(col("embedding"), 1, r)))
+      })
 
     new java.io.File(out).mkdirs()
     tables.foreach { case (t, df) =>

@@ -70,10 +70,14 @@ class PlanSpec extends AnyFunSuite {
       s"BPE apply path shuffles:\n${plan.take(1500)}")
   }
 
-  test("q97: image phash pairing is banded hash joins, never nested-loop") {
-    val plan = planOf("q97_image_phash_neardup")
-    assert(!plan.contains("CartesianProduct") &&
-      !plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+  test("q97/q102: image phash pairing is banded hash joins, never nested-loop") {
+    // Both containers (BMP and PNG) must plan the identical pairing
+    // shape — the codec seam is upstream of the join.
+    Seq("q97_image_phash_neardup", "q102_image_phash_png").foreach { name =>
+      val plan = planOf(name)
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"), s"$name:\n${plan.take(1500)}")
+    }
   }
 
   test("no declared query plans a cartesian product") {
@@ -196,15 +200,20 @@ class PlanSpec extends AnyFunSuite {
       s"eval probe degraded to a shuffle join:\n${plan.take(2000)}")
   }
 
-  test("q62/q63: one prefix-sum window, one hash exchange each") {
-    Seq("q62_seq_packing", "q63_token_budget").foreach { name =>
-      val plan = planOf(name)
-      val windows = plan.linesIterator.count(l => l.trim.startsWith("Window ") ||
-        l.trim.matches("^[+:\\-\\s]*Window \\[.*"))
-      assert(windows === 1, s"$name: expected 1 Window exec, got $windows")
-      val shuffles = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
-      assert(shuffles === 1, s"$name: expected 1 hash exchange, got $shuffles")
-    }
+  test("q62/q63/q101: one prefix-sum window, one hash exchange each") {
+    // q101 swaps the whitespace count for the trained-BPE count — a
+    // pure map expression, so the TRAINED budget query must plan
+    // exactly the shape of the untrained one: the swap may not buy a
+    // shuffle.
+    Seq("q62_seq_packing", "q63_token_budget", "q101_bpe_token_budget")
+      .foreach { name =>
+        val plan = planOf(name)
+        val windows = plan.linesIterator.count(l => l.trim.startsWith("Window ") ||
+          l.trim.matches("^[+:\\-\\s]*Window \\[.*"))
+        assert(windows === 1, s"$name: expected 1 Window exec, got $windows")
+        val shuffles = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+        assert(shuffles === 1, s"$name: expected 1 hash exchange, got $shuffles")
+      }
   }
 
   test("q41: centroid assignment subtree plans no exchange at all") {

@@ -422,6 +422,23 @@ object Indexes {
       }
     }
 
+  /** Resolved image near-dup cluster labels (id, component) —
+    * connected components over the banded-Hamming phash pairs at
+    * `maxHamming`, landed as a table: the media-dedup twin of
+    * [[neardupLabels]] (q57 reads persisted text labels; q100 reads
+    * these — CC runs once per corpus, and the radius is part of the
+    * table identity). */
+  def imagePhashLabels(spark: SparkSession, sfDir: String,
+                       maxHamming: Int): DataFrame = lock.synchronized {
+    val name = s"image_phash_labels_h$maxHamming"
+    cached(spark, store(spark, sfDir), name) { bst =>
+      bst.overwrite(name, Dedup.connectedComponents(
+        Dedup.simhashPairs(imagePhash(spark, sfDir),
+            "doc_id", "phash", maxHamming = maxHamming, fpBits = 64)
+          .select("d1", "d2")))
+    }
+  }
+
   /** Random-hyperplane band signatures (vec_id, b0, b1) over the
     * `embeddings` table — the cosine-space analogue of [[signatures]]:
     * the 16 hyperplane dot products per vector are the dominant scan,

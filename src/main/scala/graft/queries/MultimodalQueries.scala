@@ -113,9 +113,12 @@ object MultimodalQueries {
     // perceptual-hash pair set — the full media-dedup pipeline
     // (decode → dHash → banded Hamming pairs → CC labels), the same
     // cluster artifact the text family lands (q57), produced from
-    // pixels. Oracle: the q97 integer-SQL hash chain feeding the
-    // recursive-CTE closure; component ids are the cluster's minimum
-    // doc id in both engines, singletons carry no row.
+    // pixels — and read the same way: from the PERSISTED labels
+    // table (Indexes.imagePhashLabels; CC runs once per corpus
+    // generation, the q57 discipline). Oracle: the q97 integer-SQL
+    // hash chain feeding the recursive-CTE closure from scratch;
+    // component ids are the cluster's minimum doc id in both
+    // engines, singletons carry no row.
     Q("q100_image_phash_clusters",
       """WITH RECURSIVE px AS (
         |  SELECT doc_id, i,
@@ -151,11 +154,8 @@ object MultimodalQueries {
         |       count(*) OVER (PARTITION BY c.component) AS cluster_size
         |FROM comp c""".stripMargin) {
       (s, d) =>
-        val pairs = graft.ops.Dedup.simhashPairs(Indexes.imagePhash(s, d),
-            "doc_id", "phash", maxHamming = 3, fpBits = 64)
-          .select("d1", "d2")
         val w = org.apache.spark.sql.expressions.Window.partitionBy(col("component"))
-        graft.ops.Dedup.connectedComponents(pairs)
+        Indexes.imagePhashLabels(s, d, maxHamming = 3)
           .select(col("component"), col("id").as("doc_id"))
           .withColumn("cluster_size", count(lit(1)).over(w))
     },

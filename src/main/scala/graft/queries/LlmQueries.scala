@@ -1189,6 +1189,64 @@ object LlmQueries {
             when(col("n_rare") * 10 < col("n_tokens"), 1).otherwise(0).cast("int"))
     },
 
+    // MODEL-BASED quality filtering: a nearest-centroid classifier
+    // distilled from the rule heuristic — the production curation
+    // pattern (a cheap rule labels a seed set; the trained model
+    // replaces the rule as the shipping filter). Everything in exact
+    // scaled-integer space (Classify scaladoc): hashed-bucket token
+    // counts from the persisted tf index as features, floor-divided
+    // scaled centroids as bounded driver metadata, exact bigint
+    // squared distances at inference, ties to the keep class. The
+    // oracle replays feature extraction, BOTH class centroids, and
+    // every distance comparison — training and inference under one
+    // hash gate. Label rule: 20..200 tokens and stopword share ≤ 40 %
+    // as exact cross-multiplied integers (5·stop ≤ 2·tokens).
+    Q("q103_quality_classifier", {
+      val stopList = TextAnalysis.Stopwords.map("'" + _ + "'").mkString(",")
+      val B = graft.ops.Classify.NumBuckets
+      val S = graft.ops.Classify.Scale
+      val featCols = (0 until B).map(b =>
+        s"CAST(sum(CASE WHEN ${h64("w")} % $B = $b THEN tf ELSE 0 END) AS BIGINT) AS f$b")
+        .mkString(",\n         |  ")
+      val centCols = (0 until B).map(b =>
+        s"CAST((sum(f$b) * $S) // count(*) AS BIGINT) AS c$b").mkString(", ")
+      def distE(a: String) = (0 until B).map(b =>
+        s"(t.f$b * $S - $a.c$b) * (t.f$b * $S - $a.c$b)").mkString(" + ")
+      val heur =
+        s"""CASE WHEN len(string_split(text,' ')) BETWEEN 20 AND 200
+           |        AND len(list_filter(string_split(text,' '), w -> w IN ($stopList))) * 5
+           |            <= len(string_split(text,' ')) * 2
+           |       THEN 1 ELSE 0 END""".stripMargin
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+         |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w),
+         |feat AS (SELECT doc_id,
+         |  $featCols
+         |  FROM tf GROUP BY doc_id),
+         |lab AS (SELECT doc_id, $heur AS label_heur FROM documents),
+         |tr AS (SELECT f.*, l.label_heur FROM feat f JOIN lab l USING (doc_id)),
+         |cpos AS (SELECT $centCols FROM tr WHERE label_heur = 1),
+         |cneg AS (SELECT $centCols FROM tr WHERE label_heur = 0)
+         |SELECT t.doc_id, CAST(t.label_heur AS INT) AS label_heur,
+         |  CAST(CASE WHEN ${distE("p")} <= ${distE("q")} THEN 1 ELSE 0 END AS INT) AS label_model,
+         |  CAST(CASE WHEN (CASE WHEN ${distE("p")} <= ${distE("q")} THEN 1 ELSE 0 END) = t.label_heur
+         |       THEN 1 ELSE 0 END AS INT) AS agree
+         |FROM tr t CROSS JOIN cpos p CROSS JOIN cneg q""".stripMargin
+    }) {
+      (s, d) =>
+        import graft.ops.Classify
+        val ws = Dedup.tokens(col("text"))
+        val stopCnt = TextAnalysis.stopwordCount(ws)
+        val labels = table(s, d, "documents").select(col("doc_id"),
+          when(size(ws).between(20, 200) && stopCnt * 5 <= size(ws) * 2, 1)
+            .otherwise(0).cast("int").as("label_heur"))
+        val feats = Classify.bucketFeatures(Indexes.termFrequencies(s, d), "doc_id")
+        val train = feats.join(labels, Seq("doc_id"))
+        val cents = Classify.centroidFit(train, "label_heur")
+        Classify.centroidPredict(train, cents)
+          .withColumn("agree", (col("label_model") === col("label_heur")).cast("int"))
+          .select("doc_id", "label_heur", "label_model", "agree")
+    },
+
     // Curation v2 — the composed release pipeline over the round's
     // new gates, as ONE lineage: token-count bounds → rare-token
     // (OOV/gibberish) gate → cross-document span-duplication gate

@@ -543,6 +543,34 @@ object Multimodal {
     out
   }
 
+  /** Real 16-bit PCM WAV ENCODER (the inverse of [[WavPcmCodec]]'s
+    * 16-bit mono subset): RIFF/WAVE container, PCM fmt chunk, signed
+    * little-endian samples. 16-bit normalization is `s / 32768f` —
+    * exact in float — so `WavPcmCodec.decode(encodeWavPcm16(s)).map(f
+    * => round(f·32768))` reproduces `s` bit-exactly: the same
+    * round-trip contract as [[encodeBmp24Gray]]/[[encodePngGray]],
+    * extending the oracle-gated media chain to the AUDIO codec
+    * (q104). */
+  def encodeWavPcm16(samples: Array[Short], sampleRate: Int = 8000): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val out = new Array[Byte](44 + dataLen)
+    val buf = java.nio.ByteBuffer.wrap(out)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1)                       // PCM
+      .putShort(1)                       // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2)            // byte rate
+      .putShort(2)                       // block align
+      .putShort(16)                      // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen): Unit
+    var i = 0
+    while (i < samples.length) { buf.putShort(44 + 2 * i, samples(i)); i += 1 }
+    out
+  }
+
   /** Real grayscale PNG ENCODER (the inverse of [[PngCodec]]'s
     * color-type-0 subset): one gray byte per pixel, 8-bit depth,
     * filter 0 on every row, IDAT deflated with the JDK `Deflater`,
@@ -698,7 +726,8 @@ object Multimodal {
     * samples emit (0, 0) so the output shape is fixed at `dim` rows
     * per document. */
   def extractPooledInts(media: Dataset[MediaRow], dim: Int,
-                        mkCodec: () => MediaCodec = () => new FakeCodec): Dataset[PooledIntRow] = {
+                        mkCodec: () => MediaCodec = () => new FakeCodec,
+                        quantScale: Int = 255): Dataset[PooledIntRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       val codec = mkCodec().init()
@@ -708,7 +737,11 @@ object Multimodal {
         val cnts = new Array[Long](dim)
         var i = 0
         while (i < raw.length) {
-          sums(i % dim) += math.round(raw(i) * 255f)
+          // quantScale re-quantizes the codec's normalized signal back
+          // to its source integer domain: 255 for 8-bit image/byte
+          // codecs, 32768 for 16-bit PCM (both exact — the values are
+          // integers/2^k small enough to be float-exact).
+          sums(i % dim) += math.round(raw(i) * quantScale)
           cnts(i % dim) += 1
           i += 1
         }

@@ -194,6 +194,54 @@ object MultimodalQueries {
         Multimodal.extractPooledInts(media, dim = 8).toDF()
           .select(col("doc_id"), col("bucket"), col("psum"), col("pcnt"),
             col("n_bytes"), col("codec"))
+    },
+
+    // The AUDIO codec under the oracle gate — the q102 recipe applied
+    // to WAV-PCM: text bytes become signed 16-bit samples
+    // ((b−128)·256), land in a REAL RIFF/WAVE container
+    // (encodeWavPcm16), decode through the production WavPcmCodec
+    // (chunk walk, fmt validation, little-endian samples), and pool
+    // as integer sums per modulo bucket. 16-bit normalization is
+    // s/32768 — float-exact — so re-quantization recovers every
+    // sample bit-for-bit and DuckDB recomputes the whole chain from
+    // the same text bytes. With q51 (byte codec), q97 (BMP), and
+    // q102 (PNG), every bit-exact codec family now has an
+    // oracle-gated declared query.
+    Q("q104_audio_features",
+      """WITH b AS (SELECT unnest(generate_series(0, 7)) AS bucket),
+        |s AS (
+        |  SELECT doc_id, i, (ascii(substring(text, CAST(i AS INT), 1)) - 128) * 256 AS v
+        |  FROM documents, unnest(generate_series(1, length(text))) AS t(i)),
+        |agg AS (
+        |  SELECT doc_id, (i-1) % 8 AS bucket, sum(v) AS s, count(*) AS c
+        |  FROM s GROUP BY doc_id, (i-1) % 8)
+        |SELECT d.doc_id, CAST(b.bucket AS INT) AS bucket,
+        |       CAST(coalesce(a.s, 0) AS BIGINT) AS psum,
+        |       CAST(coalesce(a.c, 0) AS BIGINT) AS pcnt,
+        |       CAST(length(d.text) * 2 + 44 AS BIGINT) AS n_bytes,
+        |       'wav-pcm' AS codec
+        |FROM documents d CROSS JOIN b
+        |LEFT JOIN agg a ON a.doc_id = d.doc_id AND a.bucket = b.bucket""".stripMargin) {
+      (s, d) =>
+        import s.implicits._
+        val docs = table(s, d, "documents")
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+        val media = docs.mapPartitions { it =>
+          it.map { case (id, text) =>
+            val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val samples = new Array[Short](bytes.length)
+            var i = 0
+            while (i < bytes.length) {
+              samples(i) = (((bytes(i) & 0xff) - 128) * 256).toShort
+              i += 1
+            }
+            Multimodal.MediaRow(id, "audio/wav",
+              Multimodal.encodeWavPcm16(samples), bytes.length.toLong)
+          }
+        }
+        Multimodal.extractPooledInts(media, dim = 8,
+            mkCodec = () => new Multimodal.WavPcmCodec, quantScale = 32768).toDF()
+          .select("doc_id", "bucket", "psum", "pcnt", "n_bytes", "codec")
     }
   )
 }

@@ -309,6 +309,19 @@ class MultimodalSpec extends AnyFunSuite {
       "gray bytes did not survive the encode->decode round trip")
   }
 
+  test("encodeWavPcm16 round-trips through WavPcmCodec bit-exactly") {
+    // Extremes, zero, and a sweep; 16-bit normalization (s/32768) is
+    // float-exact, so re-quantization must recover every sample.
+    val samples = (Array[Short](Short.MinValue, -1, 0, 1, Short.MaxValue) ++
+      Array.tabulate[Short](100)(i => ((i * 641 - 32000)).toShort))
+    val wav = Multimodal.encodeWavPcm16(samples)
+    val decoded = new WavPcmCodec().decode(wav)
+    assert(decoded.length === samples.length)
+    val back = decoded.map(f => math.round(f * 32768).toShort)
+    assert(back.toSeq === samples.toSeq,
+      "samples did not survive the WAV encode->decode round trip")
+  }
+
   test("encodePngGray round-trips through PngCodec and preserves the dHash") {
     // Every byte value appears; 18x16 is the q97/q102 dedup geometry.
     val gray = Array.tabulate[Byte](288)(i => ((i * 37 + 11) % 256).toByte)

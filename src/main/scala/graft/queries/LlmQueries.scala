@@ -1247,6 +1247,35 @@ object LlmQueries {
           .select("doc_id", "label_heur", "label_model", "agree")
     },
 
+    // Training-example ASSEMBLY: the event log becomes one ordered
+    // sequence per key — the log-to-training-sequence step of a
+    // behavioral/conversational data pipeline (per-user event
+    // streams, chat turns, clickstreams all assemble this way before
+    // tokenization). Order inside each sequence is (ts, event_id) —
+    // event_id breaks timestamp ties, so the assembled string is a
+    // pure function of the data in both engines. Shape: ONE shuffle
+    // on the key, then a per-key sort inside the aggregation buffer —
+    // no window, no explode. A key's sequence must fit an executor
+    // row; at 100 TB the group key becomes a composite (user, day)
+    // shard — same operator, bounded rows, exactly like the q62
+    // packing shards.
+    Q("q105_sequence_assembly",
+      """SELECT user_id,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       string_agg(event_type, '|' ORDER BY ts, event_id) AS seq
+        |FROM events GROUP BY user_id""".stripMargin) {
+      (s, d) =>
+        table(s, d, "events")
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            array_join(
+              transform(
+                array_sort(collect_list(
+                  struct(col("ts"), col("event_id"), col("event_type")))),
+                x => x.getField("event_type")),
+              "|").as("seq"))
+    },
+
     // Curation v2 — the composed release pipeline over the round's
     // new gates, as ONE lineage: token-count bounds → rare-token
     // (OOV/gibberish) gate → cross-document span-duplication gate

@@ -1247,6 +1247,61 @@ object LlmQueries {
           .select("doc_id", "label_heur", "label_model", "agree")
     },
 
+    // SUB-DOCUMENT exact dedup WITH REASSEMBLY (the C4/RefinedWeb
+    // stage q79 only flags): the corpus splits into fixed 8-token
+    // tiles, each tile's FIRST occurrence corpus-wide survives
+    // (ordered by doc_id then position — deterministic), and every
+    // document is rewritten as the join of its kept tiles. Emits the
+    // cleaned text plus tile accounting, so the oracle pins the
+    // rewrite itself, not just the drop decision. Shape: one explode
+    // into the tile stream, one shuffle on tile content for the
+    // first-occurrence window, one shuffle back on doc_id for
+    // reassembly. At 100 TB the window key becomes the tile's 64-bit
+    // hash (8 shuffled bytes instead of the string; the string rides
+    // only to the reassembly side) — same plan, thinner shuffle.
+    Q("q106_subdoc_dedup",
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |tiles AS (
+        |  SELECT doc_id, j AS tile_idx,
+        |         array_to_string(ws[(CAST(j AS INT)*8+1):(CAST(j AS INT)*8+8)], ' ') AS tile
+        |  FROM toks, unnest(generate_series(0, CAST((len(ws)-1)//8 AS BIGINT))) AS g(j)),
+        |rk AS (
+        |  SELECT doc_id, tile_idx, tile,
+        |         row_number() OVER (PARTITION BY tile ORDER BY doc_id, tile_idx) AS rn
+        |  FROM tiles)
+        |SELECT doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_tiles,
+        |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       coalesce(string_agg(CASE WHEN rn = 1 THEN tile END, ' ' ORDER BY tile_idx), '') AS cleaned_text
+        |FROM rk GROUP BY doc_id""".stripMargin) {
+      (s, d) =>
+        val ws = Dedup.tokens(col("text"))
+        val tiles = docsHeavy(s, d)
+          .select(col("doc_id"), ws.as("ws"))
+          .select(col("doc_id"),
+            explode(sequence(lit(0L),
+              floor((size(col("ws")) - 1) / 8).cast("long"))).as("tile_idx"),
+            col("ws"))
+          .select(col("doc_id"), col("tile_idx"),
+            array_join(slice(col("ws"),
+              (col("tile_idx") * 8 + 1).cast("int"), lit(8)), " ").as("tile"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("tile")).orderBy(col("doc_id"), col("tile_idx"))
+        tiles
+          .withColumn("rn", row_number().over(w))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tiles"),
+            sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+            coalesce(
+              array_join(
+                transform(
+                  array_sort(collect_list(
+                    when(col("rn") === 1, struct(col("tile_idx"), col("tile"))))),
+                  x => x.getField("tile")),
+                " "),
+              lit("")).as("cleaned_text"))
+    },
+
     // Training-example ASSEMBLY: the event log becomes one ordered
     // sequence per key — the log-to-training-sequence step of a
     // behavioral/conversational data pipeline (per-user event

@@ -576,19 +576,26 @@ object ExtensionQueries {
         val err = 1.0 / 2000 // percentile_approx's published rank error
         val e = table(s, d, "events")
           .select(col("event_type"), col("user_id"), col("value"))
-        // The sketch+exact aggregate feeds TWO consumers (the rank
-        // re-scan's broadcast and the output join); it is the
-        // expensive pass (two percentile sketches plus a distinct-agg
-        // expand over the fact), and it collapses to one row per
-        // event type — materialize it once instead of once per
-        // consumer (the q99 single-materialization discipline).
-        val sk = e.groupBy("event_type").agg(
-          approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
+        // Two separate aggregates instead of one: mixing countDistinct
+        // with the other aggregates would plan an Expand (every fact
+        // row duplicated into the shuffle). The value sketches run
+        // over the raw rows; the user path first dedups (map-side
+        // partial) and counts — and the HLL estimate moves WITH it,
+        // because HLL is multiplicity-insensitive (same estimate over
+        // deduped pairs as over the raw stream). The joined result
+        // collapses to one row per event type and feeds two consumers
+        // (rank re-scan broadcast + output join) — materialize once
+        // (the q99 single-materialization discipline).
+        val vals = e.groupBy("event_type").agg(
           percentile_approx(col("value"), lit(0.5), lit(2000)).as("p50_est"),
           percentile_approx(col("value"), lit(0.95), lit(2000)).as("p95_est"),
-          countDistinct(col("user_id")).as("n_users"),
           count(col("value")).as("n_vals"),
           count(lit(1)).as("n_events"))
+        val userStats = e.select("event_type", "user_id").distinct()
+          .groupBy("event_type").agg(
+            count(lit(1)).as("n_users"),
+            approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"))
+        val sk = vals.join(userStats, Seq("event_type"))
           .localCheckpoint(true)
         val ranks = e
           .join(sk.select("event_type", "p50_est", "p95_est"), Seq("event_type"))

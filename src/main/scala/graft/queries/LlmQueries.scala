@@ -1254,11 +1254,15 @@ object LlmQueries {
     // document is rewritten as the join of its kept tiles. Emits the
     // cleaned text plus tile accounting, so the oracle pins the
     // rewrite itself, not just the drop decision. Shape: one explode
-    // into the tile stream, one shuffle on tile content for the
-    // first-occurrence window, one shuffle back on doc_id for
-    // reassembly. At 100 TB the window key becomes the tile's 64-bit
-    // hash (8 shuffled bytes instead of the string; the string rides
-    // only to the reassembly side) — same plan, thinner shuffle.
+    // into the tile stream; first occurrence per tile via a
+    // min-struct AGGREGATE (map-side combine — deliberately NOT a
+    // row_number window: hot tiles are exactly the dedup target, and
+    // a boilerplate tile duplicated 10^6 times would pile one window
+    // partition, while partial aggregation bounds it per map task);
+    // a tile-keyed join marks survivors (AQE skew-split applies);
+    // one shuffle back on doc_id reassembles. At 100 TB the
+    // aggregate/join key becomes the tile's 64-bit hash (8 shuffled
+    // bytes instead of the string) — same plan, thinner shuffle.
     Q("q106_subdoc_dedup",
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |tiles AS (
@@ -1285,18 +1289,21 @@ object LlmQueries {
           .select(col("doc_id"), col("tile_idx"),
             array_join(slice(col("ws"),
               (col("tile_idx") * 8 + 1).cast("int"), lit(8)), " ").as("tile"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("tile")).orderBy(col("doc_id"), col("tile_idx"))
-        tiles
-          .withColumn("rn", row_number().over(w))
+        val first = tiles.groupBy("tile")
+          .agg(min(struct(col("doc_id"), col("tile_idx"))).as("f"))
+          .select(col("tile"), col("f.doc_id").as("__fdoc"),
+            col("f.tile_idx").as("__fidx"))
+        tiles.join(first, Seq("tile"))
+          .withColumn("__kept",
+            col("doc_id") === col("__fdoc") && col("tile_idx") === col("__fidx"))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_tiles"),
-            sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+            sum(when(col("__kept"), 1L).otherwise(0L)).as("n_kept"),
             coalesce(
               array_join(
                 transform(
                   array_sort(collect_list(
-                    when(col("rn") === 1, struct(col("tile_idx"), col("tile"))))),
+                    when(col("__kept"), struct(col("tile_idx"), col("tile"))))),
                   x => x.getField("tile")),
                 " "),
               lit("")).as("cleaned_text"))

@@ -620,6 +620,65 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Real grayscale GIF89a ENCODER (the inverse of [[GifCodec]]'s
+    * gray subset): a 256-entry gray global palette (entry i =
+    * (i,i,i) — Rec.601 weights sum to 1000, so decode returns
+    * exactly i/255) and the pixel stream as a REAL LZW code stream —
+    * literal 8-bit-rooted codes with periodic clear codes, the
+    * encoder tracking the decoder's table growth so its code widths
+    * widen in step (9→10… bits, the deferred-bump rule). Simplest
+    * spec-valid LZW (no compression from string matching — the point
+    * is a bit-exact container round trip through the production
+    * decoder, not ratio), so
+    * `GifCodec.decode(encodeGifGray(g)).map(f => round(f·255))`
+    * reproduces `g` bit-exactly (q107's contract). */
+  def encodeGifGray(gray: Array[Byte], width: Int, height: Int): Array[Byte] = {
+    require(width > 0 && height > 0 && gray.length == width * height,
+      s"encodeGifGray: ${gray.length} bytes for ${width}x$height")
+    val out = new java.io.ByteArrayOutputStream()
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    def w16(v: Int): Unit = { w8(v); w8(v >> 8) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    w16(width); w16(height)
+    w8(0x80 | 7); w8(0); w8(0) // GCT present, 256 entries
+    for (i <- 0 until 256) { w8(i); w8(i); w8(i) }
+    w8(0x2c); w16(0); w16(0); w16(width); w16(height); w8(0)
+    val minCodeSize = 8
+    w8(minCodeSize)
+    val clearCode = 1 << minCodeSize
+    val endCode = clearCode + 1
+    val bitBuf = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    var acc = 0L
+    var accBits = 0
+    var codeWidth = minCodeSize + 1
+    var next = endCode + 1
+    def put(code: Int): Unit = {
+      acc |= code.toLong << accBits; accBits += codeWidth
+      while (accBits >= 8) { bitBuf += (acc & 0xff).toByte; acc >>>= 8; accBits -= 8 }
+    }
+    put(clearCode)
+    var sinceClear = 0
+    for (p <- gray) {
+      if (sinceClear == 128) {
+        put(clearCode); codeWidth = minCodeSize + 1; next = endCode + 1; sinceClear = 0
+      }
+      put(p & 0xff)
+      // The decoder grows its table one entry per code AFTER the first
+      // following a clear, widening when the table fills — mirror it
+      // so literal codes stay in step with its reads.
+      if (sinceClear >= 1) {
+        next += 1
+        if (next == (1 << codeWidth) && codeWidth < 12) codeWidth += 1
+      }
+      sinceClear += 1
+    }
+    put(endCode)
+    if (accBits > 0) bitBuf += (acc & 0xff).toByte
+    bitBuf.grouped(255).foreach { blk => w8(blk.length); out.write(blk.toArray) }
+    w8(0); w8(0x3b)
+    out.toByteArray
+  }
+
   /** 64-bit difference hash (dHash) of a decoded grayscale image: the
     * perceptual fingerprint behind image NEAR-dup dedup. Pixels are
     * re-quantized to exact ints (`round(f·255)` — lossless for codec

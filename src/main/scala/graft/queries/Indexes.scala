@@ -397,6 +397,15 @@ object Indexes {
       graft.ops.Multimodal.encodePngGray,
       () => new graft.ops.Multimodal.PngCodec)
 
+  /** And through the LZW path: gray pixels in real GIF89a containers
+    * decoded by the production [[graft.ops.Multimodal.GifCodec]]
+    * (in-engine LZW, palette lookup) — bit-identical hashes again
+    * (q107 pins it). */
+  def imagePhashGif(spark: SparkSession, sfDir: String): DataFrame =
+    imagePhashVia(spark, sfDir, "image_phash_gif",
+      graft.ops.Multimodal.encodeGifGray,
+      () => new graft.ops.Multimodal.GifCodec)
+
   private def imagePhashVia(spark: SparkSession, sfDir: String, name: String,
                             encode: (Array[Byte], Int, Int) => Array[Byte],
                             mkCodec: () => graft.ops.Multimodal.MediaCodec): DataFrame =

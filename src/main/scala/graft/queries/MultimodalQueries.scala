@@ -109,6 +109,22 @@ object MultimodalQueries {
           .select("d1", "d2", "fp1", "fp2", "hamming")
     },
 
+    // …and through the LZW-compressed container: the same pixels as
+    // real GIF89a blobs (encodeGifGray emits a REAL variable-width
+    // LZW code stream, clears and deferred width bumps included),
+    // decoded by the production GifCodec's in-engine LZW
+    // decompressor + palette lookup. Gray palette entries decode to
+    // exactly i/255, so the identical oracle pins the third
+    // container. BMP (raw) + PNG (deflate) + GIF (LZW): every
+    // in-engine image codec now drives the dedup chain under the
+    // same gate.
+    Q("q107_image_phash_gif", PhashPairOracle) {
+      (s, d) =>
+        graft.ops.Dedup.simhashPairs(Indexes.imagePhashGif(s, d),
+            "doc_id", "phash", maxHamming = 3, fpBits = 64)
+          .select("d1", "d2", "fp1", "fp2", "hamming")
+    },
+
     // Image near-dup CLUSTERS: connected components over the q97
     // perceptual-hash pair set — the full media-dedup pipeline
     // (decode → dHash → banded Hamming pairs → CC labels), the same

@@ -337,6 +337,20 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.dhash64(viaBmp, 18, 16))
   }
 
+  test("encodeGifGray round-trips through GifCodec and preserves the dHash") {
+    // 288 pixels crosses the 128-pixel clear cadence and every byte
+    // value appears; 18x16 is the q97/q102/q107 dedup geometry.
+    val gray = Array.tabulate[Byte](288)(i => ((i * 37 + 11) % 256).toByte)
+    val decoded = new Multimodal.GifCodec().decode(Multimodal.encodeGifGray(gray, 18, 16))
+    assert(decoded.length === 288)
+    val back = decoded.map(f => math.round(f * 255f).toByte)
+    assert(back.toSeq === gray.toSeq,
+      "gray bytes did not survive the GIF encode->decode round trip")
+    val viaBmp = new BmpCodec().decode(Multimodal.encodeBmp24Gray(gray, 18, 16))
+    assert(Multimodal.dhash64(decoded, 18, 16) ===
+      Multimodal.dhash64(viaBmp, 18, 16))
+  }
+
   test("dhash64 matches an independent pooled-comparison computation") {
     val rnd = new scala.util.Random(7)
     val bytes = Array.fill[Byte](288)((rnd.nextInt(256)).toByte)

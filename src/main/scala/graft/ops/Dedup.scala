@@ -751,4 +751,32 @@ object Dedup {
       .withColumn("hamming", hamming(col("fp1"), col("fp2")).cast("int"))
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Batch × corpus banded Hamming pairs: [[simhashPairs]]'s
+    * pigeonhole banding with the two sides SPLIT — a new batch of
+    * fingerprints probes an existing fingerprint index, so per-batch
+    * work scales with the batch (× band-bucket occupancy), never the
+    * corpus² — the incremental flow [[lshCandidatesAgainst]] gives
+    * the MinHash family, for the SimHash/phash family. Returns
+    * (batch id as d1, corpus id as d2, fingerprints, hamming). */
+  def simhashPairsAgainst(batchFps: DataFrame, corpusFps: DataFrame,
+                          idCol: String, fpCol: String,
+                          maxHamming: Int = 3, fpBits: Int = 32): DataFrame = {
+    require(fpBits % 4 == 0 && fpBits <= 64, s"fpBits must be ≤64, ÷4: $fpBits")
+    val bandBits = fpBits / 4
+    val mask = (1L << bandBits) - 1
+    def bands(df: DataFrame, dAs: String, fpAs: String,
+              bandAs: String, bvAs: String): DataFrame =
+      df.select(col(idCol).as(dAs), col(fpCol).as(fpAs),
+        posexplode(array((0 until 4).map(k =>
+          shiftright(col(fpCol), k * bandBits).bitwiseAND(lit(mask))): _*))
+          .as(Seq(bandAs, bvAs)))
+    bands(batchFps, "d1", "fp1", "__band", "__bv")
+      .join(bands(corpusFps, "d2", "fp2", "__rband", "__rbv"),
+        col("__band") === col("__rband") && col("__bv") === col("__rbv"))
+      .select(col("d1"), col("d2"), col("fp1"), col("fp2"))
+      .distinct()
+      .withColumn("hamming", hamming(col("fp1"), col("fp2")).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+  }
 }

@@ -20,8 +20,8 @@ object MultimodalQueries {
     * radius 3, so the plain formulation is a true oracle AND a proof
     * the banded join drops no pair). Shared by q97 (BMP path) and
     * q102 (PNG path) — same pixels, so the same oracle pins both. */
-  private val PhashPairOracle =
-    """WITH px AS (
+  private val PhashCtes =
+    """px AS (
       |  SELECT doc_id, i,
       |         CASE WHEN i <= length(text) THEN ascii(substring(text, CAST(i AS INT), 1))
       |              ELSE 32 END AS v
@@ -38,7 +38,10 @@ object MultimodalQueries {
       |  SELECT doc_id, bit_or(CASE WHEN bit = 0 THEN 0
       |                             WHEN k = 63 THEN (-9223372036854775807 - 1)
       |                             ELSE (1::BIGINT << CAST(k AS INT)) END) AS phash
-      |  FROM bits GROUP BY doc_id)
+      |  FROM bits GROUP BY doc_id)""".stripMargin
+
+  private val PhashPairOracle =
+    s"""WITH $PhashCtes
       |SELECT a.doc_id AS d1, b.doc_id AS d2, a.phash AS fp1, b.phash AS fp2,
       |       bit_count(xor(a.phash, b.phash))::INT AS hamming
       |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
@@ -121,6 +124,34 @@ object MultimodalQueries {
     Q("q107_image_phash_gif", PhashPairOracle) {
       (s, d) =>
         graft.ops.Dedup.simhashPairs(Indexes.imagePhashGif(s, d),
+            "doc_id", "phash", maxHamming = 3, fpBits = 64)
+          .select("d1", "d2", "fp1", "fp2", "hamming")
+    },
+
+    // INCREMENTAL media near-dup: a new image batch (the last 20 % of
+    // the id space, derived from a bounded scalar max — the q73/q43
+    // watermark pattern) probes the PERSISTED phash index instead of
+    // re-pairing the world — per-batch work ∝ batch × band-bucket
+    // occupancy, never corpus². The q43 incremental flow, for the
+    // media family, through the same pigeonhole banding. Oracle:
+    // all-pairs batch × pre-existing-corpus Hamming from the same
+    // text bytes (banding provably drops no pair at radius 3).
+    Q("q108_image_phash_incremental",
+      s"""WITH $PhashCtes,
+        |cut AS (SELECT max(doc_id) * 4 // 5 AS c FROM documents)
+        |SELECT a.doc_id AS d1, b.doc_id AS d2, a.phash AS fp1, b.phash AS fp2,
+        |       bit_count(xor(a.phash, b.phash))::INT AS hamming
+        |FROM fp a JOIN fp b ON a.doc_id >= (SELECT c FROM cut)
+        |                   AND b.doc_id < (SELECT c FROM cut)
+        |WHERE bit_count(xor(a.phash, b.phash)) <= 3""".stripMargin) {
+      (s, d) =>
+        val phash = Indexes.imagePhash(s, d)
+        val maxId = table(s, d, "documents")
+          .agg(max(col("doc_id")).cast("long")).head().getLong(0)
+        val cutoff = maxId * 4 / 5
+        graft.ops.Dedup.simhashPairsAgainst(
+            phash.filter(col("doc_id") >= cutoff),
+            phash.filter(col("doc_id") < cutoff),
             "doc_id", "phash", maxHamming = 3, fpBits = 64)
           .select("d1", "d2", "fp1", "fp2", "hamming")
     },

@@ -101,18 +101,35 @@ object DataScale {
         d.withColumn("text",
           translate(col("text"), letters + digits, rotL + rotD))
       },
-      // Embeddings: rotate each vector's dimensions by i%64 positions.
-      // A coordinate permutation preserves norms and all WITHIN-replica
-      // dot products exactly (near-dup structure intact), while
-      // cross-replica cosines decorrelate — without it every vector
-      // would gain factor-1 exact copies and the ANN/near-dup family's
-      // bucket work would grow with the factor squared, not the corpus.
+      // Embeddings: rotate each vector's dimensions by i%64 positions,
+      // COMPOSED with a per-64-replica-group coordinate sign-flip
+      // pattern (group g = i/64, flip dim j iff bit (j%6) of g is
+      // set). Both transforms are norm-preserving and fix all
+      // WITHIN-replica dot products exactly (sign flips cancel:
+      // (s·x)·(s·y) = x·y — near-dup structure intact) while
+      // cross-replica cosines decorrelate. Rotation alone has period
+      // 64: replicas i and i+64 would carry IDENTICAL vectors at
+      // factor > 64 (36 exact cross-replica copy pairs at factor 100),
+      // quietly inflating ANN/near-dup bucket work; the 64 distinct
+      // flip patterns extend the combined period to 64·64 = 4096,
+      // past any supported factor.
       "embeddings" -> replicate("embeddings", Seq("vec_id")) { (d, i) =>
         val r = i % 64
-        if (r == 0) d
-        else d.withColumn("embedding",
-          concat(slice(col("embedding"), r + 1, 64 - r),
-            slice(col("embedding"), 1, r)))
+        val g = i / 64
+        require(g < 64, s"embedding replica period exhausted at factor > 4096: i=$i")
+        val rotated =
+          if (r == 0) d
+          else d.withColumn("embedding",
+            concat(slice(col("embedding"), r + 1, 64 - r),
+              slice(col("embedding"), 1, r)))
+        if (g == 0) rotated
+        else {
+          val flips = typedlit(
+            (0 until 64).map(j => if (((g >> (j % 6)) & 1) == 1) -1f else 1f))
+          // ±1 multiplication is a float sign flip — bit-exact.
+          rotated.withColumn("embedding",
+            zip_with(col("embedding"), flips, (x, s) => x * s))
+        }
       })
 
     new java.io.File(out).mkdirs()

@@ -70,6 +70,17 @@ object Bpe {
       slice(syms, lit(2), size(syms) - 1),
       (a, b) => struct(a.as("a"), b.as("b")))
 
+  /** Iterations between lineage truncations in [[trainMerges]]: the
+    * loop appends one `replace` per merge, so UNTRUNCATED iteration k
+    * re-evaluates k replaces over the corpus — O(n²) string work and
+    * an ever-deeper Catalyst plan across n merges (fine at the old
+    * toy n = 10, ruinous at a production-shaped 64+). Materializing
+    * the representations every 8 merges caps both the per-iteration
+    * replace chain and the analysis depth at a constant, making total
+    * training work ∝ nMerges · corpus — the loop's scale shape is
+    * then exactly "n bounded aggregates", as documented above. */
+  val TruncateEvery = 8
+
   /** Train a greedy BPE merge table over `docs(textCol)`: `nMerges`
     * bounded iterations, each one corpus-wide pair count + a one-row
     * argmax collect. Stops early if no adjacent pair remains. */
@@ -95,6 +106,13 @@ object Bpe {
         merges += ((a, b))
         reps = reps.withColumn("rep",
           replace(col("rep"), lit(s"<$a><$b>"), lit(s"<$a$b>")))
+        // Bake accumulated replaces into stored rows so the chain —
+        // and the plan — stay constant-depth (eager: the truncation
+        // must happen HERE, not lazily inside the next aggregate).
+        // Superseded checkpoint blocks are freed by the context
+        // cleaner once unreferenced.
+        if (merges.size % TruncateEvery == 0)
+          reps = reps.localCheckpoint(true)
       }
     }
     merges.toSeq

@@ -712,67 +712,120 @@ object Dedup {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs: bucket by the fingerprint's four
-    * `fpBits/4`-bit bands (pigeonhole: a pair within Hamming distance
-    * 3 must agree exactly on at least one of four bands), join per
-    * band, then verify the true Hamming distance. Candidate
-    * generation is a single banded hash join; never all-pairs.
+  /** Combinatorial band layout for the Hamming-radius-r families:
+    * split the fingerprint into b = r + 3 bands; a pair within
+    * Hamming distance r has at most r differing bands, so it agrees
+    * EXACTLY on at least b − r = 3 bands — and therefore on at least
+    * one of the C(b, 3) specific 3-band combinations. Join keys are
+    * 3-band concatenations, so the bucket space is ~2^(3·fpBits/b)
+    * instead of a single band's 2^(fpBits/b): for 64-bit dHash at
+    * r = 3 that is 2^33 buckets vs the old 4-band scheme's 2^16 —
+    * candidate pairs ∝ C(6,3)·n²/2^33, which defers the quadratic
+    * knee from ~10^5 images (measured ~180× at 100× data in the r9
+    * sf10 probe) to corpora past 10^8. The price is C(b,3) exploded
+    * rows per doc (20 at r = 3) instead of 4 — linear, and dwarfed
+    * by the pair-term savings. The pigeonhole stays EXACT: recall at
+    * radius r is 100 %, so the all-pairs oracles apply unchanged. */
+  private final case class ComboBands(combos: Seq[Seq[Int]], offsets: Seq[Int],
+                                      widths: Seq[Int], maxW: Int)
+
+  private def comboBands(fpBits: Int, maxHamming: Int): ComboBands = {
+    val b = maxHamming + 3
+    require(fpBits <= 64 && fpBits >= b,
+      s"fpBits must be in [$b, 64] for radius $maxHamming: $fpBits")
+    val baseW = fpBits / b
+    val rem = fpBits % b
+    val widths = (0 until b).map(k => baseW + (if (k < rem) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _).init
+    // 3·maxW ≤ 3·ceil(64/6) = 33 bits: every combo key fits one long.
+    ComboBands((0 until b).combinations(3).map(_.toSeq).toSeq,
+      offsets, widths, widths.max)
+  }
+
+  /** One (combo_id, combo_key) row per fingerprint per 3-band combo.
+    * Band extraction masks off shiftright's sign extension so
+    * full-width 64-bit fingerprints (image dHash uses the sign bit)
+    * stay exact. */
+  private def comboRows(df: DataFrame, cb: ComboBands, idCol: String,
+                        fpCol: String, dAs: String, fpAs: String,
+                        bandAs: String, bvAs: String): DataFrame = {
+    def key(combo: Seq[Int]): Column =
+      combo.zipWithIndex.map { case (k, i) =>
+        shiftleft(shiftright(col(fpCol), cb.offsets(k))
+          .bitwiseAND(lit((1L << cb.widths(k)) - 1)), i * cb.maxW)
+      }.reduce(_ bitwiseOR _)
+    df.select(col(idCol).as(dAs), col(fpCol).as(fpAs),
+      posexplode(array(cb.combos.map(key): _*)).as(Seq(bandAs, bvAs)))
+  }
+
+  /** Combo buckets with more members than `cap`, to prune before the
+    * pair join: one bucket of m members is m·(m−1)/2 candidate pairs
+    * in one task, and a degenerate fingerprint (flat images hashing
+    * to all-zero dHash) is hot BY CONSTRUCTION at corpus scale. Same
+    * rationale and default as the MinHash family's
+    * [[DefaultMaxBandFreq]]; members of a pruned bucket still pair
+    * through their other, discriminating combos. The hot set is tiny
+    * (a bucket must beat the cap to appear) → broadcast anti join. */
+  private def cappedComboRows(rows: DataFrame, bandCol: String, bvCol: String,
+                              maxBandFreq: Option[Int]): DataFrame =
+    maxBandFreq.fold(rows) { cap =>
+      val hot = rows.groupBy(col(bandCol).as("__hb"), col(bvCol).as("__hk"))
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > cap)
+        .select(col("__hb"), col("__hk"))
+      rows.join(broadcast(hot),
+        col(bandCol) === col("__hb") && col(bvCol) === col("__hk"), "left_anti")
+    }
+
+  /** SimHash/pHash near-dup pairs: bucket by 3-band combinations of
+    * a (r+3)-band split ([[comboBands]] — pigeonhole-exact at radius
+    * r), ONE self equi join on (combo_id, combo_key), then verify
+    * the true Hamming distance. Candidate generation is a banded
+    * hash join over a ~2^(3·fpBits/(r+3))-bucket space; never
+    * all-pairs, and no longer quadratic at 10^5+ docs the way the
+    * old single-band 2^(fpBits/4) space was.
     *
-    * Scale lever: band-bucket size ∝ corpus / 2^(fpBits/4), and pair
-    * work grows with the SQUARE of bucket size — 8-bit bands (the
-    * 32-bit default) hit their quadratic knee at ~10^5 docs, while
-    * 15-bit bands over a 60-bit fingerprint ([[simhashWide]]) defer
-    * it 128×. The pigeonhole stays exact for radius 3 at ANY width
-    * divisible by 4. */
+    * `maxBandFreq` caps degenerate combo buckets exactly as the
+    * MinHash family's [[DefaultMaxBandFreq]] does (pass `None` for
+    * an exhaustive audit); the harness corpora never reach the cap,
+    * so the all-pairs oracles stay bit-exact (DedupSpec pins that
+    * the default prunes nothing there). */
   def simhashPairs(fps: DataFrame, idCol: String, fpCol: String,
-                   maxHamming: Int = 3, fpBits: Int = 32): DataFrame = {
-    // Full-width 64-bit fingerprints (image dHash) use the long's sign
-    // bit; the band mask strips shiftright's sign extension, so the
-    // pigeonhole stays exact at any width up to 64.
-    require(fpBits % 4 == 0 && fpBits <= 64, s"fpBits must be ≤64, ÷4: $fpBits")
-    val bandBits = fpBits / 4
-    val mask = (1L << bandBits) - 1
-    // One (band_id, band_value) row per doc per band, ONE self equi
-    // join — same single-scan/single-shuffle shape as
-    // [[lshCandidates]]; the fingerprint source is scanned twice, not
-    // 8 times.
-    val rows = fps.select(col(idCol), col(fpCol),
-      posexplode(array((0 until 4).map(k =>
-        shiftright(col(fpCol), k * bandBits).bitwiseAND(lit(mask))): _*))
-        .as(Seq("__band", "__bv")))
-    val right = rows.select(col(idCol).as("__d2"), col(fpCol).as("__fp2"),
-      col("__band").as("__rband"), col("__bv").as("__rbv"))
-    rows.join(right,
+                   maxHamming: Int = 3, fpBits: Int = 32,
+                   maxBandFreq: Option[Int] = DefaultMaxBandFreq): DataFrame = {
+    val cb = comboBands(fpBits, maxHamming)
+    val rows = comboRows(fps, cb, idCol, fpCol, "d1", "fp1", "__band", "__bv")
+    // Pruning one side suffices for the self join: a pair needs its
+    // bucket on both sides (same discipline as [[lshCandidates]]).
+    cappedComboRows(rows, "__band", "__bv", maxBandFreq)
+      .join(comboRows(fps, cb, idCol, fpCol, "d2", "fp2", "__rband", "__rbv"),
         col("__band") === col("__rband") && col("__bv") === col("__rbv") &&
-          col(idCol) < col("__d2"))
-      .select(col(idCol).as("d1"), col("__d2").as("d2"),
-        col(fpCol).as("fp1"), col("__fp2").as("fp2"))
+          col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), col("fp1"), col("fp2"))
       .distinct()
       .withColumn("hamming", hamming(col("fp1"), col("fp2")).cast("int"))
       .filter(col("hamming") <= maxHamming)
   }
 
   /** Batch × corpus banded Hamming pairs: [[simhashPairs]]'s
-    * pigeonhole banding with the two sides SPLIT — a new batch of
-    * fingerprints probes an existing fingerprint index, so per-batch
-    * work scales with the batch (× band-bucket occupancy), never the
-    * corpus² — the incremental flow [[lshCandidatesAgainst]] gives
-    * the MinHash family, for the SimHash/phash family. Returns
+    * combinatorial pigeonhole banding with the two sides SPLIT — a
+    * new batch of fingerprints probes an existing fingerprint index,
+    * so per-batch work scales with the batch (× combo-bucket
+    * occupancy), never the corpus² — the incremental flow
+    * [[lshCandidatesAgainst]] gives the MinHash family, for the
+    * SimHash/phash family. Hot combo buckets are capped on the
+    * CORPUS side (a pair needs its bucket on both sides, and the
+    * corpus is where degenerate occupancy accumulates). Returns
     * (batch id as d1, corpus id as d2, fingerprints, hamming). */
   def simhashPairsAgainst(batchFps: DataFrame, corpusFps: DataFrame,
                           idCol: String, fpCol: String,
-                          maxHamming: Int = 3, fpBits: Int = 32): DataFrame = {
-    require(fpBits % 4 == 0 && fpBits <= 64, s"fpBits must be ≤64, ÷4: $fpBits")
-    val bandBits = fpBits / 4
-    val mask = (1L << bandBits) - 1
-    def bands(df: DataFrame, dAs: String, fpAs: String,
-              bandAs: String, bvAs: String): DataFrame =
-      df.select(col(idCol).as(dAs), col(fpCol).as(fpAs),
-        posexplode(array((0 until 4).map(k =>
-          shiftright(col(fpCol), k * bandBits).bitwiseAND(lit(mask))): _*))
-          .as(Seq(bandAs, bvAs)))
-    bands(batchFps, "d1", "fp1", "__band", "__bv")
-      .join(bands(corpusFps, "d2", "fp2", "__rband", "__rbv"),
+                          maxHamming: Int = 3, fpBits: Int = 32,
+                          maxBandFreq: Option[Int] = DefaultMaxBandFreq): DataFrame = {
+    val cb = comboBands(fpBits, maxHamming)
+    val corpus = cappedComboRows(
+      comboRows(corpusFps, cb, idCol, fpCol, "d2", "fp2", "__rband", "__rbv"),
+      "__rband", "__rbv", maxBandFreq)
+    comboRows(batchFps, cb, idCol, fpCol, "d1", "fp1", "__band", "__bv")
+      .join(corpus,
         col("__band") === col("__rband") && col("__bv") === col("__rbv"))
       .select(col("d1"), col("d2"), col("fp1"), col("fp2"))
       .distinct()

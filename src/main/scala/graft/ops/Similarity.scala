@@ -182,6 +182,24 @@ object Similarity {
     (1 to dim).map(j =>
       (((1103515245L * (plane.toLong * dim + j) + 12345L) % 1000003L) - 501001L).toFloat)
 
+  /** Hyperplanes per band auto-sized from corpus cardinality — the
+    * RP-LSH analogue of [[graft.ops.Temporal.autoBucketWidth]]'s
+    * stats-derived sizing. A FIXED plane count is a fixed 2^np bucket
+    * space, so candidate pairs grow ∝ n²/2^np — the r9 sf10 probe
+    * measured the 8-plane default at 137× for 100× data. Sizing
+    * np = ceil(log2(n/2)) pins expected band-bucket occupancy at ~2
+    * regardless of corpus size, so pair work stays ∝ n·occupancy —
+    * linear. Integer-exact (binary length of n/2 − 1, no float log an
+    * oracle could round differently), clamped to [4, 40] (40 planes =
+    * 10^12-bucket space, past any single-corpus cardinality; each
+    * signature still fits a long). At the harness's sf0.01 (500
+    * vectors) this yields exactly the historical default of 8. */
+  def autoPlanes(corpusRows: Long): Int = {
+    val half = math.max(2L, corpusRows / 2)
+    val np = 64 - java.lang.Long.numberOfLeadingZeros(half - 1)
+    math.max(4, math.min(40, np))
+  }
+
   /** One `nPlanes`-bit random-hyperplane band signature: bit `i` set
     * iff the embedding's dot product with plane `planeStart + i` is
     * positive. Sign-of-dot is invariant to vector norm, so equal band

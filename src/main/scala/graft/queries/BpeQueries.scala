@@ -7,12 +7,13 @@ import graft.ops.Bpe
 /** Real-BPE tokenization queries (SURVEY.md LLM-pipeline family).
   *
   * q98 runs the WHOLE trained-tokenizer pipeline under the oracle
-  * gate: merge-table training (10 greedy merges, corpus-wide argmax
-  * per iteration) and application (a replace chain per word) both
-  * live in exact string/integer space, so the DuckDB oracle replays
-  * training as 10 UNROLLED MATERIALIZED CTE iterations — the q68
-  * unrolled-k-means discipline applied to a tokenizer — and must
-  * reproduce every merged representation string bit-for-bit. The
+  * gate: merge-table training ([[NMerges]] greedy merges, corpus-wide
+  * argmax per iteration) and application (a replace chain per word)
+  * both live in exact string/integer space, so the DuckDB oracle
+  * replays training as [[NMerges]] GENERATED MATERIALIZED CTE
+  * iterations — the q68 unrolled-k-means discipline applied to a
+  * tokenizer — and must reproduce every merged representation string
+  * bit-for-bit. The
   * Spark side reads the memoized merge table
   * ([[Indexes.bpeMerges]]); its timed path is the pure map-expression
   * apply, the production shape (train once per corpus generation,
@@ -20,9 +21,15 @@ import graft.ops.Bpe
   */
 object BpeQueries {
 
-  /** Declared merge count: enough to learn multi-level rules (the
-    * sf0.01 corpus learns e.g. m+er and p+ar on top of e+r / a+r). */
-  val NMerges = 10
+  /** Declared merge count. 64 is production-SHAPED (deep multi-level
+    * rules; the sf0.01 corpus compresses 98k → 48k trained tokens
+    * going 10 → 64), proving the training loop and the generated
+    * oracle chain both scale past the toy n = 10 this family started
+    * at: training truncates its lineage every
+    * [[graft.ops.Bpe.TruncateEvery]] merges so per-iteration work
+    * stays constant, and the oracle's n MATERIALIZED CTE iterations
+    * are emitted programmatically by [[trainingCtes]] for any n. */
+  val NMerges = 64
 
   private val NormSql =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"

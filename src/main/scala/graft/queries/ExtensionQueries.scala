@@ -560,10 +560,14 @@ object ExtensionQueries {
     // the estimates themselves carry no cross-engine oracle — instead
     // the query emits the EXACT aggregates alongside integer flags
     // asserting each estimate sits inside its published error bound
-    // (HLL++ rsd=0.02 → 3σ = 6 %; percentile_approx accuracy=2000 →
-    // rank error ≤ n/2000, checked via the estimate's own rank with
-    // one row of floor/ceil slack). The oracle recomputes the exact
-    // aggregates and pins every flag at 1: an out-of-bound sketch
+    // (HLL++ rsd=0.02 → 5σ = 10 % — 3σ was stochastic by
+    // construction, ~0.3 % flake odds per group with one flake on
+    // record; 5σ keeps the gate machine-checked at ~10⁻⁷ while still
+    // catching any real estimator defect by an order of magnitude.
+    // percentile_approx accuracy=2000 → rank error ≤ n/2000 is a HARD
+    // bound, checked via the estimate's own rank with one row of
+    // floor/ceil slack). The oracle recomputes the exact aggregates
+    // and pins every flag at 1: an out-of-bound sketch
     // hash-mismatches the row. Bounded verification, not rows-only.
     Q("q22_sketches",
       """SELECT event_type,
@@ -609,7 +613,7 @@ object ExtensionQueries {
             (col(lt) <= (lit(q) + err) * col("n_vals") + 1)
         sk.join(ranks, Seq("event_type")).select(
           col("event_type"), col("n_users"), col("n_events"),
-          when(abs(col("approx_users") - col("n_users")) * 100 <= col("n_users") * 6, 1)
+          when(abs(col("approx_users") - col("n_users")) * 100 <= col("n_users") * 10, 1)
             .otherwise(0).cast("int").as("hll_ok"),
           when(col("p50_est").isNull, (col("n_vals") === 0).cast("int"))
             .otherwise(rankOk("r50_le", "r50_lt", 0.5).cast("int")).as("p50_ok"),

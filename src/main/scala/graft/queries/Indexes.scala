@@ -133,19 +133,41 @@ object Indexes {
     * the winner. */
   private def cached(spark: SparkSession, st: TableStore, name: String)
                     (build: TableStore => Unit): DataFrame = {
-    val dst = new org.apache.hadoop.fs.Path(st.path(name))
+    import org.apache.hadoop.fs.Path
+    val dst = new Path(st.path(name))
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def complete = fs.exists(new org.apache.hadoop.fs.Path(dst, "_SUCCESS"))
+    def complete = fs.exists(new Path(dst, "_SUCCESS"))
     if (!complete) {
       val scratchRoot = st.path(s".build_${java.util.UUID.randomUUID}")
       try {
         build(new TableStore(spark, scratchRoot))
         fs.mkdirs(dst.getParent): Unit
-        if (!fs.rename(new org.apache.hadoop.fs.Path(s"$scratchRoot/$name"), dst))
-          require(complete,
-            s"index publish failed for $name: rename rejected and no complete table present")
+        // Renaming onto an EXISTING directory is never the publish:
+        // both the HDFS contract and the local-FS fallback move the
+        // source INSIDE it (and report success), nesting duplicate
+        // part files that Spark's recursive listing reads as doubled
+        // rows. So: a dst missing `_SUCCESS` is a crashed process's
+        // partial — remove the garbage; a dst WITH `_SUCCESS` is a
+        // concurrent winner's complete publish — keep it and skip the
+        // rename entirely (lost race, reuse the winner).
+        if (fs.exists(dst) && !complete) fs.delete(dst, true): Unit
+        if (!fs.exists(dst) &&
+            fs.rename(new Path(s"$scratchRoot/$name"), dst)) {
+          // The rename itself can still lose a photo-finish race: a
+          // winner publishing in the window since the exists() check
+          // makes OUR rename nest the scratch table at dst/<name>.
+          // Detect by its own `_SUCCESS` (a legitimate table never
+          // holds a same-named complete sub-table) and remove it —
+          // the winner's publish stays intact.
+          val nested = new Path(dst, name)
+          if (fs.exists(new Path(nested, "_SUCCESS"))) fs.delete(nested, true): Unit
+        }
+        // Whatever path was taken — our publish, a winner's, or a
+        // rejected rename — a complete table must now be present.
+        require(complete,
+          s"index publish failed for $name: no complete table present")
       } finally
-        fs.delete(new org.apache.hadoop.fs.Path(scratchRoot), true): Unit
+        fs.delete(new Path(scratchRoot), true): Unit
     }
     st.read(name)
   }
@@ -450,14 +472,19 @@ object Indexes {
 
   /** Random-hyperplane band signatures (vec_id, b0, b1) over the
     * `embeddings` table — the cosine-space analogue of [[signatures]]:
-    * the 16 hyperplane dot products per vector are the dominant scan,
-    * run once and landed as a table; the banded candidate self join
-    * reads it on both sides. */
+    * the 2·np hyperplane dot products per vector are the dominant
+    * scan, run once and landed as a table; the banded candidate self
+    * join reads it on both sides. Planes per band are AUTO-SIZED from
+    * the corpus cardinality ([[graft.ops.Similarity.autoPlanes]] —
+    * occupancy-2 bucket space, the fix for the r9 probe's 137×
+    * super-linear row); the count is a parquet-metadata pass, and a
+    * regenerated corpus re-derives np with its new fingerprint. */
   def rpSignatures(spark: SparkSession, sfDir: String): DataFrame = lock.synchronized {
     cached(spark, store(spark, sfDir), "rp_sigs") { bst =>
+      val e = graft.io.Sources.tableRebalanced(spark, sfDir, "embeddings")
+      val np = graft.ops.Similarity.autoPlanes(e.count())
       bst.overwrite("rp_sigs", graft.ops.Similarity.rpSignatures(
-        graft.io.Sources.tableRebalanced(spark, sfDir, "embeddings"),
-        "vec_id", "embedding", dim = 64))
+        e, "vec_id", "embedding", dim = 64, nPlanes = np))
     }
   }
 }

@@ -394,9 +394,10 @@ object LlmQueries {
         // The static corpus index is probed by EVERY trigger
         // (stream-static banded join): pin it in executor storage for
         // the stream's lifetime so each trigger probes memory instead
-        // of re-scanning the index table. Bench clears caches between
-        // queries; a production maintainClusters caller would hold
-        // this persist for the life of the stream.
+        // of re-scanning the index table — and release it when the
+        // stream terminates (the persist's scope IS the stream; held
+        // longer it squats executor storage for the process lifetime
+        // in callers without Bench's cache-clearing loop).
         val sigs = Indexes.signatures(s, d).persist()
         val docs = table(s, d, "documents").select(col("doc_id"), col("text"))
         val scratch = java.nio.file.Files.createTempDirectory("graft_q99")
@@ -415,7 +416,10 @@ object LlmQueries {
         val q = graft.streaming.Streaming.maintainClusters(stream, store,
           "labels", sigs, "doc_id", "text", JaccardThreshold,
           checkpoint = s"$scratch/cp")
-        try q.awaitTermination(300000) finally q.stop()
+        try q.awaitTermination(300000) finally {
+          q.stop()
+          sigs.unpersist(): Unit
+        }
         val w = org.apache.spark.sql.expressions.Window.partitionBy(col("component"))
         store.readVersioned("labels")
           .select(col("component"), col("id").as("doc_id"))

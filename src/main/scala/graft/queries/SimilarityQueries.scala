@@ -64,6 +64,41 @@ object SimilarityQueries {
   /** Shared q68/q69 chain: the whole vector, k = 8, no suffix. */
   private val kmeansCtesSql: String = kmeansCtes("", "embedding", 8)
 
+  /** Shared q42/q61 random-hyperplane signature CTEs (`params` + `sig`
+    * with columns vec_id, b0, b1), mirroring
+    * [[graft.ops.Similarity.rpSignatures]] with AUTO-SIZED planes per
+    * band: np = ceil(log2(n/2)) clamped to [4, 40] — the exact integer
+    * derivation of [[graft.ops.Similarity.autoPlanes]], expressed as
+    * the binary length of n/2 − 1 so no float log can diverge between
+    * engines. Band b evaluates planes [b·np, (b+1)·np) through the
+    * same integer hyperplane formula; signatures are built by a
+    * dynamically-sized `range(0, np)` lambda, so ONE oracle text
+    * serves every corpus cardinality. */
+  private def rpSigCtes: String = {
+    def dot(p: String): String =
+      s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1,65), " +
+        s"j -> embedding[j]::DOUBLE * ((1103515245*(($p)*64+j) + 12345) % 1000003 - 501001)::DOUBLE)), (x,y) -> x+y)"
+    def band(p: String): String =
+      s"list_sum(list_transform(range(0, np), p -> CASE WHEN ${dot(p)} > 0 " +
+        s"THEN (1::BIGINT << CAST(p AS INT)) ELSE 0::BIGINT END))"
+    s"""params AS (
+       |  SELECT CAST(greatest(4, least(40, length(bin(greatest(count(*) // 2, 2) - 1)))) AS BIGINT) AS np
+       |  FROM embeddings),
+       |sig AS (
+       |  SELECT vec_id, ${band("p")} AS b0, ${band("np + p")} AS b1
+       |  FROM embeddings, params)""".stripMargin
+  }
+
+  /** Banded candidate CTE over `sig`: pairs agreeing on at least one
+    * of the two band signatures, as distinct (v1 < v2). */
+  private val rpCandSql: String =
+    """cand AS (
+      |  SELECT a.vec_id AS v1, b.vec_id AS v2 FROM sig a
+      |  JOIN sig b ON a.b0 = b.b0 AND a.vec_id < b.vec_id
+      |  UNION
+      |  SELECT a.vec_id AS v1, b.vec_id AS v2 FROM sig a
+      |  JOIN sig b ON a.b1 = b.b1 AND a.vec_id < b.vec_id)""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // Brute-force exact cosine top-5 for a bounded query batch
@@ -202,7 +237,7 @@ object SimilarityQueries {
          |q AS (
          |  SELECT vec_id AS qid,
          |         list_transform(embedding, x -> CAST(round((CAST(x AS DOUBLE) + 4.0) * 1000000.0) AS BIGINT)) AS qs
-         |  FROM embeddings WHERE vec_id % 50 = 0),
+         |  FROM embeddings WHERE vec_id < 40),
          |codes AS (
          |  SELECT v0.vec_id, $codeCols $codeJoins),
          |adc AS (
@@ -222,11 +257,17 @@ object SimilarityQueries {
         // training and encoding run once per process (Bench's warmup),
         // the timed path is ADC over the persisted codes table (the
         // production flow; q82's oracle still pins the full chain
-        // against a from-scratch DuckDB train+encode+search).
+        // against a from-scratch DuckDB train+encode+search). The
+        // query batch is FIXED-SIZE (the 40 lowest vec_ids — a
+        // bounded-QPS stand-in), so flat ADC's declared work is
+        // n·|batch|, linear in the corpus; the r9 sf10 probe measured
+        // the old corpus-proportional `% 50` batch at 518× for 100×
+        // data (n²/50 by construction). The corpus-pruning production
+        // path remains q90's IVF-PQ.
         val cbs = graft.queries.Indexes.pqCodebooks(s, d)
         val codes = graft.queries.Indexes.pqCodes(s, d)
         Similarity.pqTopK(codes, cbs,
-            table(s, d, "embeddings").filter(col("vec_id") % 50 === 0), k = 5)
+            table(s, d, "embeddings").filter(col("vec_id") < 40), k = 5)
           .withColumn("rnk", col("rnk").cast("bigint"))
     },
 
@@ -318,63 +359,71 @@ object SimilarityQueries {
 
     // Embedding-cosine near-dup: pairs above a cosine threshold,
     // candidate-pruned to same-cluster buckets (the `label` column is
-    // the precomputed IVF/cluster assignment) — the embedding-space
-    // member of the dedup family. Never all-pairs: pair scoring runs
-    // only within buckets, and a bucket larger than the cap is split
-    // into hash sub-groups so per-task pair work is bounded
-    // ([[graft.ops.Skew.boundedBucketSelfJoin]] — one hot cluster must
-    // not become one straggler task). The pair set is identical to the
-    // plain bucket self join, so the oracle needs no cap. At 100 TB
-    // the bucket assignment comes from the IVF pass
-    // ([[graft.ops.Similarity.assignCells]]) materialized once; here
-    // the harness ships it as `label`.
+    // the precomputed IVF/cluster assignment) REFINED by the shared
+    // RP-LSH band signatures — the embedding-space member of the
+    // dedup family. A label ALONE is a fixed bucket count, so
+    // within-label pair work is n²/|labels| (the r9 sf10 probe
+    // measured 137× at 100× data); composing each label bucket with
+    // the auto-sized band signature ([[graft.ops.Similarity
+    // .autoPlanes]] — occupancy ~2 at any cardinality) keeps
+    // candidate work ∝ n·occupancy, linear. Buckets beyond the cap
+    // still split into bounded task cells
+    // ([[graft.ops.Skew.boundedBucketSelfJoin]] — degenerate
+    // embeddings must not become one straggler task). The oracle
+    // replays the identical hyperplanes and band rule, so the pair
+    // set agrees bit-for-bit. At 100 TB the label comes from the IVF
+    // pass ([[graft.ops.Similarity.assignCells]]) materialized once;
+    // here the harness ships it as `label`, and the signatures ride
+    // the persisted [[graft.queries.Indexes.rpSignatures]] table q61
+    // shares.
     Q("q42_embed_neardup",
-      s"""SELECT a.vec_id AS v1, b.vec_id AS v2, a.label,
-         |       ${cosSql("a.embedding", "b.embedding")} AS cos_r
-         |FROM embeddings a JOIN embeddings b
-         |  ON a.label = b.label AND a.vec_id < b.vec_id
-         |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.35""".stripMargin) {
+      s"""WITH $rpSigCtes,
+         |$rpCandSql
+         |SELECT v1, v2, ea.label, ${cosSql("ea.embedding", "eb.embedding")} AS cos_r
+         |FROM cand JOIN embeddings ea ON ea.vec_id = v1
+         |          JOIN embeddings eb ON eb.vec_id = v2
+         |WHERE ea.label = eb.label
+         |  AND ${cosSql("ea.embedding", "eb.embedding")} >= 0.35""".stripMargin) {
       (s, d) =>
         import graft.functions.VectorExpressions.normF
         val e = table(s, d, "embeddings")
           .select(col("vec_id"), col("label"), col("embedding"),
             normF(col("embedding")).as("nrm"))
-        graft.ops.Skew.boundedBucketSelfJoin(e, "label", "vec_id", cap = 256)
+        val rows = e.join(graft.queries.Indexes.rpSignatures(s, d), "vec_id")
+          .select(col("vec_id"), col("label"), col("embedding"), col("nrm"),
+            posexplode(array(col("b0"), col("b1"))).as(Seq("__band", "__bsig")))
+          .withColumn("__bkt", struct(col("label"), col("__band"), col("__bsig")))
+        graft.ops.Skew.boundedBucketSelfJoin(rows, "__bkt", "vec_id", cap = 256)
+          .select(col("vec_id").as("v1"), col("vec_id_2").as("v2"), col("label"),
+            col("embedding").as("e1"), col("embedding_2").as("e2"),
+            col("nrm").as("n1"), col("nrm_2").as("n2"))
+          // A pair agreeing on BOTH bands met in two buckets: dedup
+          // before scoring (rows are bit-identical, occupancy-bounded).
+          .distinct()
           .withColumn("cos_r", Similarity.cosRoundedPre(
-            col("embedding"), col("embedding_2"), col("nrm"), col("nrm_2")))
+            col("e1"), col("e2"), col("n1"), col("n2")))
           .filter(col("cos_r") >= 0.35)
-          .select(col("vec_id").as("v1"), col("vec_id_2").as("v2"),
-            col("label"), col("cos_r"))
+          .select(col("v1"), col("v2"), col("label"), col("cos_r"))
     },
 
     // Random-hyperplane LSH near-dup: sign-of-dot band signatures
-    // (two 8-plane bands over deterministic integer hyperplanes —
-    // [[graft.ops.Similarity.rpWeights]]), candidates from ONE banded
-    // self equi join (never all-pairs, the cosine-space analogue of
-    // q31's MinHash banding and the label-free complement of q42 —
-    // it needs no precomputed cluster column), verified with exact
-    // cosine. The oracle evaluates the identical integer hyperplanes
-    // and fold, so the candidate set and scores agree bit-for-bit.
-    Q("q61_rp_lsh", {
-      def dotGt0(p: Int): String =
-        s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1,65), " +
-          s"j -> embedding[j]::DOUBLE * ((1103515245*($p*64+j) + 12345) % 1000003 - 501001)::DOUBLE)), (x,y) -> x+y) > 0"
-      val bandA = (0 until 8)
-        .map(p => s"CASE WHEN ${dotGt0(p)} THEN ${1L << p} ELSE 0 END").mkString(" + ")
-      val bandB = (8 until 16)
-        .map(p => s"CASE WHEN ${dotGt0(p)} THEN ${1L << (p - 8)} ELSE 0 END").mkString(" + ")
-      s"""WITH sig AS (SELECT vec_id, $bandA AS b0, $bandB AS b1 FROM embeddings),
-         |cand AS (
-         |  SELECT a.vec_id AS v1, b.vec_id AS v2 FROM sig a
-         |  JOIN sig b ON a.b0 = b.b0 AND a.vec_id < b.vec_id
-         |  UNION
-         |  SELECT a.vec_id AS v1, b.vec_id AS v2 FROM sig a
-         |  JOIN sig b ON a.b1 = b.b1 AND a.vec_id < b.vec_id)
+    // (two bands of AUTO-SIZED plane count over deterministic integer
+    // hyperplanes — [[graft.ops.Similarity.rpWeights]] sized by
+    // [[graft.ops.Similarity.autoPlanes]], so bucket space grows with
+    // the corpus and pair work stays linear), candidates from ONE
+    // banded self equi join (never all-pairs, the cosine-space
+    // analogue of q31's MinHash banding and the label-free complement
+    // of q42 — it needs no precomputed cluster column), verified with
+    // exact cosine. The oracle derives the identical plane count and
+    // evaluates the identical integer hyperplanes and fold, so the
+    // candidate set and scores agree bit-for-bit.
+    Q("q61_rp_lsh",
+      s"""WITH $rpSigCtes,
+         |$rpCandSql
          |SELECT v1, v2, ${cosSql("ea.embedding", "eb.embedding")} AS cos_r
          |FROM cand JOIN embeddings ea ON ea.vec_id = v1
          |          JOIN embeddings eb ON eb.vec_id = v2
-         |WHERE ${cosSql("ea.embedding", "eb.embedding")} >= 0.35""".stripMargin
-    }) {
+         |WHERE ${cosSql("ea.embedding", "eb.embedding")} >= 0.35""".stripMargin) {
       (s, d) =>
         import graft.functions.VectorExpressions.normF
         // Rebalanced: the 16 hyperplane dots per vector dominate the

@@ -398,7 +398,7 @@ class DedupSpec extends AnyFunSuite {
     assert(w60.values.forall(v => v >= 0L && v < (1L << 60)))
   }
 
-  test("simhashPairs at 60 bits: 15-bit bands find the crafted near pair") {
+  test("simhashPairs at 60 bits finds the crafted near pair") {
     // fp2 = fp1 with two bits flipped inside band 0; fp3 differs in
     // every band.
     val f1 = 0x0FEDCBA987654321L & ((1L << 60) - 1)
@@ -409,7 +409,7 @@ class DedupSpec extends AnyFunSuite {
     assert(got === Set((1L, 2L, 2)))
   }
 
-  test("simhashPairs: byte-band candidates verify true Hamming radius") {
+  test("simhashPairs: banded candidates verify true Hamming radius") {
     // Fingerprints chosen so (1,2) differ in 2 bits (same low bytes),
     // (1,3) differ in many bits across all bytes.
     val fps = Seq(
@@ -418,5 +418,52 @@ class DedupSpec extends AnyFunSuite {
     val got = Dedup.simhashPairs(fps, "doc_id", "simhash")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(4))).toSet
     assert(got === Set((1L, 2L, 2)))
+  }
+
+  test("simhashPairs combo banding is EXACT vs brute force, 64-bit, radius 0-5") {
+    // The combinatorial pigeonhole (r+3 bands, join on 3-band combos)
+    // must have 100 % recall at radius r for ANY fingerprint set — the
+    // all-pairs oracles of the phash family depend on it. Adversarial
+    // mix: random longs (full 64-bit range incl. negative), plus
+    // planted near-pairs at every distance 0..6 off shared bases.
+    val rnd = new scala.util.Random(42)
+    val base = Seq.fill(40)(rnd.nextLong())
+    val planted = base.take(7).zipWithIndex.map { case (b, d) =>
+      (0 until d).foldLeft(b)((v, i) => v ^ (1L << ((i * 13 + d) % 64)))
+    }
+    val all = (base ++ planted).distinct.zipWithIndex.map { case (fp, i) => (i.toLong, fp) }
+    val fps = all.toDF("doc_id", "fp")
+    for (r <- Seq(0, 1, 3, 5)) {
+      val brute = (for {
+        (i1, f1) <- all; (i2, f2) <- all
+        if i1 < i2 && java.lang.Long.bitCount(f1 ^ f2) <= r
+      } yield (i1, i2)).toSet
+      val got = Dedup.simhashPairs(fps, "doc_id", "fp", maxHamming = r, fpBits = 64,
+          maxBandFreq = None)
+        .collect().map(row => (row.getLong(0), row.getLong(1))).toSet
+      assert(got === brute, s"radius $r: banded join lost/invented pairs")
+    }
+  }
+
+  test("simhashPairs/simhashPairsAgainst: default band cap prunes nothing at harness scale") {
+    // The default maxBandFreq must be invisible on organically-sized
+    // corpora — the oracle gate depends on it. 200 random fingerprints
+    // (worst case: bucket occupancy ~ uniform) must give identical
+    // pair sets capped and uncapped, for both the self and the
+    // batch×corpus flows.
+    val rnd = new scala.util.Random(7)
+    val all = Seq.tabulate(200)(i => (i.toLong, rnd.nextLong() >>> 4))
+    val fps = all.toDF("doc_id", "fp")
+    def pairsOf(cap: Option[Int]) =
+      Dedup.simhashPairs(fps, "doc_id", "fp", maxHamming = 3, fpBits = 60,
+          maxBandFreq = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairsOf(Dedup.DefaultMaxBandFreq) === pairsOf(None))
+    val (batch, corpus) = all.partition(_._1 >= 150L)
+    def againstOf(cap: Option[Int]) =
+      Dedup.simhashPairsAgainst(batch.toDF("doc_id", "fp"), corpus.toDF("doc_id", "fp"),
+          "doc_id", "fp", maxHamming = 3, fpBits = 60, maxBandFreq = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(againstOf(Dedup.DefaultMaxBandFreq) === againstOf(None))
   }
 }

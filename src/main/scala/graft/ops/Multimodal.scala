@@ -543,6 +543,38 @@ object Multimodal {
     out
   }
 
+  /** Real LOSSY JPEG ENCODER: gray pixels → a single-component JFIF
+    * stream through the JDK's own ImageIO writer at maximum quality
+    * (explicit 1.0 — near-unit quantization tables, so loss per pixel
+    * is a few units of 255, but NOT zero: DCT round-trips still
+    * round). Unlike the other encoders this one is deliberately NOT
+    * bit-invertible — it exists to drive the dedup chain through a
+    * real lossy container, where the contract is a BOUNDED perceptual
+    * drift (q109 pins dHash Hamming distance vs the exact-pixel hash;
+    * MultimodalSpec pins the pixel-level bound), the only honest
+    * contract a lossy codec can carry. */
+  def encodeJpegGray(gray: Array[Byte], width: Int, height: Int): Array[Byte] = {
+    require(width > 0 && height > 0 && gray.length == width * height,
+      s"encodeJpegGray: ${gray.length} bytes for ${width}x$height")
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setDataElements(0, 0, width, height, gray)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(1.0f)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
   /** Real 16-bit PCM WAV ENCODER (the inverse of [[WavPcmCodec]]'s
     * 16-bit mono subset): RIFF/WAVE container, PCM fmt chunk, signed
     * little-endian samples. 16-bit normalization is `s / 32768f` —
@@ -679,6 +711,16 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Declared dHash Hamming tolerance of the LOSSY image leg (q109):
+    * the max bits a max-quality JPEG round-trip may move an 18×16
+    * corpus image's 64-bit dHash. dHash pools 2×2 before comparing
+    * neighbors, so per-pixel quantization error (a few /255 at
+    * quality 1.0) only flips bits whose pooled cells were nearly
+    * tied; MultimodalSpec measures the real corpus distribution
+    * (max ≈ half this bound at sf0.01) and q109's oracle pins the
+    * flag for every document. */
+  val JpegPhashTolerance = 24
+
   /** 64-bit difference hash (dHash) of a decoded grayscale image: the
     * perceptual fingerprint behind image NEAR-dup dedup. Pixels are
     * re-quantized to exact ints (`round(f·255)` — lossless for codec
@@ -739,6 +781,67 @@ object Multimodal {
         }
       }
       .toDF("doc_id", "phash")
+  }
+
+  /** 64-bit audio energy-contour fingerprint: the audio analogue of
+    * [[dhash64]], in the spirit of the Haitsma–Kalker energy-
+    * difference fingerprint but time-domain and integer-exact so an
+    * ANSI-SQL oracle reproduces it bit-for-bit. Samples re-quantize
+    * to exact ints (`round(f·scale)` — lossless for PCM sources); the
+    * first `65·windowSize` samples (the fingerprint CLIP — the audio
+    * analogue of dHash's fixed 18×16 thumbnail; missing samples count
+    * as silence) split into 65 fixed windows whose energy is the SUM
+    * of absolute sample values, and bit k records whether window k's
+    * energy exceeds window k+1's (strict >). Energy direction
+    * survives volume scaling and small local edits — the property
+    * near-dup needs — and the fingerprint feeds the SAME banded
+    * Hamming machinery as the image family. The default 2-sample
+    * window is deliberately small: like dHash's 4-byte pooled cells,
+    * small windows keep adjacent energies high-variance, which is
+    * what separates true near-dups from the background (measured at
+    * sf0.01: radius 3 recovers 25 of the 27 planted pairs with ZERO
+    * background collisions; 8-sample windows collapse to near-ties
+    * and admit hundreds). Empty signal → 0. */
+  def audioFingerprint64(samples: Array[Float], quantScale: Int = 32768,
+                         windowSize: Int = 2): Long = {
+    require(windowSize >= 1, s"audioFingerprint64: windowSize=$windowSize")
+    val energy = new Array[Long](65)
+    val n = math.min(samples.length, 65 * windowSize)
+    var i = 0
+    while (i < n) {
+      energy(i / windowSize) +=
+        math.abs(math.round(samples(i) * quantScale).toLong)
+      i += 1
+    }
+    var fp = 0L
+    var k = 0
+    while (k < 64) {
+      if (energy(k) > energy(k + 1)) fp |= 1L << k
+      k += 1
+    }
+    fp
+  }
+
+  /** Per-clip audio fingerprints over REAL decoded samples: the same
+    * partition-batched decode shape as [[imageDhash]] (codec
+    * constructed once per partition), emitting `(doc_id, afp)` for
+    * [[graft.ops.Dedup.simhashPairs]]'s banded Hamming join — the
+    * audio member of the media-dedup family. At 100 TB: decode cost
+    * amortizes per partition, the shuffle carries 16 bytes per clip,
+    * candidate generation downstream is a combo-banded hash join. */
+  def audioFingerprints(media: DataFrame,
+                        mkCodec: () => MediaCodec = () => new WavPcmCodec,
+                        quantScale: Int = 32768): DataFrame = {
+    import media.sparkSession.implicits._
+    media.select(col("doc_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val codec = mkCodec().init()
+        rows.map { case (id, bytes) =>
+          (id, audioFingerprint64(codec.decode(bytes), quantScale))
+        }
+      }
+      .toDF("doc_id", "afp")
   }
 
   /** Modulo-bucket mean pooling: raw signal of ANY length → a fixed

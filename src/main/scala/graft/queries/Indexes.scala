@@ -428,6 +428,19 @@ object Indexes {
       graft.ops.Multimodal.encodeGifGray,
       () => new graft.ops.Multimodal.GifCodec)
 
+  /** And through the LOSSY container: the same gray pixels as
+    * max-quality JPEGs ([[graft.ops.Multimodal.encodeJpegGray]])
+    * decoded by the production [[graft.ops.Multimodal.JpegCodec]].
+    * Unlike the BMP/PNG/GIF legs these hashes are NOT bit-identical
+    * to the exact-pixel hashes — JPEG quantization moves a few dHash
+    * bits on near-tied cells — so the q109 gate is a per-document
+    * Hamming BOUND against the exact index (the q22 bounded-sketch
+    * discipline), not hash equality. */
+  def imagePhashJpeg(spark: SparkSession, sfDir: String): DataFrame =
+    imagePhashVia(spark, sfDir, "image_phash_jpeg",
+      graft.ops.Multimodal.encodeJpegGray,
+      () => new graft.ops.Multimodal.JpegCodec)
+
   private def imagePhashVia(spark: SparkSession, sfDir: String, name: String,
                             encode: (Array[Byte], Int, Int) => Array[Byte],
                             mkCodec: () => graft.ops.Multimodal.MediaCodec): DataFrame =
@@ -450,6 +463,39 @@ object Indexes {
         }.toDF("doc_id", "content")
         bst.overwrite(name,
           graft.ops.Multimodal.imageDhash(media, 18, 16, mkCodec))
+      }
+    }
+
+  /** Per-clip audio fingerprints (doc_id, afp) — the AUDIO member of
+    * the media-dedup index family: each document's text bytes become
+    * signed 16-bit samples in a REAL RIFF/WAVE container (the q104
+    * fixture), decoded by the production
+    * [[graft.ops.Multimodal.WavPcmCodec]] and fingerprinted by the
+    * integer energy-contour hash
+    * ([[graft.ops.Multimodal.audioFingerprint64]]). The decode+hash
+    * map pass runs ONCE per corpus and lands as a table; the banded
+    * Hamming candidate join reads it on both sides (q110). */
+  def audioFingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    lock.synchronized {
+      cached(spark, store(spark, sfDir), "audio_fingerprint") { bst =>
+        import spark.implicits._
+        import org.apache.spark.sql.functions.col
+        val docs = corpusDocs(spark, sfDir)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+        val media = docs.mapPartitions { it =>
+          it.map { case (id, text) =>
+            val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val samples = new Array[Short](bytes.length)
+            var i = 0
+            while (i < bytes.length) {
+              samples(i) = (((bytes(i) & 0xff) - 128) * 256).toShort
+              i += 1
+            }
+            (id, graft.ops.Multimodal.encodeWavPcm16(samples))
+          }
+        }.toDF("doc_id", "content")
+        bst.overwrite("audio_fingerprint",
+          graft.ops.Multimodal.audioFingerprints(media))
       }
     }
 

@@ -156,6 +156,35 @@ object MultimodalQueries {
           .select("d1", "d2", "fp1", "fp2", "hamming")
     },
 
+    // The LOSSY leg of the codec matrix: the same corpus images as
+    // max-quality JPEGs through the JDK's production decoder. A lossy
+    // codec cannot promise bit-identical hashes (DCT quantization
+    // moves dHash bits whose pooled cells were nearly tied), so this
+    // gate is the q22 bounded-verification discipline applied to
+    // media: emit the EXACT phash (oracle-recomputable) plus an
+    // integer flag pinning the JPEG-path hash within
+    // [[graft.ops.Multimodal.JpegPhashTolerance]] Hamming bits of it
+    // — measured max 12 / mean 1.7 at sf0.01, declared 24. The
+    // oracle recomputes the exact hash and pins every flag at 1: a
+    // codec regression (wrong colorspace, broken quality setting,
+    // upstream pixel bug) blows the bound and hash-mismatches the
+    // row. BMP (raw) + PNG (deflate) + GIF (LZW) + JPEG (lossy):
+    // the full codec matrix now drives the dedup chain under
+    // machine-checked gates.
+    Q("q109_image_phash_jpeg",
+      s"""WITH $PhashCtes
+        |SELECT doc_id, phash, 1 AS jpeg_ok FROM fp""".stripMargin) {
+      (s, d) =>
+        val exact = Indexes.imagePhash(s, d)
+        val lossy = Indexes.imagePhashJpeg(s, d)
+          .select(col("doc_id"), col("phash").as("jpeg_phash"))
+        exact.join(lossy, "doc_id")
+          .select(col("doc_id"), col("phash"),
+            when(graft.ops.Dedup.hamming(col("phash"), col("jpeg_phash"))
+              <= Multimodal.JpegPhashTolerance, 1).otherwise(0)
+              .cast("int").as("jpeg_ok"))
+    },
+
     // Image near-dup CLUSTERS: connected components over the q97
     // perceptual-hash pair set — the full media-dedup pipeline
     // (decode → dHash → banded Hamming pairs → CC labels), the same
@@ -241,6 +270,49 @@ object MultimodalQueries {
         Multimodal.extractPooledInts(media, dim = 8).toDF()
           .select(col("doc_id"), col("bucket"), col("psum"), col("pcnt"),
             col("n_bytes"), col("codec"))
+    },
+
+    // AUDIO near-dup — the media-dedup loop closed for the audio
+    // codec: text bytes → signed 16-bit samples in REAL RIFF/WAVE
+    // containers (the q104 fixture) → the production WavPcmCodec →
+    // the integer energy-contour fingerprint (audioFingerprint64 —
+    // 65 two-sample windows over the clip prefix, adjacent energy
+    // comparisons; Haitsma–Kalker in spirit, exact in integer space)
+    // → the SAME combo-banded Hamming join as the image family,
+    // riding the PERSISTED audio_fingerprint index. At sf0.01 radius
+    // 3 recovers 25 of 27 planted near-dup pairs with zero background
+    // collisions (the two missed pairs edit inside the clip prefix —
+    // the fingerprint's declared sensitivity, not a defect). Oracle:
+    // all-pairs Hamming from the same text bytes (banding is
+    // pigeonhole-exact at radius 3, so the plain formulation is a
+    // true oracle AND a proof the banded join drops no pair).
+    Q("q110_audio_neardup",
+      """WITH sm AS (
+        |  SELECT doc_id, i,
+        |         CASE WHEN i <= length(text)
+        |              THEN abs((ascii(substring(text, CAST(i AS INT), 1)) - 128) * 256)
+        |              ELSE 0 END AS e
+        |  FROM documents, unnest(generate_series(1, 130)) AS t(i)),
+        |win AS (
+        |  SELECT doc_id, (i-1) // 2 AS w, sum(e) AS s
+        |  FROM sm GROUP BY doc_id, (i-1) // 2),
+        |bits AS (
+        |  SELECT a.doc_id, a.w AS k, CASE WHEN a.s > b.s THEN 1 ELSE 0 END AS bit
+        |  FROM win a JOIN win b ON a.doc_id = b.doc_id AND b.w = a.w + 1
+        |  WHERE a.w < 64),
+        |fp AS (
+        |  SELECT doc_id, bit_or(CASE WHEN bit = 0 THEN 0
+        |                             WHEN k = 63 THEN (-9223372036854775807 - 1)
+        |                             ELSE (1::BIGINT << CAST(k AS INT)) END) AS afp
+        |  FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS d1, b.doc_id AS d2, a.afp AS fp1, b.afp AS fp2,
+        |       bit_count(xor(a.afp, b.afp))::INT AS hamming
+        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.afp, b.afp)) <= 3""".stripMargin) {
+      (s, d) =>
+        graft.ops.Dedup.simhashPairs(Indexes.audioFingerprint(s, d),
+            "doc_id", "afp", maxHamming = 3, fpBits = 64)
+          .select("d1", "d2", "fp1", "fp2", "hamming")
     },
 
     // The AUDIO codec under the oracle gate — the q102 recipe applied

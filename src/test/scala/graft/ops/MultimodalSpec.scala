@@ -505,6 +505,67 @@ class MultimodalSpec extends AnyFunSuite {
     assert(maxDiff <= 6f / 255, s"JPEG loss out of bound: $maxDiff")
   }
 
+  test("audioFingerprint64: exact windows, edit robustness, discrimination") {
+    def enc(bytes: Array[Byte]): Array[Byte] = {
+      val samples = bytes.map(b => (((b & 0xff) - 128) * 256).toShort)
+      Multimodal.encodeWavPcm16(samples)
+    }
+    val codec = new Multimodal.WavPcmCodec().init()
+    def fp(bytes: Array[Byte]): Long =
+      Multimodal.audioFingerprint64(codec.decode(enc(bytes)))
+    // Hand-computed on a tiny signal: bytes (140, 130, 130, 140, ...)
+    // → |e| windows (140-128)*256+( 130-128)*256=3584, (130-128+140-128)*256=3584 …
+    // identical clips must agree; a beyond-clip edit must not matter.
+    val base = Array.tabulate[Byte](300)(i => ((i * 37 + 11) % 256).toByte)
+    assert(fp(base) === fp(base.clone))
+    val tailEdit = base.clone; tailEdit(200) = (tailEdit(200) + 90).toByte
+    assert(fp(base) === fp(tailEdit), "edit past the 130-sample clip must not move the fingerprint")
+    // A small in-clip substitution moves few bits; unrelated content
+    // moves many — the separation the near-dup radius rides on.
+    val nearDup = base.clone; nearDup(40) = (nearDup(40) + 3).toByte
+    val hNear = java.lang.Long.bitCount(fp(base) ^ fp(nearDup))
+    val other = Array.tabulate[Byte](300)(i => ((i * 131 + 77) % 256).toByte)
+    val hOther = java.lang.Long.bitCount(fp(base) ^ fp(other))
+    assert(hNear <= 3, s"one-byte in-clip edit moved $hNear bits")
+    assert(hOther > 10, s"unrelated clip too close: $hOther bits")
+    // Empty and sub-clip signals are defined (silence pads).
+    assert(Multimodal.audioFingerprint64(Array.emptyFloatArray) === 0L)
+    assert(fp(base.take(10)) === fp(base.take(10) ++ Array.fill[Byte](5)(-128)),
+      "explicit silence equals implicit padding")
+  }
+
+  test("encodeJpegGray: lossy round-trip dHash drift stays within the q109 tolerance") {
+    // The lossy leg's whole contract (the only honest one a lossy
+    // codec can carry): over CORPUS-SHAPED images — text bytes as
+    // 18×16 gray, the exact fixture Indexes.imagePhashJpeg builds —
+    // the dHash of encodeJpegGray→JpegCodec pixels sits within
+    // JpegPhashTolerance Hamming bits of the exact-pixel hash. Runs
+    // over the real sf0.01 corpus when present (the population q109
+    // gates), plus crafted gradients.
+    val docsFile = new java.io.File("/root/testdata/sf0.01/documents.parquet")
+    val texts: Seq[String] =
+      if (docsFile.exists)
+        spark.read.parquet(docsFile.getPath).select("text")
+          .collect().map(_.getString(0)).toSeq
+      else (0 until 64).map(i => s"synthetic document $i " * 12)
+    val jpegCodec = new Multimodal.JpegCodec().init()
+    val bmpCodec = new Multimodal.BmpCodec().init()
+    val hams = texts.map { text =>
+      val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val gray = Array.fill[Byte](288)(32)
+      System.arraycopy(bytes, 0, gray, 0, math.min(bytes.length, 288))
+      val exact = Multimodal.dhash64(
+        bmpCodec.decode(Multimodal.encodeBmp24Gray(gray, 18, 16)), 18, 16)
+      val lossy = Multimodal.dhash64(
+        jpegCodec.decode(Multimodal.encodeJpegGray(gray, 18, 16)), 18, 16)
+      java.lang.Long.bitCount(exact ^ lossy)
+    }
+    info(s"jpeg dHash drift over ${hams.size} docs: max=${hams.max} " +
+      s"mean=${hams.sum.toDouble / hams.size}")
+    assert(hams.max <= Multimodal.JpegPhashTolerance,
+      s"lossy drift ${hams.max} exceeds declared tolerance")
+  }
+
   test("JpegCodec fails loudly on non-JPEG or corrupt input") {
     // PNG bytes are a VALID image — but not a JPEG; the format check
     // must reject them (a codec silently decoding the wrong format

@@ -123,4 +123,44 @@ object Sampling {
       .withColumn("cum_tok", sum(col("n_tok")).over(w))
       .filter(col("cum_tok") <= budget)
   }
+
+  /** Deterministic corpus shuffle → fixed-size training shards: every
+    * pretraining run's final assembly step (a stable pseudo-random
+    * visit order, cut into shards a data loader streams). Order is
+    * md5(id) with the id as tie-break — reproducible across runs,
+    * engines, and partitionings; `shard = pos / shardSize`,
+    * `pos_in_shard = pos % shardSize`.
+    *
+    * The 100 TB shape is the point: a naive global `row_number()`
+    * window is ONE sort partition — the whole corpus through a single
+    * task. Instead, two phases: (1) bucket rows by the FIRST TWO HEX
+    * CHARS of the md5 key — 256 buckets whose lexicographic order IS
+    * the key order, so bucket counts (≤ 256 rows, bounded driver
+    * metadata — the k-means-centroid discipline) prefix-sum into
+    * exact global offsets; (2) one window partitioned BY bucket
+    * (256-way parallel, never global) ranks within buckets, and
+    * global pos = bucket offset + local rank − 1. Equivalent to the
+    * global sort row-for-row (the q112 oracle IS the naive global
+    * formulation) at 1/256th the largest sort partition; at larger
+    * corpora widen the prefix (65536 buckets at 4 chars). */
+  def shardAssignment(df: DataFrame, idCol: String, shardSize: Long): DataFrame = {
+    require(shardSize > 0, s"shardAssignment: shardSize=$shardSize")
+    val keyed = df
+      .withColumn("__k", md5(col(idCol).cast("string")))
+      .withColumn("__b", substring(col("__k"), 1, 2))
+    val counts = keyed.groupBy("__b").agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val offsets: Map[String, Long] = counts.map(_._1)
+      .zip(counts.map(_._2).scanLeft(0L)(_ + _).init).toMap
+    // Bounded literal map (≤ 256 entries) — one lookup per row, no
+    // join, no 256-branch CASE chain.
+    val offCol = element_at(typedlit(offsets), col("__b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__b").orderBy(col("__k"), col(idCol))
+    keyed
+      .withColumn("pos", offCol + row_number().over(w).cast("long") - 1L)
+      .withColumn("shard", expr(s"pos div $shardSize"))
+      .withColumn("pos_in_shard", pmod(col("pos"), lit(shardSize)))
+      .drop("__k", "__b")
+  }
 }

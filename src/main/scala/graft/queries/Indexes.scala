@@ -283,6 +283,28 @@ object Indexes {
     }
   }
 
+  /** Per-doc bigram frequencies (doc_id, bg, tf — `bg` = the two
+    * whitespace tokens joined by one space) — the order-2 sibling of
+    * [[termFrequencies]]: ONE tokenize+pair pass over the corpus
+    * (adjacent pairs via `zip_with` over two slices — a pure array
+    * expression, no extra explode), landed as a table. Corpus bigram
+    * counts (the n-gram LM every bigram consumer scores against)
+    * derive from it with one `sum`, never a re-scan (q111). */
+  def bigramFrequencies(spark: SparkSession, sfDir: String): DataFrame = lock.synchronized {
+    import org.apache.spark.sql.functions._
+    cached(spark, store(spark, sfDir), "doc_bigrams") { bst =>
+      val ws = Dedup.tokens(col("text"))
+      val pairs = zip_with(
+        slice(ws, lit(1), size(ws) - 1),
+        slice(ws, lit(2), size(ws) - 1),
+        (a, b) => concat_ws(" ", a, b))
+      bst.overwrite("doc_bigrams",
+        corpusDocs(spark, sfDir)
+          .select(col("doc_id"), explode(pairs).as("bg"))
+          .groupBy("doc_id", "bg").agg(count(lit(1)).as("tf")))
+    }
+  }
+
   /** Trained k-means cell assignments (vec_id, cid, dist) over the
     * `embeddings` table (k=8, 2 Lloyd iterations — the declared
     * codebook config). Training is deterministic scaled-integer math,

@@ -1560,6 +1560,76 @@ object LlmQueries {
         Indexes.signatures(s, d)
           .select(col("doc_id") +:
             (0 until Dedup.NumHashes).map(i => col(s"mh$i")): _*)
+    },
+
+    // Bigram-LM fluency scoring: the n-gram language-model quality
+    // signal (the CCNet/KenLM perplexity filter) in EXACT integer
+    // space. Each bigram occurrence contributes the BINARY LENGTH of
+    // its corpus-wide count — ⌊log2⌋+1, the integer skeleton of a
+    // log-probability, computed as `length(bin(c))` identically in
+    // both engines (a float log would hang the gate on libm ulps —
+    // the q83 lesson). Docs whose bigrams are corpus-common score
+    // high (fluent under the corpus LM); gibberish scores low. Rides
+    // the persisted doc_bigrams index: corpus counts derive with one
+    // sum, the count join is salted like q83's df join (a stopword
+    // bigram is hot BY CONSTRUCTION), and scoring is one aggregate —
+    // at 100 TB this is the tokenize pass (amortized in the index)
+    // plus one narrow-key join. Raw integers out, no baked-in
+    // threshold: the harness corpus draws from one small vocabulary,
+    // so every bigram is common (bits/bigram spans just 5.07–5.71 at
+    // sf0.01) and any fixed cut would be degenerate there —
+    // consumers threshold against their own corpus distribution.
+    Q("q111_bigram_lm_score",
+      """WITH bgr AS (
+        |  SELECT doc_id, words[CAST(i AS INT)] || ' ' || words[CAST(i AS INT)+1] AS bg
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |       unnest(generate_series(1, len(words)-1)) AS g(i)),
+        |bf AS (SELECT doc_id, bg, count(*) AS tf FROM bgr GROUP BY 1, 2),
+        |cnt AS (SELECT bg, sum(tf) AS c FROM bf GROUP BY bg),
+        |sc AS (
+        |  SELECT bf.doc_id, CAST(sum(bf.tf) AS BIGINT) AS n_bigrams,
+        |         CAST(sum(length(bin(cnt.c)) * bf.tf) AS BIGINT) AS lm_score
+        |  FROM bf JOIN cnt USING (bg) GROUP BY 1)
+        |SELECT d.doc_id, CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |       CAST(coalesce(sc.lm_score, 0) AS BIGINT) AS lm_score
+        |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id""".stripMargin) {
+      (s, d) =>
+        val bf = Indexes.bigramFrequencies(s, d)
+        val cnt = bf.groupBy("bg").agg(sum(col("tf")).as("c"))
+        val scored = graft.ops.Skew.saltedJoin(bf, cnt, "bg",
+            saltBy = col("doc_id"), salts = 16)
+          .groupBy("doc_id")
+          .agg(sum(col("tf")).as("n_bigrams"),
+            sum(length(bin(col("c"))).cast("long") * col("tf")).as("lm_score"))
+        table(s, d, "documents").select("doc_id")
+          .join(scored, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+            coalesce(col("lm_score"), lit(0L)).as("lm_score"))
+    },
+
+    // Deterministic shard assignment: the corpus-assembly endgame —
+    // a stable pseudo-random shuffle (md5 order, id tie-break) cut
+    // into fixed-size training shards a data loader streams. The
+    // declared Spark plan is the SCALE shape (Sampling
+    // .shardAssignment: 256 key-prefix buckets whose lexicographic
+    // order IS the key order; bounded bucket counts prefix-sum into
+    // exact offsets; ONE window partitioned by bucket — never a
+    // single global sort partition); the oracle is the naive global
+    // row_number over the same order, so the green row is machine
+    // proof the two-phase decomposition equals the global sort
+    // row-for-row.
+    Q("q112_shard_assignment",
+      """WITH k AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS k FROM documents),
+        |p AS (SELECT doc_id,
+        |        CAST(row_number() OVER (ORDER BY k, doc_id) - 1 AS BIGINT) AS pos
+        |      FROM k)
+        |SELECT doc_id, pos, pos // 64 AS shard, pos % 64 AS pos_in_shard
+        |FROM p""".stripMargin) {
+      (s, d) =>
+        graft.ops.Sampling.shardAssignment(
+          table(s, d, "documents").select("doc_id"), "doc_id", shardSize = 64L)
+          .select("doc_id", "pos", "shard", "pos_in_shard")
     }
   )
 }

@@ -105,4 +105,31 @@ class SamplingSpec extends AnyFunSuite {
       Map.empty, defaultRate = 0.4).collect().map(_.getLong(0)).toSet
     assert(a === b)
   }
+
+  test("shardAssignment: two-phase positions equal the naive global sort exactly") {
+    // The operator's whole claim: 256-bucket offsets + per-bucket
+    // ranks reproduce row_number-over-global-order ROW-FOR-ROW, while
+    // never planning a single global sort partition.
+    val got = Sampling.shardAssignment(docs.select("doc_id"), "doc_id", shardSize = 100L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val naive = (1L to 4000L)
+      .sortBy(i => (java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes).map("%02x".format(_)).mkString, i))
+      .zipWithIndex.map { case (id, p) =>
+        id -> (p.toLong, p / 100L, p % 100L)
+      }.toMap
+    assert(got === naive)
+    // Every shard is exactly full except possibly the last.
+    val sizes = got.values.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(sizes.filter(_._1 < 39).values.forall(_ === 100))
+    assert(sizes(39L) === 100)
+  }
+
+  test("shardAssignment is deterministic and insensitive to input partitioning") {
+    val a = Sampling.shardAssignment(docs.select("doc_id"), "doc_id", 64L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Sampling.shardAssignment(docs.select("doc_id").repartition(13), "doc_id", 64L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a === b)
+  }
 }

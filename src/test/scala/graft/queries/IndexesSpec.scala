@@ -140,6 +140,48 @@ class IndexesSpec extends AnyFunSuite {
     }
   }
 
+  test("a crashed partial publish (no _SUCCESS) is repaired, never nested into") {
+    // The rename-race fix's observable contract: a dst directory
+    // without `_SUCCESS` is a crashed process's garbage — the next
+    // builder must REMOVE it and publish fresh (renaming onto an
+    // existing directory would nest the new table inside the partial,
+    // doubling rows under recursive listing), and junk part files
+    // must not survive into the published table.
+    import spark.implicits._
+    val reg = java.nio.file.Files.createTempDirectory("graft_reg_race").toString
+    val corpus = java.nio.file.Files.createTempDirectory("graft_raw_race").toString
+    Seq((1L, "alpha beta gamma delta", "s0"), (2L, "alpha beta gamma epsilon", "s0"))
+      .toDF("doc_id", "text", "source")
+      .coalesce(1).write.parquet(s"$corpus/documents.parquet")
+    val prev = sys.props.get("graft.index.root")
+    try {
+      sys.props("graft.index.root") = reg
+      val first = Indexes.signatures(spark, corpus)
+        .collect().map(_.toString).sorted.toSeq
+      def rec(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles).toSeq.flatten.flatMap(rec) :+ f
+        else Seq(f)
+      val dst = rec(new java.io.File(reg))
+        .find(f => f.isDirectory && f.getName == "minhash_sigs")
+        .getOrElse(fail("published minhash_sigs not found in registry root"))
+      // Simulate the crash: success marker gone, a junk part file left.
+      assert(new java.io.File(dst, "_SUCCESS").delete())
+      java.nio.file.Files.writeString(
+        new java.io.File(dst, "part-99999-garbage.parquet").toPath, "not parquet")
+      val again = Indexes.signatures(spark, corpus)
+        .collect().map(_.toString).sorted.toSeq
+      assert(again === first, "repair must rebuild the identical table")
+      assert(new java.io.File(dst, "_SUCCESS").exists, "repair must republish complete")
+      assert(!new java.io.File(dst, "part-99999-garbage.parquet").exists,
+        "crashed partial's junk part file survived the repair")
+      assert(!new java.io.File(dst, "minhash_sigs").exists,
+        "repair nested the new table inside the partial")
+    } finally prev match {
+      case Some(v) => sys.props("graft.index.root") = v
+      case None => sys.props -= "graft.index.root": Unit
+    }
+  }
+
   test("PQ codes round-trip the inline train+encode bit-exactly") {
     val e = graft.io.Sources.table(spark, sf, "embeddings")
     val inlineCbs = Similarity.pqTrainCodebooks(e, dim = 64, m = 4,

@@ -315,6 +315,50 @@ object MultimodalQueries {
           .select("d1", "d2", "fp1", "fp2", "hamming")
     },
 
+    // INCREMENTAL audio near-dup: a new clip batch (the last 20 % of
+    // the id space — the q108/q43 watermark pattern) probes the
+    // PERSISTED audio fingerprint index through the batch×corpus
+    // combo-banded Hamming join; per-batch work ∝ batch × bucket
+    // occupancy, never corpus². With q43 (text) and q108 (images),
+    // every near-dup modality now has both a full-corpus and an
+    // incremental declared flow.
+    Q("q113_audio_neardup_incremental",
+      """WITH sm AS (
+        |  SELECT doc_id, i,
+        |         CASE WHEN i <= length(text)
+        |              THEN abs((ascii(substring(text, CAST(i AS INT), 1)) - 128) * 256)
+        |              ELSE 0 END AS e
+        |  FROM documents, unnest(generate_series(1, 130)) AS t(i)),
+        |win AS (
+        |  SELECT doc_id, (i-1) // 2 AS w, sum(e) AS s
+        |  FROM sm GROUP BY doc_id, (i-1) // 2),
+        |bits AS (
+        |  SELECT a.doc_id, a.w AS k, CASE WHEN a.s > b.s THEN 1 ELSE 0 END AS bit
+        |  FROM win a JOIN win b ON a.doc_id = b.doc_id AND b.w = a.w + 1
+        |  WHERE a.w < 64),
+        |fp AS (
+        |  SELECT doc_id, bit_or(CASE WHEN bit = 0 THEN 0
+        |                             WHEN k = 63 THEN (-9223372036854775807 - 1)
+        |                             ELSE (1::BIGINT << CAST(k AS INT)) END) AS afp
+        |  FROM bits GROUP BY doc_id),
+        |cut AS (SELECT max(doc_id) * 4 // 5 AS c FROM documents)
+        |SELECT a.doc_id AS d1, b.doc_id AS d2, a.afp AS fp1, b.afp AS fp2,
+        |       bit_count(xor(a.afp, b.afp))::INT AS hamming
+        |FROM fp a JOIN fp b ON a.doc_id >= (SELECT c FROM cut)
+        |                   AND b.doc_id < (SELECT c FROM cut)
+        |WHERE bit_count(xor(a.afp, b.afp)) <= 3""".stripMargin) {
+      (s, d) =>
+        val afp = Indexes.audioFingerprint(s, d)
+        val maxId = table(s, d, "documents")
+          .agg(max(col("doc_id")).cast("long")).head().getLong(0)
+        val cutoff = maxId * 4 / 5
+        graft.ops.Dedup.simhashPairsAgainst(
+            afp.filter(col("doc_id") >= cutoff),
+            afp.filter(col("doc_id") < cutoff),
+            "doc_id", "afp", maxHamming = 3, fpBits = 64)
+          .select("d1", "d2", "fp1", "fp2", "hamming")
+    },
+
     // The AUDIO codec under the oracle gate — the q102 recipe applied
     // to WAV-PCM: text bytes become signed 16-bit samples
     // ((b−128)·256), land in a REAL RIFF/WAVE container

@@ -80,6 +80,25 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q112: shard positions never plan a single global sort partition") {
+    // The operator's 100 TB claim: positions come from per-bucket
+    // windows + bounded offsets. A global row_number would appear as
+    // a range-partitioned exchange into one window — the exact shape
+    // the two-phase decomposition exists to avoid.
+    val plan = planOf("q112_shard_assignment")
+    assert(!plan.toLowerCase.contains("rangepartitioning"),
+      s"q112 plans a global sort:\n${plan.take(1500)}")
+  }
+
+  test("q111: the bigram-count join is salted (no hot-bigram straggler key)") {
+    // The count join must carry the 16-way salt column: a corpus-common
+    // bigram is a hot key BY CONSTRUCTION, and an unsalted join puts
+    // all its doc rows on one task.
+    val plan = planOf("q111_bigram_lm_score")
+    assert(plan.contains("__salt"),
+      s"q111 count join lost its salt:\n${plan.take(1500)}")
+  }
+
   test("no declared query plans a cartesian product") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
       planOf(name).contains("CartesianProduct")

@@ -103,16 +103,22 @@ object DataScale {
       },
       // Embeddings: rotate each vector's dimensions by i%64 positions,
       // COMPOSED with a per-64-replica-group coordinate sign-flip
-      // pattern (group g = i/64, flip dim j iff bit (j%6) of g is
-      // set). Both transforms are norm-preserving and fix all
-      // WITHIN-replica dot products exactly (sign flips cancel:
-      // (s·x)·(s·y) = x·y — near-dup structure intact) while
-      // cross-replica cosines decorrelate. Rotation alone has period
-      // 64: replicas i and i+64 would carry IDENTICAL vectors at
-      // factor > 64 (36 exact cross-replica copy pairs at factor 100),
-      // quietly inflating ANN/near-dup bucket work; the 64 distinct
-      // flip patterns extend the combined period to 64·64 = 4096,
-      // past any supported factor.
+      // pattern (group g = i/64; flip dim j iff popcount(g & m_j) is
+      // odd, m_j a fixed nonzero 6-bit mask per dim). Both transforms
+      // are norm-preserving and fix all WITHIN-replica dot products
+      // exactly (sign flips cancel: (s·x)·(s·y) = x·y — near-dup
+      // structure intact) while cross-replica cosines decorrelate.
+      // Rotation alone has period 64: replicas i and i+64 would carry
+      // IDENTICAL vectors at factor > 64 (36 exact cross-replica copy
+      // pairs at factor 100), quietly inflating ANN/near-dup bucket
+      // work. The mask-parity construction matters: dims 0..5 carry
+      // the unit masks, so any two distinct groups flip at least one
+      // dim differently (patterns injective → combined period
+      // 64·64 = 4096), and the hash-spread masks on higher dims make
+      // any two distinct groups differ in ~half the dims (cos ≈ 0 —
+      // a positional (j%6) pattern flips only ~11 dims between
+      // adjacent groups, leaving cross-replica cosines ≈ 0.66, INSIDE
+      // the 0.35 near-dup radius).
       "embeddings" -> replicate("embeddings", Seq("vec_id")) { (d, i) =>
         val r = i % 64
         val g = i / 64
@@ -124,8 +130,11 @@ object DataScale {
               slice(col("embedding"), 1, r)))
         if (g == 0) rotated
         else {
-          val flips = typedlit(
-            (0 until 64).map(j => if (((g >> (j % 6)) & 1) == 1) -1f else 1f))
+          val flips = typedlit((0 until 64).map { j =>
+            val m = if (j < 6) 1 << j
+                    else (((j * 2654435761L + 12345L) % 63L) + 1L).toInt
+            if (java.lang.Integer.bitCount(g & m) % 2 == 1) -1f else 1f
+          })
           // ±1 multiplication is a float sign flip — bit-exact.
           rotated.withColumn("embedding",
             zip_with(col("embedding"), flips, (x, s) => x * s))

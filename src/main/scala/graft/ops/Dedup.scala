@@ -727,7 +727,7 @@ object Dedup {
     * by the pair-term savings. The pigeonhole stays EXACT: recall at
     * radius r is 100 %, so the all-pairs oracles apply unchanged. */
   private final case class ComboBands(combos: Seq[Seq[Int]], offsets: Seq[Int],
-                                      widths: Seq[Int], maxW: Int)
+                                      widths: Seq[Int])
 
   private def comboBands(fpBits: Int, maxHamming: Int): ComboBands = {
     val b = maxHamming + 3
@@ -737,9 +737,13 @@ object Dedup {
     val rem = fpBits % b
     val widths = (0 until b).map(k => baseW + (if (k < rem) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _).init
-    // 3·maxW ≤ 3·ceil(64/6) = 33 bits: every combo key fits one long.
+    // Keys pack by CUMULATIVE ACTUAL widths, so a combo key occupies
+    // at most sum(widths) = fpBits ≤ 64 bits — exact in a long at
+    // EVERY radius the API accepts (fixed-stride maxW packing would
+    // silently truncate the top band at r = 0, where b = 3 and
+    // 3·⌈64/3⌉ = 66 > 64).
     ComboBands((0 until b).combinations(3).map(_.toSeq).toSeq,
-      offsets, widths, widths.max)
+      offsets, widths)
   }
 
   /** One (combo_id, combo_key) row per fingerprint per 3-band combo.
@@ -749,11 +753,13 @@ object Dedup {
   private def comboRows(df: DataFrame, cb: ComboBands, idCol: String,
                         fpCol: String, dAs: String, fpAs: String,
                         bandAs: String, bvAs: String): DataFrame = {
-    def key(combo: Seq[Int]): Column =
-      combo.zipWithIndex.map { case (k, i) =>
+    def key(combo: Seq[Int]): Column = {
+      val shifts = combo.map(cb.widths).scanLeft(0)(_ + _).init
+      combo.zip(shifts).map { case (k, s) =>
         shiftleft(shiftright(col(fpCol), cb.offsets(k))
-          .bitwiseAND(lit((1L << cb.widths(k)) - 1)), i * cb.maxW)
+          .bitwiseAND(lit((1L << cb.widths(k)) - 1)), s)
       }.reduce(_ bitwiseOR _)
+    }
     df.select(col(idCol).as(dAs), col(fpCol).as(fpAs),
       posexplode(array(cb.combos.map(key): _*)).as(Seq(bandAs, bvAs)))
   }

@@ -48,6 +48,12 @@ object BpeQueries {
          |       unnest(generate_series(1, len(words))) AS g(j)
          |  WHERE words[CAST(j AS INT)] <> '')""".stripMargin) ++
       (0 until n).map { k =>
+        // LEFT JOIN, not a cross join: when the pair supply is
+        // exhausted before iteration n (every word one symbol — a
+        // narrow-vocabulary corpus), m$k is EMPTY, and a cross join
+        // would empty the whole corpus from w${k+1} on while Spark's
+        // trainMerges stops early with real counts. The passthrough
+        // CASE mirrors the early stop exactly: no rule → rep unchanged.
         s"""p$k AS (
            |  SELECT syms[CAST(i AS INT)] AS a, syms[CAST(i AS INT)+1] AS b, count(*) AS c
            |  FROM (SELECT str_split(trim(rep, '<>'), '><') AS syms FROM w$k),
@@ -56,8 +62,9 @@ object BpeQueries {
            |m$k AS (SELECT a, b FROM p$k ORDER BY c DESC, a, b LIMIT 1),
            |w${k + 1} AS MATERIALIZED (
            |  SELECT w.doc_id, w.j,
-           |         replace(w.rep, '<'||m.a||'><'||m.b||'>', '<'||m.a||m.b||'>') AS rep
-           |  FROM w$k w, m$k m)""".stripMargin
+           |         CASE WHEN m.a IS NULL THEN w.rep
+           |              ELSE replace(w.rep, '<'||m.a||'><'||m.b||'>', '<'||m.a||m.b||'>') END AS rep
+           |  FROM w$k w LEFT JOIN m$k m ON TRUE)""".stripMargin
       }
     parts.mkString(",\n")
   }

@@ -149,7 +149,15 @@ object Indexes {
         // rows. So: a dst missing `_SUCCESS` is a crashed process's
         // partial — remove the garbage; a dst WITH `_SUCCESS` is a
         // concurrent winner's complete publish — keep it and skip the
-        // rename entirely (lost race, reuse the winner).
+        // rename entirely (lost race, reuse the winner). The
+        // completeness re-check sits INSIDE the delete condition to
+        // narrow (not eliminate — plain filesystems give no
+        // compare-and-swap) the window where a winner publishing
+        // between the two exists() calls could lose its table; full
+        // atomicity at a multi-writer shared root needs a lock file
+        // or a conditional-put object store, and the `require` below
+        // converts any remaining interleaving into a loud failure
+        // instead of a silent wrong read.
         if (fs.exists(dst) && !complete) fs.delete(dst, true): Unit
         if (!fs.exists(dst) &&
             fs.rename(new Path(s"$scratchRoot/$name"), dst)) {
@@ -507,9 +515,15 @@ object Indexes {
         val media = docs.mapPartitions { it =>
           it.map { case (id, text) =>
             val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-            val samples = new Array[Short](bytes.length)
+            // The fingerprint reads only the 130-sample clip prefix
+            // (missing samples count as silence — pinned by
+            // MultimodalSpec), so encode exactly that: a full-text
+            // WAV would put ~98 % of the index build's encode/decode
+            // byte traffic past the clip, all dead work.
+            val n = math.min(bytes.length, 130)
+            val samples = new Array[Short](n)
             var i = 0
-            while (i < bytes.length) {
+            while (i < n) {
               samples(i) = (((bytes(i) & 0xff) - 128) * 256).toShort
               i += 1
             }
@@ -548,10 +562,16 @@ object Indexes {
     * super-linear row); the count is a parquet-metadata pass, and a
     * regenerated corpus re-derives np with its new fingerprint. */
   def rpSignatures(spark: SparkSession, sfDir: String): DataFrame = lock.synchronized {
-    cached(spark, store(spark, sfDir), "rp_sigs") { bst =>
-      val e = graft.io.Sources.tableRebalanced(spark, sfDir, "embeddings")
-      val np = graft.ops.Similarity.autoPlanes(e.count())
-      bst.overwrite("rp_sigs", graft.ops.Similarity.rpSignatures(
+    val e = graft.io.Sources.tableRebalanced(spark, sfDir, "embeddings")
+    val np = graft.ops.Similarity.autoPlanes(e.count())
+    // The plane count is part of the table IDENTITY: a registry built
+    // by other config (an older fixed-8 build, or the same corpus
+    // read at a different cardinality) must never be served as this
+    // one — signatures at the wrong np would disagree wholesale with
+    // the oracle's count-derived banding.
+    val name = s"rp_sigs_np$np"
+    cached(spark, store(spark, sfDir), name) { bst =>
+      bst.overwrite(name, graft.ops.Similarity.rpSignatures(
         e, "vec_id", "embedding", dim = 64, nPlanes = np))
     }
   }

@@ -417,8 +417,10 @@ object LlmQueries {
           "labels", sigs, "doc_id", "text", JaccardThreshold,
           checkpoint = s"$scratch/cp")
         try q.awaitTermination(300000) finally {
-          q.stop()
-          sigs.unpersist(): Unit
+          // unpersist must run even when stop() throws (timeout /
+          // rethrown stream failure) — it is the whole point of the
+          // release.
+          try q.stop() finally sigs.unpersist(): Unit
         }
         val w = org.apache.spark.sql.expressions.Window.partitionBy(col("component"))
         store.readVersioned("labels")

@@ -18,8 +18,15 @@ object MultimodalQueries {
     * gray — pinned by MultimodalSpec), 2×2 sum-pools, dHashes, and
     * pairs via ALL-pairs Hamming (banding is pigeonhole-exact at
     * radius 3, so the plain formulation is a true oracle AND a proof
-    * the banded join drops no pair). Shared by q97 (BMP path) and
-    * q102 (PNG path) — same pixels, so the same oracle pins both. */
+    * the banded join drops no pair). One caveat scopes that proof:
+    * the banded side runs with the default band-frequency cap
+    * engaged, which the all-pairs SQL cannot express — harness
+    * corpora never approach the cap (DedupSpec pins prune-nothing at
+    * 200 random fingerprints; a bucket needs >1000 members), but a
+    * corpus with >1000 IDENTICAL fingerprints would see capped pairs
+    * the oracle keeps, exactly as in the MinHash family's documented
+    * cap semantics. Shared by q97 (BMP path) and q102 (PNG path) —
+    * same pixels, so the same oracle pins both. */
   private val PhashCtes =
     """px AS (
       |  SELECT doc_id, i,
@@ -285,7 +292,9 @@ object MultimodalQueries {
     // the fingerprint's declared sensitivity, not a defect). Oracle:
     // all-pairs Hamming from the same text bytes (banding is
     // pigeonhole-exact at radius 3, so the plain formulation is a
-    // true oracle AND a proof the banded join drops no pair).
+    // true oracle AND a proof the banded join drops no pair — under
+    // the PhashPairOracle caveat: the default band cap is invisible
+    // until a single fingerprint repeats >1000 times).
     Q("q110_audio_neardup",
       """WITH sm AS (
         |  SELECT doc_id, i,

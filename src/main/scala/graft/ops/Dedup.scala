@@ -838,4 +838,37 @@ object Dedup {
       .withColumn("hamming", hamming(col("fp1"), col("fp2")).cast("int"))
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Per-document shingle NOVELTY — the fraction of a document's
+    * distinct 3-gram shingles whose FIRST corpus occurrence (minimum
+    * doc id) is this document. A curation scorer, not a dedup: low
+    * novelty flags template/boilerplate-heavy documents whose content
+    * already exists earlier in the corpus even when no single pair
+    * crosses a near-dup threshold. Emitted in parts-per-million
+    * (integer division — no float at any boundary).
+    *
+    * Scale shape — deliberately JOIN-FREE on the shingle key: the
+    * naive spelling joins first-occurrences back onto the exploded
+    * shingle stream (a skew magnet: one boilerplate shingle in 10⁷
+    * documents lands one join task). Instead, two independent
+    * aggregates — `min(doc_id)` per shingle re-grouped by that
+    * minimum (novel counts), and distinct-shingle counts per document
+    * — meet in a narrow join on doc id. Hot shingles partial-agg
+    * map-side in both; nothing ever shuffles on a skewed key. */
+  def shingleNovelty(docs: DataFrame, idCol: String,
+                     textCol: String): DataFrame = {
+    val sh = docs.select(col(idCol),
+        explode(shingles(tokens(col(textCol)))).as("__s"))
+    val novel = sh.groupBy(col("__s")).agg(min(col(idCol)).as(idCol))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_novel"))
+    val totals = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
+    docs.select(col(idCol))
+      .join(totals, Seq(idCol), "left")
+      .join(novel, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .withColumn("novelty_ppm",
+        expr("(n_novel * 1000000) div greatest(n_shingles, 1)"))
+  }
 }

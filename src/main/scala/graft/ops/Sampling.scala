@@ -124,6 +124,117 @@ object Sampling {
       .filter(col("cum_tok") <= budget)
   }
 
+  /** Temperature-scaled mixture resampling with weights DERIVED from
+    * the corpus — the domain-rebalancing step of a pre-training data
+    * recipe where the mixture is computed, not hand-written: each
+    * stratum's sampling weight is `tokens^α` (α = 1/2 here — the
+    * standard "temperature" that upweights rare domains), the global
+    * token `budget` is split across strata proportional to those
+    * weights, and each document is then emitted enough times (in
+    * expectation, exactly `target/total` times) to hit its stratum's
+    * share. Contrast [[resample]]/[[tokenBudget]], whose factors and
+    * budgets are caller literals: here the rates fall out of a corpus
+    * aggregate inside the same query.
+    *
+    * Exactness discipline: `tokens^(1/2)` is the INTEGER square root
+    * (floor) — hardware sqrt is correctly rounded, so
+    * `floor(sqrt(double))` is within 1 of isqrt and a two-sided
+    * integer correction lands it exactly; every division is integer
+    * (`div`); the per-document copy count is the [[resample]]
+    * floor + hash-threshold scheme with a parts-per-million rate. No
+    * float ever reaches a keep/drop boundary, so any engine replays
+    * the selection bit-for-bit.
+    *
+    * Scale shape: one partial-agg shuffle for the per-stratum token
+    * totals (bounded output — strata are domains/languages), a
+    * bounded window over that tiny frame for the weight sum, a
+    * broadcast join of the rate table back onto the corpus, and a
+    * map-side explode. Nothing driver-side, nothing ∝ corpus beyond
+    * the one aggregate. Overflow headroom: `budget·wt` stays in a
+    * long for budget ≤ ~10^12 tokens against 100 TB-scale strata
+    * (wt = isqrt(tokens) ≤ ~10^7) — the realistic envelope; a larger
+    * recipe splits the budget per shard first. */
+  def mixtureResample(df: DataFrame, strataCol: String, idCol: String,
+                      tokCol: Column, budget: Long): DataFrame = {
+    require(budget > 0, s"mixtureResample: budget=$budget")
+    val toks = df.withColumn("n_tok", tokCol.cast("bigint"))
+    val agg = toks.groupBy(col(strataCol))
+      .agg(sum(col("n_tok")).cast("bigint").as("tot"))
+      .filter(col("tot") > 0)
+    // Integer sqrt: floor(hardware sqrt) ± 1 correction → exact.
+    val s0 = floor(sqrt(col("tot").cast("double"))).cast("bigint")
+    val wtd = agg.withColumn("s0", s0)
+      .withColumn("wt",
+        when((s0 + 1) * (s0 + 1) <= col("tot"), s0 + 1)
+          .when(s0 * s0 > col("tot"), s0 - 1)
+          .otherwise(s0))
+    // The weight sum is a 1-row aggregate over the bounded stratum
+    // frame — broadcast-crossJoined back (the q22 quantile-bounds
+    // pattern), kept on-engine: no collect, no global window.
+    val wsum = wtd.agg(sum(col("wt")).cast("bigint").as("wsum"))
+    val rates = wtd.crossJoin(broadcast(wsum))
+      .withColumn("target_tok", expr(s"($budget * wt) div wsum"))
+      .withColumn("ppm", expr(s"(target_tok * ${Denom}) div tot"))
+      .select(col(strataCol), col("tot"), col("target_tok"), col("ppm"))
+    val joined = toks.join(broadcast(rates), Seq(strataCol))
+    val copies = expr(s"ppm div ${Denom}") +
+      when(sampleKey(col(idCol)) < pmod(col("ppm"), lit(Denom)), 1L)
+        .otherwise(0L)
+    joined.withColumn("copy_idx",
+      explode(when(copies >= 1, sequence(lit(1L), copies))
+        .otherwise(array().cast("array<bigint>"))))
+  }
+
+  /** Per-stratum rank normalization (percent-rank in parts-per-
+    * million) — the cross-domain score-calibration step: a raw
+    * quality/fluency score is only comparable across languages or
+    * sources after mapping each stratum's scores onto [0, 10⁶] by
+    * rank, so ONE global threshold ("keep the top 40 %") means the
+    * same thing in every stratum. Integer-exact: ranks are integers,
+    * the ppm is an integer division, and the (score, id) total order
+    * ties identically on any engine.
+    *
+    * The 100 TB shape is the point (the [[shardAssignment]]
+    * discipline generalized to VALUE order): a naive
+    * `row_number() OVER (PARTITION BY stratum ORDER BY score)` sorts
+    * each whole stratum in ONE partition — a single task per
+    * language at corpus scale. Instead: (1) per-stratum min/max/count
+    * (one bounded aggregate); (2) each row maps to one of 256
+    * equal-width integer score buckets — monotone in score, so
+    * bucket order IS score order; (3) per-(stratum, bucket) counts
+    * (bounded: |strata|·256 rows) prefix-sum into exact bucket
+    * offsets on-engine; (4) ONE window partitioned by
+    * (stratum, bucket) ranks within buckets — 256-way parallel per
+    * stratum, never a stratum-global sort. Equal-width buckets can
+    * skew under pathological score distributions (all mass in one
+    * bucket degrades toward the naive shape, still correct); the
+    * production dial is more buckets or a first-pass equi-depth
+    * boundary estimate (q89's machinery). Overflow: (score−min)·256
+    * needs score range < 2^55 — any real score fits. */
+  def rankNormalize(df: DataFrame, strataCol: String, idCol: String,
+                    scoreCol: Column): DataFrame = {
+    val s = df.withColumn("score", scoreCol.cast("bigint"))
+    val ext = s.groupBy(col(strataCol)).agg(
+      min(col("score")).as("__mn"), max(col("score")).as("__mx"),
+      count(lit(1)).as("__n"))
+    val b = s.join(broadcast(ext), Seq(strataCol))
+      .withColumn("__b", when(col("__mx") === col("__mn"), lit(0L))
+        .otherwise(expr("((score - __mn) * 256) div (__mx - __mn + 1)")))
+    val offs = b.groupBy(col(strataCol), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__off", coalesce(
+        sum(col("__c")).over(Window.partitionBy(col(strataCol))
+          .orderBy(col("__b")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col(strataCol), col("__b"), col("__off"))
+    val w = Window.partitionBy(col(strataCol), col("__b"))
+      .orderBy(col("score"), col(idCol))
+    b.join(broadcast(offs), Seq(strataCol, "__b"))
+      .withColumn("rnk", col("__off") + row_number().over(w).cast("long") - 1L)
+      .withColumn("pct_ppm", expr("(rnk * 1000000) div greatest(__n - 1, 1)"))
+      .drop("__b", "__mn", "__mx", "__n", "__off", "__c")
+  }
+
   /** Deterministic corpus shuffle → fixed-size training shards: every
     * pretraining run's final assembly step (a stable pseudo-random
     * visit order, cut into shards a data loader streams). Order is

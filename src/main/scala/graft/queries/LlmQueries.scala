@@ -1632,6 +1632,48 @@ object LlmQueries {
         graft.ops.Sampling.shardAssignment(
           table(s, d, "documents").select("doc_id"), "doc_id", shardSize = 64L)
           .select("doc_id", "pos", "shard", "pos_in_shard")
+    },
+
+    // Temperature-scaled mixture resampling with DERIVED weights: the
+    // domain-rebalancing step where the mixture is computed from the
+    // corpus, not hand-written — per-language token totals →
+    // weight = isqrt(tokens) (temperature α = 1/2, INTEGER-exact via
+    // a two-sided correction of floor(hardware sqrt)) → the global
+    // token budget split ∝ weight (integer div) → per-doc copies via
+    // the q59 floor + hash-threshold ppm scheme. Contrast q59/q63,
+    // whose factors/budgets are caller literals. One bounded
+    // aggregate + a broadcast of the (≤ |langs|)-row rate table back
+    // onto the corpus + a map-side explode; the oracle replays the
+    // entire derivation — totals, isqrt, allocation, membership — in
+    // the same integer space.
+    Q("q114_mixture_resample",
+      s"""WITH t AS (SELECT doc_id, lang, len(string_split(text,' ')) AS n_tok,
+         |             ${h64("CAST(doc_id AS VARCHAR)")} % 1000000 AS k FROM documents),
+         |agg AS (SELECT lang, CAST(sum(n_tok) AS BIGINT) AS tot
+         |        FROM t GROUP BY lang HAVING sum(n_tok) > 0),
+         |w AS (SELECT lang, tot,
+         |        CASE WHEN (s0+1)*(s0+1) <= tot THEN s0+1
+         |             WHEN s0*s0 > tot THEN s0-1 ELSE s0 END AS wt
+         |      FROM (SELECT lang, tot,
+         |              CAST(floor(sqrt(CAST(tot AS DOUBLE))) AS BIGINT) AS s0
+         |            FROM agg)),
+         |r AS (SELECT lang, tot,
+         |        (100000 * wt) // (SELECT CAST(sum(wt) AS BIGINT) FROM w) AS target_tok
+         |      FROM w),
+         |p AS (SELECT lang, tot, target_tok,
+         |        (target_tok * 1000000) // tot AS ppm FROM r),
+         |base AS (SELECT t.doc_id, t.lang, t.n_tok, p.target_tok, p.ppm,
+         |           (p.ppm // 1000000)
+         |           + (CASE WHEN t.k < (p.ppm % 1000000) THEN 1 ELSE 0 END) AS n
+         |         FROM t JOIN p USING (lang))
+         |SELECT doc_id, lang, n_tok, target_tok, ppm,
+         |       unnest(range(1, n + 1)) AS copy_idx
+         |FROM base""".stripMargin) {
+      (s, d) =>
+        graft.ops.Sampling.mixtureResample(
+          table(s, d, "documents").select("doc_id", "lang", "text"),
+          "lang", "doc_id", size(Dedup.tokens(col("text"))), budget = 100000L)
+          .select("doc_id", "lang", "n_tok", "target_tok", "ppm", "copy_idx")
     }
   )
 }

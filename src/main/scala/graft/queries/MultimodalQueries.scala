@@ -414,6 +414,120 @@ object MultimodalQueries {
         Multimodal.extractPooledInts(media, dim = 8,
             mkCodec = () => new Multimodal.WavPcmCodec, quantScale = 32768).toDF()
           .select("doc_id", "bucket", "psum", "pcnt", "n_bytes", "codec")
+    },
+
+    // Multimodal training-manifest assembly: the corpus-packaging
+    // step that stitches text with its media attachments into one
+    // loader-ready row — documents LEFT JOINed against BOTH persisted
+    // media indexes (image phash, audio fingerprint), modality
+    // presence encoded as a bitmask (1 = text, 2 = image, 4 = audio).
+    // Media coverage is sparse in any real corpus; here presence is
+    // a deterministic id rule (image iff doc_id % 3 ≠ 0, audio iff
+    // doc_id % 5 ≠ 0) so the oracle replays membership exactly. At
+    // 100 TB: two shuffle joins on the narrow doc-id key against
+    // index tables that are 16 bytes/row — the decode work was paid
+    // once when the indexes were built, never per manifest read.
+    Q("q115_multimodal_manifest",
+      s"""WITH $PhashCtes,
+        |asm AS (
+        |  SELECT doc_id, i,
+        |         CASE WHEN i <= length(text)
+        |              THEN abs((ascii(substring(text, CAST(i AS INT), 1)) - 128) * 256)
+        |              ELSE 0 END AS e
+        |  FROM documents, unnest(generate_series(1, 130)) AS t(i)),
+        |awin AS (
+        |  SELECT doc_id, (i-1) // 2 AS w, sum(e) AS s
+        |  FROM asm GROUP BY doc_id, (i-1) // 2),
+        |abits AS (
+        |  SELECT a.doc_id, a.w AS k, CASE WHEN a.s > b.s THEN 1 ELSE 0 END AS bit
+        |  FROM awin a JOIN awin b ON a.doc_id = b.doc_id AND b.w = a.w + 1
+        |  WHERE a.w < 64),
+        |afpt AS (
+        |  SELECT doc_id, bit_or(CASE WHEN bit = 0 THEN 0
+        |                             WHEN k = 63 THEN (-9223372036854775807 - 1)
+        |                             ELSE (1::BIGINT << CAST(k AS INT)) END) AS afp
+        |  FROM abits GROUP BY doc_id)
+        |SELECT d.doc_id, d.lang,
+        |       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok,
+        |       i.phash, a.afp,
+        |       CAST(1 + (CASE WHEN i.phash IS NOT NULL THEN 2 ELSE 0 END)
+        |              + (CASE WHEN a.afp IS NOT NULL THEN 4 ELSE 0 END) AS INT)
+        |         AS modality_mask
+        |FROM documents d
+        |LEFT JOIN (SELECT doc_id, phash FROM fp WHERE doc_id % 3 <> 0) i
+        |       ON i.doc_id = d.doc_id
+        |LEFT JOIN (SELECT doc_id, afp FROM afpt WHERE doc_id % 5 <> 0) a
+        |       ON a.doc_id = d.doc_id""".stripMargin) {
+      (s, d) =>
+        val docs = table(s, d, "documents").select(col("doc_id"), col("lang"),
+          size(graft.ops.Dedup.tokens(col("text"))).cast("bigint").as("n_tok"))
+        val img = Indexes.imagePhash(s, d)
+          .filter(col("doc_id") % 3 =!= 0).select("doc_id", "phash")
+        val aud = Indexes.audioFingerprint(s, d)
+          .filter(col("doc_id") % 5 =!= 0).select("doc_id", "afp")
+        docs.join(img, Seq("doc_id"), "left").join(aud, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("lang"), col("n_tok"),
+            col("phash"), col("afp"),
+            (lit(1) + when(col("phash").isNotNull, 2).otherwise(0)
+                    + when(col("afp").isNotNull, 4).otherwise(0))
+              .cast("int").as("modality_mask"))
+    },
+
+    // Cross-modal duplicate consistency: for every IMAGE near-dup
+    // pair, verify whether the attached TEXTS also agree (3-gram
+    // shingle jaccard ≥ 0.7, compared in integer space:
+    // 10·|∩| ≥ 7·|∪|) — the "same image, different caption"
+    // diagnostic a multimodal curation pass runs before collapsing
+    // media duplicates (captions that disagree are kept; media still
+    // dedups). Scale shape: the pair list is the banded-join output
+    // (∝ true duplicate density, never n²); shingle arrays attach to
+    // the pairs via two narrow-key joins, so the jaccard verify costs
+    // ∝ pairs — the q74 verify discipline applied cross-modally.
+    Q("q116_crossmodal_consistency",
+      s"""WITH $PhashCtes,
+        |sh AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(ws) >= 3
+        |              THEN list_distinct(list_transform(range(1, len(ws)-1),
+        |                     i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]))
+        |              ELSE [] END AS shs
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+        |pr AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |         bit_count(xor(a.phash, b.phash))::INT AS hamming
+        |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+        |j AS (
+        |  SELECT pr.d1, pr.d2, pr.hamming,
+        |         CAST(len(list_intersect(s1.shs, s2.shs)) AS BIGINT) AS n_shared,
+        |         CAST(len(s1.shs) + len(s2.shs)
+        |              - len(list_intersect(s1.shs, s2.shs)) AS BIGINT) AS n_union
+        |  FROM pr JOIN sh s1 ON s1.doc_id = pr.d1
+        |          JOIN sh s2 ON s2.doc_id = pr.d2)
+        |SELECT d1, d2, hamming, n_shared, n_union,
+        |       CAST(CASE WHEN n_union = 0 THEN 0
+        |                 WHEN 10 * n_shared >= 7 * n_union THEN 1
+        |                 ELSE 0 END AS INT) AS text_match
+        |FROM j""".stripMargin) {
+      (s, d) =>
+        import graft.ops.Dedup
+        val pairs = Dedup.simhashPairs(Indexes.imagePhash(s, d),
+            "doc_id", "phash", maxHamming = 3, fpBits = 64)
+          .select("d1", "d2", "hamming")
+        val sh = table(s, d, "documents").select(col("doc_id"),
+          Dedup.shingles(Dedup.tokens(col("text"))).as("shs"))
+        val j = pairs
+          .join(sh.select(col("doc_id").as("d1"), col("shs").as("shs1")), Seq("d1"))
+          .join(sh.select(col("doc_id").as("d2"), col("shs").as("shs2")), Seq("d2"))
+          .withColumn("n_shared",
+            size(array_intersect(col("shs1"), col("shs2"))).cast("bigint"))
+          .withColumn("n_union",
+            (size(col("shs1")) + size(col("shs2"))).cast("bigint") - col("n_shared"))
+        j.select(col("d1"), col("d2"), col("hamming"),
+          col("n_shared"), col("n_union"),
+          when(col("n_union") === 0, 0)
+            .when(lit(10) * col("n_shared") >= lit(7) * col("n_union"), 1)
+            .otherwise(0).cast("int").as("text_match"))
     }
   )
 }

@@ -106,6 +106,63 @@ class SamplingSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("mixtureResample: derived weights are exact isqrt-temperature allocations") {
+    val sized = docs.withColumn("n", (col("doc_id") % 11 + 2).cast("bigint"))
+    val out = Sampling.mixtureResample(sized, "lang", "doc_id", col("n"),
+      budget = 10000L)
+    val byLang = out.groupBy("lang")
+      .agg(first("target_tok").as("t"), first("ppm").as("p"),
+        sum("n_tok").as("emitted"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // Recompute the whole derivation exactly in Scala.
+    def isqrt(x: Long): Long = {
+      val s = math.sqrt(x.toDouble).toLong
+      if ((s + 1) * (s + 1) <= x) s + 1 else if (s * s > x) s - 1 else s
+    }
+    val tots = (1L to 4000L).map { i =>
+      val lang = if (i % 2 == 0) "en" else if (i % 5 == 0) "zh" else "de"
+      lang -> (i % 11 + 2)
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val wsum = tots.values.map(isqrt).sum
+    tots.foreach { case (lang, tot) =>
+      val target = 10000L * isqrt(tot) / wsum
+      val ppm = target * 1000000L / tot
+      assert(byLang(lang)._1 === target, s"$lang target")
+      assert(byLang(lang)._2 === ppm, s"$lang ppm")
+      // Emitted token mass lands near the stratum's target share
+      // (hash-threshold sampling: expectation is exact, ±10 % here).
+      val emitted = byLang(lang)._3.toDouble
+      assert(emitted > target * 0.8 && emitted < target * 1.2,
+        s"$lang emitted $emitted vs target $target")
+    }
+  }
+
+  test("mixtureResample: isqrt is exact at perfect squares and off-by-one totals") {
+    // Strata engineered to hit tot = k², k²−1, k²+1 — the cases where
+    // a float sqrt rounds across the integer boundary. Budget large
+    // enough that every stratum's ppm ≥ 10⁶ (≥ 1 guaranteed copy per
+    // doc), so the rate columns are observable on emitted rows.
+    val df = Seq((1L, "a", 10000L), (2L, "b", 9999L), (3L, "c", 10001L))
+      .toDF("doc_id", "lang", "n")
+    val out = Sampling.mixtureResample(df, "lang", "doc_id", col("n"), budget = 60000L)
+      .select("lang", "target_tok").distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // weights: isqrt(10000)=100, isqrt(9999)=99, isqrt(10001)=100 → wsum=299
+    assert(out("a") === 60000L * 100 / 299)
+    assert(out("b") === 60000L * 99 / 299)
+    assert(out("c") === 60000L * 100 / 299)
+  }
+
+  test("mixtureResample is deterministic across evaluations and partitionings") {
+    val sized = docs.withColumn("n", (col("doc_id") % 7 + 1).cast("bigint"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sampling.mixtureResample(d, "lang", "doc_id", col("n"), budget = 5000L)
+        .collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("copy_idx"))).toSet
+    assert(run(sized) === run(sized.repartition(17)))
+  }
+
   test("shardAssignment: two-phase positions equal the naive global sort exactly") {
     // The operator's whole claim: 256-bucket offsets + per-bucket
     // ranks reproduce row_number-over-global-order ROW-FOR-ROW, while

@@ -1674,6 +1674,68 @@ object LlmQueries {
           table(s, d, "documents").select("doc_id", "lang", "text"),
           "lang", "doc_id", size(Dedup.tokens(col("text"))), budget = 100000L)
           .select("doc_id", "lang", "n_tok", "target_tok", "ppm", "copy_idx")
+    },
+
+    // Per-language rank normalization (percent-rank in ppm): quality
+    // scores are only comparable across languages after each
+    // language's scores map onto [0, 10⁶] by rank — then ONE global
+    // threshold means the same thing in every stratum. The DECLARED
+    // Spark plan is the scale shape (Sampling.rankNormalize: 256
+    // monotone equal-width score buckets per stratum, bounded bucket
+    // counts prefix-summed into exact offsets, ONE window partitioned
+    // by (stratum, bucket) — never a stratum-global sort partition);
+    // the oracle is the naive global row_number per language, so the
+    // green row is machine proof the two-phase decomposition equals
+    // the global sort row-for-row — the q112 proof pattern applied
+    // to VALUE order.
+    Q("q117_rank_normalize",
+      """WITH t AS (SELECT doc_id, lang,
+        |             CAST(len(string_split(text,' ')) AS BIGINT) AS score
+        |           FROM documents),
+        |r AS (SELECT doc_id, lang, score,
+        |        CAST(row_number() OVER (PARTITION BY lang
+        |               ORDER BY score, doc_id) - 1 AS BIGINT) AS rnk,
+        |        CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+        |      FROM t)
+        |SELECT doc_id, lang, score, rnk,
+        |       (rnk * 1000000) // greatest(n - 1, 1) AS pct_ppm
+        |FROM r""".stripMargin) {
+      (s, d) =>
+        graft.ops.Sampling.rankNormalize(
+          table(s, d, "documents").select("doc_id", "lang", "text"),
+          "lang", "doc_id", size(Dedup.tokens(col("text"))))
+          .select("doc_id", "lang", "score", "rnk", "pct_ppm")
+    },
+
+    // Shingle novelty scoring: per document, the ppm fraction of its
+    // distinct 3-gram shingles whose FIRST corpus occurrence (min doc
+    // id) is this document — the curation signal that flags template/
+    // boilerplate-heavy documents even when no pair crosses a
+    // near-dup threshold. The declared plan is deliberately JOIN-FREE
+    // on the shingle key (the skew magnet): two independent
+    // aggregates — min(doc_id) per shingle re-grouped by that
+    // minimum, and per-doc distinct-shingle counts — meet in a
+    // narrow join on doc id; hot shingles partial-agg map-side.
+    Q("q118_shingle_novelty",
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws)-1),
+        |          i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]))) AS s
+        |       FROM t WHERE len(ws) >= 3),
+        |f AS (SELECT s, min(doc_id) AS doc_id FROM sh GROUP BY s),
+        |nv AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_novel FROM f GROUP BY doc_id),
+        |ns AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles FROM sh GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |       CAST(coalesce(ns.n_shingles, 0) AS BIGINT) AS n_shingles,
+        |       CAST(coalesce(nv.n_novel, 0) AS BIGINT) AS n_novel,
+        |       (CAST(coalesce(nv.n_novel, 0) AS BIGINT) * 1000000)
+        |         // greatest(CAST(coalesce(ns.n_shingles, 0) AS BIGINT), 1)
+        |         AS novelty_ppm
+        |FROM documents d
+        |LEFT JOIN ns ON ns.doc_id = d.doc_id
+        |LEFT JOIN nv ON nv.doc_id = d.doc_id""".stripMargin) {
+      (s, d) =>
+        Dedup.shingleNovelty(table(s, d, "documents"), "doc_id", "text")
+          .select("doc_id", "n_shingles", "n_novel", "novelty_ppm")
     }
   )
 }

@@ -90,6 +90,16 @@ class PlanSpec extends AnyFunSuite {
       s"q112 plans a global sort:\n${plan.take(1500)}")
   }
 
+  test("q117: rank normalization never plans a stratum-global sort") {
+    // Same claim as q112, generalized to VALUE order: ranks come from
+    // per-(stratum, bucket) windows + bounded offsets; a naive
+    // percent_rank would range-partition each whole stratum into one
+    // window partition.
+    val plan = planOf("q117_rank_normalize")
+    assert(!plan.toLowerCase.contains("rangepartitioning"),
+      s"q117 plans a global sort:\n${plan.take(1500)}")
+  }
+
   test("q111: the bigram-count join is salted (no hot-bigram straggler key)") {
     // The count join must carry the 16-way salt column: a corpus-common
     // bigram is a hot key BY CONSTRUCTION, and an unsalted join puts

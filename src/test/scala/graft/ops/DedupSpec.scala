@@ -466,4 +466,25 @@ class DedupSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(againstOf(Dedup.DefaultMaxBandFreq) === againstOf(None))
   }
+
+  test("shingleNovelty: first occurrence wins, duplicates score zero, short docs are kept") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e"),        // 3 shingles, all first-seen here
+      (2L, "a b c d e"),        // exact dup of 1 → novelty 0
+      (3L, "a b c x y z"),      // shares "a b c" with doc 1; 3 of 4 novel
+      (4L, "q r"),              // < 3 tokens → no shingles
+      (5L, "")                  // empty
+    ).toDF("doc_id", "text")
+    val got = Dedup.shingleNovelty(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) === ((3L, 3L, 1000000L)))
+    assert(got(2L) === ((3L, 0L, 0L)))
+    assert(got(3L) === ((4L, 3L, 750000L)))
+    assert(got(4L) === ((0L, 0L, 0L)))
+    assert(got(5L) === ((0L, 0L, 0L)))
+    // Every input doc appears exactly once.
+    assert(got.keySet === Set(1L, 2L, 3L, 4L, 5L))
+  }
 }

@@ -163,6 +163,37 @@ class SamplingSpec extends AnyFunSuite {
     assert(run(sized) === run(sized.repartition(17)))
   }
 
+  test("rankNormalize: two-phase ranks equal the naive per-stratum sort exactly") {
+    // Scores engineered with heavy ties and a skewed range so bucket
+    // boundaries land inside tie groups.
+    val scored = docs.withColumn("sc",
+      (col("doc_id") % 17 * col("doc_id") % 1000).cast("bigint"))
+    val got = Sampling.rankNormalize(scored, "lang", "doc_id", col("sc"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("rnk"), r.getAs[Long]("pct_ppm"))).toMap
+    val naive = (1L to 4000L).map { i =>
+      val lang = if (i % 2 == 0) "en" else if (i % 5 == 0) "zh" else "de"
+      (i, lang, i % 17 * i % 1000)
+    }.groupBy(_._2).flatMap { case (_, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._1))
+      val n = sorted.size.toLong
+      sorted.zipWithIndex.map { case (r, p) =>
+        r._1 -> (p.toLong, p.toLong * 1000000L / math.max(n - 1, 1))
+      }
+    }
+    assert(got === naive.toMap)
+  }
+
+  test("rankNormalize: a constant-score stratum collapses to one bucket, still exact") {
+    val const = docs.withColumn("sc", lit(7L))
+    val out = Sampling.rankNormalize(const, "lang", "doc_id", col("sc"))
+      .filter(col("lang") === "zh")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rnk")).toMap
+    // 400 zh docs, all score 7: rank order is pure doc_id order.
+    val ids = (1L to 4000L).filter(i => i % 2 != 0 && i % 5 == 0).sorted
+    assert(out === ids.zipWithIndex.map { case (id, p) => id -> p.toLong }.toMap)
+  }
+
   test("shardAssignment: two-phase positions equal the naive global sort exactly") {
     // The operator's whole claim: 256-bucket offsets + per-bucket
     // ranks reproduce row_number-over-global-order ROW-FOR-ROW, while

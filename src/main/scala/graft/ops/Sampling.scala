@@ -185,6 +185,44 @@ object Sampling {
         .otherwise(array().cast("array<bigint>"))))
   }
 
+  /** Probability-proportional-to-size (PPS) systematic sampling by
+    * token mass: lay documents head-to-tail in deterministic hash
+    * order and pick every document whose token interval contains a
+    * multiple of `step` — inclusion probability `n_tok/step`, i.e.
+    * the classic "sample every S-th TOKEN's containing document"
+    * eval-set primitive (long documents proportionally more likely;
+    * a document longer than `step` is picked with multiplicity,
+    * reported as `n_hits`). Contrast [[tokenBudget]], which keeps a
+    * uniform hash-prefix of documents: PPS weights by size.
+    *
+    * Integer-exact: multiples of `step` in the half-open interval
+    * [cum−n, cum) count as `g(cum−1) − g(cum−n−1)` with
+    * g(x) = max(x, 0) div step — no floats, no negative division
+    * (Spark `div` truncates toward zero while other engines floor,
+    * so negatives never reach a division).
+    *
+    * Scale shape: `shards` hash shards, each with an independent
+    * prefix-sum window — the [[tokenBudget]] sharding discipline
+    * built in rather than left to the caller. Selection is exact per
+    * shard (every shard's token stream is sampled at the same rate),
+    * and no shard ever holds more than ~1/shards of the corpus in
+    * one sort partition. */
+  def ppsSample(df: DataFrame, idCol: String, tokCol: Column,
+                step: Long, shards: Int = 32): DataFrame = {
+    require(step > 0, s"ppsSample: step=$step")
+    require(shards > 0, s"ppsSample: shards=$shards")
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(sampleKey(col(idCol)), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("n_tok", tokCol.cast("bigint"))
+      .withColumn("shard", pmod(sampleKey(col(idCol)), lit(shards.toLong)))
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .withColumn("n_hits",
+        expr(s"greatest(cum_tok - 1, 0) div $step") -
+          expr(s"greatest(cum_tok - n_tok - 1, 0) div $step"))
+      .filter(col("n_hits") >= 1)
+  }
+
   /** Per-stratum rank normalization (percent-rank in parts-per-
     * million) — the cross-domain score-calibration step: a raw
     * quality/fluency score is only comparable across languages or

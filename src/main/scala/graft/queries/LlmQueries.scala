@@ -1736,6 +1736,145 @@ object LlmQueries {
       (s, d) =>
         Dedup.shingleNovelty(table(s, d, "documents"), "doc_id", "text")
           .select("doc_id", "n_shingles", "n_novel", "novelty_ppm")
+    },
+
+    // INCREMENTAL novelty: a new document batch (the last 20 % of the
+    // id space — the q43/q108/q113 watermark pattern) scored against
+    // the PERSISTED corpus shingle index: per batch doc, the ppm
+    // fraction of its shingles absent from the existing corpus — the
+    // "how much new content does this crawl actually add" admission
+    // signal. Per-batch work ∝ batch × shingles-per-doc plus one
+    // distinct over the index; the membership join is SALTED (a
+    // boilerplate shingle hash is a hot key by construction — the
+    // q111 discipline), and novelty attributes to every carrying doc,
+    // which is why this one needs the join q118's full-corpus variant
+    // avoids.
+    Q("q119_incremental_novelty",
+      s"""WITH $rawCorpus,
+         |$shingleCtes,
+         |ex AS (SELECT doc_id, unnest(hs) AS h FROM hst),
+         |cut AS (SELECT max(doc_id) * 4 // 5 AS c FROM documents),
+         |known AS (SELECT DISTINCT h FROM ex WHERE doc_id < (SELECT c FROM cut)),
+         |b AS (SELECT doc_id, h FROM ex WHERE doc_id >= (SELECT c FROM cut)),
+         |j AS (SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         |        CAST(sum(CASE WHEN k.h IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+         |      FROM b LEFT JOIN known k ON k.h = b.h GROUP BY b.doc_id)
+         |SELECT d.doc_id,
+         |       CAST(coalesce(j.n_shingles, 0) AS BIGINT) AS n_shingles,
+         |       CAST(coalesce(j.n_new, 0) AS BIGINT) AS n_new,
+         |       (CAST(coalesce(j.n_new, 0) AS BIGINT) * 1000000)
+         |         // greatest(CAST(coalesce(j.n_shingles, 0) AS BIGINT), 1)
+         |         AS novelty_ppm
+         |FROM documents d LEFT JOIN j ON j.doc_id = d.doc_id
+         |WHERE d.doc_id >= (SELECT c FROM cut)""".stripMargin) {
+      (s, d) =>
+        val docsT = table(s, d, "documents")
+        val maxId = docsT.agg(max(col("doc_id")).cast("long")).head().getLong(0)
+        val cutoff = maxId * 4 / 5
+        val ex = Indexes.shingles(s, d)
+          .select(col("doc_id"), explode(col("__hs")).as("h"))
+        val known = ex.filter(col("doc_id") < cutoff)
+          .select("h").distinct().withColumn("__known", lit(1))
+        val flagged = graft.ops.Skew.saltedJoin(
+          ex.filter(col("doc_id") >= cutoff), known, "h",
+          saltBy = col("doc_id"), salts = 16, joinType = "left")
+        val j = flagged.groupBy("doc_id").agg(
+          count(lit(1)).as("n_shingles"),
+          sum(when(col("__known").isNull, 1L).otherwise(0L)).as("n_new"))
+        docsT.select("doc_id").filter(col("doc_id") >= cutoff)
+          .join(j, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+            coalesce(col("n_new"), lit(0L)).as("n_new"))
+          .withColumn("novelty_ppm",
+            expr("(n_new * 1000000) div greatest(n_shingles, 1)"))
+    },
+
+    // PPS systematic sampling: pick every document whose token
+    // interval, in deterministic hash order, contains a multiple of
+    // step — inclusion probability ∝ document size ("sample every
+    // 500th TOKEN's containing document"), the standard eval-set /
+    // inspection-sample primitive. Contrast q63 (uniform hash-prefix
+    // to a budget cap): PPS weights by size. 32 hash shards, each an
+    // independent prefix-sum window — no shard ever sorts more than
+    // ~1/32 of the corpus in one partition; all counting is integer
+    // with max(x,0) guards so no negative ever reaches a division
+    // (Spark div truncates, DuckDB // floors — they agree only on
+    // non-negatives).
+    Q("q120_pps_sample",
+      s"""WITH t AS (SELECT doc_id,
+         |             CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok,
+         |             ${h64("CAST(doc_id AS VARCHAR)")} % 1000000 AS k FROM documents),
+         |c AS (SELECT doc_id, n_tok, k % 32 AS shard,
+         |        CAST(sum(n_tok) OVER (PARTITION BY k % 32 ORDER BY k, doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok
+         |      FROM t),
+         |h AS (SELECT doc_id, n_tok, shard, cum_tok,
+         |        greatest(cum_tok - 1, 0) // 500
+         |          - greatest(cum_tok - n_tok - 1, 0) // 500 AS n_hits
+         |      FROM c)
+         |SELECT doc_id, n_tok, shard, cum_tok, n_hits
+         |FROM h WHERE n_hits >= 1""".stripMargin) {
+      (s, d) =>
+        graft.ops.Sampling.ppsSample(
+          table(s, d, "documents").select("doc_id", "text"),
+          "doc_id", size(Dedup.tokens(col("text"))), step = 500L, shards = 32)
+          .select("doc_id", "n_tok", "shard", "cum_tok", "n_hits")
+    },
+
+    // Curation v3 — the round-10 signals composed into one recipe:
+    // per-language rank normalization of the quality proxy (q117's
+    // two-phase machinery), a global top-40 % keep threshold that now
+    // MEANS the same thing in every language (pct_ppm ≥ 600000), then
+    // derived-weight temperature mixture resampling of the survivors
+    // to a 50k-token budget (q114's machinery, re-deriving totals
+    // over the FILTERED corpus). One lineage on the Spark side; the
+    // oracle replays the full chain — ranks, threshold, totals,
+    // isqrt, allocation, membership — in the same integer space.
+    Q("q121_curation_v3",
+      s"""WITH t AS (SELECT doc_id, lang,
+         |             CAST(len(string_split(text,' ')) AS BIGINT) AS score,
+         |             ${h64("CAST(doc_id AS VARCHAR)")} % 1000000 AS k FROM documents),
+         |r AS (SELECT doc_id, lang, score, k,
+         |        CAST(row_number() OVER (PARTITION BY lang
+         |               ORDER BY score, doc_id) - 1 AS BIGINT) AS rnk,
+         |        CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+         |      FROM t),
+         |kept AS (SELECT doc_id, lang, score AS n_tok, k,
+         |           (rnk * 1000000) // greatest(n - 1, 1) AS pct_ppm
+         |         FROM r
+         |         WHERE (rnk * 1000000) // greatest(n - 1, 1) >= 600000),
+         |agg AS (SELECT lang, CAST(sum(n_tok) AS BIGINT) AS tot
+         |        FROM kept GROUP BY lang HAVING sum(n_tok) > 0),
+         |w AS (SELECT lang, tot,
+         |        CASE WHEN (s0+1)*(s0+1) <= tot THEN s0+1
+         |             WHEN s0*s0 > tot THEN s0-1 ELSE s0 END AS wt
+         |      FROM (SELECT lang, tot,
+         |              CAST(floor(sqrt(CAST(tot AS DOUBLE))) AS BIGINT) AS s0
+         |            FROM agg)),
+         |p AS (SELECT lang, tot,
+         |        (50000 * wt) // (SELECT CAST(sum(wt) AS BIGINT) FROM w) AS target_tok
+         |      FROM w),
+         |pp AS (SELECT lang, tot, target_tok,
+         |         (target_tok * 1000000) // tot AS ppm FROM p),
+         |base AS (SELECT kept.doc_id, kept.lang, kept.n_tok, kept.pct_ppm,
+         |           pp.target_tok, pp.ppm,
+         |           (pp.ppm // 1000000)
+         |           + (CASE WHEN kept.k < (pp.ppm % 1000000) THEN 1 ELSE 0 END) AS cnt
+         |         FROM kept JOIN pp USING (lang))
+         |SELECT doc_id, lang, n_tok, pct_ppm, target_tok, ppm,
+         |       unnest(range(1, cnt + 1)) AS copy_idx
+         |FROM base""".stripMargin) {
+      (s, d) =>
+        val ranked = graft.ops.Sampling.rankNormalize(
+          table(s, d, "documents").select("doc_id", "lang", "text"),
+          "lang", "doc_id", size(Dedup.tokens(col("text"))))
+        val kept = ranked.filter(col("pct_ppm") >= 600000L)
+          .select(col("doc_id"), col("lang"), col("score"), col("pct_ppm"))
+        graft.ops.Sampling.mixtureResample(kept, "lang", "doc_id",
+            col("score"), budget = 50000L)
+          .select("doc_id", "lang", "n_tok", "pct_ppm", "target_tok",
+            "ppm", "copy_idx")
     }
   )
 }

@@ -163,6 +163,33 @@ class SamplingSpec extends AnyFunSuite {
     assert(run(sized) === run(sized.repartition(17)))
   }
 
+  test("ppsSample: selection equals the naive per-shard token-interval walk") {
+    val sized = docs.withColumn("n", (col("doc_id") % 13).cast("bigint")) // incl. zeros
+    val got = Sampling.ppsSample(sized, "doc_id", col("n"), step = 97L, shards = 8)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_hits")).toMap
+    // Naive recomputation: md5-hash order within hash shards.
+    def key(i: Long) = {
+      val h = java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(i.toString.getBytes).map("%02x".format(_)).mkString.take(15), 16)
+      h % 1000000L
+    }
+    val naive = (1L to 4000L).map(i => (i, key(i), i % 13))
+      .groupBy(_._2 % 8).flatMap { case (_, rows) =>
+        var cum = 0L
+        rows.sortBy(r => (r._2, r._1)).flatMap { case (id, _, n) =>
+          val prev = cum; cum += n
+          val hits = math.max(cum - 1, 0) / 97 - math.max(prev - 1, 0) / 97
+          if (hits >= 1) Some(id -> hits) else None
+        }
+      }.toMap
+    assert(got === naive)
+    // Zero-token docs are never picked; total hits ≈ total tokens / step.
+    assert(got.keys.forall(_ % 13 != 0))
+    val totTok = (1L to 4000L).map(_ % 13).sum
+    assert(math.abs(got.values.sum - totTok / 97) <= 8) // ≤1 boundary doc per shard
+  }
+
   test("rankNormalize: two-phase ranks equal the naive per-stratum sort exactly") {
     // Scores engineered with heavy ties and a skewed range so bucket
     // boundaries land inside tie groups.

@@ -154,27 +154,40 @@ object Sampling {
     * long for budget ≤ ~10^12 tokens against 100 TB-scale strata
     * (wt = isqrt(tokens) ≤ ~10^7) — the realistic envelope; a larger
     * recipe splits the budget per shard first. */
+  /** The rate-derivation half of [[mixtureResample]], reusable over
+    * any per-stratum token-total frame (batch aggregate or the final
+    * state of a streaming running total — q122): `agg` must carry
+    * `strataCol` and a bigint `tot`; returns it extended with `wt`
+    * (integer sqrt of tot — floor(hardware sqrt) ± 1 correction,
+    * exact), `target_tok` (budget split ∝ wt, integer div) and `ppm`
+    * (per-token emission rate). The weight sum is a 1-row aggregate
+    * over the bounded stratum frame — broadcast-crossJoined back
+    * (the q22 quantile-bounds pattern), kept on-engine: no collect,
+    * no global window. */
+  def mixtureRates(agg: DataFrame, strataCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"mixtureRates: budget=$budget")
+    val pos = agg.filter(col("tot") > 0)
+    val s0 = floor(sqrt(col("tot").cast("double"))).cast("bigint")
+    val wtd = pos.withColumn("s0", s0)
+      .withColumn("wt",
+        when((s0 + 1) * (s0 + 1) <= col("tot"), s0 + 1)
+          .when(s0 * s0 > col("tot"), s0 - 1)
+          .otherwise(s0))
+      .drop("s0")
+    val wsum = wtd.agg(sum(col("wt")).cast("bigint").as("wsum"))
+    wtd.crossJoin(broadcast(wsum))
+      .withColumn("target_tok", expr(s"($budget * wt) div wsum"))
+      .withColumn("ppm", expr(s"(target_tok * ${Denom}) div tot"))
+      .drop("wsum")
+  }
+
   def mixtureResample(df: DataFrame, strataCol: String, idCol: String,
                       tokCol: Column, budget: Long): DataFrame = {
     require(budget > 0, s"mixtureResample: budget=$budget")
     val toks = df.withColumn("n_tok", tokCol.cast("bigint"))
     val agg = toks.groupBy(col(strataCol))
       .agg(sum(col("n_tok")).cast("bigint").as("tot"))
-      .filter(col("tot") > 0)
-    // Integer sqrt: floor(hardware sqrt) ± 1 correction → exact.
-    val s0 = floor(sqrt(col("tot").cast("double"))).cast("bigint")
-    val wtd = agg.withColumn("s0", s0)
-      .withColumn("wt",
-        when((s0 + 1) * (s0 + 1) <= col("tot"), s0 + 1)
-          .when(s0 * s0 > col("tot"), s0 - 1)
-          .otherwise(s0))
-    // The weight sum is a 1-row aggregate over the bounded stratum
-    // frame — broadcast-crossJoined back (the q22 quantile-bounds
-    // pattern), kept on-engine: no collect, no global window.
-    val wsum = wtd.agg(sum(col("wt")).cast("bigint").as("wsum"))
-    val rates = wtd.crossJoin(broadcast(wsum))
-      .withColumn("target_tok", expr(s"($budget * wt) div wsum"))
-      .withColumn("ppm", expr(s"(target_tok * ${Denom}) div tot"))
+    val rates = mixtureRates(agg, strataCol, budget)
       .select(col(strataCol), col("tot"), col("target_tok"), col("ppm"))
     val joined = toks.join(broadcast(rates), Seq(strataCol))
     val copies = expr(s"ppm div ${Denom}") +

@@ -1875,6 +1875,111 @@ object LlmQueries {
             col("score"), budget = 50000L)
           .select("doc_id", "lang", "n_tok", "pct_ppm", "target_tok",
             "ppm", "copy_idx")
+    },
+
+    // STREAMING mixture-stat maintenance: the q114 rate derivation
+    // fed by a running streaming aggregate instead of a batch scan —
+    // per-language document and token totals maintained across
+    // micro-batch triggers (2 multi-file triggers over a staged
+    // arrival log, the q99 replay shape), with the temperature
+    // allocation derived from the FINAL state by the same
+    // integer-exact machinery (Sampling.mixtureRates). The oracle is
+    // the batch derivation over the full corpus: a green row is
+    // machine proof the incremental running totals fold to exactly
+    // the batch answer whatever the batch boundaries were — the
+    // mixture recipe can ride a live ingest feed. At 100 TB the
+    // streaming agg state is |langs| rows per executor shard; the
+    // rate math is bounded post-processing.
+    Q("q122_stream_mixture_stats",
+      """WITH agg AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |               CAST(sum(len(string_split(text,' '))) AS BIGINT) AS tot
+        |             FROM documents GROUP BY lang
+        |             HAVING sum(len(string_split(text,' '))) > 0),
+        |w AS (SELECT lang, n_docs, tot,
+        |        CASE WHEN (s0+1)*(s0+1) <= tot THEN s0+1
+        |             WHEN s0*s0 > tot THEN s0-1 ELSE s0 END AS wt
+        |      FROM (SELECT lang, n_docs, tot,
+        |              CAST(floor(sqrt(CAST(tot AS DOUBLE))) AS BIGINT) AS s0
+        |            FROM agg))
+        |SELECT lang, n_docs, tot, wt,
+        |       (100000 * wt) // (SELECT CAST(sum(wt) AS BIGINT) FROM w) AS target_tok,
+        |       ((100000 * wt) // (SELECT CAST(sum(wt) AS BIGINT) FROM w) * 1000000)
+        |         // tot AS ppm
+        |FROM w""".stripMargin) {
+      (s, d) =>
+        val docs = table(s, d, "documents").select(col("doc_id"), col("lang"),
+          size(Dedup.tokens(col("text"))).cast("bigint").as("n_tok"))
+        val scratch = java.nio.file.Files.createTempDirectory("graft_q122")
+        val staging = s"$scratch/docs"
+        docs.repartitionByRange(4, col("doc_id")).write.parquet(staging)
+        val stream = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 2).parquet(staging)
+        val agg = stream.groupBy(col("lang")).agg(
+          count(lit(1)).as("n_docs"), sum(col("n_tok")).cast("bigint").as("tot"))
+        val sinkName = "q122_stream_mixture_sink"
+        s.catalog.dropTempView(sinkName)
+        val q = agg.writeStream.format("memory").queryName(sinkName)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination(300000) finally q.stop()
+        graft.ops.Sampling.mixtureRates(s.table(sinkName), "lang",
+            budget = 100000L)
+          .select("lang", "n_docs", "tot", "wt", "target_tok", "ppm")
+    },
+
+    // Count-min sketch heavy hitters: bounded-memory frequency
+    // estimation — 4 hash rows × 1024 counters (32 KB of state for
+    // any corpus size) built in ONE partial-agg pass over the
+    // persisted term-frequency index, probed for the top-20 exact
+    // terms with the estimate = min over the 4 rows. The overcount
+    // column (est − exact, ≥ 0 structurally) makes the sketch's
+    // error observable; the oracle replays the ENTIRE sketch —
+    // hashes, counters, min — in the same integer space, so the
+    // green row pins the implementation, not just the output shape.
+    // At 100 TB: the 4096-key counter aggregate partial-aggregates
+    // map-side (the whole point of CM — the shuffle carries 4096
+    // rows per task, not the vocabulary), and the probe side
+    // broadcasts the counters.
+    Q("q123_countmin_heavy_hitters", {
+      val cmRows = ab.take(4).zipWithIndex.map { case ((a, b), i) =>
+        s"SELECT $i AS r, (($a * (h % $P) + $b) % $P) % 1024 AS b, c FROM g"
+      }.mkString("\nUNION ALL\n")
+      val cmProbes = ab.take(4).zipWithIndex.map { case ((a, b), i) =>
+        s"SELECT w, c, $i AS r, (($a * (h % $P) + $b) % $P) % 1024 AS b FROM top"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH tok AS (SELECT w, ${h64("w")} AS h
+         |             FROM (SELECT unnest(string_split(text,' ')) AS w FROM documents)),
+         |g AS (SELECT w, min(h) AS h, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY w),
+         |rows_ AS ($cmRows),
+         |counters AS (SELECT r, b, CAST(sum(c) AS BIGINT) AS cnt FROM rows_ GROUP BY r, b),
+         |top AS (SELECT w, h, c FROM g ORDER BY c DESC, w LIMIT 20),
+         |probes AS ($cmProbes),
+         |est AS (SELECT w, c, min(cnt) AS est
+         |        FROM probes p JOIN counters ct ON ct.r = p.r AND ct.b = p.b
+         |        GROUP BY w, c)
+         |SELECT w AS term, c AS exact_n, est AS est_n, est - c AS overcount
+         |FROM est""".stripMargin
+    }) {
+      (s, d) =>
+        import graft.functions.Functions.{minhashFn, portableHash64}
+        def bucket(i: Int) =
+          pmod(minhashFn(portableHash64(col("w")), i), lit(1024L))
+        val global = Indexes.termFrequencies(s, d)
+          .groupBy("w").agg(sum(col("tf")).cast("bigint").as("c"))
+        // One scan: posexplode of the 4 bucket keys per term.
+        val counters = global
+          .select(col("c"), posexplode(array((0 until 4).map(bucket): _*)))
+          .toDF("c", "r", "b")
+          .groupBy("r", "b").agg(sum(col("c")).cast("bigint").as("cnt"))
+        val top = global.orderBy(col("c").desc, col("w")).limit(20)
+        val probes = top
+          .select(col("w"), col("c"), posexplode(array((0 until 4).map(bucket): _*)))
+          .toDF("w", "c", "r", "b")
+        probes.join(broadcast(counters), Seq("r", "b"))
+          .groupBy("w", "c").agg(min(col("cnt")).as("est"))
+          .select(col("w").as("term"), col("c").as("exact_n"),
+            col("est").as("est_n"), (col("est") - col("c")).as("overcount"))
     }
   )
 }

@@ -166,6 +166,37 @@ object SimilarityQueries {
         graft.queries.Indexes.kmeansCells(s, d)
     },
 
+    // Cell-balanced diversity sampling: a fixed quota of vectors per
+    // trained k-means cell, in deterministic hash order — the
+    // embedding-space-COVERAGE eval-set primitive (uniform sampling
+    // over-represents dense regions; per-cell quotas cover the space;
+    // SemDeDup's clustering reused as coverage strata). Ranks within
+    // cells come from Sampling.rankNormalize over the hash key — the
+    // q117 two-phase machinery, so no cell's membership is ever
+    // sorted in one partition (at 100 TB a cell holds n/k vectors —
+    // a straggler by construction under a naive per-cell window).
+    // The oracle is the naive per-cell row_number over the
+    // from-scratch unrolled Lloyd assignments.
+    Q("q124_cell_balanced_sample",
+      s"""WITH $kmeansCtesSql,
+         |hkey AS (SELECT vec_id, cid,
+         |           ('0x' || substr(md5(CAST(vec_id AS VARCHAR)),1,15))::BIGINT
+         |             % 1000000 AS hk
+         |         FROM a2),
+         |r AS (SELECT vec_id, cid,
+         |        CAST(row_number() OVER (PARTITION BY cid
+         |               ORDER BY hk, vec_id) - 1 AS BIGINT) AS rnk
+         |      FROM hkey)
+         |SELECT vec_id, cid, rnk FROM r WHERE rnk < 8""".stripMargin) {
+      (s, d) =>
+        import graft.ops.Sampling
+        val cells = graft.queries.Indexes.kmeansCells(s, d).select("vec_id", "cid")
+        Sampling.rankNormalize(cells, "cid", "vec_id",
+            Sampling.sampleKey(col("vec_id")))
+          .filter(col("rnk") < 8)
+          .select("vec_id", "cid", "rnk")
+    },
+
     // SemDeDup-style semantic dedup: the TRAINED k-means cells (q68's
     // codebook, not q42's precomputed label column) become the
     // blocking key, and within each cell a vector is dropped when any

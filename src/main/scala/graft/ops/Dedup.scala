@@ -854,15 +854,34 @@ object Dedup {
     * aggregates — `min(doc_id)` per shingle re-grouped by that
     * minimum (novel counts), and distinct-shingle counts per document
     * — meet in a narrow join on doc id. Hot shingles partial-agg
-    * map-side in both; nothing ever shuffles on a skewed key. */
+    * map-side in both; nothing ever shuffles on a skewed key.
+    *
+    * This convenience form computes hashes inline (once per
+    * aggregate); pipelines with a persisted shingle index use
+    * [[shingleNoveltyFromHashes]] so the tokenize+md5 pass never
+    * re-runs. */
   def shingleNovelty(docs: DataFrame, idCol: String,
-                     textCol: String): DataFrame = {
-    val sh = docs.select(col(idCol),
-        explode(shingles(tokens(col(textCol)))).as("__s"))
+                     textCol: String): DataFrame =
+    shingleNoveltyFromHashes(docs.select(col(idCol)),
+      docs.select(col(idCol),
+        shingleHashes(shingles(tokens(col(textCol)))).as("__hs")),
+      idCol)
+
+  /** [[shingleNovelty]] over a prepared shingle-HASH frame — the form
+    * the declared q118 runs, riding the PERSISTED shingle index
+    * ([[buildShingleIndex]]) instead of re-running the tokenize+md5
+    * pipeline per consumer (and per aggregate: the exploded stream
+    * feeds two aggregates whose exchanges differ, so an
+    * unmaterialized lineage would compute the md5 pass twice).
+    * `universe` supplies the full id set (the hash frame may drop
+    * sub-shingle-length docs); they come back with zero counts. */
+  def shingleNoveltyFromHashes(universe: DataFrame, hashed: DataFrame,
+                               idCol: String): DataFrame = {
+    val sh = hashed.select(col(idCol), explode(col("__hs")).as("__s"))
     val novel = sh.groupBy(col("__s")).agg(min(col(idCol)).as(idCol))
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_novel"))
     val totals = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
-    docs.select(col(idCol))
+    universe.select(col(idCol))
       .join(totals, Seq(idCol), "left")
       .join(novel, Seq(idCol), "left")
       .select(col(idCol),

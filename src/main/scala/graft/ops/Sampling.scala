@@ -124,36 +124,6 @@ object Sampling {
       .filter(col("cum_tok") <= budget)
   }
 
-  /** Temperature-scaled mixture resampling with weights DERIVED from
-    * the corpus — the domain-rebalancing step of a pre-training data
-    * recipe where the mixture is computed, not hand-written: each
-    * stratum's sampling weight is `tokens^α` (α = 1/2 here — the
-    * standard "temperature" that upweights rare domains), the global
-    * token `budget` is split across strata proportional to those
-    * weights, and each document is then emitted enough times (in
-    * expectation, exactly `target/total` times) to hit its stratum's
-    * share. Contrast [[resample]]/[[tokenBudget]], whose factors and
-    * budgets are caller literals: here the rates fall out of a corpus
-    * aggregate inside the same query.
-    *
-    * Exactness discipline: `tokens^(1/2)` is the INTEGER square root
-    * (floor) — hardware sqrt is correctly rounded, so
-    * `floor(sqrt(double))` is within 1 of isqrt and a two-sided
-    * integer correction lands it exactly; every division is integer
-    * (`div`); the per-document copy count is the [[resample]]
-    * floor + hash-threshold scheme with a parts-per-million rate. No
-    * float ever reaches a keep/drop boundary, so any engine replays
-    * the selection bit-for-bit.
-    *
-    * Scale shape: one partial-agg shuffle for the per-stratum token
-    * totals (bounded output — strata are domains/languages), a
-    * bounded window over that tiny frame for the weight sum, a
-    * broadcast join of the rate table back onto the corpus, and a
-    * map-side explode. Nothing driver-side, nothing ∝ corpus beyond
-    * the one aggregate. Overflow headroom: `budget·wt` stays in a
-    * long for budget ≤ ~10^12 tokens against 100 TB-scale strata
-    * (wt = isqrt(tokens) ≤ ~10^7) — the realistic envelope; a larger
-    * recipe splits the budget per shard first. */
   /** The rate-derivation half of [[mixtureResample]], reusable over
     * any per-stratum token-total frame (batch aggregate or the final
     * state of a streaming running total — q122): `agg` must carry
@@ -163,7 +133,14 @@ object Sampling {
     * (per-token emission rate). The weight sum is a 1-row aggregate
     * over the bounded stratum frame — broadcast-crossJoined back
     * (the q22 quantile-bounds pattern), kept on-engine: no collect,
-    * no global window. */
+    * no global window.
+    *
+    * Overflow envelope: `budget · wt` must stay under 2^63 — with
+    * wt = isqrt(tokens) ≤ ~10^7 against 100 TB-scale strata, that
+    * caps budget at ~9·10^11 tokens (NOT 10^12: 10^12·10^7 = 10^19
+    * overflows a long). A larger recipe splits the budget per shard
+    * first. The isqrt correction's (s0+1)² likewise needs
+    * tot < 2^62 — any real token total fits. */
   def mixtureRates(agg: DataFrame, strataCol: String, budget: Long): DataFrame = {
     require(budget > 0, s"mixtureRates: budget=$budget")
     val pos = agg.filter(col("tot") > 0)
@@ -181,6 +158,35 @@ object Sampling {
       .drop("wsum")
   }
 
+  /** Temperature-scaled mixture resampling with weights DERIVED from
+    * the corpus — the domain-rebalancing step of a pre-training data
+    * recipe where the mixture is computed, not hand-written: each
+    * stratum's sampling weight is `tokens^α` (α = 1/2 here — the
+    * standard "temperature" that upweights rare domains), the global
+    * token `budget` is split across strata proportional to those
+    * weights ([[mixtureRates]], including its overflow envelope), and
+    * each document is then emitted enough times (in expectation,
+    * exactly `target/total` times) to hit its stratum's share.
+    * Contrast [[resample]]/[[tokenBudget]], whose factors and budgets
+    * are caller literals: here the rates fall out of a corpus
+    * aggregate inside the same query.
+    *
+    * Exactness discipline: the isqrt/div chain is [[mixtureRates]]';
+    * the per-document copy count is the [[resample]] floor +
+    * hash-threshold scheme with a parts-per-million rate. No float
+    * ever reaches a keep/drop boundary, so any engine replays the
+    * selection bit-for-bit.
+    *
+    * Scale shape: one partial-agg shuffle for the per-stratum token
+    * totals (bounded output — strata are domains/languages), the
+    * bounded rate derivation, a broadcast join of the rate table back
+    * onto the corpus, and a map-side explode. The corpus lineage
+    * (including `tokCol`'s tokenize) is evaluated twice — once for
+    * the totals, once under the broadcast join; callers whose token
+    * expression is expensive and who reuse the frame should persist
+    * upstream (the declared queries feed cheap `size(split(...))`
+    * scores, where a second columnar scan is cheaper than
+    * materializing the corpus). */
   def mixtureResample(df: DataFrame, strataCol: String, idCol: String,
                       tokCol: Column, budget: Long): DataFrame = {
     require(budget > 0, s"mixtureResample: budget=$budget")
@@ -261,10 +267,24 @@ object Sampling {
     * bucket degrades toward the naive shape, still correct); the
     * production dial is more buckets or a first-pass equi-depth
     * boundary estimate (q89's machinery). Overflow: (score−min)·256
-    * needs score range < 2^55 — any real score fits. */
+    * needs score range < 2^55 — any real score fits.
+    *
+    * Returns the SLIM frame only — (`strataCol`, `idCol`, `score`,
+    * `rnk`, `pct_ppm`); callers needing other source columns join
+    * back on `idCol`. */
   def rankNormalize(df: DataFrame, strataCol: String, idCol: String,
                     scoreCol: Column): DataFrame = {
-    val s = df.withColumn("score", scoreCol.cast("bigint"))
+    // Slim projection, materialized ONCE (eager localCheckpoint — the
+    // Bpe/q99 lineage-truncation discipline): the frame feeds three
+    // consumers (extrema aggregate, bucket-count aggregate, final
+    // ranked join) whose exchanges differ, so an unmaterialized
+    // lineage — typically a tokenize over the corpus — would be
+    // recomputed three times. Three narrow columns per row is the
+    // whole storage cost; callers needing other columns join back on
+    // `idCol`.
+    val s = df
+      .select(col(strataCol), col(idCol), scoreCol.cast("bigint").as("score"))
+      .localCheckpoint(true)
     val ext = s.groupBy(col(strataCol)).agg(
       min(col("score")).as("__mn"), max(col("score")).as("__mx"),
       count(lit(1)).as("__n"))

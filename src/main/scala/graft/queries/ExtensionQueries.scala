@@ -286,7 +286,11 @@ object ExtensionQueries {
           .outputMode("complete")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
-        try q.awaitTermination(300000) finally q.stop()
+        // awaitTermination returns FALSE on timeout without throwing —
+        // unchecked, a timed-out replay would emit partial windows.
+        try require(q.awaitTermination(300000),
+          "q95: stream did not drain within 300s — partial windows")
+        finally q.stop()
         s.table(sinkName)
           .select(col("win_start"), col("event_type"), col("n"),
             col("sum_value").cast("bigint").as("sum_cents"))
@@ -329,7 +333,10 @@ object ExtensionQueries {
           .outputMode("complete")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
-        try q.awaitTermination(300000) finally q.stop()
+        // Same timeout guard as q95 (false return = partial sessions).
+        try require(q.awaitTermination(300000),
+          "q96: stream did not drain within 300s — partial sessions")
+        finally q.stop()
         s.table(sinkName)
           .select(col("sess_start"), col("sess_end"), col("user_id"), col("n"),
             col("sum_value").cast("bigint").as("sum_cents"))

@@ -416,7 +416,12 @@ object LlmQueries {
         val q = graft.streaming.Streaming.maintainClusters(stream, store,
           "labels", sigs, "doc_id", "text", JaccardThreshold,
           checkpoint = s"$scratch/cp")
-        try q.awaitTermination(300000) finally {
+        // awaitTermination returns FALSE on timeout without throwing —
+        // unchecked, a timed-out stream would publish labels from the
+        // completed triggers only (silently incomplete clusters).
+        try require(q.awaitTermination(300000),
+          "q99: stream did not drain within 300s — partial labels")
+        finally {
           // unpersist must run even when stop() throws (timeout /
           // rethrown stream failure) — it is the whole point of the
           // release.
@@ -1715,26 +1720,32 @@ object LlmQueries {
     // on the shingle key (the skew magnet): two independent
     // aggregates — min(doc_id) per shingle re-grouped by that
     // minimum, and per-doc distinct-shingle counts — meet in a
-    // narrow join on doc id; hot shingles partial-agg map-side.
+    // narrow join on doc id; hot shingles partial-agg map-side. Both
+    // aggregates read the PERSISTED shingle index (the q70
+    // discipline: the tokenize+md5 pass never re-runs per consumer —
+    // or per aggregate: the two exchanges differ, so an inline
+    // lineage would compute it twice); the oracle replays the same
+    // hash-space counting from scratch.
     Q("q118_shingle_novelty",
-      """WITH t AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
-        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws)-1),
-        |          i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]))) AS s
-        |       FROM t WHERE len(ws) >= 3),
-        |f AS (SELECT s, min(doc_id) AS doc_id FROM sh GROUP BY s),
-        |nv AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_novel FROM f GROUP BY doc_id),
-        |ns AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles FROM sh GROUP BY doc_id)
-        |SELECT d.doc_id,
-        |       CAST(coalesce(ns.n_shingles, 0) AS BIGINT) AS n_shingles,
-        |       CAST(coalesce(nv.n_novel, 0) AS BIGINT) AS n_novel,
-        |       (CAST(coalesce(nv.n_novel, 0) AS BIGINT) * 1000000)
-        |         // greatest(CAST(coalesce(ns.n_shingles, 0) AS BIGINT), 1)
-        |         AS novelty_ppm
-        |FROM documents d
-        |LEFT JOIN ns ON ns.doc_id = d.doc_id
-        |LEFT JOIN nv ON nv.doc_id = d.doc_id""".stripMargin) {
+      s"""WITH $rawCorpus,
+         |$shingleCtes,
+         |ex AS (SELECT doc_id, unnest(hs) AS h FROM hst),
+         |f AS (SELECT h, min(doc_id) AS doc_id FROM ex GROUP BY h),
+         |nv AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_novel FROM f GROUP BY doc_id),
+         |ns AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles FROM ex GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |       CAST(coalesce(ns.n_shingles, 0) AS BIGINT) AS n_shingles,
+         |       CAST(coalesce(nv.n_novel, 0) AS BIGINT) AS n_novel,
+         |       (CAST(coalesce(nv.n_novel, 0) AS BIGINT) * 1000000)
+         |         // greatest(CAST(coalesce(ns.n_shingles, 0) AS BIGINT), 1)
+         |         AS novelty_ppm
+         |FROM documents d
+         |LEFT JOIN ns ON ns.doc_id = d.doc_id
+         |LEFT JOIN nv ON nv.doc_id = d.doc_id""".stripMargin) {
       (s, d) =>
-        Dedup.shingleNovelty(table(s, d, "documents"), "doc_id", "text")
+        Dedup.shingleNoveltyFromHashes(
+            table(s, d, "documents").select("doc_id"),
+            Indexes.shingles(s, d).select("doc_id", "__hs"), "doc_id")
           .select("doc_id", "n_shingles", "n_novel", "novelty_ppm")
     },
 
@@ -1922,7 +1933,17 @@ object LlmQueries {
           .outputMode("complete")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
-        try q.awaitTermination(300000) finally q.stop()
+        // awaitTermination returns FALSE on timeout without throwing —
+        // unchecked, a timed-out stream would yield rates derived from
+        // the completed triggers only: plausible-looking, silently
+        // wrong. Fail loudly instead.
+        try require(q.awaitTermination(300000),
+          "q122: stream did not drain within 300s — partial totals")
+        finally q.stop()
+        // The staged arrival log only feeds the stream; the memory
+        // sink holds the result, so the scratch copy can go now
+        // (unlike q99, whose RESULT lives in its scratch store).
+        org.apache.commons.io.FileUtils.deleteDirectory(scratch.toFile)
         graft.ops.Sampling.mixtureRates(s.table(sinkName), "lang",
             budget = 100000L)
           .select("lang", "n_docs", "tot", "wt", "target_tok", "ppm")

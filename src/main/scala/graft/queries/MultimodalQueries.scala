@@ -47,6 +47,33 @@ object MultimodalQueries {
       |                             ELSE (1::BIGINT << CAST(k AS INT)) END) AS phash
       |  FROM bits GROUP BY doc_id)""".stripMargin
 
+  /** The audio-fingerprint oracle chain, shared by q110/q113/q115
+    * (ONE spec for the fingerprint — clip-prefix length, 2-sample
+    * windows, adjacent-energy compare, the k=63 Long.MinValue bit —
+    * so a future change cannot desynchronize the three oracles).
+    * `p` prefixes every CTE name so the chain can coexist with
+    * [[PhashCtes]] (whose final CTE is also named `fp`) in one WITH
+    * clause; the final CTE `${p}fp` carries (doc_id, afp). */
+  private def audioFpCtes(p: String): String =
+    s"""${p}sm AS (
+       |  SELECT doc_id, i,
+       |         CASE WHEN i <= length(text)
+       |              THEN abs((ascii(substring(text, CAST(i AS INT), 1)) - 128) * 256)
+       |              ELSE 0 END AS e
+       |  FROM documents, unnest(generate_series(1, 130)) AS t(i)),
+       |${p}win AS (
+       |  SELECT doc_id, (i-1) // 2 AS w, sum(e) AS s
+       |  FROM ${p}sm GROUP BY doc_id, (i-1) // 2),
+       |${p}bits AS (
+       |  SELECT a.doc_id, a.w AS k, CASE WHEN a.s > b.s THEN 1 ELSE 0 END AS bit
+       |  FROM ${p}win a JOIN ${p}win b ON a.doc_id = b.doc_id AND b.w = a.w + 1
+       |  WHERE a.w < 64),
+       |${p}fp AS (
+       |  SELECT doc_id, bit_or(CASE WHEN bit = 0 THEN 0
+       |                             WHEN k = 63 THEN (-9223372036854775807 - 1)
+       |                             ELSE (1::BIGINT << CAST(k AS INT)) END) AS afp
+       |  FROM ${p}bits GROUP BY doc_id)""".stripMargin
+
   private val PhashPairOracle =
     s"""WITH $PhashCtes
       |SELECT a.doc_id AS d1, b.doc_id AS d2, a.phash AS fp1, b.phash AS fp2,
@@ -296,24 +323,7 @@ object MultimodalQueries {
     // the PhashPairOracle caveat: the default band cap is invisible
     // until a single fingerprint repeats >1000 times).
     Q("q110_audio_neardup",
-      """WITH sm AS (
-        |  SELECT doc_id, i,
-        |         CASE WHEN i <= length(text)
-        |              THEN abs((ascii(substring(text, CAST(i AS INT), 1)) - 128) * 256)
-        |              ELSE 0 END AS e
-        |  FROM documents, unnest(generate_series(1, 130)) AS t(i)),
-        |win AS (
-        |  SELECT doc_id, (i-1) // 2 AS w, sum(e) AS s
-        |  FROM sm GROUP BY doc_id, (i-1) // 2),
-        |bits AS (
-        |  SELECT a.doc_id, a.w AS k, CASE WHEN a.s > b.s THEN 1 ELSE 0 END AS bit
-        |  FROM win a JOIN win b ON a.doc_id = b.doc_id AND b.w = a.w + 1
-        |  WHERE a.w < 64),
-        |fp AS (
-        |  SELECT doc_id, bit_or(CASE WHEN bit = 0 THEN 0
-        |                             WHEN k = 63 THEN (-9223372036854775807 - 1)
-        |                             ELSE (1::BIGINT << CAST(k AS INT)) END) AS afp
-        |  FROM bits GROUP BY doc_id)
+      s"""WITH ${audioFpCtes("")}
         |SELECT a.doc_id AS d1, b.doc_id AS d2, a.afp AS fp1, b.afp AS fp2,
         |       bit_count(xor(a.afp, b.afp))::INT AS hamming
         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
@@ -332,24 +342,7 @@ object MultimodalQueries {
     // every near-dup modality now has both a full-corpus and an
     // incremental declared flow.
     Q("q113_audio_neardup_incremental",
-      """WITH sm AS (
-        |  SELECT doc_id, i,
-        |         CASE WHEN i <= length(text)
-        |              THEN abs((ascii(substring(text, CAST(i AS INT), 1)) - 128) * 256)
-        |              ELSE 0 END AS e
-        |  FROM documents, unnest(generate_series(1, 130)) AS t(i)),
-        |win AS (
-        |  SELECT doc_id, (i-1) // 2 AS w, sum(e) AS s
-        |  FROM sm GROUP BY doc_id, (i-1) // 2),
-        |bits AS (
-        |  SELECT a.doc_id, a.w AS k, CASE WHEN a.s > b.s THEN 1 ELSE 0 END AS bit
-        |  FROM win a JOIN win b ON a.doc_id = b.doc_id AND b.w = a.w + 1
-        |  WHERE a.w < 64),
-        |fp AS (
-        |  SELECT doc_id, bit_or(CASE WHEN bit = 0 THEN 0
-        |                             WHEN k = 63 THEN (-9223372036854775807 - 1)
-        |                             ELSE (1::BIGINT << CAST(k AS INT)) END) AS afp
-        |  FROM bits GROUP BY doc_id),
+      s"""WITH ${audioFpCtes("")},
         |cut AS (SELECT max(doc_id) * 4 // 5 AS c FROM documents)
         |SELECT a.doc_id AS d1, b.doc_id AS d2, a.afp AS fp1, b.afp AS fp2,
         |       bit_count(xor(a.afp, b.afp))::INT AS hamming
@@ -429,24 +422,7 @@ object MultimodalQueries {
     // once when the indexes were built, never per manifest read.
     Q("q115_multimodal_manifest",
       s"""WITH $PhashCtes,
-        |asm AS (
-        |  SELECT doc_id, i,
-        |         CASE WHEN i <= length(text)
-        |              THEN abs((ascii(substring(text, CAST(i AS INT), 1)) - 128) * 256)
-        |              ELSE 0 END AS e
-        |  FROM documents, unnest(generate_series(1, 130)) AS t(i)),
-        |awin AS (
-        |  SELECT doc_id, (i-1) // 2 AS w, sum(e) AS s
-        |  FROM asm GROUP BY doc_id, (i-1) // 2),
-        |abits AS (
-        |  SELECT a.doc_id, a.w AS k, CASE WHEN a.s > b.s THEN 1 ELSE 0 END AS bit
-        |  FROM awin a JOIN awin b ON a.doc_id = b.doc_id AND b.w = a.w + 1
-        |  WHERE a.w < 64),
-        |afpt AS (
-        |  SELECT doc_id, bit_or(CASE WHEN bit = 0 THEN 0
-        |                             WHEN k = 63 THEN (-9223372036854775807 - 1)
-        |                             ELSE (1::BIGINT << CAST(k AS INT)) END) AS afp
-        |  FROM abits GROUP BY doc_id)
+        |${audioFpCtes("a")}
         |SELECT d.doc_id, d.lang,
         |       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok,
         |       i.phash, a.afp,
@@ -456,7 +432,7 @@ object MultimodalQueries {
         |FROM documents d
         |LEFT JOIN (SELECT doc_id, phash FROM fp WHERE doc_id % 3 <> 0) i
         |       ON i.doc_id = d.doc_id
-        |LEFT JOIN (SELECT doc_id, afp FROM afpt WHERE doc_id % 5 <> 0) a
+        |LEFT JOIN (SELECT doc_id, afp FROM afp WHERE doc_id % 5 <> 0) a
         |       ON a.doc_id = d.doc_id""".stripMargin) {
       (s, d) =>
         val docs = table(s, d, "documents").select(col("doc_id"), col("lang"),
@@ -485,12 +461,14 @@ object MultimodalQueries {
     // ∝ pairs — the q74 verify discipline applied cross-modally.
     Q("q116_crossmodal_consistency",
       s"""WITH $PhashCtes,
-        |sh AS (
+        |hsl AS (
         |  SELECT doc_id,
         |         CASE WHEN len(ws) >= 3
-        |              THEN list_distinct(list_transform(range(1, len(ws)-1),
-        |                     i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]))
-        |              ELSE [] END AS shs
+        |              THEN list_transform(
+        |                     list_distinct(list_transform(range(1, len(ws)-1),
+        |                       i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])),
+        |                     s -> ('0x' || substr(md5(s),1,15))::BIGINT)
+        |              ELSE [] END AS hl
         |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
         |pr AS (
         |  SELECT a.doc_id AS d1, b.doc_id AS d2,
@@ -499,11 +477,11 @@ object MultimodalQueries {
         |  WHERE bit_count(xor(a.phash, b.phash)) <= 3),
         |j AS (
         |  SELECT pr.d1, pr.d2, pr.hamming,
-        |         CAST(len(list_intersect(s1.shs, s2.shs)) AS BIGINT) AS n_shared,
-        |         CAST(len(s1.shs) + len(s2.shs)
-        |              - len(list_intersect(s1.shs, s2.shs)) AS BIGINT) AS n_union
-        |  FROM pr JOIN sh s1 ON s1.doc_id = pr.d1
-        |          JOIN sh s2 ON s2.doc_id = pr.d2)
+        |         CAST(len(list_intersect(h1.hl, h2.hl)) AS BIGINT) AS n_shared,
+        |         CAST(len(h1.hl) + len(h2.hl)
+        |              - len(list_intersect(h1.hl, h2.hl)) AS BIGINT) AS n_union
+        |  FROM pr JOIN hsl h1 ON h1.doc_id = pr.d1
+        |          JOIN hsl h2 ON h2.doc_id = pr.d2)
         |SELECT d1, d2, hamming, n_shared, n_union,
         |       CAST(CASE WHEN n_union = 0 THEN 0
         |                 WHEN 10 * n_shared >= 7 * n_union THEN 1
@@ -514,15 +492,29 @@ object MultimodalQueries {
         val pairs = Dedup.simhashPairs(Indexes.imagePhash(s, d),
             "doc_id", "phash", maxHamming = 3, fpBits = 64)
           .select("d1", "d2", "hamming")
-        val sh = table(s, d, "documents").select(col("doc_id"),
-          Dedup.shingles(Dedup.tokens(col("text"))).as("shs"))
+        // The text side rides the PERSISTED shingle-HASH index (8
+        // bytes/shingle, one parquet read per pair side — the
+        // tokenize+md5 pass never re-runs; jaccard over hashes equals
+        // jaccard over shingles and the oracle hashes identically).
+        // Docs under 3 tokens are absent from the index; a LEFT join
+        // + empty-array coalesce keeps their pairs with n_union = 0,
+        // matching the oracle's ELSE []. No semi-join/materialization
+        // of the pair list: at replica-heavy scale the pair set
+        // approaches the corpus in size, so filtering the 8-byte index
+        // through it costs more than just reading the index twice.
+        val empty = array().cast("array<bigint>")
+        val sh = Indexes.shingles(s, d).select(col("doc_id"), col("__hs"))
         val j = pairs
-          .join(sh.select(col("doc_id").as("d1"), col("shs").as("shs1")), Seq("d1"))
-          .join(sh.select(col("doc_id").as("d2"), col("shs").as("shs2")), Seq("d2"))
+          .join(sh.select(col("doc_id").as("d1"), col("__hs").as("hs1")),
+            Seq("d1"), "left")
+          .join(sh.select(col("doc_id").as("d2"), col("__hs").as("hs2")),
+            Seq("d2"), "left")
+          .withColumn("hs1", coalesce(col("hs1"), empty))
+          .withColumn("hs2", coalesce(col("hs2"), empty))
           .withColumn("n_shared",
-            size(array_intersect(col("shs1"), col("shs2"))).cast("bigint"))
+            size(array_intersect(col("hs1"), col("hs2"))).cast("bigint"))
           .withColumn("n_union",
-            (size(col("shs1")) + size(col("shs2"))).cast("bigint") - col("n_shared"))
+            (size(col("hs1")) + size(col("hs2"))).cast("bigint") - col("n_shared"))
         j.select(col("d1"), col("d2"), col("hamming"),
           col("n_shared"), col("n_union"),
           when(col("n_union") === 0, 0)

@@ -38,6 +38,20 @@ object Anonymize {
       .withColumn("l_ok", when(col("n_sensitive") >= l, 1).otherwise(0).cast("int"))
   }
 
+  /** Deterministic keyed pseudonymization: replace an identifier with
+    * a salted portable hash. One function of (salt, key) — so the
+    * SAME key maps to the SAME pseudonym in every table it appears
+    * in, preserving referential integrity (joins, per-entity
+    * aggregates, sessionization all still work on the pseudonymized
+    * release), while the raw identifier never leaves the pipeline.
+    * 60-bit space: collisions are ~n²/2^61 — negligible below ~10^8
+    * entities, and a release pipeline that needs more uses the full
+    * md5. A pure map expression — no shuffle, no state, and the salt
+    * is the only secret (rotate it per release to unlink releases). */
+  def pseudonym(key: Column, salt: String): Column =
+    graft.functions.Functions.portableHash64(
+      concat_ws(":", lit(salt), key.cast("string")))
+
   /** k-anonymity suppression: drop every record whose QI group has
     * fewer than `k` members. One window count over the QI partition —
     * the group size rides along each row, so no aggregate-then-join

@@ -839,6 +839,43 @@ object LlmQueries {
           sensitive = col("c_mktsegment"), k = 5, l = 3)
     },
 
+    // Keyed pseudonymization with referential integrity: the same
+    // salted hash replaces the customer key in BOTH tables, so the
+    // released data still joins and aggregates per entity while the
+    // raw identifier never ships — the privacy transform a
+    // training-data release runs after the q45 scrub and before the
+    // q80 gate. The output is a per-pseudonym order profile computed
+    // ON the pseudonymized keys; hash-matching the oracle (which
+    // pseudonymizes independently) proves the mapping is consistent
+    // across tables AND that per-entity structure survives. A pure
+    // map expression on each side + the join the raw keys would have
+    // done anyway — zero added shuffles at 100 TB.
+    Q("q125_pseudonymize",
+      s"""WITH c AS (SELECT ${h64("'rel2024:' || CAST(c_custkey AS VARCHAR)")} AS pseudo_id,
+         |             CAST(c_nationkey AS INT) AS nationkey
+         |           FROM customer),
+         |o AS (SELECT ${h64("'rel2024:' || CAST(o_custkey AS VARCHAR)")} AS pseudo_id,
+         |        CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+         |      FROM orders)
+         |SELECT c.pseudo_id, c.nationkey,
+         |       CAST(count(o.cents) AS BIGINT) AS n_orders,
+         |       CAST(coalesce(sum(o.cents), 0) AS BIGINT) AS sum_cents
+         |FROM c LEFT JOIN o ON o.pseudo_id = c.pseudo_id
+         |GROUP BY c.pseudo_id, c.nationkey""".stripMargin) {
+      (s, d) =>
+        import graft.ops.Anonymize.pseudonym
+        val c = table(s, d, "customer").select(
+          pseudonym(col("c_custkey"), "rel2024").as("pseudo_id"),
+          col("c_nationkey").cast("int").as("nationkey"))
+        val o = table(s, d, "orders").select(
+          pseudonym(col("o_custkey"), "rel2024").as("pseudo_id"),
+          graft.functions.Functions.cents(col("o_totalprice")).as("cents"))
+        c.join(o, Seq("pseudo_id"), "left")
+          .groupBy("pseudo_id", "nationkey")
+          .agg(count(col("cents")).as("n_orders"),
+            coalesce(sum(col("cents")), lit(0L)).cast("bigint").as("sum_cents"))
+    },
+
     // End-to-end corpus preparation: quality gate → exact dedup with
     // deterministic survivor choice → survivors with their stats. The
     // composition a training-data pipeline actually runs, as one

@@ -342,6 +342,47 @@ object ExtensionQueries {
             col("sum_value").cast("bigint").as("sum_cents"))
     },
 
+    // STREAM-STATIC enrichment — the most common production streaming
+    // shape, declared standalone: the event stream joined per
+    // micro-batch against a broadcast batch dimension (customer),
+    // then watermark-windowed per enrichment attribute. The dim
+    // broadcasts so enrichment is map-side with zero stream-side
+    // shuffle, and Spark re-plans the static side per trigger (a dim
+    // refreshed between triggers — an SCD2 current view — is picked
+    // up live). LEFT join: an unmatched event surfaces as a null
+    // nation, never vanishes. Oracle = the batch formulation over
+    // the same tables (q95's replay discipline).
+    Q("q126_stream_enrich",
+      """SELECT time_bucket(INTERVAL '10 minutes', e.ts, TIMESTAMP '1970-01-01 00:00:00') AS win_start,
+        |       CAST(c.c_nationkey AS INT) AS nationkey,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
+        |GROUP BY win_start, nationkey""".stripMargin) {
+      (s, d) =>
+        val stream = graft.io.Sources.eventsStream(s, d)
+          .withColumn("value", graft.functions.Functions.cents(col("value")))
+        val dim = graft.io.Sources.table(s, d, "customer")
+          .select(col("c_custkey"), col("c_nationkey").cast("int").as("nationkey"))
+        val enriched = graft.streaming.Streaming.enrich(
+          stream, dim, col("c_custkey") === col("user_id"))
+        val agg = enriched.withWatermark("ts", "1 minute")
+          .groupBy(window(col("ts"), "10 minutes"), col("nationkey"))
+          .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+        val sinkName = "q126_stream_enrich_sink"
+        s.catalog.dropTempView(sinkName)
+        val q = agg.writeStream.format("memory").queryName(sinkName)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try require(q.awaitTermination(300000),
+          "q126: stream did not drain within 300s — partial windows")
+        finally q.stop()
+        s.table(sinkName)
+          .select(col("window.start").as("win_start"), col("nationkey"),
+            col("n"), col("sum_value").cast("bigint").as("sum_cents"))
+    },
+
     // RANGE-framed window: the trailing 7-day spend per customer —
     // time-based moving aggregates are RANGE frames (all rows whose
     // ORDER value falls in the value interval), not ROWS frames (a

@@ -92,6 +92,19 @@ object Streaming {
       .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
         col(keyCol), col("n"), col("sum_value"))
 
+  /** Stream-static dimension enrichment — the most common production
+    * streaming shape: a fact stream joined against a (bounded) batch
+    * dimension. The dim side broadcasts, so each micro-batch enriches
+    * map-side with zero stream-side shuffle; Spark re-plans the
+    * static side per trigger, so a dim refreshed between triggers
+    * (e.g. an SCD2 current-version view) is picked up without
+    * restarting the stream. LEFT join by default: an unmatched fact
+    * must surface as nulls, not vanish. */
+  def enrich(stream: DataFrame, dim: DataFrame,
+             joinExpr: org.apache.spark.sql.Column,
+             joinType: String = "left"): DataFrame =
+    stream.join(broadcast(dim), joinExpr, joinType)
+
   /** Session windows: per-key activity bursts separated by `gap` of
     * quiet become one window (the streaming counterpart of
     * [[graft.ops.Sessionize]]'s batch formulation — state closes and

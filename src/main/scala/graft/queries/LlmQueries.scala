@@ -1986,6 +1986,60 @@ object LlmQueries {
           .select("lang", "n_docs", "tot", "wt", "target_tok", "ppm")
     },
 
+    // MULTIMODAL joint dedup clusters: a document pair is a duplicate
+    // when ANY modality says so — text (jaccard-verified MinHash
+    // pairs), image (phash Hamming ≤ 3), or audio (fingerprint
+    // Hamming ≤ 3) — and connected components run over the UNION of
+    // the three edge sets. This is the policy a real multimodal
+    // corpus dedups under (re-encoded images and re-recorded audio
+    // evade text similarity and vice versa); the machinery is
+    // entirely reused: all three edge sets come from persisted
+    // indexes, and the same adaptive CC resolves the union. Oracle:
+    // the three pair formulations unioned into one recursive closure
+    // — the text half IS the shared componentCtes text, the media
+    // halves the shared PhashCtes/audioFpCtes, so no formulation
+    // forks.
+    Q("q127_multimodal_clusters",
+      s"""WITH RECURSIVE $rawCorpus,
+         |$shingleCtes,
+         |sig AS (SELECT doc_id, hs, $mhColsSql FROM hst),
+         |cand AS ($bandJoinSql),
+         |$componentCtes,
+         |${MultimodalQueries.PhashCtes},
+         |${MultimodalQueries.audioFpCtes("a")},
+         |allp AS (SELECT d1, d2 FROM pairs
+         |         UNION SELECT a.doc_id AS d1, b.doc_id AS d2
+         |               FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         |               WHERE bit_count(xor(a.phash, b.phash)) <= 3
+         |         UNION SELECT a.doc_id AS d1, b.doc_id AS d2
+         |               FROM afp a JOIN afp b ON a.doc_id < b.doc_id
+         |               WHERE bit_count(xor(a.afp, b.afp)) <= 3),
+         |msym AS (SELECT d1 AS src, d2 AS dst FROM allp
+         |         UNION SELECT d2, d1 FROM allp),
+         |mreach AS (
+         |  SELECT src, dst FROM msym
+         |  UNION
+         |  SELECT r.src, e.dst FROM mreach r JOIN msym e ON r.dst = e.src),
+         |mcomp AS (SELECT src AS doc_id, least(src, min(dst)) AS component
+         |          FROM mreach GROUP BY src)
+         |SELECT c.component, c.doc_id,
+         |       count(*) OVER (PARTITION BY c.component) AS cluster_size
+         |FROM mcomp c""".stripMargin) {
+      (s, d) =>
+        val text = verifiedPairs(s, d).select("d1", "d2")
+        val img = Dedup.simhashPairs(Indexes.imagePhash(s, d),
+            "doc_id", "phash", maxHamming = 3, fpBits = 64)
+          .select("d1", "d2")
+        val aud = Dedup.simhashPairs(Indexes.audioFingerprint(s, d),
+            "doc_id", "afp", maxHamming = 3, fpBits = 64)
+          .select("d1", "d2")
+        val edges = text.unionByName(img).unionByName(aud)
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("component"))
+        Dedup.connectedComponents(edges)
+          .select(col("component"), col("id").as("doc_id"))
+          .withColumn("cluster_size", count(lit(1)).over(w))
+    },
+
     // Count-min sketch heavy hitters: bounded-memory frequency
     // estimation — 4 hash rows × 1024 counters (32 KB of state for
     // any corpus size) built in ONE partial-agg pass over the

@@ -27,7 +27,7 @@ object MultimodalQueries {
     * the oracle keeps, exactly as in the MinHash family's documented
     * cap semantics. Shared by q97 (BMP path) and q102 (PNG path) —
     * same pixels, so the same oracle pins both. */
-  private val PhashCtes =
+  private[queries] val PhashCtes =
     """px AS (
       |  SELECT doc_id, i,
       |         CASE WHEN i <= length(text) THEN ascii(substring(text, CAST(i AS INT), 1))
@@ -54,7 +54,7 @@ object MultimodalQueries {
     * `p` prefixes every CTE name so the chain can coexist with
     * [[PhashCtes]] (whose final CTE is also named `fp`) in one WITH
     * clause; the final CTE `${p}fp` carries (doc_id, afp). */
-  private def audioFpCtes(p: String): String =
+  private[queries] def audioFpCtes(p: String): String =
     s"""${p}sm AS (
        |  SELECT doc_id, i,
        |         CASE WHEN i <= length(text)

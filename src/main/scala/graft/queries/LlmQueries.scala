@@ -1986,6 +1986,66 @@ object LlmQueries {
           .select("lang", "n_docs", "tot", "wt", "target_tok", "ppm")
     },
 
+    // Robust outlier gate: median absolute deviation per source —
+    // the heavy-tail-safe alternative to 3σ (a handful of giant
+    // documents drags a mean+stddev gate far enough that real
+    // outliers pass; the median and MAD don't move). Everything
+    // integer-exact: median = the ((n−1) div 2)-th order statistic
+    // under the (value, id) total order — selected by rank, not
+    // interpolated — and the flag is an integer compare
+    // (dev > 3·mad). Both order statistics come from
+    // Sampling.rankNormalize's two-phase machinery, so no source is
+    // ever sorted in one partition; the med/mad frames are bounded
+    // (one row per source) and broadcast back. The oracle replays
+    // both rank selections with naive windows.
+    Q("q128_mad_outliers",
+      """WITH t AS (SELECT doc_id, source,
+        |             CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok
+        |           FROM documents),
+        |r1 AS (SELECT *,
+        |         CAST(row_number() OVER (PARTITION BY source
+        |                ORDER BY n_tok, doc_id) - 1 AS BIGINT) AS rnk,
+        |         CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+        |       FROM t),
+        |med AS (SELECT source, n_tok AS med FROM r1 WHERE rnk = (n - 1) // 2),
+        |d AS (SELECT t.doc_id, t.source, t.n_tok, m.med,
+        |        abs(t.n_tok - m.med) AS dev
+        |      FROM t JOIN med m USING (source)),
+        |r2 AS (SELECT *,
+        |         CAST(row_number() OVER (PARTITION BY source
+        |                ORDER BY dev, doc_id) - 1 AS BIGINT) AS rnk,
+        |         CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+        |       FROM d),
+        |mad AS (SELECT source, dev AS mad FROM r2 WHERE rnk = (n - 1) // 2)
+        |SELECT d.doc_id, d.source, d.n_tok, d.med, md.mad AS mad,
+        |       CAST(CASE WHEN d.dev > 3 * md.mad THEN 1 ELSE 0 END AS INT)
+        |         AS outlier
+        |FROM d JOIN mad md USING (source)""".stripMargin) {
+      (s, d) =>
+        import graft.ops.Sampling
+        val docs = table(s, d, "documents").select(col("doc_id"), col("source"),
+          size(Dedup.tokens(col("text"))).cast("bigint").as("n_tok"))
+        def orderStat(df: org.apache.spark.sql.DataFrame,
+                      scoreCol: org.apache.spark.sql.Column) = {
+          val r = Sampling.rankNormalize(df, "source", "doc_id", scoreCol)
+          val n = r.groupBy("source").agg(count(lit(1)).as("n"))
+          r.join(broadcast(n), Seq("source"))
+            .filter(col("rnk") === expr("(n - 1) div 2"))
+            .select(col("source"), col("score"))
+        }
+        val med = orderStat(docs, col("n_tok"))
+          .withColumnRenamed("score", "med")
+        val withDev = docs.join(broadcast(med), Seq("source"))
+          .withColumn("dev", abs(col("n_tok") - col("med")))
+        val mad = orderStat(withDev, col("dev"))
+          .withColumnRenamed("score", "mad")
+        withDev.join(broadcast(mad), Seq("source"))
+          .select(col("doc_id"), col("source"), col("n_tok"), col("med"),
+            col("mad"),
+            when(col("dev") > lit(3) * col("mad"), 1).otherwise(0)
+              .cast("int").as("outlier"))
+    },
+
     // MULTIMODAL joint dedup clusters: a document pair is a duplicate
     // when ANY modality says so — text (jaccard-verified MinHash
     // pairs), image (phash Hamming ≤ 3), or audio (fingerprint

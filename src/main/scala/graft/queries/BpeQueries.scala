@@ -155,6 +155,65 @@ object BpeQueries {
           "source", "doc_id", trainedCount,
           budgets = Budgets, defaultBudget = DefaultBudget)
           .select("doc_id", "source", "n_tok", "cum_tok")
+    },
+
+    // Token-ID encoding — the trainer-facing end of the tokenizer
+    // chain (train → tokenize → budget → ENCODE): each document's
+    // merged symbol stream mapped to integer ids from a deterministic
+    // vocabulary (distinct final symbols, numbered in string order —
+    // independent of counts, so any engine numbers identically). The
+    // vocabulary is BOUNDED BY CONSTRUCTION: a symbol is either a
+    // base character or the product of one of the NMerges rules, so
+    // |V| ≤ 36 + NMerges — a one-time bounded collect (the
+    // k-means-centroid discipline) broadcast as a literal map; the
+    // encode itself is a pure codegen map pass, no shuffle, no UDF.
+    // The oracle replays the full training chain, numbers the same
+    // vocabulary with row_number over the same order, and reassembles
+    // every id sequence in (word, symbol) order.
+    Q("q129_bpe_encode_ids", {
+      val n = NMerges
+      s"""WITH ${trainingCtes(n)},
+         |vocab AS (SELECT sym,
+         |            CAST(row_number() OVER (ORDER BY sym) - 1 AS BIGINT) AS tid
+         |          FROM (SELECT DISTINCT unnest(str_split(trim(rep, '<>'), '><')) AS sym
+         |                FROM w$n)),
+         |sx AS (SELECT doc_id, j, i, syms[CAST(i AS INT)] AS sym
+         |       FROM (SELECT doc_id, j, str_split(trim(rep, '<>'), '><') AS syms
+         |             FROM w$n),
+         |            unnest(generate_series(1, len(syms))) AS g(i)),
+         |ids AS (SELECT sx.doc_id,
+         |          CAST(count(*) AS BIGINT) AS n_tok,
+         |          string_agg(CAST(v.tid AS VARCHAR), ' ' ORDER BY sx.j, sx.i) AS id_seq
+         |        FROM sx JOIN vocab v ON v.sym = sx.sym GROUP BY sx.doc_id)
+         |SELECT d.doc_id,
+         |       CAST(coalesce(ids.n_tok, 0) AS BIGINT) AS n_tok,
+         |       coalesce(ids.id_seq, '') AS id_seq
+         |FROM documents d LEFT JOIN ids ON ids.doc_id = d.doc_id""".stripMargin
+    }) {
+      (s, d) =>
+        val merges = Indexes.bpeMerges(s, d, NMerges)
+        val docs = table(s, d, "documents").select(col("doc_id"),
+          transform(Bpe.wordArray(col("text")),
+            w => Bpe.applyMerges(Bpe.charWrap(w), merges)).as("reps"))
+        // Bounded vocabulary collect: |V| ≤ alphabet + NMerges. Derived
+        // from DISTINCT words (the symbol set of the distinct-word set
+        // equals the corpus's), so the merge chain runs once per
+        // distinct word here, not once per corpus occurrence — the
+        // corpus-wide apply below is the encode itself.
+        val vocab = table(s, d, "documents")
+          .select(explode(Bpe.wordArray(col("text"))).as("w")).distinct()
+          .select(explode(Bpe.symbols(
+            Bpe.applyMerges(Bpe.charWrap(col("w")), merges))).as("sym"))
+          .distinct().orderBy("sym").collect().map(_.getString(0))
+        val idOf = typedlit(vocab.zipWithIndex.map { case (sym, i) =>
+          (sym, i.toLong) }.toMap)
+        docs.select(col("doc_id"),
+          aggregate(col("reps"), lit(0L),
+            (acc, r) => acc + size(Bpe.symbols(r))).as("n_tok"),
+          array_join(transform(col("reps"), r =>
+            array_join(transform(Bpe.symbols(r),
+              sym => element_at(idOf, sym).cast("string")), " ")), " ")
+            .as("id_seq"))
     }
   )
 }

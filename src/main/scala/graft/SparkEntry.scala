@@ -15,7 +15,8 @@ object SparkEntry {
   private def registry: Seq[Q] =
     ParityQueries.all ++ graft.queries.ExtensionQueries.all ++
       graft.queries.LlmQueries.all ++ graft.queries.SimilarityQueries.all ++
-      graft.queries.MultimodalQueries.all ++ graft.queries.BpeQueries.all
+      graft.queries.MultimodalQueries.all ++ graft.queries.BpeQueries.all ++
+      graft.queries.CurationQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

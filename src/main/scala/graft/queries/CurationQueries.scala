@@ -1,0 +1,110 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.io.Sources.table
+import graft.ops.{Graph, Skew}
+
+/** Corpus-curation operators above the document level: source/domain
+  * authority scoring over a content-citation graph, retrieval-style
+  * ranking, dataset reporting, and distribution monitoring — the
+  * steps that decide WHICH documents a 100 TB pretraining corpus
+  * keeps, ranked, and reported, after the dedup/similarity families
+  * have labeled it.
+  *
+  * Oracle discipline is the house standard: every query's arithmetic
+  * is integer-exact (scaled `div`, order statistics, counts) so the
+  * DuckDB replay matches bit-for-bit, including iterative
+  * computations, which the oracles unroll as generated CTE chains
+  * (the k-means/BPE discipline applied to graph power iteration).
+  */
+object CurationQueries {
+  import LlmQueries.{h64, shingleCtes}
+
+  /** Power-iteration count for q130 — interpolated into the oracle's
+    * unrolled CTE chain and passed to [[Graph.pageRank]], so the two
+    * sides cannot drift. */
+  private val PrIters = 6
+
+  /** The oracle's unrolled PageRank iterations r1..r`n` over CTEs
+    * `srcs(v)` / `nn(n)` / `tp(t)` / `e2(u, v, p)` — the exact
+    * integer recurrence of [[Graph.pageRank]]. */
+  private def prIterCtes(n: Int): String = (0 until n).map { k =>
+    s"""r${k + 1} AS (
+       |  SELECT s.v, (SELECT t FROM tp) + coalesce(m.m, 0) AS r
+       |  FROM srcs s LEFT JOIN (
+       |    SELECT e2.v, sum((85 * r$k.r * e2.p) // ${100L * Graph.PpmScale}) AS m
+       |    FROM e2 JOIN r$k ON e2.u = r$k.v GROUP BY e2.v) m ON m.v = s.v)""".stripMargin
+  }.mkString(",\n")
+
+  def all: Seq[Q] = Seq(
+
+    // Domain authority from content citation: every shingle's EARLIEST
+    // carrier (min doc id — the q118 first-occurrence discipline) is
+    // its origin; each later carrier's source "cites" the origin's
+    // source, and the resulting weighted source→source graph is ranked
+    // by damped PageRank in scaled-integer space. This is the domain-
+    // ranking step of web-corpus curation (crawl-frontier priors,
+    // per-domain quality weights): sources whose content everyone else
+    // repeats rank high, content farms that only copy rank at the
+    // teleport floor. The edge derivation rides the persisted shingle
+    // index (parquet reads, no re-shingling); the per-shingle origin
+    // lookup is a 1-row-per-key join SALTED 16 ways (boilerplate
+    // shingles are hot by construction — the q119 discipline); the
+    // power iterations are |sources|-row joins against a
+    // localCheckpoint'd edge frame (plan depth constant in the
+    // iteration count). The oracle replays shingling, attribution,
+    // ppm edge weights, and all six integer iterations unrolled.
+    Q("q130_domain_rank",
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+         |$shingleCtes,
+         |ex AS (SELECT h.doc_id, d.source, unnest(h.hs) AS hh
+         |       FROM hst h JOIN documents d ON h.doc_id = d.doc_id),
+         |org AS (SELECT hh, min(doc_id) AS odoc FROM ex GROUP BY hh),
+         |osrc AS (SELECT o.hh, o.odoc, d.source AS vsrc
+         |         FROM org o JOIN documents d ON d.doc_id = o.odoc),
+         |att AS (SELECT e.source AS u, s.vsrc AS v, count(*) AS w
+         |        FROM ex e JOIN osrc s ON e.hh = s.hh
+         |        WHERE e.doc_id <> s.odoc AND e.source <> s.vsrc
+         |        GROUP BY 1, 2),
+         |srcs AS (SELECT DISTINCT source AS v FROM documents),
+         |nn AS (SELECT count(*) AS n FROM srcs),
+         |tp AS (SELECT (15 * (${Graph.Scale} // n)) // 100 AS t FROM nn),
+         |ow AS (SELECT u, sum(w) AS tw FROM att GROUP BY u),
+         |e2 AS (SELECT a.u, a.v, (a.w * ${Graph.PpmScale}) // o.tw AS p
+         |       FROM att a JOIN ow o ON a.u = o.u),
+         |r0 AS (SELECT v, (SELECT ${Graph.Scale} // n FROM nn) AS r FROM srcs),
+         |${prIterCtes(PrIters)}
+         |SELECT v AS source, CAST(r AS BIGINT) AS rank_scaled FROM r$PrIters""".stripMargin) {
+      (s, d) =>
+        // The oracle's `e.doc_id <> s.odoc` guard is IMPLIED by
+        // `e.source <> s.vsrc` (the origin doc's source IS vsrc), so
+        // the Spark side carries only the source inequality — the
+        // green row machine-proves the simplification. The exploded
+        // index appears in both the origin aggregate and the
+        // attribution join; the subtrees canonicalize identically, so
+        // ReuseExchange runs the explode+shuffle once.
+        val ex = Indexes.shingles(s, d)
+          .select(col("doc_id"), col("source"), explode(col("__hs")).as("h"))
+        val org = ex.groupBy("h").agg(min(col("doc_id")).as("odoc"))
+        // Origin source via the narrow documents projection (2 columns
+        // — broadcast-sized at the gate SFs, a plain narrow join at
+        // web scale), never a second pass over the exploded index.
+        val osrc = org.join(
+          table(s, d, "documents")
+            .select(col("doc_id").as("odoc"), col("source").as("vsrc")),
+          Seq("odoc"))
+        val att = Skew.saltedJoinHot(ex, osrc.select("h", "vsrc"), "h",
+            saltBy = col("doc_id"), salts = 16,
+            hotCap = graft.ops.Dedup.DefaultHotShingleCap)
+          .filter(col("source") =!= col("vsrc"))
+          .select(col("source").as("u"), col("vsrc").as("v"))
+          .groupBy("u", "v").agg(count(lit(1)).as("w"))
+          // Bounded at |sources|² and consumed by two subtrees of the
+          // rank recurrence (out-weights and transitions) — pinned
+          // once so the attribution join can never re-run.
+          .localCheckpoint(true)
+        val nodes = table(s, d, "documents").select("source").distinct()
+        Graph.pageRank(att, nodes, "source", PrIters)
+          .select(col("v").as("source"), col("r").as("rank_scaled"))
+    })
+}

@@ -33,7 +33,7 @@ object LlmQueries {
 
   /** Portable 64-bit hash, DuckDB side (must mirror
     * [[graft.functions.Functions.portableHash64]]). */
-  private def h64(expr: String): String =
+  private[queries] def h64(expr: String): String =
     s"('0x' || substr(md5($expr),1,15))::BIGINT"
 
   /** (a_i, b_i) of the MinHash family — mirrors
@@ -44,7 +44,7 @@ object LlmQueries {
 
   /** Shared oracle CTEs: tokens → distinct 3-gram shingles → shingle
     * hashes, from a `corpus(doc_id, text)` relation. */
-  private val shingleCtes =
+  private[queries] val shingleCtes =
     s"""tok AS (SELECT doc_id, string_split(text,' ') AS ws FROM corpus),
        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws)-1),
        |         i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS shs

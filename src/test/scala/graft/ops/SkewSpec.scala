@@ -97,4 +97,53 @@ class SkewSpec extends AnyFunSuite {
     assert(cells.max <= 4 * cap * cap,
       s"hottest task cell carries ${cells.max} pairs")
   }
+
+  /** A skewed fixture for the selective salt: one boilerplate key
+    * carrying most rows, a long tail of singletons, a dim-only key. */
+  private def hotFixture = {
+    val f = ((1L to 600L).map(i => (i, "boiler", i * 2)) ++
+      (601L to 700L).map(i => (i, s"tail${i % 37}", i * 2)))
+      .toDF("id", "k", "v")
+    val d = (Seq("boiler") ++ (0 until 37).map(i => s"tail$i") ++ Seq("dimonly"))
+      .map(k => (k, s"lbl_$k")).toDF("k", "label")
+    (f, d)
+  }
+
+  test("saltedJoinHot: inner join equals the plain join row-for-row") {
+    val (f, d) = hotFixture
+    val plain = f.join(d, Seq("k"), "inner")
+      .select("id", "k", "v", "label").collect().toSet
+    for (detectOneIn <- Seq(1, 4)) {
+      val salted = Skew.saltedJoinHot(f, d, "k", col("id"), salts = 8,
+          hotCap = 50, detectOneIn = detectOneIn)
+        .select("id", "k", "v", "label").collect().toSet
+      assert(salted === plain, s"detectOneIn=$detectOneIn")
+    }
+  }
+
+  test("saltedJoinHot: left join keeps unmatched fact rows exactly once") {
+    val (f, d) = hotFixture
+    val extra = f.union(Seq((999L, "nomatch", 0L)).toDF("id", "k", "v"))
+    val out = Skew.saltedJoinHot(extra, d, "k", col("id"), salts = 8,
+      hotCap = 50, detectOneIn = 1, joinType = "left")
+      .select("id", "k", "v", "label").collect()
+    assert(out.count(_.getLong(0) == 999L) === 1)
+    assert(out.length === extra.count().toInt)
+  }
+
+  test("saltedJoinHot: only the hot key's rows spread beyond salt 0") {
+    val (f, d) = hotFixture
+    // Re-derive the routing exactly as the implementation does: hot
+    // keys hash-spread across salts, cold keys all land on salt 0 —
+    // the property that makes the selective salt ≈ plain-join cost.
+    val salted = f.withColumn("__salt",
+      when(col("k") === "boiler", pmod(xxhash64(col("id")), lit(8)))
+        .otherwise(lit(0L)))
+    val spread = salted.filter(col("k") === "boiler")
+      .select("__salt").distinct().count()
+    assert(spread > 4, s"hot key spread across only $spread salts")
+    val joined = Skew.saltedJoinHot(f, d, "k", col("id"), salts = 8,
+      hotCap = 50, detectOneIn = 1)
+    assert(joined.count() === f.join(d, Seq("k"), "inner").count())
+  }
 }

@@ -170,6 +170,54 @@ object BpeQueries {
     // The oracle replays the full training chain, numbers the same
     // vocabulary with row_number over the same order, and reassembles
     // every id sequence in (word, symbol) order.
+    // Tokenizer fertility audit: chars-per-token per language under
+    // the trained tokenizer — THE metric a tokenizer is judged by
+    // (low compression on a language means its text pays more tokens
+    // per information unit: inflated training cost and effective
+    // context truncation; multilingual pipelines rebalance or retrain
+    // on this number). Normalized chars are invariant under merges
+    // (each rule only fuses symbols), so the ratio needs just the
+    // trained symbol counts — one tokenize map pass over the corpus +
+    // one bounded per-language aggregate; the merge table is the
+    // memoized index. Integer milli-ratio, ties to the oracle's replay
+    // of the full training chain.
+    Q("q131_bpe_compression", {
+      val n = NMerges
+      s"""WITH ${trainingCtes(n)},
+         |pt AS (SELECT doc_id,
+         |         sum(len(str_split(trim(rep, '<>'), '><'))) AS toks,
+         |         sum(length(replace(replace(rep, '<', ''), '>', ''))) AS chars
+         |       FROM w$n GROUP BY doc_id)
+         |SELECT d.lang,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(coalesce(sum(pt.chars), 0) AS BIGINT) AS n_chars,
+         |       CAST(coalesce(sum(pt.toks), 0) AS BIGINT) AS n_bpe_tokens,
+         |       CAST(CASE WHEN coalesce(sum(pt.toks), 0) = 0 THEN 0
+         |            ELSE (sum(pt.chars) * 1000) // sum(pt.toks) END AS BIGINT)
+         |         AS chars_per_token_milli
+         |FROM documents d LEFT JOIN pt ON pt.doc_id = d.doc_id
+         |GROUP BY d.lang""".stripMargin
+    }) {
+      (s, d) =>
+        val merges = Indexes.bpeMerges(s, d, NMerges)
+        val per = table(s, d, "documents").select(col("lang"),
+          aggregate(
+            transform(Bpe.wordArray(col("text")),
+              w => Bpe.applyMerges(Bpe.charWrap(w), merges)),
+            lit(0L), (acc, r) => acc + size(Bpe.symbols(r))).as("toks"),
+          aggregate(Bpe.wordArray(col("text")),
+            lit(0L), (acc, w) => acc + length(w)).as("chars"))
+        per.groupBy("lang").agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("chars")).as("n_chars"),
+            sum(col("toks")).as("n_bpe_tokens"))
+          .select(col("lang"), col("n_docs"), col("n_chars"),
+            col("n_bpe_tokens"),
+            when(col("n_bpe_tokens") === 0, lit(0L))
+              .otherwise(expr("(n_chars * 1000) div n_bpe_tokens"))
+              .as("chars_per_token_milli"))
+    },
+
     Q("q129_bpe_encode_ids", {
       val n = NMerges
       s"""WITH ${trainingCtes(n)},

@@ -106,5 +106,81 @@ object CurationQueries {
         val nodes = table(s, d, "documents").select("source").distinct()
         Graph.pageRank(att, nodes, "source", PrIters)
           .select(col("v").as("source"), col("r").as("rank_scaled"))
+    },
+
+    // BM25 top-k retrieval over the inverted index — the ranked-lookup
+    // operator curation pipelines use for targeted data selection
+    // ("find the docs most about X"), eval-set mining, and dedup
+    // triage. Scoring is the ENGINE-SPEC'D rational BM25 (k1 = 1.2,
+    // b = 0.75): the tf-normalization term is exact integer arithmetic
+    // against the milli-scaled average document length, idf is the
+    // Robertson argument (N−df+0.5)/(df+0.5) in milli WITHOUT the log
+    // (log-free idf is order-identical within a term and engine-exact
+    // across engines; tf saturates at 1000 — BM25 is flat up there —
+    // which also pins the 2²·10¹⁷ overflow envelope at any corpus
+    // size). Query terms are the df-ranked 20th–24th terms (mid-
+    // frequency — deterministic, non-degenerate on any corpus).
+    // Scale shape: term selection is TakeOrdered top-24 (never a
+    // global sort partition); the 5-row query set broadcasts onto the
+    // posting lists; top-k per term is TWO-PHASE — row_number within
+    // (term, 32-way doc shard), then the final rank over ≤ 320
+    // survivors per term — so no posting list (millions of docs for a
+    // mid-frequency term at 100 TB) ever sorts in one partition. The
+    // oracle is the naive global formulation of the same integer
+    // score, so the green row proves the two-phase decomposition.
+    Q("q132_bm25_topk",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+        |stats AS (SELECT count(*) AS nd,
+        |                 (sum(dl) * 1000) // count(*) AS a FROM dl),
+        |dfr AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+        |qt AS (SELECT w, df FROM (
+        |         SELECT w, df, row_number() OVER (ORDER BY df DESC, w) AS trk
+        |         FROM dfr) WHERE trk BETWEEN 20 AND 24),
+        |sc AS (SELECT tf.w, tf.doc_id, tf.tf, dl.dl,
+        |         ((((stats.nd - qt.df) * 2000 + 1000) // (2 * qt.df + 1))
+        |          * ((22 * stats.a * least(tf.tf, 1000) * 1000000)
+        |             // (10 * stats.a * least(tf.tf, 1000) + 3 * stats.a
+        |                 + 9000 * dl.dl))) // 1000 AS score
+        |       FROM tf JOIN qt ON tf.w = qt.w
+        |       JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY w
+        |                   ORDER BY score DESC, doc_id) AS rnk FROM sc)
+        |SELECT w AS term, doc_id, CAST(tf AS BIGINT) AS tf, dl,
+        |       CAST(score AS BIGINT) AS score_scaled, CAST(rnk AS BIGINT) AS rnk
+        |FROM rk WHERE rnk <= 10""".stripMargin) {
+      (s, d) =>
+        import org.apache.spark.sql.expressions.Window
+        val tf = Indexes.termFrequencies(s, d)
+        val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+        val stats = dl.agg(count(lit(1)).as("nd"),
+          expr("(sum(dl) * 1000) div count(1)").as("a"))
+        val dfr = tf.groupBy("w").agg(count(lit(1)).as("df"))
+        // TakeOrdered top-24, then rank the bounded survivors — the
+        // global window runs over 24 rows, never the vocabulary.
+        val qt = dfr.orderBy(col("df").desc, col("w").asc).limit(24)
+          .withColumn("trk",
+            row_number().over(Window.orderBy(col("df").desc, col("w"))))
+          .filter(col("trk").between(20, 24)).select("w", "df")
+        val sc = tf.join(broadcast(qt), "w")
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(stats))
+          .withColumn("score",
+            expr("""((((nd - df) * 2000 + 1000) div (2 * df + 1))
+                   * ((22 * a * least(tf, 1000) * 1000000)
+                      div (10 * a * least(tf, 1000) + 3 * a
+                          + 9000 * dl))) div 1000"""))
+        val shardW = Window
+          .partitionBy(col("w"), pmod(col("doc_id"), lit(32)))
+          .orderBy(col("score").desc, col("doc_id"))
+        val finalW = Window.partitionBy(col("w"))
+          .orderBy(col("score").desc, col("doc_id"))
+        sc.withColumn("__srk", row_number().over(shardW))
+          .filter(col("__srk") <= 10)
+          .withColumn("rnk", row_number().over(finalW).cast("bigint"))
+          .filter(col("rnk") <= 10)
+          .select(col("w").as("term"), col("doc_id"), col("tf"), col("dl"),
+            col("score").as("score_scaled"), col("rnk"))
     })
 }

@@ -182,5 +182,65 @@ object CurationQueries {
           .filter(col("rnk") <= 10)
           .select(col("w").as("term"), col("doc_id"), col("tf"), col("dl"),
             col("score").as("score_scaled"), col("rnk"))
+    },
+
+    // CCNet-style perplexity buckets: per language, rank documents by
+    // their LM score (bits-per-bigram under the corpus bigram model —
+    // q111's integer formulation normalized per bigram) and cut the
+    // ranking into head/middle/tail thirds — THE CCNet recipe
+    // (Wenzek et al.: per-language perplexity terciles, head kept,
+    // tail dropped or down-weighted). Documents without bigrams (< 2
+    // tokens) carry no LM signal and drop, as in the reference recipe.
+    // Scale shape: scores ride the persisted bigram index (one salted
+    // narrow-key join); the per-language ranking is
+    // [[graft.ops.Sampling.rankNormalize]]'s two-phase decomposition
+    // — 256 score buckets, bounded offsets, ONE window per (lang,
+    // bucket) — so no language stratum ever sorts in one partition;
+    // the oracle is the naive global row_number, so the green row is
+    // machine proof of the decomposition, bucket boundaries included.
+    Q("q133_ccnet_buckets",
+      """WITH bgr AS (
+        |  SELECT doc_id, words[CAST(i AS INT)] || ' ' || words[CAST(i AS INT)+1] AS bg
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |       unnest(generate_series(1, len(words)-1)) AS g(i)),
+        |bf AS (SELECT doc_id, bg, count(*) AS tf FROM bgr GROUP BY 1, 2),
+        |cnt AS (SELECT bg, sum(tf) AS c FROM bf GROUP BY bg),
+        |sc AS (
+        |  SELECT bf.doc_id, sum(bf.tf) AS n_bigrams,
+        |         sum(length(bin(cnt.c)) * bf.tf) AS lm
+        |  FROM bf JOIN cnt USING (bg) GROUP BY 1),
+        |scm AS (SELECT d.doc_id, d.lang,
+        |          (sc.lm * 1000) // sc.n_bigrams AS score_milli
+        |        FROM documents d JOIN sc ON sc.doc_id = d.doc_id),
+        |rk AS (SELECT *,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY score_milli, doc_id) - 1 AS rnk,
+        |         count(*) OVER (PARTITION BY lang) AS n
+        |       FROM scm)
+        |SELECT doc_id, lang, CAST(score_milli AS BIGINT) AS score_milli,
+        |       CASE (3 * rnk) // n WHEN 0 THEN 'head'
+        |            WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM rk""".stripMargin) {
+      (s, d) =>
+        val bf = Indexes.bigramFrequencies(s, d)
+        val cnt = bf.groupBy("bg").agg(sum(col("tf")).as("c"))
+        val lm = graft.ops.Skew.saltedJoin(bf, cnt, "bg",
+            saltBy = col("doc_id"), salts = 16)
+          .groupBy("doc_id")
+          .agg(sum(col("tf")).as("n_bigrams"),
+            sum(length(bin(col("c"))).cast("long") * col("tf")).as("lm"))
+        val scm = table(s, d, "documents").select("doc_id", "lang")
+          .join(lm, "doc_id")
+          .select(col("doc_id"), col("lang"),
+            expr("(lm * 1000) div n_bigrams").as("score_milli"))
+        val ranked = graft.ops.Sampling.rankNormalize(
+          scm, "lang", "doc_id", col("score_milli"))
+        val n = scm.groupBy("lang").agg(count(lit(1)).as("n"))
+        ranked.join(broadcast(n), "lang")
+          .select(col("doc_id"), col("lang"),
+            col("score").as("score_milli"),
+            when(expr("(3 * rnk) div n") === 0, "head")
+              .when(expr("(3 * rnk) div n") === 1, "middle")
+              .otherwise("tail").as("bucket"))
     })
 }

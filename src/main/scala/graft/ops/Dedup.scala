@@ -299,6 +299,50 @@ object Dedup {
       .select(col("d1"), col("d2"), col("inter_cnt"), col("union_cnt"))
   }
 
+  /** Asymmetric shingle-containment pairs — Broder's containment
+    * C(A→B) = |A∩B| / |A|, the measure Jaccard MISSES: a short quote
+    * living inside a long article has tiny Jaccard (the union is the
+    * article) but containment ≈ 1, and sub/superset structure (quotes,
+    * boilerplate wrappers, excerpt pages) is exactly what a dedup
+    * pipeline must catch to avoid double-counting content. Emits every
+    * unordered pair where EITHER side is ≥ `thresholdPct`% contained
+    * in the other, with both directions' ppm and flags.
+    *
+    * Candidate generation is corpus-wide (containment is cross-source
+    * by nature — an excerpt site quotes everyone), via the inverted
+    * shingle index self join under [[Skew.boundedBucketSelfJoin]]'s
+    * fragment-replicate cap (sampled hot detection; the pair SET is
+    * provably cap-invariant), then one count aggregate per surviving
+    * pair and two size lookups — the q34 machinery with the bucket
+    * restriction removed and the verify measure swapped. A pair
+    * sharing zero shingles can never pass any positive threshold, so
+    * the shared-shingle candidate set is exact against the all-pairs
+    * oracle. */
+  def containmentPairsFromHashes(hs: DataFrame, idCol: String,
+                                 thresholdPct: Int,
+                                 hotShingleCap: Int = DefaultHotShingleCap): DataFrame = {
+    require(thresholdPct > 0 && thresholdPct <= 100,
+      s"containmentPairsFromHashes: thresholdPct out of range: $thresholdPct")
+    val sizes = hs.select(col(idCol), size(col("__hs")).cast("bigint").as("__n"))
+    val inv = hs.select(col(idCol), explode(col("__hs")).as("__h"))
+    val inter = Skew.boundedBucketSelfJoin(inv, "__h", idCol, hotShingleCap,
+        detectOneIn = 16)
+      .groupBy(col(idCol).as("d1"), col(idCol + "_2").as("d2"))
+      .agg(count(lit(1)).as("inter_cnt"))
+    inter
+      .join(sizes.select(col(idCol).as("d1"), col("__n").as("n1")), "d1")
+      .join(sizes.select(col(idCol).as("d2"), col("__n").as("n2")), "d2")
+      .filter(col("inter_cnt") * 100 >= lit(thresholdPct) * col("n1") ||
+        col("inter_cnt") * 100 >= lit(thresholdPct) * col("n2"))
+      .select(col("d1"), col("d2"), col("inter_cnt"), col("n1"), col("n2"),
+        expr("(inter_cnt * 1000000) div n1").as("c1_ppm"),
+        expr("(inter_cnt * 1000000) div n2").as("c2_ppm"),
+        (col("inter_cnt") * 100 >= lit(thresholdPct) * col("n1"))
+          .cast("int").as("d1_in_d2"),
+        (col("inter_cnt") * 100 >= lit(thresholdPct) * col("n2"))
+          .cast("int").as("d2_in_d1"))
+  }
+
   /** Benchmark-contamination stats: for every corpus document, how
     * many of its distinct word n-gram shingles also appear anywhere
     * in `evalDocs` (the held-out benchmark/eval suite), plus a

@@ -242,5 +242,33 @@ object CurationQueries {
             when(expr("(3 * rnk) div n") === 0, "head")
               .when(expr("(3 * rnk) div n") === 1, "middle")
               .otherwise("tail").as("bucket"))
+    },
+
+    // Sub/superset detection via asymmetric containment — the measure
+    // Jaccard misses: a quote inside a long article, an excerpt page,
+    // a boilerplate-wrapped copy. See
+    // [[graft.ops.Dedup.containmentPairsFromHashes]] for the scale
+    // shape (corpus-wide inverted-index candidates under the
+    // fragment-replicate cap; zero-overlap pairs provably cannot pass,
+    // so the candidate set is exact). The oracle is the naive
+    // ALL-PAIRS containment over the same shingle space — the green
+    // row proves both the candidate pruning and the cap drop no pair.
+    Q("q134_containment_pairs",
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+         |$shingleCtes
+         |SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |       CAST(len(list_intersect(a.hs, b.hs)) AS BIGINT) AS inter_cnt,
+         |       CAST(len(a.hs) AS BIGINT) AS n1,
+         |       CAST(len(b.hs) AS BIGINT) AS n2,
+         |       (len(list_intersect(a.hs, b.hs)) * 1000000) // len(a.hs) AS c1_ppm,
+         |       (len(list_intersect(a.hs, b.hs)) * 1000000) // len(b.hs) AS c2_ppm,
+         |       CAST(len(list_intersect(a.hs, b.hs)) * 100 >= 80 * len(a.hs) AS INT) AS d1_in_d2,
+         |       CAST(len(list_intersect(a.hs, b.hs)) * 100 >= 80 * len(b.hs) AS INT) AS d2_in_d1
+         |FROM hst a JOIN hst b ON a.doc_id < b.doc_id
+         |WHERE len(list_intersect(a.hs, b.hs)) * 100 >= 80 * len(a.hs)
+         |   OR len(list_intersect(a.hs, b.hs)) * 100 >= 80 * len(b.hs)""".stripMargin) {
+      (s, d) =>
+        graft.ops.Dedup.containmentPairsFromHashes(
+          Indexes.shingles(s, d), "doc_id", thresholdPct = 80)
     })
 }

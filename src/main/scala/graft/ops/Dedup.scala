@@ -323,15 +323,18 @@ object Dedup {
                                  hotShingleCap: Int = DefaultHotShingleCap): DataFrame = {
     require(thresholdPct > 0 && thresholdPct <= 100,
       s"containmentPairsFromHashes: thresholdPct out of range: $thresholdPct")
-    val sizes = hs.select(col(idCol), size(col("__hs")).cast("bigint").as("__n"))
-    val inv = hs.select(col(idCol), explode(col("__hs")).as("__h"))
+    // Sizes ride the inverted index (one bigint per row) so the pair
+    // aggregate reads them as constants-per-group (`min` of a
+    // constant) — no post-aggregate joins back to a size table, which
+    // would be two more corpus-sized shuffles.
+    val inv = hs.select(col(idCol),
+      size(col("__hs")).cast("bigint").as("__n"), explode(col("__hs")).as("__h"))
     val inter = Skew.boundedBucketSelfJoin(inv, "__h", idCol, hotShingleCap,
         detectOneIn = 16)
       .groupBy(col(idCol).as("d1"), col(idCol + "_2").as("d2"))
-      .agg(count(lit(1)).as("inter_cnt"))
+      .agg(count(lit(1)).as("inter_cnt"),
+        min(col("__n")).as("n1"), min(col("__n_2")).as("n2"))
     inter
-      .join(sizes.select(col(idCol).as("d1"), col("__n").as("n1")), "d1")
-      .join(sizes.select(col(idCol).as("d2"), col("__n").as("n2")), "d2")
       .filter(col("inter_cnt") * 100 >= lit(thresholdPct) * col("n1") ||
         col("inter_cnt") * 100 >= lit(thresholdPct) * col("n2"))
       .select(col("d1"), col("d2"), col("inter_cnt"), col("n1"), col("n2"),

@@ -270,5 +270,55 @@ object CurationQueries {
       (s, d) =>
         graft.ops.Dedup.containmentPairsFromHashes(
           Indexes.shingles(s, d), "doc_id", thresholdPct = 80)
+    },
+
+    // Dataset card: the per-(source, language) statistics sheet every
+    // released corpus ships (docs, tokens, chars, exact-duplicate
+    // rate, language spread) with source-level and corpus-level
+    // rollups in the SAME pass — GROUPING SETS, one shuffle for all
+    // three granularities. The duplicate flag is global (a copy
+    // counts as a copy wherever it lives), computed by one hash
+    // aggregate joined back through the selective-salt join (a
+    // megacopy text is a hot hash key BY CONSTRUCTION; cold keys pay
+    // nothing). Everything integer: counts and a ppm rate.
+    Q("q135_datacard",
+      """WITH h AS (SELECT doc_id, source, lang, text, md5(text) AS hsh FROM documents),
+        |hc AS (SELECT hsh, count(*) AS c FROM h GROUP BY hsh),
+        |f AS (SELECT h.source, h.lang,
+        |        len(string_split(h.text, ' ')) AS n_tok,
+        |        length(h.text) AS n_chars,
+        |        CASE WHEN hc.c > 1 THEN 1 ELSE 0 END AS is_dup
+        |      FROM h JOIN hc USING (hsh))
+        |SELECT source, lang,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |       CAST(sum(is_dup) AS BIGINT) AS dup_docs,
+        |       CAST((sum(is_dup) * 1000000) // count(*) AS BIGINT) AS dup_ppm,
+        |       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        |FROM f
+        |GROUP BY GROUPING SETS ((source, lang), (source), ())""".stripMargin) {
+      (s, d) =>
+        val h = table(s, d, "documents").select(
+          col("doc_id"), col("source"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"),
+          length(col("text")).cast("long").as("n_chars"),
+          md5(col("text")).as("hsh"))
+        val hc = h.groupBy("hsh").agg(count(lit(1)).as("c"))
+        Skew.saltedJoinHot(h, hc, "hsh", saltBy = col("doc_id"),
+            salts = 16, hotCap = graft.ops.Dedup.DefaultHotShingleCap)
+          .select(col("source"), col("lang"), col("n_tok"), col("n_chars"),
+            when(col("c") > 1, 1L).otherwise(0L).as("is_dup"))
+          .createOrReplaceTempView("datacard_f")
+        s.sql(
+          """SELECT source, lang,
+            |       count(*) AS n_docs,
+            |       sum(n_tok) AS n_tokens,
+            |       sum(n_chars) AS n_chars,
+            |       sum(is_dup) AS dup_docs,
+            |       (sum(is_dup) * 1000000) div count(*) AS dup_ppm,
+            |       count(DISTINCT lang) AS n_langs
+            |FROM datacard_f
+            |GROUP BY GROUPING SETS ((source, lang), (source), ())""".stripMargin)
     })
 }

@@ -320,5 +320,72 @@ object CurationQueries {
             |       count(DISTINCT lang) AS n_langs
             |FROM datacard_f
             |GROUP BY GROUPING SETS ((source, lang), (source), ())""".stripMargin)
+    },
+
+    // Ingest-distribution drift detection: per day, the L1 distance
+    // (in ppm) between that day's event-type mix and the trailing
+    // 7-day baseline mix — the pipeline-monitoring gate that catches
+    // a source going bad (scraper regression, upstream schema change,
+    // spam flood) BEFORE the bad batch trains anything. Calendar-
+    // correct under gaps: the window is a RANGE frame over the
+    // integer day index, not a ROWS frame over present days. The
+    // type×day grid is dense (bounded: |types| × |days|) so absent
+    // types contribute their full ppm share to the distance.
+    // Scale shape: one count aggregate over the events (map-side
+    // partial), then windows over the BOUNDED grid — the raw stream
+    // is touched exactly once. Flag at 10 % total variation ×2
+    // (L1 = 2·TV). All integer; the oracle replays grid, frames, and
+    // ppm arithmetic.
+    Q("q136_drift_detect",
+      """WITH e AS (SELECT CAST(ts AS DATE) AS day, event_type AS et FROM events),
+        |dc AS (SELECT day, et, count(*) AS n FROM e GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT day FROM e),
+        |ets AS (SELECT DISTINCT et FROM e),
+        |grid AS (SELECT d.day, t.et,
+        |           datediff('day', DATE '1970-01-01', d.day) AS di,
+        |           coalesce(dc.n, 0) AS n
+        |         FROM days d CROSS JOIN ets t
+        |         LEFT JOIN dc ON dc.day = d.day AND dc.et = t.et),
+        |w AS (SELECT day, et, n,
+        |        coalesce(sum(n) OVER (PARTITION BY et ORDER BY di
+        |          RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING), 0) AS bn
+        |      FROM grid),
+        |tot AS (SELECT day, sum(n) AS t, sum(bn) AS bt FROM w GROUP BY day),
+        |l1 AS (SELECT w.day,
+        |         sum(abs((w.n * 1000000) // tot.t - (w.bn * 1000000) // tot.bt)) AS drift
+        |       FROM w JOIN tot ON w.day = tot.day
+        |       WHERE tot.bt > 0 AND tot.t > 0 GROUP BY w.day)
+        |SELECT l1.day, CAST(tot.t AS BIGINT) AS n_events,
+        |       CAST(drift AS BIGINT) AS drift_ppm,
+        |       CAST(drift > 200000 AS INT) AS drifted
+        |FROM l1 JOIN tot ON l1.day = tot.day""".stripMargin) {
+      (s, d) =>
+        import org.apache.spark.sql.expressions.Window
+        val e = table(s, d, "events")
+          .select(to_date(col("ts")).as("day"), col("event_type").as("et"))
+        val dc = e.groupBy("day", "et").agg(count(lit(1)).as("n"))
+        val days = e.select("day").distinct()
+        val ets = e.select("et").distinct()
+        val grid = days.crossJoin(broadcast(ets))
+          .join(dc, Seq("day", "et"), "left")
+          .select(col("day"), col("et"),
+            datediff(col("day"), lit(java.sql.Date.valueOf("1970-01-01")))
+              .cast("long").as("di"),
+            coalesce(col("n"), lit(0L)).as("n"))
+        val frame = Window.partitionBy(col("et")).orderBy(col("di"))
+          .rangeBetween(-7, -1)
+        val w = grid.select(col("day"), col("et"), col("n"),
+          coalesce(sum(col("n")).over(frame), lit(0L)).as("bn"))
+        val tot = w.groupBy("day")
+          .agg(sum(col("n")).as("t"), sum(col("bn")).as("bt"))
+        val l1 = w.join(tot, "day")
+          .filter(col("bt") > 0 && col("t") > 0)
+          .groupBy("day")
+          .agg(sum(abs(expr("(n * 1000000) div t - (bn * 1000000) div bt")))
+            .as("drift"))
+        l1.join(tot, "day")
+          .select(col("day"), col("t").as("n_events"),
+            col("drift").as("drift_ppm"),
+            (col("drift") > 200000).cast("int").as("drifted"))
     })
 }

@@ -25,6 +25,65 @@ object CurationQueries {
     * sides cannot drift. */
   private val PrIters = 6
 
+  /** The day-grain drift derivation shared by q136 (batch counts) and
+    * q137 (streaming running counts): dense type×day grid (bounded),
+    * trailing-7-day RANGE frame over the integer day index, per-day
+    * integer L1 distance in ppm, flag at 200k ppm. One definition —
+    * the batch and streaming formulations cannot drift. */
+  private def driftFromDailyCounts(dc: org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val days = dc.select("day").distinct()
+    val ets = dc.select("et").distinct()
+    val grid = days.crossJoin(broadcast(ets))
+      .join(dc, Seq("day", "et"), "left")
+      .select(col("day"), col("et"),
+        datediff(col("day"), lit(java.sql.Date.valueOf("1970-01-01")))
+          .cast("long").as("di"),
+        coalesce(col("n"), lit(0L)).as("n"))
+    val frame = Window.partitionBy(col("et")).orderBy(col("di"))
+      .rangeBetween(-7, -1)
+    val w = grid.select(col("day"), col("et"), col("n"),
+      coalesce(sum(col("n")).over(frame), lit(0L)).as("bn"))
+    val tot = w.groupBy("day")
+      .agg(sum(col("n")).as("t"), sum(col("bn")).as("bt"))
+    val l1 = w.join(tot, "day")
+      .filter(col("bt") > 0 && col("t") > 0)
+      .groupBy("day")
+      .agg(sum(abs(expr("(n * 1000000) div t - (bn * 1000000) div bt")))
+        .as("drift"))
+    l1.join(tot, "day")
+      .select(col("day"), col("t").as("n_events"),
+        col("drift").as("drift_ppm"),
+        (col("drift") > 200000).cast("int").as("drifted"))
+  }
+
+  /** q136/q137's shared oracle — the batch drift formulation. A green
+    * q137 row proves the streaming running counts fold to exactly the
+    * batch answer whatever the trigger boundaries were. */
+  private val DriftOracle =
+    """WITH e AS (SELECT CAST(ts AS DATE) AS day, event_type AS et FROM events),
+      |dc AS (SELECT day, et, count(*) AS n FROM e GROUP BY 1, 2),
+      |days AS (SELECT DISTINCT day FROM e),
+      |ets AS (SELECT DISTINCT et FROM e),
+      |grid AS (SELECT d.day, t.et,
+      |           datediff('day', DATE '1970-01-01', d.day) AS di,
+      |           coalesce(dc.n, 0) AS n
+      |         FROM days d CROSS JOIN ets t
+      |         LEFT JOIN dc ON dc.day = d.day AND dc.et = t.et),
+      |w AS (SELECT day, et, n,
+      |        coalesce(sum(n) OVER (PARTITION BY et ORDER BY di
+      |          RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING), 0) AS bn
+      |      FROM grid),
+      |tot AS (SELECT day, sum(n) AS t, sum(bn) AS bt FROM w GROUP BY day),
+      |l1 AS (SELECT w.day,
+      |         sum(abs((w.n * 1000000) // tot.t - (w.bn * 1000000) // tot.bt)) AS drift
+      |       FROM w JOIN tot ON w.day = tot.day
+      |       WHERE tot.bt > 0 AND tot.t > 0 GROUP BY w.day)
+      |SELECT l1.day, CAST(tot.t AS BIGINT) AS n_events,
+      |       CAST(drift AS BIGINT) AS drift_ppm,
+      |       CAST(drift > 200000 AS INT) AS drifted
+      |FROM l1 JOIN tot ON l1.day = tot.day""".stripMargin
+
   /** The oracle's unrolled PageRank iterations r1..r`n` over CTEs
     * `srcs(v)` / `nn(n)` / `tp(t)` / `e2(u, v, p)` — the exact
     * integer recurrence of [[Graph.pageRank]]. */
@@ -336,56 +395,55 @@ object CurationQueries {
     // is touched exactly once. Flag at 10 % total variation ×2
     // (L1 = 2·TV). All integer; the oracle replays grid, frames, and
     // ppm arithmetic.
-    Q("q136_drift_detect",
-      """WITH e AS (SELECT CAST(ts AS DATE) AS day, event_type AS et FROM events),
-        |dc AS (SELECT day, et, count(*) AS n FROM e GROUP BY 1, 2),
-        |days AS (SELECT DISTINCT day FROM e),
-        |ets AS (SELECT DISTINCT et FROM e),
-        |grid AS (SELECT d.day, t.et,
-        |           datediff('day', DATE '1970-01-01', d.day) AS di,
-        |           coalesce(dc.n, 0) AS n
-        |         FROM days d CROSS JOIN ets t
-        |         LEFT JOIN dc ON dc.day = d.day AND dc.et = t.et),
-        |w AS (SELECT day, et, n,
-        |        coalesce(sum(n) OVER (PARTITION BY et ORDER BY di
-        |          RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING), 0) AS bn
-        |      FROM grid),
-        |tot AS (SELECT day, sum(n) AS t, sum(bn) AS bt FROM w GROUP BY day),
-        |l1 AS (SELECT w.day,
-        |         sum(abs((w.n * 1000000) // tot.t - (w.bn * 1000000) // tot.bt)) AS drift
-        |       FROM w JOIN tot ON w.day = tot.day
-        |       WHERE tot.bt > 0 AND tot.t > 0 GROUP BY w.day)
-        |SELECT l1.day, CAST(tot.t AS BIGINT) AS n_events,
-        |       CAST(drift AS BIGINT) AS drift_ppm,
-        |       CAST(drift > 200000 AS INT) AS drifted
-        |FROM l1 JOIN tot ON l1.day = tot.day""".stripMargin) {
+    Q("q136_drift_detect", DriftOracle) {
       (s, d) =>
-        import org.apache.spark.sql.expressions.Window
-        val e = table(s, d, "events")
+        val dc = table(s, d, "events")
           .select(to_date(col("ts")).as("day"), col("event_type").as("et"))
-        val dc = e.groupBy("day", "et").agg(count(lit(1)).as("n"))
-        val days = e.select("day").distinct()
-        val ets = e.select("et").distinct()
-        val grid = days.crossJoin(broadcast(ets))
-          .join(dc, Seq("day", "et"), "left")
-          .select(col("day"), col("et"),
-            datediff(col("day"), lit(java.sql.Date.valueOf("1970-01-01")))
-              .cast("long").as("di"),
-            coalesce(col("n"), lit(0L)).as("n"))
-        val frame = Window.partitionBy(col("et")).orderBy(col("di"))
-          .rangeBetween(-7, -1)
-        val w = grid.select(col("day"), col("et"), col("n"),
-          coalesce(sum(col("n")).over(frame), lit(0L)).as("bn"))
-        val tot = w.groupBy("day")
-          .agg(sum(col("n")).as("t"), sum(col("bn")).as("bt"))
-        val l1 = w.join(tot, "day")
-          .filter(col("bt") > 0 && col("t") > 0)
-          .groupBy("day")
-          .agg(sum(abs(expr("(n * 1000000) div t - (bn * 1000000) div bt")))
-            .as("drift"))
-        l1.join(tot, "day")
-          .select(col("day"), col("t").as("n_events"),
-            col("drift").as("drift_ppm"),
-            (col("drift") > 200000).cast("int").as("drifted"))
+          .groupBy("day", "et").agg(count(lit(1)).as("n"))
+        driftFromDailyCounts(dc)
+    },
+
+    // The drift gate ON THE LIVE FEED: the per-(day, type) counts are
+    // maintained as streaming aggregation state across micro-batch
+    // triggers (the q122 replay shape — 2-file triggers over a staged
+    // arrival log), and the trailing-baseline L1 derivation runs over
+    // the drained state. The oracle is q136's batch formulation
+    // verbatim: a green row is machine proof the incremental fold
+    // equals the batch answer whatever the trigger boundaries were —
+    // the monitor can ride the ingest stream it guards. State is
+    // |days|×|types| rows; per-trigger work ∝ batch.
+    Q("q137_stream_drift", DriftOracle) {
+      (s, d) =>
+        val ev = table(s, d, "events")
+          .select(to_date(col("ts")).as("day"), col("event_type").as("et"))
+        val scratch = java.nio.file.Files.createTempDirectory("graft_q137")
+        val staging = s"$scratch/events"
+        ev.repartitionByRange(4, col("day")).write.parquet(staging)
+        val stream = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 2).parquet(staging)
+        val agg = stream.groupBy(col("day"), col("et"))
+          .agg(count(lit(1)).as("n"))
+        val sinkName = "q137_stream_drift_sink"
+        s.catalog.dropTempView(sinkName)
+        val q = agg.writeStream.format("memory").queryName(sinkName)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        // awaitTermination returns FALSE on timeout without throwing —
+        // unchecked, a timed-out stream would score drift against
+        // partial counts: plausible-looking, silently wrong.
+        try require(q.awaitTermination(300000),
+          "q137: stream did not drain within 300s — partial counts")
+        finally q.stop()
+        // The staged arrival log only feeds the stream; the memory
+        // sink holds the state the derivation reads.
+        org.apache.commons.io.FileUtils.deleteDirectory(scratch.toFile)
+        // The memory-sink view appears three times in the derivation
+        // (days × types grid + the counts themselves); the analyzer
+        // fails to deduplicate a VIEW's attribute ids the way it does
+        // a file relation's, so rebuild the (bounded: |days|×|types|)
+        // state frame with fresh ids first.
+        val state = s.table(sinkName)
+        driftFromDailyCounts(s.createDataFrame(state.rdd, state.schema))
     })
 }

@@ -95,6 +95,67 @@ object CurationQueries {
        |    FROM e2 JOIN r$k ON e2.u = r$k.v GROUP BY e2.v) m ON m.v = s.v)""".stripMargin
   }.mkString(",\n")
 
+  /** The full domain-rank oracle chain (shingling → first-occurrence
+    * attribution → ppm transition weights → [[PrIters]] unrolled
+    * iterations), ending at CTE `r$PrIters(v, r)` with `srcs`/`nn` in
+    * scope — shared by q130 (the ranks themselves) and q138 (ranks
+    * composed into sampling), so the two replays cannot drift. */
+  private def domainRankCtes: String =
+    s"""corpus AS (SELECT doc_id, text FROM documents),
+       |$shingleCtes,
+       |ex AS (SELECT h.doc_id, d.source, unnest(h.hs) AS hh
+       |       FROM hst h JOIN documents d ON h.doc_id = d.doc_id),
+       |org AS (SELECT hh, min(doc_id) AS odoc FROM ex GROUP BY hh),
+       |osrc AS (SELECT o.hh, o.odoc, d.source AS vsrc
+       |         FROM org o JOIN documents d ON d.doc_id = o.odoc),
+       |att AS (SELECT e.source AS u, s.vsrc AS v, count(*) AS w
+       |        FROM ex e JOIN osrc s ON e.hh = s.hh
+       |        WHERE e.doc_id <> s.odoc AND e.source <> s.vsrc
+       |        GROUP BY 1, 2),
+       |srcs AS (SELECT DISTINCT source AS v FROM documents),
+       |nn AS (SELECT count(*) AS n FROM srcs),
+       |tp AS (SELECT (15 * (${Graph.Scale} // n)) // 100 AS t FROM nn),
+       |ow AS (SELECT u, sum(w) AS tw FROM att GROUP BY u),
+       |e2 AS (SELECT a.u, a.v, (a.w * ${Graph.PpmScale}) // o.tw AS p
+       |       FROM att a JOIN ow o ON a.u = o.u),
+       |r0 AS (SELECT v, (SELECT ${Graph.Scale} // n FROM nn) AS r FROM srcs),
+       |${prIterCtes(PrIters)}""".stripMargin
+
+  /** The Spark domain-rank chain shared by q130/q138 — returns
+    * (source, rank_scaled). The oracle's `e.doc_id <> s.odoc` guard is
+    * IMPLIED by `e.source <> s.vsrc` (the origin doc's source IS
+    * vsrc), so this side carries only the source inequality — the
+    * green rows machine-prove the simplification. The exploded index
+    * appears in both the origin aggregate and the attribution join;
+    * the subtrees canonicalize identically, so ReuseExchange runs the
+    * explode+shuffle once. Origin source comes from the narrow
+    * documents projection (2 columns — broadcast-sized at the gate
+    * SFs, a plain narrow join at web scale), never a second pass over
+    * the exploded index. */
+  private def domainRank(s: org.apache.spark.sql.SparkSession,
+                         d: String): org.apache.spark.sql.DataFrame = {
+    val ex = Indexes.shingles(s, d)
+      .select(col("doc_id"), col("source"), explode(col("__hs")).as("h"))
+    val org = ex.groupBy("h").agg(min(col("doc_id")).as("odoc"))
+    val osrc = org.join(
+      table(s, d, "documents")
+        .select(col("doc_id").as("odoc"), col("source").as("vsrc")),
+      Seq("odoc"))
+    val att = Skew.saltedJoinHot(ex, osrc.select("h", "vsrc"), "h",
+        saltBy = col("doc_id"), salts = 16,
+        hotCap = graft.ops.Dedup.DefaultHotShingleCap)
+      .filter(col("source") =!= col("vsrc"))
+      .select(col("source").as("u"), col("vsrc").as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("w"))
+      // Bounded at |sources|² and consumed by two subtrees of the
+      // rank recurrence (out-weights and transitions) — pinned
+      // once so the attribution join can never re-run.
+      .localCheckpoint(true)
+    val nodes = table(s, d, "documents").select("source").distinct()
+    Graph.pageRank(att, nodes, "source", PrIters)
+      .select(col("v").as("source"), col("r").as("rank_scaled"))
+  }
+
   def all: Seq[Q] = Seq(
 
     // Domain authority from content citation: every shingle's EARLIEST
@@ -114,57 +175,9 @@ object CurationQueries {
     // iteration count). The oracle replays shingling, attribution,
     // ppm edge weights, and all six integer iterations unrolled.
     Q("q130_domain_rank",
-      s"""WITH corpus AS (SELECT doc_id, text FROM documents),
-         |$shingleCtes,
-         |ex AS (SELECT h.doc_id, d.source, unnest(h.hs) AS hh
-         |       FROM hst h JOIN documents d ON h.doc_id = d.doc_id),
-         |org AS (SELECT hh, min(doc_id) AS odoc FROM ex GROUP BY hh),
-         |osrc AS (SELECT o.hh, o.odoc, d.source AS vsrc
-         |         FROM org o JOIN documents d ON d.doc_id = o.odoc),
-         |att AS (SELECT e.source AS u, s.vsrc AS v, count(*) AS w
-         |        FROM ex e JOIN osrc s ON e.hh = s.hh
-         |        WHERE e.doc_id <> s.odoc AND e.source <> s.vsrc
-         |        GROUP BY 1, 2),
-         |srcs AS (SELECT DISTINCT source AS v FROM documents),
-         |nn AS (SELECT count(*) AS n FROM srcs),
-         |tp AS (SELECT (15 * (${Graph.Scale} // n)) // 100 AS t FROM nn),
-         |ow AS (SELECT u, sum(w) AS tw FROM att GROUP BY u),
-         |e2 AS (SELECT a.u, a.v, (a.w * ${Graph.PpmScale}) // o.tw AS p
-         |       FROM att a JOIN ow o ON a.u = o.u),
-         |r0 AS (SELECT v, (SELECT ${Graph.Scale} // n FROM nn) AS r FROM srcs),
-         |${prIterCtes(PrIters)}
+      s"""WITH $domainRankCtes
          |SELECT v AS source, CAST(r AS BIGINT) AS rank_scaled FROM r$PrIters""".stripMargin) {
-      (s, d) =>
-        // The oracle's `e.doc_id <> s.odoc` guard is IMPLIED by
-        // `e.source <> s.vsrc` (the origin doc's source IS vsrc), so
-        // the Spark side carries only the source inequality — the
-        // green row machine-proves the simplification. The exploded
-        // index appears in both the origin aggregate and the
-        // attribution join; the subtrees canonicalize identically, so
-        // ReuseExchange runs the explode+shuffle once.
-        val ex = Indexes.shingles(s, d)
-          .select(col("doc_id"), col("source"), explode(col("__hs")).as("h"))
-        val org = ex.groupBy("h").agg(min(col("doc_id")).as("odoc"))
-        // Origin source via the narrow documents projection (2 columns
-        // — broadcast-sized at the gate SFs, a plain narrow join at
-        // web scale), never a second pass over the exploded index.
-        val osrc = org.join(
-          table(s, d, "documents")
-            .select(col("doc_id").as("odoc"), col("source").as("vsrc")),
-          Seq("odoc"))
-        val att = Skew.saltedJoinHot(ex, osrc.select("h", "vsrc"), "h",
-            saltBy = col("doc_id"), salts = 16,
-            hotCap = graft.ops.Dedup.DefaultHotShingleCap)
-          .filter(col("source") =!= col("vsrc"))
-          .select(col("source").as("u"), col("vsrc").as("v"))
-          .groupBy("u", "v").agg(count(lit(1)).as("w"))
-          // Bounded at |sources|² and consumed by two subtrees of the
-          // rank recurrence (out-weights and transitions) — pinned
-          // once so the attribution join can never re-run.
-          .localCheckpoint(true)
-        val nodes = table(s, d, "documents").select("source").distinct()
-        Graph.pageRank(att, nodes, "source", PrIters)
-          .select(col("v").as("source"), col("r").as("rank_scaled"))
+      (s, d) => domainRank(s, d)
     },
 
     // BM25 top-k retrieval over the inverted index — the ranked-lookup
@@ -445,5 +458,44 @@ object CurationQueries {
         // state frame with fresh ids first.
         val state = s.table(sinkName)
         driftFromDailyCounts(s.createDataFrame(state.rdd, state.schema))
+    },
+
+    // Authority-weighted corpus resampling: the domain rank DRIVING
+    // the keep decision in one lineage (rank → per-source keep rate →
+    // hash-threshold membership) — how a web corpus actually consumes
+    // a domain ranking: not as a report, as a per-document sampling
+    // weight. Keep rate is the rank normalized by the uniform seed
+    // (Scale div n) at a 50 % center, capped at 1: an average-
+    // authority source keeps half its docs, a heavily-cited source
+    // keeps all, a farm that only copies keeps ~15 % (the teleport
+    // floor × 0.5). Membership is q59's integer hash threshold —
+    // deterministic, engine-portable, exactly rate_ppm in
+    // expectation. The rate table is |sources| rows broadcast onto
+    // the corpus: ONE map-side join + filter beyond the rank
+    // derivation. The oracle replays the ENTIRE composition — the
+    // unrolled PageRank chain, the rate arithmetic, and every
+    // membership test.
+    Q("q138_rank_weighted_sample",
+      s"""WITH $domainRankCtes,
+         |rates AS (SELECT v AS source,
+         |            least(1000000, (r * 500000) // (SELECT ${Graph.Scale} // n FROM nn))
+         |              AS rate_ppm
+         |          FROM r$PrIters)
+         |SELECT d.doc_id, d.source, CAST(rt.rate_ppm AS BIGINT) AS rate_ppm
+         |FROM documents d JOIN rates rt ON d.source = rt.source
+         |WHERE ${h64("CAST(d.doc_id AS VARCHAR)")} % 1000000 < rt.rate_ppm""".stripMargin) {
+      (s, d) =>
+        val ranks = domainRank(s, d)
+        val nn = table(s, d, "documents").select("source").distinct()
+          .agg(count(lit(1)).as("__n"))
+        val rates = ranks.crossJoin(broadcast(nn))
+          .select(col("source"),
+            least(lit(1000000L),
+              expr(s"(rank_scaled * 500000) div (${Graph.Scale} div __n)"))
+              .as("rate_ppm"))
+        table(s, d, "documents").select("doc_id", "source")
+          .join(broadcast(rates), "source")
+          .filter(graft.ops.Sampling.sampleKey(col("doc_id")) < col("rate_ppm"))
+          .select(col("doc_id"), col("source"), col("rate_ppm"))
     })
 }

@@ -497,5 +497,71 @@ object CurationQueries {
           .join(broadcast(rates), "source")
           .filter(graft.ops.Sampling.sampleKey(col("doc_id")) < col("rate_ppm"))
           .select(col("doc_id"), col("source"), col("rate_ppm"))
+    },
+
+    // INCREMENTAL domain rank — the q43/q108/q119 batch×corpus pattern
+    // applied to the graph family: the newest ~10 % of documents (ids
+    // ≥ cutoff — append-only ids make id order the arrival order, so
+    // an established shingle's origin can never be stolen by an
+    // arrival) probe the PERSISTED per-shingle origin index; known
+    // shingles emit citation edges against the standing origins,
+    // novel shingles resolve first-occurrence WITHIN the batch, and
+    // the bounded (≤|sources|²) edge delta unions into the persisted
+    // corpus edge table for the re-rank. Per-batch cost ∝ batch — the
+    // corpus is touched only through two index reads. The oracle is
+    // the FULL-CORPUS derivation (q130's chain) plus the delta
+    // formulation, so a green row is machine proof the incremental
+    // fold equals the from-scratch rank AND attributes the delta
+    // exactly.
+    Q("q139_domain_rank_incremental",
+      s"""WITH $domainRankCtes,
+         |cut AS (SELECT (max(doc_id) * 9) // 10 AS c FROM documents),
+         |datt AS (SELECT e.source AS u, s.vsrc AS v, count(*) AS w
+         |         FROM ex e JOIN osrc s ON e.hh = s.hh CROSS JOIN cut
+         |         WHERE e.doc_id <> s.odoc AND e.source <> s.vsrc
+         |           AND e.doc_id >= cut.c
+         |         GROUP BY 1, 2),
+         |din AS (SELECT v, sum(w) AS nw FROM datt GROUP BY v)
+         |SELECT r.v AS source, CAST(r.r AS BIGINT) AS rank_scaled,
+         |       CAST(coalesce(din.nw, 0) AS BIGINT) AS new_in_w
+         |FROM r$PrIters r LEFT JOIN din ON din.v = r.v""".stripMargin) {
+      (s, d) =>
+        val docs = table(s, d, "documents")
+        // Bounded 1-row driver read (the J9 discipline) — the cutoff
+        // keys the persisted corpus-side index tables.
+        val mx = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
+        val cutoff = (mx * 9) / 10
+        val origins = Indexes.shingleOrigins(s, d, cutoff)
+        val cedges = Indexes.domainEdges(s, d, cutoff)
+        // Batch shingles from the persisted index too — no md5 re-scan.
+        val bsh = Indexes.shingles(s, d)
+          .filter(col("doc_id") >= cutoff)
+          .select(col("doc_id"), col("source"), explode(col("__hs")).as("h"))
+        val probed = bsh.join(origins.select("h", "vsrc"), Seq("h"), "left")
+        val known = probed
+          .filter(col("vsrc").isNotNull && col("source") =!= col("vsrc"))
+          .select(col("source").as("u"), col("vsrc").as("v"))
+        // Novel shingles: first occurrence resolves within the batch
+        // (all corpus carriers would have claimed them already).
+        val novelSh = probed.filter(col("vsrc").isNull)
+          .select("doc_id", "source", "h")
+        val osrcB = novelSh.groupBy("h").agg(min(col("doc_id")).as("odoc"))
+          .join(docs.select(col("doc_id").as("odoc"),
+            col("source").as("vsrcb")), Seq("odoc"))
+        val novel = novelSh.join(osrcB.select("h", "vsrcb"), "h")
+          .filter(col("source") =!= col("vsrcb"))
+          .select(col("source").as("u"), col("vsrcb").as("v"))
+        val delta = known.union(novel)
+          .groupBy("u", "v").agg(count(lit(1)).as("w"))
+          .localCheckpoint(true) // bounded ≤ |sources|²; read twice
+        val att = cedges.union(delta)
+          .groupBy("u", "v").agg(sum(col("w")).as("w"))
+          .localCheckpoint(true)
+        val din = delta.groupBy(col("v")).agg(sum(col("w")).as("new_in_w"))
+        Graph.pageRank(att, docs.select("source").distinct(), "source",
+            PrIters)
+          .join(din, Seq("v"), "left")
+          .select(col("v").as("source"), col("r").as("rank_scaled"),
+            coalesce(col("new_in_w"), lit(0L)).as("new_in_w"))
     })
 }

@@ -278,6 +278,50 @@ object Indexes {
     }
   }
 
+  /** Per-shingle first-occurrence origins of the ESTABLISHED corpus
+    * (doc_id < `cutoff`): (h, odoc, vsrc) — the citation-attribution
+    * index the incremental domain-rank flow (q139) probes per batch.
+    * Derived FROM the persisted [[shingles]] index (parquet read, no
+    * re-shingling); cutoff is part of the table identity. */
+  def shingleOrigins(spark: SparkSession, sfDir: String,
+                     cutoff: Long): DataFrame = lock.synchronized {
+    import org.apache.spark.sql.functions.{col, explode, min}
+    val name = s"shingle_origins_c$cutoff"
+    cached(spark, store(spark, sfDir), name) { bst =>
+      val ex = shingles(spark, sfDir)
+        .filter(col("doc_id") < cutoff)
+        .select(col("doc_id"), explode(col("__hs")).as("h"))
+      val osrc = ex.groupBy("h").agg(min(col("doc_id")).as("odoc"))
+        .join(corpusDocs(spark, sfDir)
+          .select(col("doc_id").as("odoc"), col("source").as("vsrc")),
+          Seq("odoc"))
+      bst.overwrite(name, osrc.select("h", "odoc", "vsrc"))
+    }
+  }
+
+  /** The ESTABLISHED corpus's source→source citation edges (u, v, w)
+    * at `cutoff` — carriers below the cutoff attributed against
+    * [[shingleOrigins]], pre-aggregated: the standing edge table an
+    * incremental re-rank unions its per-batch deltas into. */
+  def domainEdges(spark: SparkSession, sfDir: String,
+                  cutoff: Long): DataFrame = lock.synchronized {
+    import org.apache.spark.sql.functions.{col, count, explode, lit}
+    val name = s"domain_edges_c$cutoff"
+    cached(spark, store(spark, sfDir), name) { bst =>
+      val ex = shingles(spark, sfDir)
+        .filter(col("doc_id") < cutoff)
+        .select(col("doc_id"), col("source"), explode(col("__hs")).as("h"))
+      val att = graft.ops.Skew.saltedJoinHot(ex,
+          shingleOrigins(spark, sfDir, cutoff).select("h", "vsrc"), "h",
+          saltBy = col("doc_id"), salts = 16,
+          hotCap = Dedup.DefaultHotShingleCap)
+        .filter(col("source") =!= col("vsrc"))
+        .select(col("source").as("u"), col("vsrc").as("v"))
+        .groupBy("u", "v").agg(count(lit(1)).as("w"))
+      bst.overwrite(name, att)
+    }
+  }
+
   /** Per-doc term frequencies (doc_id, w, tf) — ONE tokenize pass over
     * the corpus, landed as a table; document frequency and TF-IDF
     * scoring derive from it without re-running the explode. */

@@ -66,6 +66,76 @@ object Similarity {
       .select(col("qid"), col(idCol), col("rnk"), col("cos_r"))
   }
 
+  /** Maximal Marginal Relevance selection: pick `k` results that are
+    * RELEVANT to the query but DIVERSE among themselves — the
+    * eval-set / few-shot / prompt-example selection step (a plain
+    * top-k returns k near-copies of the best hit; MMR's
+    * λ·rel − (1−λ)·max-sim-to-selected penalty forces coverage).
+    * Greedy argmax, the standard formulation: first pick by pure
+    * relevance, then k−1 rounds of score = λ·rel − (1−λ)·ms where
+    * `ms` is each candidate's max cosine to the already-selected set.
+    *
+    * Scale shape: `ms` updates INCREMENTALLY (ms' = greatest(ms,
+    * cos(cand, last pick))), so each round is ONE map pass over the
+    * candidates (the pick's vector rides the plan as a literal — the
+    * IVF-codebook discipline) plus a distributed TakeOrdered(1)
+    * argmax; k rounds total, k bounded driver rows collected, no
+    * shuffle anywhere. Cosines are [[cosRounded]] (6-decimal,
+    * engine-portable float ops) and the λ-mix runs on those rounded
+    * doubles identically on any IEEE engine, so an oracle replays the
+    * greedy chain exactly; ties break by id.
+    *
+    * Returns the k picks as a driver-built frame:
+    * (sel_rank, `idCol`, rel_r, score_r). */
+  def mmrSelect(corpus: DataFrame, queryId: Long, k: Int,
+                lambdaPct: Int = 70, idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && k <= 64, s"mmrSelect: k out of range: $k")
+    require(lambdaPct >= 0 && lambdaPct <= 100,
+      s"mmrSelect: lambdaPct out of range: $lambdaPct")
+    // Both weights are derived by the SAME division an oracle's SQL
+    // literal parse performs (70/100 -> the double nearest 0.7) —
+    // `1.0 - lambda` would differ from the literal 0.3 by one ulp and
+    // flip near-tie argmaxes.
+    val lam = lambdaPct / 100.0
+    val pen = (100 - lambdaPct) / 100.0
+    val spark = corpus.sparkSession
+    val q = corpus.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("qvec"), normF(col(vecCol)).as("qnorm"))
+    val cand = corpus.filter(col(idCol) =!= queryId)
+      .select(col(idCol), col(vecCol),
+        normF(col(vecCol)).as("__norm"))
+      .crossJoin(broadcast(q))
+      .select(col(idCol), col(vecCol),
+        cosRoundedPre(col("qvec"), col(vecCol), col("qnorm"), col("__norm"))
+          .as("rel"))
+    val picks = scala.collection.mutable.ArrayBuffer[(Long, Long, Double, Double)]()
+    var remaining = cand
+    for (i <- 1 to k) {
+      val scored =
+        if (i == 1) remaining.withColumn("score", col("rel"))
+        else remaining.withColumn("score",
+          lit(lam) * col("rel") - lit(pen) * col("ms"))
+      val top = scored.orderBy(col("score").desc, col(idCol)).limit(1)
+        .select(col(idCol), col(vecCol), col("rel"), col("score")).collect()
+      if (top.nonEmpty) {
+        val row = top(0)
+        picks += ((i.toLong, row.getLong(0), row.getDouble(2), row.getDouble(3)))
+        val pvec = typedlit(row.getSeq[Float](1))
+        val simToPick = cosRounded(col(vecCol), pvec)
+        remaining = remaining.filter(col(idCol) =!= row.getLong(0))
+        remaining =
+          if (i == 1) remaining.withColumn("ms", simToPick)
+          else remaining.withColumn("ms", greatest(col("ms"), simToPick))
+      }
+    }
+    import spark.implicits._
+    picks.toSeq.toDF("sel_rank", idCol, "rel", "score")
+      .select(col("sel_rank"), col(idCol),
+        col("rel").as("rel_r"),
+        graft.functions.Functions.roundFrac(col("score"), 6).as("score_r"))
+  }
+
   /** Hard ceiling on the centroid codebook size for the literal-array
     * assignment path (a plan-embedded literal must stay small; real
     * IVF codebooks are 2^10..2^13 cells). */

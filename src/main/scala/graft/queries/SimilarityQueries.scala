@@ -13,6 +13,10 @@ import graft.ops.Similarity
   */
 object SimilarityQueries {
 
+  /** q140's pick count — interpolated into the generated greedy CTE
+    * chain and passed to [[graft.ops.Similarity.mmrSelect]]. */
+  private val MmrK = 8
+
   /** DuckDB-side deterministic fold mirrors of
     * [[graft.functions.Functions.dotProduct]] / `l2Norm`. */
   private def dotSql(a: String, b: String): String =
@@ -475,6 +479,47 @@ object SimilarityQueries {
             col("e1"), col("e2"), col("n1"), col("n2")))
           .filter(col("cos_r") >= 0.35)
           .select("v1", "v2", "cos_r")
+    },
+
+    // Maximal Marginal Relevance: k relevant-but-diverse picks for a
+    // query vector — the eval-set / few-shot example selection step
+    // (plain top-k returns near-copies of the best hit; the
+    // λ·rel − (1−λ)·max-sim-to-selected penalty forces coverage). See
+    // [[graft.ops.Similarity.mmrSelect]] for the scale shape (k map
+    // passes + TakeOrdered(1) argmaxes, incremental max-sim, zero
+    // shuffles). The oracle replays the greedy chain as k generated
+    // CTE rounds — argmax, exclusion, and the incremental
+    // greatest-fold all in the same rounded-double space.
+    Q("q140_mmr_select", {
+      val k = MmrK
+      val ctes = new StringBuilder(
+        s"""q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id = 0),
+           |cand AS (SELECT e.vec_id, e.embedding, ${cosSql("q.qvec", "e.embedding")} AS rel
+           |         FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+           |s1 AS (SELECT vec_id, embedding, rel, rel AS score
+           |       FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+           |m1 AS (SELECT c.vec_id, c.embedding, c.rel,
+           |         ${cosSql("c.embedding", "s.embedding")} AS ms
+           |       FROM cand c CROSS JOIN s1 s WHERE c.vec_id <> s.vec_id)""".stripMargin)
+      for (i <- 2 to k) {
+        ctes.append(
+          s""",
+             |s$i AS (SELECT vec_id, embedding, rel, 0.7 * rel - 0.3 * ms AS score
+             |       FROM m${i - 1} ORDER BY score DESC, vec_id LIMIT 1)""".stripMargin)
+        if (i < k) ctes.append(
+          s""",
+             |m$i AS (SELECT m.vec_id, m.embedding, m.rel,
+             |         greatest(m.ms, ${cosSql("m.embedding", "s.embedding")}) AS ms
+             |       FROM m${i - 1} m CROSS JOIN s$i s WHERE m.vec_id <> s.vec_id)""".stripMargin)
+      }
+      val sel = (1 to k).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS sel_rank, vec_id, rel AS rel_r, round(score, 6) AS score_r FROM s$i")
+        .mkString("\nUNION ALL\n")
+      s"WITH ${ctes.toString}\n$sel"
+    }) {
+      (s, d) =>
+        Similarity.mmrSelect(table(s, d, "embeddings"), queryId = 0L,
+          k = MmrK, lambdaPct = 70)
     }
   )
 }

@@ -563,5 +563,69 @@ object CurationQueries {
           .join(din, Seq("v"), "left")
           .select(col("v").as("source"), col("r").as("rank_scaled"),
             coalesce(col("new_in_w"), lit(0L)).as("new_in_w"))
+    },
+
+    // PMI phrase mining: the multi-word-expression discovery step that
+    // seeds tokenizer pre-merges and phrase-aware dedup ("new york",
+    // "machine learning" should tokenize as units). PMI in the q111
+    // bit-length space — bits(c_ab) + bits(N) − bits(c_a) − bits(c_b),
+    // the integer log₂ the LM family already uses, so no float log and
+    // no 10²⁶ overflow from the ratio form. Candidates need count ≥ 5
+    // (PMI is noise below that — standard practice); top 50 by
+    // (pmi_bits, count, bigram). Both frequency tables are persisted
+    // indexes; the word-count joins are selective-salt joins (function
+    // words are hot BY CONSTRUCTION); the final slice is TakeOrdered,
+    // never a vocabulary-wide sort partition; the rank window runs
+    // over the 50 survivors.
+    Q("q141_phrase_mining",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+        |wc AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+        |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM wc),
+        |bgr AS (
+        |  SELECT words[CAST(i AS INT)] AS w1, words[CAST(i AS INT)+1] AS w2
+        |  FROM (SELECT string_split(text, ' ') AS words FROM documents),
+        |       unnest(generate_series(1, len(words)-1)) AS g(i)),
+        |bc AS (SELECT w1, w2, count(*) AS cab FROM bgr GROUP BY 1, 2
+        |       HAVING count(*) >= 5),
+        |scored AS (
+        |  SELECT bc.w1, bc.w2, bc.cab,
+        |         CAST(length(bin(bc.cab)) + length(bin(n.n))
+        |              - length(bin(a.c)) - length(bin(b.c)) AS BIGINT) AS pmi_bits
+        |  FROM bc JOIN wc a ON a.w = bc.w1 JOIN wc b ON b.w = bc.w2 CROSS JOIN n),
+        |ranked AS (SELECT *, row_number() OVER (
+        |             ORDER BY pmi_bits DESC, cab DESC, w1, w2) AS rnk FROM scored)
+        |SELECT w1, w2, CAST(cab AS BIGINT) AS cab, pmi_bits,
+        |       CAST(rnk AS BIGINT) AS rnk
+        |FROM ranked WHERE rnk <= 50""".stripMargin) {
+      (s, d) =>
+        import org.apache.spark.sql.expressions.Window
+        val wc = Indexes.termFrequencies(s, d)
+          .groupBy("w").agg(sum(col("tf")).as("c"))
+        val n = wc.agg(sum(col("c")).cast("long").as("n"))
+        val bc = Indexes.bigramFrequencies(s, d)
+          .groupBy("bg").agg(sum(col("tf")).as("cab"))
+          .filter(col("cab") >= 5)
+          .select(split(col("bg"), " ").getItem(0).as("w1"),
+            split(col("bg"), " ").getItem(1).as("w2"), col("cab"))
+        val scored = Skew.saltedJoinHot(
+            bc, wc.select(col("w").as("w1"), col("c").as("ca")), "w1",
+            saltBy = col("w2"), salts = 16,
+            hotCap = graft.ops.Dedup.DefaultHotShingleCap)
+        val scored2 = Skew.saltedJoinHot(
+            scored, wc.select(col("w").as("w2"), col("c").as("cb")), "w2",
+            saltBy = col("w1"), salts = 16,
+            hotCap = graft.ops.Dedup.DefaultHotShingleCap)
+          .crossJoin(broadcast(n))
+          .withColumn("pmi_bits",
+            (length(bin(col("cab"))) + length(bin(col("n")))
+              - length(bin(col("ca"))) - length(bin(col("cb"))))
+              .cast("long"))
+        val top = scored2
+          .orderBy(col("pmi_bits").desc, col("cab").desc, col("w1"), col("w2"))
+          .limit(50)
+        top.withColumn("rnk", row_number().over(Window.orderBy(
+            col("pmi_bits").desc, col("cab").desc, col("w1"), col("w2")))
+            .cast("bigint"))
+          .select("w1", "w2", "cab", "pmi_bits", "rnk")
     })
 }

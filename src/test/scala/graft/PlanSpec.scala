@@ -258,6 +258,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), plan.take(1000))
   }
 
+  test("q130: the rank recurrence never plans a cartesian product") {
+    // The teleport/seed terms ride broadcast 1-row count frames
+    // (BroadcastNestedLoopJoin over one row — the q22 discipline);
+    // a CartesianProduct anywhere means a rank/edge join lost its
+    // equi-keys and the iteration would be |V|²·iters at scale.
+    val plan = planOf("q130_domain_rank")
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("q132: term selection is TakeOrdered, never a vocabulary-wide sort") {
+    val plan = planOf("q132_bm25_topk")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    // The only windows run per (term, shard) and per term over ≤ 320
+    // survivors + the bounded 24-row selection (single-partition over
+    // 24 rows, not a range exchange) — no range partitioning anywhere.
+    assert(!plan.toLowerCase.contains("rangepartitioning"), plan.take(2000))
+  }
+
+  test("q133: per-language perplexity ranking never plans a stratum-global sort") {
+    val plan = planOf("q133_ccnet_buckets")
+    assert(!plan.toLowerCase.contains("rangepartitioning"),
+      s"q133 plans a global sort:\n${plan.take(1500)}")
+  }
+
   test("q68: k-means final assignment is likewise exchange-free") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val cents = graft.ops.Similarity.kmeansCentroids(e, k = 8, iters = 2)

@@ -157,6 +157,40 @@ object BpeQueries {
           .select("doc_id", "source", "n_tok", "cum_tok")
     },
 
+    // Sequence packing under the TRAINED tokenizer — q62's contiguous
+    // layout with the token counter swapped for the real thing (the
+    // drop-in q62's docs promise, demonstrated end-to-end like q101
+    // did for budgets): train → count → pack in ONE lineage. Packing
+    // positions move wherever trained counts differ from the regex
+    // demo's, so the oracle replays the 64-merge training chain AND
+    // the per-source prefix sums. Scale shape unchanged from q62: the
+    // count is a pure map expression over the memoized merge table,
+    // the layout is one prefix-sum window per source shard.
+    Q("q142_bpe_packing", {
+      val n = NMerges
+      s"""WITH ${trainingCtes(n)},
+         |${countCte(n)},
+         |c AS (SELECT doc_id, source, n_tok,
+         |        sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS start_off
+         |      FROM bt)
+         |SELECT doc_id, source, n_tok,
+         |       CAST(start_off // 256 AS BIGINT) AS seq_id,
+         |       CAST(start_off % 256 AS BIGINT) AS seq_off
+         |FROM c""".stripMargin
+    }) {
+      (s, d) =>
+        val merges = Indexes.bpeMerges(s, d, NMerges)
+        val trainedCount = aggregate(
+          transform(Bpe.wordArray(col("text")),
+            w => Bpe.applyMerges(Bpe.charWrap(w), merges)),
+          lit(0L), (acc, r) => acc + size(Bpe.symbols(r)))
+        graft.ops.Packing.packSequences(
+          table(s, d, "documents").select("doc_id", "source", "text"),
+          "source", "doc_id", trainedCount, capacity = 256)
+          .select("doc_id", "source", "n_tok", "seq_id", "seq_off")
+    },
+
     // Token-ID encoding — the trainer-facing end of the tokenizer
     // chain (train → tokenize → budget → ENCODE): each document's
     // merged symbol stream mapped to integer ids from a deterministic

@@ -627,5 +627,45 @@ object CurationQueries {
             col("pmi_bits").desc, col("cab").desc, col("w1"), col("w2")))
             .cast("bigint"))
           .select("w1", "w2", "cab", "pmi_bits", "rnk")
+    },
+
+    // Length-sorted batching: order the corpus by token count, cut
+    // into fixed-size micro-batches, report each batch's padding
+    // waste — the sorted-batching / bucketing step every trainer runs
+    // to stop short documents burning compute as padding (and the
+    // curriculum primitive: batch_id IS a shortest-first schedule).
+    // The global length order comes from rankNormalize's two-phase
+    // machinery (256 value buckets, bounded offsets, one window per
+    // bucket — the corpus NEVER sorts in one partition); the oracle
+    // is the naive global row_number, so the green row again proves
+    // the decomposition — this time on a value key with heavy ties.
+    Q("q143_sorted_batching",
+      """WITH t AS (SELECT doc_id, len(string_split(text,' ')) AS n_tok FROM documents),
+        |p AS (SELECT doc_id, n_tok,
+        |        row_number() OVER (ORDER BY n_tok, doc_id) - 1 AS pos FROM t),
+        |b AS (SELECT pos // 32 AS batch_id, count(*) AS n_docs,
+        |        max(n_tok) AS max_tok, sum(n_tok) AS sum_tok
+        |      FROM p GROUP BY 1)
+        |SELECT CAST(batch_id AS BIGINT) AS batch_id,
+        |       CAST(n_docs AS BIGINT) AS n_docs,
+        |       CAST(max_tok AS BIGINT) AS max_tok,
+        |       CAST(sum_tok AS BIGINT) AS sum_tok,
+        |       CAST(((n_docs * max_tok - sum_tok) * 1000000)
+        |            // (n_docs * max_tok) AS BIGINT) AS pad_ppm
+        |FROM b""".stripMargin) {
+      (s, d) =>
+        val t = table(s, d, "documents").select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        val ranked = graft.ops.Sampling.rankNormalize(
+          t.withColumn("g", lit(0)), "g", "doc_id", col("n_tok"))
+        ranked
+          .select(col("score").as("n_tok"), expr("rnk div 32").as("batch_id"))
+          .groupBy("batch_id")
+          .agg(count(lit(1)).as("n_docs"), max(col("n_tok")).as("max_tok"),
+            sum(col("n_tok")).as("sum_tok"))
+          .select(col("batch_id"), col("n_docs"), col("max_tok"),
+            col("sum_tok"),
+            expr("((n_docs * max_tok - sum_tok) * 1000000) div (n_docs * max_tok)")
+              .as("pad_ppm"))
     })
 }

@@ -667,5 +667,60 @@ object CurationQueries {
             col("sum_tok"),
             expr("((n_docs * max_tok - sum_tok) * 1000000) div (n_docs * max_tok)")
               .as("pad_ppm"))
+    },
+
+    // Eval-coverage audit — q60's contamination flipped around: per
+    // EVAL document (q60's convention: every 13th doc's 40-token
+    // prefix), what fraction of its shingles the rest of the corpus
+    // covers. Low coverage = a domain the corpus doesn't teach (the
+    // "train on it or expect the benchmark to probe out-of-
+    // distribution" signal); q60 asks who must be REMOVED, this asks
+    // what is MISSING. The eval doc always carries its own prefix
+    // shingles in the full-corpus index (prefix 3-grams ⊂ document
+    // 3-grams), so covered-by-others ⇔ corpus carrier count ≥ 2 — no
+    // self-exclusion join. Corpus counts ride the persisted shingle
+    // index; the eval probe is a selective-salt join (boilerplate
+    // shingles are hot); per-eval-doc work ∝ eval size.
+    Q("q144_eval_coverage",
+      s"""WITH tok AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+         |esh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws)-1),
+         |          i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS shs
+         |        FROM (SELECT doc_id, string_split(array_to_string(ws[1:40],' '),' ') AS ws
+         |              FROM tok WHERE doc_id % 13 = 0)
+         |        WHERE len(ws) >= 3),
+         |eh AS (SELECT doc_id, ${h64("s")} AS h
+         |       FROM (SELECT doc_id, unnest(shs) AS s FROM esh)),
+         |tsh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws)-1),
+         |          i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS shs
+         |        FROM tok WHERE len(ws) >= 3),
+         |th AS (SELECT doc_id, ${h64("s")} AS h
+         |       FROM (SELECT doc_id, unnest(shs) AS s FROM tsh)),
+         |hc AS (SELECT h, count(*) AS c FROM th GROUP BY h),
+         |cov AS (SELECT eh.doc_id, count(*) AS n_sh,
+         |          sum(CASE WHEN hc.c >= 2 THEN 1 ELSE 0 END) AS n_cov
+         |        FROM eh JOIN hc ON eh.h = hc.h GROUP BY 1)
+         |SELECT doc_id, CAST(n_sh AS BIGINT) AS n_shingles,
+         |       CAST(n_cov AS BIGINT) AS n_covered,
+         |       CAST((n_cov * 1000000) // n_sh AS BIGINT) AS coverage_ppm
+         |FROM cov""".stripMargin) {
+      (s, d) =>
+        val hc = Indexes.shingles(s, d)
+          .select(explode(col("__hs")).as("h"))
+          .groupBy("h").agg(count(lit(1)).as("c"))
+        val evalSh = graft.ops.Dedup.shingleFrame(
+            table(s, d, "documents")
+              .filter(col("doc_id") % 13 === 0)
+              .select(col("doc_id"),
+                array_join(slice(split(col("text"), " "), 1, 40), " ")
+                  .as("text")),
+            "doc_id", "text")
+          .select(col("doc_id"), explode(col("__hs")).as("h"))
+        Skew.saltedJoinHot(evalSh, hc, "h", saltBy = col("doc_id"),
+            salts = 16, hotCap = graft.ops.Dedup.DefaultHotShingleCap)
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when(col("c") >= 2, 1L).otherwise(0L)).as("n_covered"))
+          .select(col("doc_id"), col("n_shingles"), col("n_covered"),
+            expr("(n_covered * 1000000) div n_shingles").as("coverage_ppm"))
     })
 }

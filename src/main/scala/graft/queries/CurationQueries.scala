@@ -84,6 +84,70 @@ object CurationQueries {
       |       CAST(drift > 200000 AS INT) AS drifted
       |FROM l1 JOIN tot ON l1.day = tot.day""".stripMargin
 
+
+  /** CCNet oracle CTE chain ending at `rk(doc_id, lang, score_milli,
+    * rnk, n)` — shared by q133 and the curation composition (q145). */
+  private val ccnetCtes =
+    """bgr AS (
+      |  SELECT doc_id, words[CAST(i AS INT)] || ' ' || words[CAST(i AS INT)+1] AS bg
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      |       unnest(generate_series(1, len(words)-1)) AS g(i)),
+      |bf AS (SELECT doc_id, bg, count(*) AS tf FROM bgr GROUP BY 1, 2),
+      |cnt AS (SELECT bg, sum(tf) AS c FROM bf GROUP BY bg),
+      |sc AS (
+      |  SELECT bf.doc_id, sum(bf.tf) AS n_bigrams,
+      |         sum(length(bin(cnt.c)) * bf.tf) AS lm
+      |  FROM bf JOIN cnt USING (bg) GROUP BY 1),
+      |scm AS (SELECT d.doc_id, d.lang,
+      |          (sc.lm * 1000) // sc.n_bigrams AS score_milli
+      |        FROM documents d JOIN sc ON sc.doc_id = d.doc_id),
+      |rk AS (SELECT *,
+      |         row_number() OVER (PARTITION BY lang
+      |           ORDER BY score_milli, doc_id) - 1 AS rnk,
+      |         count(*) OVER (PARTITION BY lang) AS n
+      |       FROM scm)""".stripMargin
+
+  /** The Spark CCNet chain shared by q133/q145 — (doc_id, lang,
+    * score_milli, bucket). Scores ride the persisted bigram index;
+    * ranks come from rankNormalize's two-phase decomposition. */
+  private def ccnetBuckets(s: org.apache.spark.sql.SparkSession,
+                           d: String): org.apache.spark.sql.DataFrame = {
+    val bf = Indexes.bigramFrequencies(s, d)
+    val cnt = bf.groupBy("bg").agg(sum(col("tf")).as("c"))
+    val lm = Skew.saltedJoin(bf, cnt, "bg",
+        saltBy = col("doc_id"), salts = 16)
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_bigrams"),
+        sum(length(bin(col("c"))).cast("long") * col("tf")).as("lm"))
+    val scm = table(s, d, "documents").select("doc_id", "lang")
+      .join(lm, "doc_id")
+      .select(col("doc_id"), col("lang"),
+        expr("(lm * 1000) div n_bigrams").as("score_milli"))
+    val ranked = graft.ops.Sampling.rankNormalize(
+      scm, "lang", "doc_id", col("score_milli"))
+    val n = scm.groupBy("lang").agg(count(lit(1)).as("n"))
+    ranked.join(broadcast(n), "lang")
+      .select(col("doc_id"), col("lang"),
+        col("score").as("score_milli"),
+        when(expr("(3 * rnk) div n") === 0, "head")
+          .when(expr("(3 * rnk) div n") === 1, "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
+  /** The rank-derived per-source keep-rate table shared by q138/q145 —
+    * (source, rate_ppm): rank normalized by the uniform seed at a
+    * 50 % center, capped at 1. */
+  private def rankRates(s: org.apache.spark.sql.SparkSession,
+                        d: String): org.apache.spark.sql.DataFrame = {
+    val nn = table(s, d, "documents").select("source").distinct()
+      .agg(count(lit(1)).as("__n"))
+    domainRank(s, d).crossJoin(broadcast(nn))
+      .select(col("source"),
+        least(lit(1000000L),
+          expr(s"(rank_scaled * 500000) div (${Graph.Scale} div __n)"))
+          .as("rate_ppm"))
+  }
+
   /** The oracle's unrolled PageRank iterations r1..r`n` over CTEs
     * `srcs(v)` / `nn(n)` / `tp(t)` / `e2(u, v, p)` — the exact
     * integer recurrence of [[Graph.pageRank]]. */
@@ -271,49 +335,12 @@ object CurationQueries {
     // the oracle is the naive global row_number, so the green row is
     // machine proof of the decomposition, bucket boundaries included.
     Q("q133_ccnet_buckets",
-      """WITH bgr AS (
-        |  SELECT doc_id, words[CAST(i AS INT)] || ' ' || words[CAST(i AS INT)+1] AS bg
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
-        |       unnest(generate_series(1, len(words)-1)) AS g(i)),
-        |bf AS (SELECT doc_id, bg, count(*) AS tf FROM bgr GROUP BY 1, 2),
-        |cnt AS (SELECT bg, sum(tf) AS c FROM bf GROUP BY bg),
-        |sc AS (
-        |  SELECT bf.doc_id, sum(bf.tf) AS n_bigrams,
-        |         sum(length(bin(cnt.c)) * bf.tf) AS lm
-        |  FROM bf JOIN cnt USING (bg) GROUP BY 1),
-        |scm AS (SELECT d.doc_id, d.lang,
-        |          (sc.lm * 1000) // sc.n_bigrams AS score_milli
-        |        FROM documents d JOIN sc ON sc.doc_id = d.doc_id),
-        |rk AS (SELECT *,
-        |         row_number() OVER (PARTITION BY lang
-        |           ORDER BY score_milli, doc_id) - 1 AS rnk,
-        |         count(*) OVER (PARTITION BY lang) AS n
-        |       FROM scm)
-        |SELECT doc_id, lang, CAST(score_milli AS BIGINT) AS score_milli,
-        |       CASE (3 * rnk) // n WHEN 0 THEN 'head'
-        |            WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket
-        |FROM rk""".stripMargin) {
-      (s, d) =>
-        val bf = Indexes.bigramFrequencies(s, d)
-        val cnt = bf.groupBy("bg").agg(sum(col("tf")).as("c"))
-        val lm = graft.ops.Skew.saltedJoin(bf, cnt, "bg",
-            saltBy = col("doc_id"), salts = 16)
-          .groupBy("doc_id")
-          .agg(sum(col("tf")).as("n_bigrams"),
-            sum(length(bin(col("c"))).cast("long") * col("tf")).as("lm"))
-        val scm = table(s, d, "documents").select("doc_id", "lang")
-          .join(lm, "doc_id")
-          .select(col("doc_id"), col("lang"),
-            expr("(lm * 1000) div n_bigrams").as("score_milli"))
-        val ranked = graft.ops.Sampling.rankNormalize(
-          scm, "lang", "doc_id", col("score_milli"))
-        val n = scm.groupBy("lang").agg(count(lit(1)).as("n"))
-        ranked.join(broadcast(n), "lang")
-          .select(col("doc_id"), col("lang"),
-            col("score").as("score_milli"),
-            when(expr("(3 * rnk) div n") === 0, "head")
-              .when(expr("(3 * rnk) div n") === 1, "middle")
-              .otherwise("tail").as("bucket"))
+      s"""WITH $ccnetCtes
+         |SELECT doc_id, lang, CAST(score_milli AS BIGINT) AS score_milli,
+         |       CASE (3 * rnk) // n WHEN 0 THEN 'head'
+         |            WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket
+         |FROM rk""".stripMargin) {
+      (s, d) => ccnetBuckets(s, d)
     },
 
     // Sub/superset detection via asymmetric containment — the measure
@@ -485,16 +512,8 @@ object CurationQueries {
          |FROM documents d JOIN rates rt ON d.source = rt.source
          |WHERE ${h64("CAST(d.doc_id AS VARCHAR)")} % 1000000 < rt.rate_ppm""".stripMargin) {
       (s, d) =>
-        val ranks = domainRank(s, d)
-        val nn = table(s, d, "documents").select("source").distinct()
-          .agg(count(lit(1)).as("__n"))
-        val rates = ranks.crossJoin(broadcast(nn))
-          .select(col("source"),
-            least(lit(1000000L),
-              expr(s"(rank_scaled * 500000) div (${Graph.Scale} div __n)"))
-              .as("rate_ppm"))
         table(s, d, "documents").select("doc_id", "source")
-          .join(broadcast(rates), "source")
+          .join(broadcast(rankRates(s, d)), "source")
           .filter(graft.ops.Sampling.sampleKey(col("doc_id")) < col("rate_ppm"))
           .select(col("doc_id"), col("source"), col("rate_ppm"))
     },
@@ -722,5 +741,61 @@ object CurationQueries {
             sum(when(col("c") >= 2, 1L).otherwise(0L)).as("n_covered"))
           .select(col("doc_id"), col("n_shingles"), col("n_covered"),
             expr("(n_covered * 1000000) div n_shingles").as("coverage_ppm"))
+    },
+
+    // Curation v4 — the wave-3 signals composed into ONE keep
+    // decision, the way a production corpus release actually runs:
+    // keep a document iff (a) its language-relative perplexity bucket
+    // is head or middle (the CCNet gate, q133), (b) it survives the
+    // authority-weighted coin flip (domain-rank rate × hash threshold,
+    // q138), and (c) it is not a sub-document of another doc
+    // (containment, q134 — mutual containments keep the smaller id as
+    // canonical). Three persisted-index-backed signals meeting in one
+    // lineage: the bucket join is doc-grain, the rate table broadcasts,
+    // the drop set is a left-anti join. The oracle replays ALL of it —
+    // the bigram-LM rank chain, the unrolled PageRank, the rate
+    // arithmetic, every membership test, and the all-pairs containment
+    // closure — in one query; a green row gates the whole composition.
+    Q("q145_curation_v4",
+      s"""WITH $domainRankCtes,
+         |rates AS (SELECT v AS source,
+         |            least(1000000, (r * 500000) // (SELECT ${Graph.Scale} // n FROM nn))
+         |              AS rate_ppm
+         |          FROM r$PrIters),
+         |$ccnetCtes,
+         |cont AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |           len(list_intersect(a.hs, b.hs)) * 100 >= 80 * len(a.hs) AS c1,
+         |           len(list_intersect(a.hs, b.hs)) * 100 >= 80 * len(b.hs) AS c2
+         |         FROM hst a JOIN hst b ON a.doc_id < b.doc_id
+         |         WHERE len(list_intersect(a.hs, b.hs)) * 100 >= 80 * len(a.hs)
+         |            OR len(list_intersect(a.hs, b.hs)) * 100 >= 80 * len(b.hs)),
+         |drops AS (SELECT d1 AS doc_id FROM cont WHERE c1 AND NOT c2
+         |          UNION SELECT d2 FROM cont WHERE c2)
+         |SELECT d.doc_id, d.lang, d.source,
+         |       CASE (3 * rk.rnk) // rk.n WHEN 0 THEN 'head'
+         |            WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket,
+         |       CAST(rt.rate_ppm AS BIGINT) AS rate_ppm
+         |FROM documents d
+         |JOIN rk ON rk.doc_id = d.doc_id
+         |JOIN rates rt ON rt.source = d.source
+         |WHERE (3 * rk.rnk) // rk.n <= 1
+         |  AND ${h64("CAST(d.doc_id AS VARCHAR)")} % 1000000 < rt.rate_ppm
+         |  AND d.doc_id NOT IN (SELECT doc_id FROM drops)""".stripMargin) {
+      (s, d) =>
+        val buck = ccnetBuckets(s, d).filter(col("bucket") =!= "tail")
+        val cont = graft.ops.Dedup.containmentPairsFromHashes(
+          Indexes.shingles(s, d), "doc_id", thresholdPct = 80)
+        val drops = cont
+          .filter(col("d1_in_d2") === 1 && col("d2_in_d1") === 0)
+          .select(col("d1").as("doc_id"))
+          .union(cont.filter(col("d2_in_d1") === 1)
+            .select(col("d2").as("doc_id")))
+          .distinct()
+        table(s, d, "documents").select("doc_id", "lang", "source")
+          .join(buck.select("doc_id", "bucket"), "doc_id")
+          .join(broadcast(rankRates(s, d)), "source")
+          .filter(graft.ops.Sampling.sampleKey(col("doc_id")) < col("rate_ppm"))
+          .join(drops, Seq("doc_id"), "left_anti")
+          .select("doc_id", "lang", "source", "bucket", "rate_ppm")
     })
 }

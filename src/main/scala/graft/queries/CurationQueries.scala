@@ -723,9 +723,11 @@ object CurationQueries {
          |       CAST((n_cov * 1000000) // n_sh AS BIGINT) AS coverage_ppm
          |FROM cov""".stripMargin) {
       (s, d) =>
-        val hc = Indexes.shingles(s, d)
-          .select(explode(col("__hs")).as("h"))
-          .groupBy("h").agg(count(lit(1)).as("c"))
+        // The eval probe frame is BOUNDED by contract (benchmarks are
+        // tiny against the corpus) — materialize it once; it feeds
+        // three consumers (the distinct broadcast, the final join, and
+        // the count), and its md5 lineage measured 5-7 s per
+        // re-evaluation inside the Generate at sf0.1.
         val evalSh = graft.ops.Dedup.shingleFrame(
             table(s, d, "documents")
               .filter(col("doc_id") % 13 === 0)
@@ -733,9 +735,16 @@ object CurationQueries {
                 array_join(slice(split(col("text"), " "), 1, 40), " ")
                   .as("text")),
             "doc_id", "text")
+          .localCheckpoint(true)
           .select(col("doc_id"), explode(col("__hs")).as("h"))
-        Skew.saltedJoinHot(evalSh, hc, "h", saltBy = col("doc_id"),
-            salts = 16, hotCap = graft.ops.Dedup.DefaultHotShingleCap)
+        // The eval shingle set broadcasts, so the corpus index streams
+        // past it map-side and the carrier-count aggregate keys only
+        // on eval shingles — never a vocabulary-wide shuffle.
+        val hc = Indexes.shingles(s, d)
+          .select(explode(col("__hs")).as("h"))
+          .join(broadcast(evalSh.select("h").distinct()), "h")
+          .groupBy("h").agg(count(lit(1)).as("c"))
+        evalSh.join(broadcast(hc), "h")
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_shingles"),
             sum(when(col("c") >= 2, 1L).otherwise(0L)).as("n_covered"))

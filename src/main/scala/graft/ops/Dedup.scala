@@ -65,6 +65,40 @@ object Dedup {
   def shingleHashes(shs: Column): Column =
     transform(shs, s => portableHash64(s))
 
+  /** POSITIONAL shingle hashes — the ordered sequence (no distinct),
+    * as winnowing requires: selection picks window MINIMA over the
+    * positional stream, so de-duplicating first would change which
+    * windows exist. Empty below `n` tokens like [[shingles]]. */
+  def positionalShingleHashes(ws: Column, n: Int = 3): Column =
+    when(size(ws) >= n,
+      transform(
+        sequence(lit(0), size(ws) - n),
+        i => portableHash64(
+          concat_ws(" ", (1 to n).map(k => element_at(ws, i + k)): _*))))
+      .otherwise(array().cast("array<bigint>"))
+
+  /** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken's
+    * MOSS scheme, public): slide a `w`-window over the positional
+    * shingle-hash stream and keep each window's MINIMUM — the
+    * guarantee is that any shared run of ≥ w+shingleN−1 tokens
+    * between two documents yields at least one shared selected
+    * hash, while the expected index density drops to ~2/(w+1) of
+    * the full shingle set. THE index-size dial for sub-document
+    * dedup at 100 TB: same detection guarantee for long matches at
+    * a fifth of the index (w=8). Selection is by VALUE (distinct
+    * window minima), so ties cannot make engines disagree. Pure
+    * array expressions — no explode until the consumer. */
+  def winnowedFingerprints(ws: Column, window: Int,
+                           shingleN: Int = 3): Column = {
+    val hs = positionalShingleHashes(ws, shingleN)
+    when(size(hs) >= window,
+      array_distinct(transform(
+        sequence(lit(0), size(hs) - window),
+        i => array_min(slice(hs, i + 1, lit(window))))))
+      .otherwise(when(size(hs) > 0, array(array_min(hs)))
+        .otherwise(array().cast("array<bigint>")))
+  }
+
   /** MinHash signature element i over a shingle-hash array: min of
     * the i-th universal hash over the set. Pure array expression —
     * no explode, no shuffle. */

@@ -794,11 +794,14 @@ object CurationQueries {
         val buck = ccnetBuckets(s, d).filter(col("bucket") =!= "tail")
         val cont = graft.ops.Dedup.containmentPairsFromHashes(
           Indexes.shingles(s, d), "doc_id", thresholdPct = 80)
+        // Every emitted pair yields EXACTLY ONE drop ((c1,¬c2) → d1,
+        // otherwise d2 — mutual containment keeps the smaller id), so
+        // the drop set is one projection, not a two-filter union that
+        // would evaluate the containment chain twice (measured 2× the
+        // whole pair join at sf10).
         val drops = cont
-          .filter(col("d1_in_d2") === 1 && col("d2_in_d1") === 0)
-          .select(col("d1").as("doc_id"))
-          .union(cont.filter(col("d2_in_d1") === 1)
-            .select(col("d2").as("doc_id")))
+          .select(when(col("d1_in_d2") === 1 && col("d2_in_d1") === 0,
+            col("d1")).otherwise(col("d2")).as("doc_id"))
           .distinct()
         table(s, d, "documents").select("doc_id", "lang", "source")
           .join(buck.select("doc_id", "bucket"), "doc_id")
@@ -806,5 +809,75 @@ object CurationQueries {
           .filter(graft.ops.Sampling.sampleKey(col("doc_id")) < col("rate_ppm"))
           .join(drops, Seq("doc_id"), "left_anti")
           .select("doc_id", "lang", "source", "bucket", "rate_ppm")
+    },
+
+    // Winnowed near-dup pairs — the MOSS fingerprint-selection scheme
+    // (Schleimer/Wilkerson/Aiken, public) as the INDEX-SIZE dial for
+    // sub-document dedup: keep only each 8-window's minimum shingle
+    // hash (expected density ~2/9 of the full shingle index) while
+    // GUARANTEEING any shared run of ≥ w+n−1 = 10 tokens still
+    // collides on a selected hash. At 100 TB this is the difference
+    // between a 20 TB and a 4.5 TB dedup index with the same
+    // long-match detection. Selection is positional (window minima
+    // over the ORDERED hash stream — see
+    // [[graft.ops.Dedup.winnowedFingerprints]]), by value, so
+    // engines cannot disagree on ties. Pairs share ≥ 2 selected
+    // prints; candidates come from the same fragment-replicate
+    // bucket join as the full-shingle families, sizes riding the
+    // inverted index (the q134 trick). Oracle = naive all-pairs
+    // intersection over the same winnowed lists.
+    // Min-selection CONCENTRATES hot keys: a corpus-frequent trigram
+    // whose hash happens to be small is window-minimal almost
+    // everywhere it appears, so one selected print can gather the
+    // whole corpus into one bucket (measured: the uncapped pair join
+    // hung at sf0.1). MOSS's own practice drops boilerplate prints;
+    // here that is a DOCUMENT-FREQUENCY cap (df ≤ 50) applied
+    // identically on both sides — a semantic parameter of the
+    // operator, mirrored by the oracle, not a silent performance cap.
+    Q("q146_winnowing_neardup",
+      s"""WITH tok AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+         |ph AS (SELECT doc_id, list_transform(range(1, len(ws)-1),
+         |         i -> ${h64("ws[i]||' '||ws[i+1]||' '||ws[i+2]")}) AS hs
+         |       FROM tok WHERE len(ws) >= 3),
+         |win AS (SELECT doc_id,
+         |          CASE WHEN len(hs) >= 8
+         |               THEN list_distinct(list_transform(range(1, len(hs)-6),
+         |                      i -> list_min(hs[i:i+7])))
+         |               ELSE [list_min(hs)] END AS fps
+         |        FROM ph),
+         |wf AS (SELECT doc_id, unnest(fps) AS h FROM win),
+         |dfc AS (SELECT h, count(*) AS c FROM wf GROUP BY h),
+         |keep AS (SELECT wf.doc_id, wf.h FROM wf JOIN dfc USING (h)
+         |         WHERE dfc.c <= 50),
+         |kn AS (SELECT doc_id, count(*) AS n FROM keep GROUP BY doc_id)
+         |SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |       CAST(count(*) AS BIGINT) AS n_shared,
+         |       CAST(min(na.n) AS BIGINT) AS n1,
+         |       CAST(min(nb.n) AS BIGINT) AS n2
+         |FROM keep a JOIN keep b ON a.h = b.h AND a.doc_id < b.doc_id
+         |JOIN kn na ON na.doc_id = a.doc_id
+         |JOIN kn nb ON nb.doc_id = b.doc_id
+         |GROUP BY a.doc_id, b.doc_id
+         |HAVING count(*) >= 2""".stripMargin) {
+      (s, d) =>
+        val fps = table(s, d, "documents").select(col("doc_id"),
+          graft.ops.Dedup.winnowedFingerprints(
+            graft.ops.Dedup.tokens(col("text")), window = 8).as("__fps"))
+        val wf = fps.select(col("doc_id"), explode(col("__fps")).as("__h"))
+        // Boilerplate prints (df > 50): bounded like the hot-bucket
+        // sets (≤ |prints|/50 keys, in practice the handful of
+        // corpus-wide stock phrases) — broadcast anti join drops them
+        // from BOTH sides of the pairing.
+        val hot = wf.groupBy("__h").agg(count(lit(1)).as("__c"))
+          .filter(col("__c") > 50).select("__h")
+        val keep = wf.join(broadcast(hot), Seq("__h"), "left_anti")
+        val kn = keep.groupBy("doc_id").agg(count(lit(1)).as("__n"))
+        val inv = keep.join(kn, "doc_id")
+        Skew.boundedBucketSelfJoin(inv, "__h", "doc_id",
+            graft.ops.Dedup.DefaultHotShingleCap, detectOneIn = 16)
+          .groupBy(col("doc_id").as("d1"), col("doc_id_2").as("d2"))
+          .agg(count(lit(1)).as("n_shared"),
+            min(col("__n")).as("n1"), min(col("__n_2")).as("n2"))
+          .filter(col("n_shared") >= 2)
     })
 }

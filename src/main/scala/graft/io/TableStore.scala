@@ -56,6 +56,12 @@ final class TableStore(spark: SparkSession, root: String) {
   def append(name: String, df: DataFrame): Unit =
     df.write.mode("append").parquet(path(name))
 
+  /** Remove a table directory (build-time intermediates — e.g. the
+    * positional-hash phase of the winnow index build). No-op if the
+    * table never existed. */
+  def delete(name: String): Unit =
+    fs.delete(new Path(path(name)), true): Unit
+
   /** Hive-style partitioned overwrite: readers filtering on the
     * partition columns scan only matching directories (partition
     * pruning — at 100 TB, the difference between touching one day and

@@ -77,26 +77,69 @@ object Dedup {
           concat_ws(" ", (1 to n).map(k => element_at(ws, i + k)): _*))))
       .otherwise(array().cast("array<bigint>"))
 
-  /** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken's
-    * MOSS scheme, public): slide a `w`-window over the positional
-    * shingle-hash stream and keep each window's MINIMUM — the
-    * guarantee is that any shared run of ≥ w+shingleN−1 tokens
-    * between two documents yields at least one shared selected
-    * hash, while the expected index density drops to ~2/(w+1) of
-    * the full shingle set. THE index-size dial for sub-document
-    * dedup at 100 TB: same detection guarantee for long matches at
-    * a fifth of the index (w=8). Selection is by VALUE (distinct
-    * window minima), so ties cannot make engines disagree. Pure
-    * array expressions — no explode until the consumer. */
-  def winnowedFingerprints(ws: Column, window: Int,
-                           shingleN: Int = 3): Column = {
-    val hs = positionalShingleHashes(ws, shingleN)
+  /** Winnowing selection (Schleimer/Wilkerson/Aiken's MOSS scheme,
+    * public) over an ALREADY-MATERIALIZED positional hash array:
+    * slide a `w`-window over the stream and keep each window's
+    * MINIMUM — the guarantee is that any shared run of
+    * ≥ w+shingleN−1 tokens between two documents yields at least one
+    * shared selected hash, while the expected index density drops to
+    * ~2/(w+1) of the full shingle set. THE index-size dial for
+    * sub-document dedup at 100 TB: same detection guarantee for long
+    * matches at a fifth of the index (w=8). Selection is by VALUE
+    * (distinct window minima), so ties cannot make engines disagree.
+    *
+    * PERFORMANCE CONTRACT: `hs` must be a real stored attribute (a
+    * persisted or checkpointed column), NOT the raw md5 expression
+    * lineage. Catalyst inlines a `Column` expression tree at every
+    * syntactic use site and common-subexpression elimination does
+    * not reach inside higher-order-function lambdas — so handing the
+    * positional-hash pipeline here directly re-evaluates the ENTIRE
+    * md5 lineage once per window position: O(L²) hash evaluations
+    * per document instead of O(L), multiplied again by every
+    * DataFrame reference downstream (measured: the r10 q146 bench
+    * DNF — one 5k-row input could not finish a pass in 15 min).
+    * Use [[buildWinnowIndex]] for the corpus flow. */
+  def winnowSelect(hs: Column, window: Int): Column =
     when(size(hs) >= window,
       array_distinct(transform(
         sequence(lit(0), size(hs) - window),
         i => array_min(slice(hs, i + 1, lit(window))))))
       .otherwise(when(size(hs) > 0, array(array_min(hs)))
         .otherwise(array().cast("array<bigint>")))
+
+  /** [[winnowSelect]] fused with the hash pipeline, for SMALL inputs
+    * only (specs, oracles): the inlining hazard documented on
+    * [[winnowSelect]] makes this O(L²) in md5 evaluations per doc.
+    * Corpus-scale consumers go through [[buildWinnowIndex]]. */
+  def winnowedFingerprints(ws: Column, window: Int,
+                           shingleN: Int = 3): Column =
+    winnowSelect(positionalShingleHashes(ws, shingleN), window)
+
+  /** Materialize the winnowed-fingerprint index through a
+    * [[graft.io.TableStore]]: one (idCol, `__fp`) row per selected
+    * print per document. TWO-PHASE by design — phase 1 lands the
+    * positional hash arrays as a table (ONE md5 pass over the
+    * corpus); phase 2 reads them back, so each array is a stored
+    * attribute and the window-min transform slices real array data
+    * (O(w) per position) instead of re-evaluating the md5 lineage
+    * per position (see [[winnowSelect]]'s performance contract). The
+    * phase-1 intermediate is dropped after the final table lands.
+    * Returns the persisted frame. */
+  def buildWinnowIndex(store: graft.io.TableStore, docs: DataFrame,
+                       idCol: String, textCol: String, window: Int,
+                       table: String = "winnow_prints",
+                       shingleN: Int = 3): DataFrame = {
+    val phsTable = table + "_phs"
+    store.overwrite(phsTable,
+      docs.select(col(idCol),
+          positionalShingleHashes(tokens(col(textCol)), shingleN).as("__phs"))
+        .filter(size(col("__phs")) > 0))
+    store.overwrite(table,
+      store.read(phsTable)
+        .select(col(idCol),
+          explode(winnowSelect(col("__phs"), window)).as("__fp")))
+    store.delete(phsTable)
+    store.read(table)
   }
 
   /** MinHash signature element i over a shingle-hash array: min of

@@ -820,7 +820,7 @@ object CurationQueries {
     // between a 20 TB and a 4.5 TB dedup index with the same
     // long-match detection. Selection is positional (window minima
     // over the ORDERED hash stream — see
-    // [[graft.ops.Dedup.winnowedFingerprints]]), by value, so
+    // [[graft.ops.Dedup.winnowSelect]]), by value, so
     // engines cannot disagree on ties. Pairs share ≥ 2 selected
     // prints; candidates come from the same fragment-replicate
     // bucket join as the full-shingle families, sizes riding the
@@ -860,10 +860,13 @@ object CurationQueries {
          |GROUP BY a.doc_id, b.doc_id
          |HAVING count(*) >= 2""".stripMargin) {
       (s, d) =>
-        val fps = table(s, d, "documents").select(col("doc_id"),
-          graft.ops.Dedup.winnowedFingerprints(
-            graft.ops.Dedup.tokens(col("text")), window = 8).as("__fps"))
-        val wf = fps.select(col("doc_id"), explode(col("__fps")).as("__h"))
+        // The PERSISTED winnow index (one md5 pass at build, parquet
+        // reads per reference) — this frame fans out to four
+        // consumers (df counts, both join sides, size lookup), and
+        // the inline expression lineage re-evaluated per reference ×
+        // per window position was the r10 bench DNF.
+        val wf = Indexes.winnowedPrints(s, d, window = 8)
+          .select(col("doc_id"), col("__fp").as("__h"))
         // Boilerplate prints (df > 50): bounded like the hot-bucket
         // sets (≤ |prints|/50 keys, in practice the handful of
         // corpus-wide stock phrases) — broadcast anti join drops them

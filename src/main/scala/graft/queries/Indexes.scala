@@ -191,6 +191,25 @@ object Indexes {
     }
   }
 
+  /** The winnowed-fingerprint index: one (doc_id, `__fp`) row per
+    * selected print per document, at window `w` (name is
+    * parameter-keyed — a cached build is never served to a caller
+    * who asked for a different window). Built two-phase
+    * ([[Dedup.buildWinnowIndex]]): positional hash arrays land as a
+    * scratch table first so the window-min selection slices stored
+    * arrays instead of re-evaluating the md5 lineage per position —
+    * the r10 q146 DNF recipe, fixed. Every downstream reference
+    * (df counts, pair joins) is a parquet read of ~2/(w+1) of the
+    * shingle volume. */
+  def winnowedPrints(spark: SparkSession, sfDir: String,
+                     window: Int = 8): DataFrame = lock.synchronized {
+    val name = s"winnow_prints_w$window"
+    cached(spark, store(spark, sfDir), name) { bst =>
+      Dedup.buildWinnowIndex(bst, corpusDocs(spark, sfDir),
+        "doc_id", "text", window, table = name): Unit
+    }
+  }
+
   /** The MinHash signature index (doc_id, `__hs`, mh0..mh{n-1}) —
     * derived FROM the persisted shingle index, so the md5 pass never
     * runs twice even at build time. */

@@ -47,19 +47,58 @@ object Bench {
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
 
-    def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
-      fn(spark, sfDir).queryExecution.toRdd.count(): Unit
-      // Queries may cache intermediate frames (LSH signatures); drop
-      // them so later queries aren't measured under another query's
-      // memory pressure.
-      spark.catalog.clearCache()
+    // PER-QUERY WATCHDOG: one pathological query must never convert
+    // the whole bench into an empty timed-out artifact (r10: a single
+    // unmeasured query hit the driver's 1-hour budget → rc=124 with
+    // ZERO timings for the 143 healthy queries). Each pass runs on a
+    // daemon thread under a named job group; on expiry the group is
+    // cancelled (interruptOnCancel kills its tasks) and the query is
+    // recorded as a NAMED timeout in `errors` — the bench still exits
+    // non-zero, but WITH every other query's timings. A query stuck
+    // in driver-side work (planning, expression construction) ignores
+    // the job-group cancel; the thread interrupt + daemon flag still
+    // let the bench proceed and the JVM exit.
+    val queryTimeoutSec: Long =
+      sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "120").toLong
+    val watchdog = java.util.concurrent.Executors.newCachedThreadPool(
+      (r: Runnable) => { val t = new Thread(r, "bench-watchdog"); t.setDaemon(true); t })
+
+    def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+            timeoutSec: Long = queryTimeoutSec): Unit = {
+      val group = s"bench-$name"
+      val task = watchdog.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = {
+          // Job group is a thread-local: set it on the thread that
+          // actually submits the Spark jobs.
+          spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
+          try fn(spark, sfDir).queryExecution.toRdd.count(): Unit
+          finally spark.sparkContext.clearJobGroup()
+        }
+      })
+      try task.get(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          spark.sparkContext.cancelJobGroup(group)
+          task.cancel(true): Unit
+          throw new RuntimeException(
+            s"timeout: exceeded ${timeoutSec}s; job group cancelled")
+        case e: java.util.concurrent.ExecutionException =>
+          throw Option(e.getCause).getOrElse(e)
+      } finally
+        // Queries may cache intermediate frames (LSH signatures); drop
+        // them so later queries aren't measured under another query's
+        // memory pressure.
+        spark.catalog.clearCache()
     }
 
     // Warmup pass: every query once, failures tolerated (the timed pass
     // is authoritative for errors — a warmup-only hiccup must not fail
-    // the bench if the timed run succeeds).
+    // the bench if the timed run succeeds). 3× the per-query budget:
+    // warmup absorbs the one-time persisted-index builds, which are
+    // legitimately much slower than the steady-state query.
     queries.foreach { case (name, fn) =>
-      try run(name, fn) catch { case _: Throwable => () }
+      try run(name, fn, timeoutSec = queryTimeoutSec * 3)
+      catch { case _: Throwable => () }
     }
 
     // Timed passes: two per query, min reported — single-shot numbers

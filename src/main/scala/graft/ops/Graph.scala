@@ -61,12 +61,40 @@ object Graph {
     *         units of 1/[[Scale]].
     */
   def pageRank(edges: DataFrame, nodes: DataFrame, nodeCol: String,
-               iters: Int, dampingPct: Int = 85): DataFrame = {
+               iters: Int, dampingPct: Int = 85,
+               validateEdges: Boolean = true): DataFrame = {
     require(iters >= 1 && iters <= MaxIters,
       s"pageRank: iters out of range: $iters")
     require(dampingPct >= 0 && dampingPct <= 100,
       s"pageRank: dampingPct out of range: $dampingPct")
     val universe = nodes.select(col(nodeCol).as("v")).distinct()
+    // CONTRACT CHECK (`validateEdges`): `nodes` must be a superset of
+    // every edge endpoint. A violation would otherwise be silently
+    // wrong, not loudly: a source u outside the universe contributes
+    // nothing (the rank join filters it), a destination v outside
+    // loses its mass in the left join — while the edge's weight STILL
+    // inflates u's out-edge denominator, deflating its real
+    // neighbors' ranks. The check is embedded IN the lazy plan
+    // (raise_error on the first violating edge at execution time —
+    // no driver action at construction): two equi joins against the
+    // |V|-row universe whose exchanges canonicalize with the
+    // iteration joins, so the marginal cost is one pass over the
+    // edges. Callers on a measured hot path with an upstream
+    // guarantee may disable it.
+    val checkedEdges =
+      if (!validateEdges) edges
+      else edges
+        .join(universe.select(col("v").as("u"), lit(1L).as("__su")),
+          Seq("u"), "left")
+        .join(universe.select(col("v"), lit(1L).as("__sv")),
+          Seq("v"), "left")
+        .select(col("u"), col("v"),
+          when(col("__su").isNull || col("__sv").isNull,
+            raise_error(concat(
+              lit("pageRank: edge endpoint outside node universe: ("),
+              col("u").cast("string"), lit(" -> "),
+              col("v").cast("string"), lit(")"))).cast("bigint"))
+            .otherwise(col("w")).as("w"))
     // |V| rides every rank row as a broadcast 1-row frame — the
     // teleport and seed terms are exact integer expressions over it,
     // mirrored by the oracle's scalar subqueries.
@@ -76,8 +104,8 @@ object Graph {
     val teleport = expr(s"((100 - $dampingPct) * ($Scale div __n)) div 100")
     // Per-edge ppm transition weights; the subtree recurs once per
     // iteration and ReuseExchange evaluates its shuffles once.
-    val outW = edges.groupBy(col("u")).agg(sum(col("w")).as("__tw"))
-    val e2 = edges.join(outW, "u")
+    val outW = checkedEdges.groupBy(col("u")).agg(sum(col("w")).as("__tw"))
+    val e2 = checkedEdges.join(outW, "u")
       .select(col("u"), col("v"), expr(s"(w * $PpmScale) div __tw").as("p"))
     val contribExpr = expr(s"($dampingPct * r * p) div ${100L * PpmScale}")
     var rank = base.select(col("v"), seed.as("r"))

@@ -345,4 +345,40 @@ object Sampling {
       .withColumn("pos_in_shard", pmod(col("pos"), lit(shardSize)))
       .drop("__k", "__b")
   }
+
+  /** row_number over a BOUNDED frame WITHOUT the empty-partition
+    * WindowExec: an unpartitioned window requires AllTuples (every
+    * run logs the moving-all-data-to-one-partition warning, and the
+    * plan genuinely degrades if the input is ever not tiny). For a
+    * post-`limit` frame this computes rank x = 1 + |rows strictly
+    * ahead of x| via a broadcast self join — O(n²) comparisons,
+    * intended for n ≲ a few hundred rows; the join stays fully
+    * parallel and warning-free. `order` lists (column, ascending?)
+    * and MUST be a total order — ties would make row_number
+    * nondeterministic under any formulation. Appends `rankCol`
+    * (bigint, 1-based). */
+  def boundedRowNumber(df: DataFrame, rankCol: String,
+                       order: Seq[(String, Boolean)]): DataFrame = {
+    require(order.nonEmpty, "boundedRowNumber: order must be non-empty")
+    val cols = df.columns.toSeq
+    require(!cols.contains(rankCol), s"boundedRowNumber: $rankCol exists")
+    val a = df.alias("__rna")
+    // Non-null match marker: counting a data column would undercount
+    // if the sort key were legitimately NULL in a matched row.
+    val b = df.withColumn("__rnm", lit(1)).alias("__rnb")
+    // Lexicographic strictly-ahead predicate over the sort key.
+    val ahead = order.indices.map { i =>
+      val ties = order.take(i).map { case (c, _) =>
+        col(s"__rnb.$c") <=> col(s"__rna.$c") }
+      val (c, asc) = order(i)
+      val beats =
+        if (asc) col(s"__rnb.$c") < col(s"__rna.$c")
+        else col(s"__rnb.$c") > col(s"__rna.$c")
+      (ties :+ beats).reduce(_ && _)
+    }.reduce(_ || _)
+    a.join(broadcast(b), ahead, "left")
+      .groupBy(cols.map(c => col(s"__rna.$c")): _*)
+      .agg((count(col("__rnb.__rnm")) + 1L).as(rankCol))
+      .toDF(cols :+ rankCol: _*)
+  }
 }

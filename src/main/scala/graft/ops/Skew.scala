@@ -27,9 +27,22 @@ object Skew {
   /** Inner/left equi join on `key`, salted `salts` ways. `saltBy` must
     * be a deterministic per-row expression (e.g. a row id) — it only
     * spreads rows, it never affects matching. */
+  /** Salting replicates DIM rows per salt, which is only
+    * result-neutral when unmatched dim rows never surface: under
+    * right/full outer an unmatched (hot) dim row would be emitted
+    * once PER SALT — silently duplicated rows. Fail fast instead. */
+  private def requireSaltableJoinType(op: String, joinType: String): Unit = {
+    val t = joinType.toLowerCase.replace("_", "").replace("outer", "")
+    require(t == "inner" || t == "left" || t == "leftsemi" || t == "leftanti",
+      s"$op: join type '$joinType' is unsupported — the dim-side salt " +
+        "replication duplicates unmatched dim rows under right/full outer; " +
+        "supported: inner, left, left_semi, left_anti")
+  }
+
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
                  saltBy: Column, salts: Int,
                  joinType: String = "inner"): DataFrame = {
+    requireSaltableJoinType("saltedJoin", joinType)
     val saltedFact = fact.withColumn("__salt",
       pmod(xxhash64(saltBy), lit(salts)).cast("int"))
     val saltedDim = dim
@@ -60,6 +73,7 @@ object Skew {
                     saltBy: Column, salts: Int, hotCap: Int,
                     detectOneIn: Int = 16,
                     joinType: String = "inner"): DataFrame = {
+    requireSaltableJoinType("saltedJoinHot", joinType)
     require(salts > 1, s"saltedJoinHot: salts must be > 1, got $salts")
     require(hotCap > 0, s"saltedJoinHot: hotCap must be positive, got $hotCap")
     require(detectOneIn >= 1,

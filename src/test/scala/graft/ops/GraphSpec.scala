@@ -50,6 +50,26 @@ class GraphSpec extends AnyFunSuite {
     assert(run(4, 50) === reference(4, 50))
   }
 
+  test("an edge endpoint outside the node universe fails loudly, not silently") {
+    // Source outside (7 -> 10) and destination outside (10 -> 8): both
+    // violate the nodes-superset contract; unvalidated they would bias
+    // ranks (filtered contribution / lost mass + inflated out-weight).
+    for (bad <- Seq((7L, 10L, 1L), (10L, 8L, 1L))) {
+      val ex = intercept[Exception] {
+        Graph.pageRank((edges :+ bad).toDF("u", "v", "w"),
+          nodeIds.toDF("id"), "id", 2).collect()
+      }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(e =>
+          Option(e.getMessage).toSeq ++ messages(e.getCause))
+      assert(messages(ex).exists(_.contains("outside node universe")),
+        s"unexpected failure for $bad: $ex")
+    }
+    // validateEdges=false restores the documented caller-beware path.
+    Graph.pageRank((edges :+ ((10L, 8L, 1L))).toDF("u", "v", "w"),
+      nodeIds.toDF("id"), "id", 2, validateEdges = false).collect(): Unit
+  }
+
   test("isolated and dangling nodes keep the teleport floor; mass is conserved within floor loss") {
     val r = run(6, 85)
     val teleport = (15L * (Graph.Scale / 6)) / 100L

@@ -247,4 +247,19 @@ class SamplingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(a === b)
   }
+
+  test("boundedRowNumber equals the naive sort rank on a mixed asc/desc total order") {
+    import spark.implicits._
+    val rows = Seq( // ties on n broken by s asc, then id desc
+      (5L, "b", 1L), (5L, "a", 2L), (3L, "c", 3L), (5L, "a", 4L),
+      (9L, "z", 5L), (3L, "a", 6L))
+    val df = rows.toDF("n", "s", "id").repartition(4)
+    val got = Sampling.boundedRowNumber(df, "rnk",
+        Seq("n" -> false, "s" -> true, "id" -> false))
+      .collect().map(r => (r.getLong(2), r.getLong(3))).toMap
+    val expected = rows
+      .sortBy { case (n, s, id) => (-n, s, -id) }
+      .zipWithIndex.map { case ((_, _, id), i) => id -> (i + 1L) }.toMap
+    assert(got === expected)
+  }
 }

@@ -131,6 +131,120 @@ object Multimodal {
     }
   }
 
+  /** IMA ADPCM quantizer step table (89 steps) — the public tables
+    * from the IMA Digital Audio Pack / Microsoft WAVE format 0x11
+    * spec (same tables as RFC 3551's DVI4 payload). Shared by the
+    * encoder and decoder; both sides MUST reconstruct identically or
+    * the prediction loops diverge. */
+  private val AdpcmStepTable: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+
+  /** IMA ADPCM index-adjust table, indexed by the 4-bit code. */
+  private val AdpcmIndexTable: Array[Int] =
+    Array(-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** One step of the shared IMA reconstruction: returns the new
+    * predictor for code `delta` at step-table position `index`.
+    * vpdiff = step/8 + (bit2)step + (bit1)step/2 + (bit0)step/4,
+    * sign from bit3 — exact integer arithmetic per the public spec. */
+  private def adpcmReconstruct(predictor: Int, index: Int, delta: Int): Int = {
+    val step = AdpcmStepTable(index)
+    var vpdiff = step >> 3
+    if ((delta & 4) != 0) vpdiff += step
+    if ((delta & 2) != 0) vpdiff += step >> 1
+    if ((delta & 1) != 0) vpdiff += step >> 2
+    val p = if ((delta & 8) != 0) predictor - vpdiff else predictor + vpdiff
+    math.max(-32768, math.min(32767, p))
+  }
+
+  private def adpcmNextIndex(index: Int, delta: Int): Int =
+    math.max(0, math.min(88, index + AdpcmIndexTable(delta & 15)))
+
+  /** Real LOSSY audio decode, zero libraries: RIFF/WAVE containing
+    * IMA ADPCM (`fmt ` audio format 0x11, mono, 4-bit) — the lossy
+    * leg of the audio codec matrix (the JPEG analogue: 4:1
+    * compression from adaptive delta quantization, so decoded
+    * samples drift within the quantizer's error, never
+    * bit-identically). Block layout per the public spec: a 4-byte
+    * header (int16 first sample, uint8 step index, reserved byte)
+    * then two 4-bit codes per byte, low nibble first. The `fact`
+    * chunk's sample count truncates the final block (clips are not
+    * block-multiples). Output: samples normalized to [-1, 1]. */
+  final class AdpcmImaCodec extends MediaCodec {
+    val name: String = "wav-adpcm-ima"
+    def init(): AdpcmImaCodec = this
+    def decode(content: Array[Byte]): Array[Float] = {
+      def ascii(off: Int) = new String(content, off, 4, "US-ASCII")
+      require(content.length >= 12 && ascii(0) == "RIFF" && ascii(8) == "WAVE",
+        "wav-adpcm-ima: not a RIFF/WAVE stream")
+      val buf = java.nio.ByteBuffer.wrap(content)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var blockAlign = -1
+      var nSamples = -1
+      var out: Array[Float] = null
+      var pos = 12
+      while (pos + 8 <= content.length && out == null) {
+        val id = ascii(pos)
+        val size = buf.getInt(pos + 4)
+        require(size >= 0 && pos + 8 + size <= content.length,
+          s"wav-adpcm-ima: chunk '$id' overruns the stream")
+        id match {
+          case "fmt " =>
+            require(size >= 16, "wav-adpcm-ima: fmt chunk too small")
+            require(buf.getShort(pos + 8) == 0x11,
+              "wav-adpcm-ima: only IMA ADPCM (format 0x11) is supported")
+            require(buf.getShort(pos + 10) == 1,
+              "wav-adpcm-ima: only mono is supported")
+            require(buf.getShort(pos + 22) == 4,
+              "wav-adpcm-ima: only 4-bit codes are supported")
+            blockAlign = buf.getShort(pos + 20).toInt
+            require(blockAlign > 4, s"wav-adpcm-ima: blockAlign=$blockAlign")
+          case "fact" =>
+            require(size >= 4, "wav-adpcm-ima: fact chunk too small")
+            nSamples = buf.getInt(pos + 8)
+          case "data" =>
+            require(blockAlign > 0, "wav-adpcm-ima: 'data' before 'fmt '")
+            require(nSamples >= 0, "wav-adpcm-ima: 'data' before 'fact'")
+            val samples = new Array[Float](nSamples)
+            var emitted = 0
+            var blockOff = pos + 8
+            while (emitted < nSamples) {
+              require(blockOff + 4 <= pos + 8 + size,
+                "wav-adpcm-ima: data chunk ends before the declared sample count")
+              var predictor = buf.getShort(blockOff).toInt
+              var index = content(blockOff + 2) & 0xff
+              require(index <= 88, s"wav-adpcm-ima: step index $index")
+              samples(emitted) = predictor / 32768f
+              emitted += 1
+              var i = 0
+              val maxCodes = (math.min(blockAlign, pos + 8 + size - blockOff) - 4) * 2
+              while (emitted < nSamples && i < maxCodes) {
+                val byte = content(blockOff + 4 + i / 2) & 0xff
+                val delta = if (i % 2 == 0) byte & 0xf else byte >> 4
+                predictor = adpcmReconstruct(predictor, index, delta)
+                index = adpcmNextIndex(index, delta)
+                samples(emitted) = predictor / 32768f
+                emitted += 1
+                i += 1
+              }
+              blockOff += blockAlign
+            }
+            out = samples
+          case _ => // LIST/INFO/cue chunks: skip
+        }
+        pos += 8 + size + (size & 1)
+      }
+      require(out != null, "wav-adpcm-ima: no 'data' chunk")
+      out
+    }
+  }
+
   /** Real image decode, zero libraries: uncompressed 24-bit BMP.
     * Output: one grayscale intensity in [0, 1] per pixel, top-down
     * row-major regardless of the file's row order (BMP stores rows
@@ -600,6 +714,75 @@ object Multimodal {
       .put("data".getBytes("US-ASCII")).putInt(dataLen): Unit
     var i = 0
     while (i < samples.length) { buf.putShort(44 + 2 * i, samples(i)); i += 1 }
+    out
+  }
+
+  /** Real IMA ADPCM ENCODER (the lossy inverse of [[AdpcmImaCodec]]):
+    * mono 4-bit codes in `blockAlign`-byte blocks inside a RIFF/WAVE
+    * container with format tag 0x11, a spec-compliant 20-byte fmt
+    * chunk (cbSize=2 + samplesPerBlock) and the `fact` sample count
+    * the decoder truncates by. The encoder runs the DECODER'S
+    * reconstruction inside its quantization loop (successive
+    * approximation against the step table), so encode→decode error
+    * is exactly the quantizer's — the property the drift spec and
+    * the q147 tolerance gate measure. ~4:1 vs PCM16. */
+  def encodeAdpcmImaWav(samples: Array[Short], sampleRate: Int = 8000,
+                        blockAlign: Int = 256): Array[Byte] = {
+    require(blockAlign > 4 && blockAlign % 4 == 0,
+      s"encodeAdpcmImaWav: blockAlign=$blockAlign")
+    val samplesPerBlock = (blockAlign - 4) * 2 + 1
+    val nBlocks = math.max(1,
+      (samples.length + samplesPerBlock - 1) / samplesPerBlock)
+    val dataLen = nBlocks * blockAlign
+    val out = new Array[Byte](12 + 28 + 12 + 8 + dataLen)
+    val buf = java.nio.ByteBuffer.wrap(out)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(out.length - 8)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(20)
+      .putShort(0x11)                    // IMA ADPCM
+      .putShort(1)                       // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * blockAlign / samplesPerBlock) // byte rate
+      .putShort(blockAlign.toShort)
+      .putShort(4)                       // bits per code
+      .putShort(2)                       // cbSize
+      .putShort(samplesPerBlock.toShort)
+      .put("fact".getBytes("US-ASCII")).putInt(4).putInt(samples.length)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen): Unit
+    var index = 0 // step index carries ACROSS blocks (standard practice)
+    var s = 0
+    var blockOff = 12 + 28 + 12 + 8
+    while (s < samples.length || s == 0) {
+      val first = if (s < samples.length) samples(s).toInt else 0
+      buf.putShort(blockOff, first.toShort)
+      out(blockOff + 2) = index.toByte
+      out(blockOff + 3) = 0
+      var predictor = first
+      s += 1
+      var i = 0
+      while (i < (blockAlign - 4) * 2 && s < samples.length) {
+        val step = AdpcmStepTable(index)
+        var diff = samples(s).toInt - predictor
+        var delta = if (diff < 0) { diff = -diff; 8 } else 0
+        // Successive approximation mirroring the reconstruction sums.
+        var st = step
+        if (diff >= st) { delta |= 4; diff -= st }
+        st >>= 1
+        if (diff >= st) { delta |= 2; diff -= st }
+        st >>= 1
+        if (diff >= st) delta |= 1
+        predictor = adpcmReconstruct(predictor, index, delta)
+        index = adpcmNextIndex(index, delta)
+        val b = blockOff + 4 + i / 2
+        if (i % 2 == 0) out(b) = (delta & 0xf).toByte
+        else out(b) = (out(b) | (delta << 4)).toByte
+        s += 1
+        i += 1
+      }
+      blockOff += blockAlign
+      if (samples.length == 0) s = 1 // emitted the single silent block
+    }
     out
   }
 

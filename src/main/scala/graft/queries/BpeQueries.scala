@@ -21,51 +21,68 @@ import graft.ops.Bpe
   */
 object BpeQueries {
 
-  /** Declared merge count. 64 is production-SHAPED (deep multi-level
-    * rules; the sf0.01 corpus compresses 98k → 48k trained tokens
-    * going 10 → 64), proving the training loop and the generated
-    * oracle chain both scale past the toy n = 10 this family started
-    * at: training truncates its lineage every
+  /** Declared merge count. 512 after the word-type trainer rework
+    * (r11): training cost is one corpus pass + n VOCABULARY-sized
+    * aggregates, so the dial scales toward real vocabularies —
+    * training truncates its lineage every
     * [[graft.ops.Bpe.TruncateEvery]] merges so per-iteration work
     * stays constant, and the oracle's n MATERIALIZED CTE iterations
-    * are emitted programmatically by [[trainingCtes]] for any n. */
-  val NMerges = 64
+    * are emitted programmatically by [[trainingCtes]] for any n
+    * (the history: 10 → 64 proved the unrolled chain, 64 → 512
+    * proved the per-type cost model; the 32k extrapolation is in
+    * ROUND11_NOTES). */
+  val NMerges = 512
 
   private val NormSql =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
 
-  /** The unrolled training CTE chain (`w0` … `w$n`). `MATERIALIZED`
-    * is load-bearing: each `w{k}` is referenced twice (pair counts and
-    * the next iteration), and without it DuckDB's inlining doubles the
-    * plan per iteration — 2^10 blow-up, ~30x slower measured. Shared
-    * by q98 (tokenize) and q101 (trained-count budget mixing), so the
-    * two oracles cannot drift on the training replay. */
+  /** The unrolled training CTE chain, ending in `w$n` (doc_id, j,
+    * rep). `MATERIALIZED` is load-bearing: each `t{k}` is referenced
+    * twice (pair counts and the next iteration), and without it
+    * DuckDB's inlining doubles the plan per iteration — 2^10 blow-up,
+    * ~30x slower measured. Shared by every trained-tokenizer oracle
+    * (q98/q101/q129/q131/q142), so they cannot drift on the replay.
+    *
+    * Mirrors [[graft.ops.Bpe.trainMerges]]'s word-TYPE formulation:
+    * `wi` is the word-instance frame (one pass), `t0..t$n` evolve
+    * the type-frequency table with count-WEIGHTED pair sums
+    * (identical totals to per-instance counting, hence an identical
+    * merge table), and `w$n` rejoins the final type representations
+    * to the instances — downstream CTEs see the same (doc_id, j,
+    * rep) shape as ever. */
   private def trainingCtes(n: Int): String = {
     val parts = Seq(
-      s"""w0 AS MATERIALIZED (
-         |  SELECT doc_id, j, regexp_replace(words[CAST(j AS INT)], '(.)', '<\\1>', 'g') AS rep
+      s"""wi AS MATERIALIZED (
+         |  SELECT doc_id, j, words[CAST(j AS INT)] AS w
          |  FROM (SELECT doc_id, str_split($NormSql, ' ') AS words FROM documents),
          |       unnest(generate_series(1, len(words))) AS g(j)
-         |  WHERE words[CAST(j AS INT)] <> '')""".stripMargin) ++
+         |  WHERE words[CAST(j AS INT)] <> ''),
+         |t0 AS MATERIALIZED (
+         |  SELECT w, count(*) AS n,
+         |         regexp_replace(w, '(.)', '<\\1>', 'g') AS rep
+         |  FROM wi GROUP BY w)""".stripMargin) ++
       (0 until n).map { k =>
         // LEFT JOIN, not a cross join: when the pair supply is
         // exhausted before iteration n (every word one symbol — a
         // narrow-vocabulary corpus), m$k is EMPTY, and a cross join
-        // would empty the whole corpus from w${k+1} on while Spark's
-        // trainMerges stops early with real counts. The passthrough
-        // CASE mirrors the early stop exactly: no rule → rep unchanged.
+        // would empty the whole vocabulary from t${k+1} on while
+        // Spark's trainMerges stops early with real counts. The
+        // passthrough CASE mirrors the early stop exactly: no rule →
+        // rep unchanged.
         s"""p$k AS (
-           |  SELECT syms[CAST(i AS INT)] AS a, syms[CAST(i AS INT)+1] AS b, count(*) AS c
-           |  FROM (SELECT str_split(trim(rep, '<>'), '><') AS syms FROM w$k),
+           |  SELECT syms[CAST(i AS INT)] AS a, syms[CAST(i AS INT)+1] AS b, sum(n) AS c
+           |  FROM (SELECT n, str_split(trim(rep, '<>'), '><') AS syms FROM t$k),
            |       unnest(generate_series(1, len(syms)-1)) AS g(i)
            |  GROUP BY 1, 2),
            |m$k AS (SELECT a, b FROM p$k ORDER BY c DESC, a, b LIMIT 1),
-           |w${k + 1} AS MATERIALIZED (
-           |  SELECT w.doc_id, w.j,
-           |         CASE WHEN m.a IS NULL THEN w.rep
-           |              ELSE replace(w.rep, '<'||m.a||'><'||m.b||'>', '<'||m.a||m.b||'>') END AS rep
-           |  FROM w$k w LEFT JOIN m$k m ON TRUE)""".stripMargin
-      }
+           |t${k + 1} AS MATERIALIZED (
+           |  SELECT t.w, t.n,
+           |         CASE WHEN m.a IS NULL THEN t.rep
+           |              ELSE replace(t.rep, '<'||m.a||'><'||m.b||'>', '<'||m.a||m.b||'>') END AS rep
+           |  FROM t$k t LEFT JOIN m$k m ON TRUE)""".stripMargin
+      } ++ Seq(
+      s"""w$n AS MATERIALIZED (
+         |  SELECT wi.doc_id, wi.j, t.rep FROM wi JOIN t$n t ON t.w = wi.w)""".stripMargin)
     parts.mkString(",\n")
   }
 
@@ -113,6 +130,22 @@ object BpeQueries {
        |                              WHEN 'src1' THEN ${Budgets("src1")}
        |                              ELSE $DefaultBudget END)""".stripMargin
 
+  /** `documents` projected to `cols` + the merged-representation
+    * array `__reps` (the [[graft.ops.Bpe.withMergedReps]]
+    * per-partition apply over the memoized merge table) — the shared
+    * tokenize stage of every trained-tokenizer query. */
+  private def tokenized(s: org.apache.spark.sql.SparkSession, d: String,
+                        cols: String*): org.apache.spark.sql.DataFrame =
+    graft.ops.Bpe.withMergedReps(
+      table(s, d, "documents")
+        .select(cols.map(col) :+ Bpe.wordArray(col("text")).as("__ws"): _*),
+      "__ws", Indexes.bpeMerges(s, d, NMerges), "__reps")
+      .drop("__ws")
+
+  /** Trained token count of a `__reps` row — expression space. */
+  private def trainedTokens =
+    aggregate(col("__reps"), lit(0L), (acc, r) => acc + size(Bpe.symbols(r)))
+
   val all: Seq[Q] = Seq(
 
     // Trained-BPE tokenization: per document, the merged symbol count
@@ -121,11 +154,10 @@ object BpeQueries {
     Q("q98_bpe_tokenize", oracleSql(NMerges)) {
       (s, d) =>
         val merges = Indexes.bpeMerges(s, d, NMerges)
-        table(s, d, "documents")
-          .select(col("doc_id"), Bpe.wordArray(col("text")).as("words"))
-          .select(col("doc_id"),
-            transform(col("words"),
-              w => Bpe.applyMerges(Bpe.charWrap(w), merges)).as("reps"))
+        Bpe.withMergedReps(
+            table(s, d, "documents")
+              .select(col("doc_id"), Bpe.wordArray(col("text")).as("words")),
+            "words", merges, "reps")
           .select(col("doc_id"),
             aggregate(col("reps"), lit(0L),
               (acc, r) => acc + size(Bpe.symbols(r))).as("bpe_tokens"),
@@ -145,14 +177,9 @@ object BpeQueries {
     // adds ONE shuffle on `source` over the tokenize pass.
     Q("q101_bpe_token_budget", budgetOracleSql(NMerges)) {
       (s, d) =>
-        val merges = Indexes.bpeMerges(s, d, NMerges)
-        val trainedCount = aggregate(
-          transform(Bpe.wordArray(col("text")),
-            w => Bpe.applyMerges(Bpe.charWrap(w), merges)),
-          lit(0L), (acc, r) => acc + size(Bpe.symbols(r)))
         graft.ops.Sampling.tokenBudget(
-          table(s, d, "documents").select("doc_id", "source", "text"),
-          "source", "doc_id", trainedCount,
+          tokenized(s, d, "doc_id", "source"),
+          "source", "doc_id", trainedTokens,
           budgets = Budgets, defaultBudget = DefaultBudget)
           .select("doc_id", "source", "n_tok", "cum_tok")
     },
@@ -180,14 +207,9 @@ object BpeQueries {
          |FROM c""".stripMargin
     }) {
       (s, d) =>
-        val merges = Indexes.bpeMerges(s, d, NMerges)
-        val trainedCount = aggregate(
-          transform(Bpe.wordArray(col("text")),
-            w => Bpe.applyMerges(Bpe.charWrap(w), merges)),
-          lit(0L), (acc, r) => acc + size(Bpe.symbols(r)))
         graft.ops.Packing.packSequences(
-          table(s, d, "documents").select("doc_id", "source", "text"),
-          "source", "doc_id", trainedCount, capacity = 256)
+          tokenized(s, d, "doc_id", "source"),
+          "source", "doc_id", trainedTokens, capacity = 256)
           .select("doc_id", "source", "n_tok", "seq_id", "seq_off")
     },
 
@@ -233,12 +255,8 @@ object BpeQueries {
          |GROUP BY d.lang""".stripMargin
     }) {
       (s, d) =>
-        val merges = Indexes.bpeMerges(s, d, NMerges)
-        val per = table(s, d, "documents").select(col("lang"),
-          aggregate(
-            transform(Bpe.wordArray(col("text")),
-              w => Bpe.applyMerges(Bpe.charWrap(w), merges)),
-            lit(0L), (acc, r) => acc + size(Bpe.symbols(r))).as("toks"),
+        val per = tokenized(s, d, "lang", "text").select(col("lang"),
+          trainedTokens.as("toks"),
           aggregate(Bpe.wordArray(col("text")),
             lit(0L), (acc, w) => acc + length(w)).as("chars"))
         per.groupBy("lang").agg(
@@ -274,18 +292,19 @@ object BpeQueries {
     }) {
       (s, d) =>
         val merges = Indexes.bpeMerges(s, d, NMerges)
-        val docs = table(s, d, "documents").select(col("doc_id"),
-          transform(Bpe.wordArray(col("text")),
-            w => Bpe.applyMerges(Bpe.charWrap(w), merges)).as("reps"))
+        val docs = tokenized(s, d, "doc_id")
+          .withColumnRenamed("__reps", "reps")
         // Bounded vocabulary collect: |V| ≤ alphabet + NMerges. Derived
         // from DISTINCT words (the symbol set of the distinct-word set
         // equals the corpus's), so the merge chain runs once per
         // distinct word here, not once per corpus occurrence — the
-        // corpus-wide apply below is the encode itself.
-        val vocab = table(s, d, "documents")
-          .select(explode(Bpe.wordArray(col("text"))).as("w")).distinct()
-          .select(explode(Bpe.symbols(
-            Bpe.applyMerges(Bpe.charWrap(col("w")), merges))).as("sym"))
+        // corpus-wide apply above is the encode itself.
+        val vocab = graft.ops.Bpe.withMergedReps(
+            table(s, d, "documents")
+              .select(explode(Bpe.wordArray(col("text"))).as("w")).distinct()
+              .select(array(col("w")).as("__ws")),
+            "__ws", merges, "__reps")
+          .select(explode(Bpe.symbols(col("__reps")(0))).as("sym"))
           .distinct().orderBy("sym").collect().map(_.getString(0))
         val idOf = typedlit(vocab.zipWithIndex.map { case (sym, i) =>
           (sym, i.toLong) }.toMap)

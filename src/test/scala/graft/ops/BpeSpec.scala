@@ -34,6 +34,38 @@ class BpeSpec extends AnyFunSuite {
     assert(got === "<aa><aa> <aaa>")
   }
 
+  test("withMergedReps (iterative per-partition apply) equals the expression chain") {
+    // Random-ish corpus with repeats, runs, and single chars; rules
+    // trained on it so multi-level merges exist. The iterative
+    // String.replace fold and the replace-expression chain must agree
+    // word-for-word (leftmost non-overlapping, continue-after).
+    // Randomized tail (seeded): deep multi-level merges over a tiny
+    // alphabet force re-created-adjacency edge cases, pinning the
+    // rank-order encode == training-order replace-chain equivalence.
+    val rnd = new scala.util.Random(49)
+    val rand = Seq.fill(40)(
+      Seq.fill(1 + rnd.nextInt(8))(
+        Seq.fill(1 + rnd.nextInt(6))("ab" (rnd.nextInt(2))).mkString)
+        .mkString(" "))
+    val docs = (Seq("aaaa aaa ab", "low low lower lowest", "b aab aaab",
+        "", "x") ++ rand).toDF("text")
+    val merges = Bpe.trainMerges(docs, "text", 24)
+    val base = docs.select(Bpe.wordArray(col("text")).as("__ws"))
+    val viaExpr = base
+      .select(transform(col("__ws"),
+        w => Bpe.applyMerges(Bpe.charWrap(w), merges)).as("reps"))
+      .select(array_join(col("reps"), " ")).as[String].collect().toSeq
+    val viaFn = Bpe.withMergedReps(base, "__ws", merges, "reps")
+      .select(array_join(col("reps"), " ")).as[String].collect().toSeq
+    assert(viaFn === viaExpr)
+    // And the scalar helpers agree with the wrapped forms directly.
+    val f = Bpe.applyMergesFn(merges)
+    assert(f(Bpe.charWrapStr("aaaa")) ===
+      Seq("aaaa").toDF("w")
+        .select(Bpe.applyMerges(Bpe.charWrap(col("w")), merges))
+        .as[String].head())
+  }
+
   test("training stops early when no adjacent pair remains") {
     // Single-char words only: zero adjacencies, zero merges.
     val docs = Seq("a b c d").toDF("text")

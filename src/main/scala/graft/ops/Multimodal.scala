@@ -904,6 +904,16 @@ object Multimodal {
     * flag for every document. */
   val JpegPhashTolerance = 24
 
+  /** Declared fingerprint Hamming tolerance of the LOSSY audio leg
+    * (q147): the max bits an IMA ADPCM round-trip may move a clip's
+    * 64-bit energy-contour fingerprint. The contour compares SUMS of
+    * adjacent 2-sample |amplitude| windows, so the 4-bit quantizer's
+    * per-sample error only flips bits whose windows were nearly
+    * tied; MultimodalSpec measures the real corpus distribution
+    * (max 12, mean 5.5 at sf0.01 — half this bound) and q147's
+    * oracle pins the flag for every document. */
+  val AdpcmAfpTolerance = 24
+
   /** 64-bit difference hash (dHash) of a decoded grayscale image: the
     * perceptual fingerprint behind image NEAR-dup dedup. Pixels are
     * re-quantized to exact ints (`round(f·255)` — lossless for codec

@@ -598,6 +598,37 @@ object Indexes {
       }
     }
 
+  /** The LOSSY audio twin of [[audioFingerprint]]: the same clips
+    * through IMA ADPCM compression (encodeAdpcmImaWav →
+    * [[graft.ops.Multimodal.AdpcmImaCodec]]) before fingerprinting —
+    * the corpus-population half of the q147 tolerance gate. Same
+    * build shape: one decode+hash map pass, landed as a table. */
+  def audioFingerprintAdpcm(spark: SparkSession, sfDir: String): DataFrame =
+    lock.synchronized {
+      cached(spark, store(spark, sfDir), "audio_fingerprint_adpcm") { bst =>
+        import spark.implicits._
+        import org.apache.spark.sql.functions.col
+        val docs = corpusDocs(spark, sfDir)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+        val media = docs.mapPartitions { it =>
+          it.map { case (id, text) =>
+            val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val n = math.min(bytes.length, 130)
+            val samples = new Array[Short](n)
+            var i = 0
+            while (i < n) {
+              samples(i) = (((bytes(i) & 0xff) - 128) * 256).toShort
+              i += 1
+            }
+            (id, graft.ops.Multimodal.encodeAdpcmImaWav(samples))
+          }
+        }.toDF("doc_id", "content")
+        bst.overwrite("audio_fingerprint_adpcm",
+          graft.ops.Multimodal.audioFingerprints(media,
+            () => new graft.ops.Multimodal.AdpcmImaCodec))
+      }
+    }
+
   /** Resolved image near-dup cluster labels (id, component) —
     * connected components over the banded-Hamming phash pairs at
     * `maxHamming`, landed as a table: the media-dedup twin of

@@ -520,6 +520,34 @@ object MultimodalQueries {
           when(col("n_union") === 0, 0)
             .when(lit(10) * col("n_shared") >= lit(7) * col("n_union"), 1)
             .otherwise(0).cast("int").as("text_match"))
+    },
+
+    // The LOSSY leg of the AUDIO codec matrix — q109's discipline for
+    // sound: the same corpus clips through REAL IMA ADPCM (4-bit
+    // adaptive delta quantization, RIFF format 0x11, public tables —
+    // ~4:1 vs PCM16), decoded by the in-engine AdpcmImaCodec. A lossy
+    // codec cannot promise bit-identical fingerprints, so the gate is
+    // the bounded-verification shape: emit the EXACT energy-contour
+    // fingerprint (oracle-recomputable) plus an integer flag pinning
+    // the ADPCM-path fingerprint within AdpcmAfpTolerance Hamming
+    // bits — measured max 12 / mean 5.5 at sf0.01, declared 24. The
+    // oracle recomputes the exact fingerprint and pins every flag at
+    // 1: a codec regression (diverged predictor, wrong step table,
+    // nibble-order bug) blows the bound and hash-mismatches the row.
+    // PCM (exact) + ADPCM (lossy): the audio matrix now carries both
+    // legs, like BMP/PNG/GIF (exact) + JPEG (lossy) for images.
+    Q("q147_audio_fp_adpcm",
+      s"""WITH ${audioFpCtes("")}
+        |SELECT doc_id, afp, 1 AS adpcm_ok FROM fp""".stripMargin) {
+      (s, d) =>
+        val exact = Indexes.audioFingerprint(s, d)
+        val lossy = Indexes.audioFingerprintAdpcm(s, d)
+          .select(col("doc_id"), col("afp").as("adpcm_afp"))
+        exact.join(lossy, "doc_id")
+          .select(col("doc_id"), col("afp"),
+            when(graft.ops.Dedup.hamming(col("afp"), col("adpcm_afp"))
+              <= Multimodal.AdpcmAfpTolerance, 1).otherwise(0)
+              .cast("int").as("adpcm_ok"))
     }
   )
 }

@@ -534,6 +534,92 @@ class MultimodalSpec extends AnyFunSuite {
       "explicit silence equals implicit padding")
   }
 
+  test("AdpcmImaCodec: encode→decode tracks the source within quantizer error") {
+    // A slow ramp + a tone: the adaptive quantizer should follow both
+    // closely once its step adapts; exactness is not the contract
+    // (lossy), tracking is.
+    val n = 400
+    val samples = Array.tabulate[Short](n) { i =>
+      ((math.sin(i / 7.0) * 8000) + i * 10).toShort
+    }
+    val decoded = new Multimodal.AdpcmImaCodec().init()
+      .decode(Multimodal.encodeAdpcmImaWav(samples))
+    assert(decoded.length === n)
+    assert(decoded(0) === samples(0) / 32768f) // block header sample is exact
+    // The first ~dozen samples are the hot-start transient (the step
+    // index climbs from 7 toward the signal's slope — inherent to
+    // ADPCM, not a defect); steady state must track tightly.
+    val steady = (60 until n).map(i =>
+      math.abs(decoded(i) - samples(i) / 32768f))
+    info(f"adpcm steady-state max error: ${steady.max}%.4f")
+    assert(steady.max < 0.08f, s"quantizer lost track: ${steady.max}")
+    def corr(a: Seq[Float], b: Seq[Float]): Double = {
+      val (ma, mb) = (a.sum / a.size, b.sum / b.size)
+      val cov = a.zip(b).map { case (x, y) => (x - ma) * (y - mb) }.sum
+      cov / math.sqrt(a.map(x => (x - ma) * (x - ma)).sum *
+        b.map(y => (y - mb) * (y - mb)).sum)
+    }
+    assert(corr(decoded.toSeq, samples.map(_ / 32768f).toSeq) > 0.99)
+    // Multi-block inputs (block = 505 samples at align 256) round-trip
+    // with the step index carried across the block boundary.
+    val long = Array.tabulate[Short](1300)(i => (math.sin(i / 5.0) * 12000).toShort)
+    val dl = new Multimodal.AdpcmImaCodec().init()
+      .decode(Multimodal.encodeAdpcmImaWav(long))
+    assert(dl.length === 1300)
+    assert(corr(dl.toSeq, long.map(_ / 32768f).toSeq) > 0.98)
+    // Empty input: a single silent block, zero samples out.
+    assert(new Multimodal.AdpcmImaCodec().init()
+      .decode(Multimodal.encodeAdpcmImaWav(Array.empty[Short])).length === 0)
+  }
+
+  test("AdpcmImaCodec fails loudly on non-ADPCM or corrupt input") {
+    val codec = new Multimodal.AdpcmImaCodec().init()
+    // A valid PCM WAV is not an ADPCM stream — format tag check.
+    val pcm = Multimodal.encodeWavPcm16(Array[Short](1, 2, 3))
+    assert(intercept[IllegalArgumentException](codec.decode(pcm))
+      .getMessage.contains("0x11"))
+    // Truncated data chunk: declared sample count unreachable.
+    val good = Multimodal.encodeAdpcmImaWav(
+      Array.tabulate[Short](100)(i => (i * 100).toShort))
+    val truncated = java.util.Arrays.copyOf(good, good.length - 200)
+    // (RIFF sizes now lie — the chunk walk must reject, not overrun.)
+    assert(intercept[IllegalArgumentException](codec.decode(truncated))
+      .getMessage.contains("overruns"))
+    assert(intercept[IllegalArgumentException](
+      codec.decode("RIFFxxxxWAVE".getBytes("US-ASCII") ++ Array[Byte](1, 2))
+    ).getMessage.nonEmpty)
+  }
+
+  test("encodeAdpcmImaWav: lossy round-trip afp drift stays within the q147 tolerance") {
+    // The audio twin of the JPEG gate: over CORPUS-SHAPED clips —
+    // text bytes as 16-bit samples, the exact fixture
+    // Indexes.audioFingerprint builds — the energy-contour
+    // fingerprint of the ADPCM round trip sits within
+    // AdpcmAfpTolerance Hamming bits of the exact-PCM fingerprint.
+    val docsFile = new java.io.File("/root/testdata/sf0.01/documents.parquet")
+    val texts: Seq[String] =
+      if (docsFile.exists)
+        spark.read.parquet(docsFile.getPath).select("text")
+          .collect().map(_.getString(0)).toSeq
+      else (0 until 64).map(i => s"synthetic document $i " * 12)
+    val pcmCodec = new Multimodal.WavPcmCodec().init()
+    val adpcmCodec = new Multimodal.AdpcmImaCodec().init()
+    val hams = texts.map { text =>
+      val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val n = math.min(bytes.length, 130)
+      val samples = Array.tabulate[Short](n)(i => (((bytes(i) & 0xff) - 128) * 256).toShort)
+      val exact = Multimodal.audioFingerprint64(
+        pcmCodec.decode(Multimodal.encodeWavPcm16(samples)))
+      val lossy = Multimodal.audioFingerprint64(
+        adpcmCodec.decode(Multimodal.encodeAdpcmImaWav(samples)))
+      java.lang.Long.bitCount(exact ^ lossy)
+    }
+    info(s"adpcm afp drift over ${hams.size} docs: max=${hams.max} " +
+      s"mean=${hams.sum.toDouble / hams.size}")
+    assert(hams.max <= Multimodal.AdpcmAfpTolerance,
+      s"lossy drift ${hams.max} exceeds declared tolerance")
+  }
+
   test("encodeJpegGray: lossy round-trip dHash drift stays within the q109 tolerance") {
     // The lossy leg's whole contract (the only honest one a lossy
     // codec can carry): over CORPUS-SHAPED images — text bytes as

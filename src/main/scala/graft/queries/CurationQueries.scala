@@ -220,6 +220,45 @@ object CurationQueries {
       .select(col("v").as("source"), col("r").as("rank_scaled"))
   }
 
+  /** Winnowed-fingerprint oracle chain ending in `keep` (doc_id, h):
+    * positional trigram hashes → 8-window minima by value → the
+    * df ≤ 50 boilerplate cap. ONE spec for the selection + cap,
+    * shared by q146 (all-pairs), q148 (decontamination), and q149
+    * (incremental) — the audioFpCtes discipline for the winnow
+    * family. Mirrors [[graft.ops.Dedup.winnowSelect]] and the
+    * [[Indexes.winnowedPrints]] build exactly. */
+  private def winnowCtes: String =
+    s"""tok AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+       |ph AS (SELECT doc_id, list_transform(range(1, len(ws)-1),
+       |         i -> ${h64("ws[i]||' '||ws[i+1]||' '||ws[i+2]")}) AS hs
+       |       FROM tok WHERE len(ws) >= 3),
+       |win AS (SELECT doc_id,
+       |          CASE WHEN len(hs) >= 8
+       |               THEN list_distinct(list_transform(range(1, len(hs)-6),
+       |                      i -> list_min(hs[i:i+7])))
+       |               ELSE [list_min(hs)] END AS fps
+       |        FROM ph),
+       |wf AS (SELECT doc_id, unnest(fps) AS h FROM win),
+       |dfc AS (SELECT h, count(*) AS c FROM wf GROUP BY h),
+       |keep AS (SELECT wf.doc_id, wf.h FROM wf JOIN dfc USING (h)
+       |         WHERE dfc.c <= 50)""".stripMargin
+
+  /** The df-capped winnowed print frame (doc_id, `__h`) — the
+    * PERSISTED winnow index with boilerplate prints (df > 50)
+    * dropped. Boilerplate keys are bounded like the hot-bucket sets
+    * (≤ |prints|/50, in practice the handful of corpus-wide stock
+    * phrases), so the anti side broadcasts; the cap also BOUNDS
+    * every downstream print join at ≤ 50×50 pair rows per key — the
+    * skew guard of the whole winnow family. */
+  private def winnowKept(s: org.apache.spark.sql.SparkSession,
+                         d: String): org.apache.spark.sql.DataFrame = {
+    val wf = Indexes.winnowedPrints(s, d, window = 8)
+      .select(col("doc_id"), col("__fp").as("__h"))
+    val hot = wf.groupBy("__h").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > 50).select("__h")
+    wf.join(broadcast(hot), Seq("__h"), "left_anti")
+  }
+
   def all: Seq[Q] = Seq(
 
     // Domain authority from content citation: every shingle's EARLIEST
@@ -847,20 +886,7 @@ object CurationQueries {
     // identically on both sides — a semantic parameter of the
     // operator, mirrored by the oracle, not a silent performance cap.
     Q("q146_winnowing_neardup",
-      s"""WITH tok AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
-         |ph AS (SELECT doc_id, list_transform(range(1, len(ws)-1),
-         |         i -> ${h64("ws[i]||' '||ws[i+1]||' '||ws[i+2]")}) AS hs
-         |       FROM tok WHERE len(ws) >= 3),
-         |win AS (SELECT doc_id,
-         |          CASE WHEN len(hs) >= 8
-         |               THEN list_distinct(list_transform(range(1, len(hs)-6),
-         |                      i -> list_min(hs[i:i+7])))
-         |               ELSE [list_min(hs)] END AS fps
-         |        FROM ph),
-         |wf AS (SELECT doc_id, unnest(fps) AS h FROM win),
-         |dfc AS (SELECT h, count(*) AS c FROM wf GROUP BY h),
-         |keep AS (SELECT wf.doc_id, wf.h FROM wf JOIN dfc USING (h)
-         |         WHERE dfc.c <= 50),
+      s"""WITH $winnowCtes,
          |kn AS (SELECT doc_id, count(*) AS n FROM keep GROUP BY doc_id)
          |SELECT a.doc_id AS d1, b.doc_id AS d2,
          |       CAST(count(*) AS BIGINT) AS n_shared,
@@ -877,15 +903,7 @@ object CurationQueries {
         // consumers (df counts, both join sides, size lookup), and
         // the inline expression lineage re-evaluated per reference ×
         // per window position was the r10 bench DNF.
-        val wf = Indexes.winnowedPrints(s, d, window = 8)
-          .select(col("doc_id"), col("__fp").as("__h"))
-        // Boilerplate prints (df > 50): bounded like the hot-bucket
-        // sets (≤ |prints|/50 keys, in practice the handful of
-        // corpus-wide stock phrases) — broadcast anti join drops them
-        // from BOTH sides of the pairing.
-        val hot = wf.groupBy("__h").agg(count(lit(1)).as("__c"))
-          .filter(col("__c") > 50).select("__h")
-        val keep = wf.join(broadcast(hot), Seq("__h"), "left_anti")
+        val keep = winnowKept(s, d)
         val kn = keep.groupBy("doc_id").agg(count(lit(1)).as("__n"))
         val inv = keep.join(kn, "doc_id")
         Skew.boundedBucketSelfJoin(inv, "__h", "doc_id",
@@ -893,6 +911,70 @@ object CurationQueries {
           .groupBy(col("doc_id").as("d1"), col("doc_id_2").as("d2"))
           .agg(count(lit(1)).as("n_shared"),
             min(col("__n")).as("n1"), min(col("__n_2")).as("n2"))
+          .filter(col("n_shared") >= 2)
+    },
+
+    // Eval DECONTAMINATION via winnowed prints — the production use
+    // of sub-document fingerprints: find corpus documents sharing a
+    // long run (≥ w+n−1 = 10 tokens, the winnowing guarantee) with
+    // any benchmark document, BEFORE the corpus trains anything.
+    // Membership is the q60/q144 convention (doc_id % 13 = eval);
+    // contamination = ≥ 2 shared df-capped prints with one eval doc
+    // (the q146 pair threshold, asymmetric). Both sides read the
+    // PERSISTED index; the df ≤ 50 cap bounds per-print join fan-out
+    // at 50×50, so the probe is skew-safe by construction — at
+    // 100 TB this is |eval prints| joined against a parquet column,
+    // not a corpus scan. Oracle: the shared winnow chain + the same
+    // membership split.
+    Q("q148_winnow_decontaminate",
+      s"""WITH $winnowCtes
+         |SELECT c.doc_id AS d1, e.doc_id AS d2,
+         |       CAST(count(*) AS BIGINT) AS n_shared
+         |FROM keep c JOIN keep e ON c.h = e.h
+         |WHERE c.doc_id % 13 <> 0 AND e.doc_id % 13 = 0
+         |GROUP BY c.doc_id, e.doc_id
+         |HAVING count(*) >= 2""".stripMargin) {
+      (s, d) =>
+        val keep = winnowKept(s, d)
+        val evalK = keep.filter(col("doc_id") % 13 === 0)
+          .select(col("doc_id").as("d2"), col("__h"))
+        val corpK = keep.filter(col("doc_id") % 13 =!= 0)
+          .select(col("doc_id").as("d1"), col("__h"))
+        corpK.join(evalK, "__h")
+          .groupBy("d1", "d2").agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 2)
+    },
+
+    // INCREMENTAL winnowing near-dup: a new document batch (the last
+    // 20 % of the id space — the q43/q108/q113 watermark pattern)
+    // probes the PERSISTED winnow index against the established
+    // corpus instead of re-pairing the world: per-batch work ∝
+    // batch prints × bucket occupancy (bounded by the df cap), never
+    // corpus². With text shingles (q43), image phashes (q108), and
+    // audio fingerprints (q113), every signature family now has both
+    // a full-corpus and an incremental declared flow. The df cap
+    // stays CORPUS-WIDE (the persisted index's counts — batch docs
+    // are corpus members), mirrored exactly by the oracle.
+    Q("q149_winnowing_incremental",
+      s"""WITH $winnowCtes,
+         |cut AS (SELECT max(doc_id) * 4 // 5 AS c FROM documents)
+         |SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |       CAST(count(*) AS BIGINT) AS n_shared
+         |FROM keep a JOIN keep b ON a.h = b.h
+         |WHERE a.doc_id >= (SELECT c FROM cut)
+         |  AND b.doc_id < (SELECT c FROM cut)
+         |GROUP BY a.doc_id, b.doc_id
+         |HAVING count(*) >= 2""".stripMargin) {
+      (s, d) =>
+        val keep = winnowKept(s, d)
+        val maxId = table(s, d, "documents")
+          .agg(max(col("doc_id")).cast("long")).head().getLong(0)
+        val cutoff = maxId * 4 / 5
+        keep.filter(col("doc_id") >= cutoff)
+          .select(col("doc_id").as("d1"), col("__h"))
+          .join(keep.filter(col("doc_id") < cutoff)
+            .select(col("doc_id").as("d2"), col("__h")), "__h")
+          .groupBy("d1", "d2").agg(count(lit(1)).as("n_shared"))
           .filter(col("n_shared") >= 2)
     })
 }

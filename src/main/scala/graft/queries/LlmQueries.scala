@@ -1295,6 +1295,93 @@ object LlmQueries {
           .select("doc_id", "label_heur", "label_model", "agree")
     },
 
+    // LINEAR-THRESHOLD quality distillation — q103's pattern with an
+    // OPTIMALLY-PLACED decision boundary (Fisher's linear-discriminant
+    // recipe, public): project every doc onto the scaled
+    // centroid-difference direction, then pick the 1-D cut maximizing
+    // BALANCED accuracy over every candidate threshold — exact, not a
+    // grid, and balanced because curation labels are heavily
+    // imbalanced (the majority-constant model scores 91% raw accuracy
+    // here; a hinge-descent prototype degenerated to exactly that,
+    // measured, and was replaced by this). All integer: the direction
+    // is centroid arithmetic, projections are bigint dot products,
+    // balanced accuracy is two floor-divided scaled ratios with a
+    // smallest-tau tie break. Spark runs the threshold scan as the
+    // two-phase bucketed cumulative (the corpus never sorts in one
+    // partition — rankNormalize's machinery, DESC); the oracle states
+    // the plain global window — the q143 decomposition-proof pattern
+    // over a signed projection. The oracle replays features, both
+    // centroids, the direction, EVERY candidate's balanced accuracy,
+    // and the argmax — training and boundary placement under one
+    // hash gate. Scale shape: two fixed-width aggregates + one
+    // value-grain cumulative + a map pass.
+    Q("q150_linear_quality", {
+      val stopList = TextAnalysis.Stopwords.map("'" + _ + "'").mkString(",")
+      val B = graft.ops.Classify.NumBuckets
+      val S = graft.ops.Classify.Scale
+      val featCols = (0 until B).map(b =>
+        s"CAST(sum(CASE WHEN ${h64("w")} % $B = $b THEN tf ELSE 0 END) AS BIGINT) AS f$b")
+        .mkString(",\n         |  ")
+      val heur =
+        s"""CASE WHEN len(string_split(text,' ')) BETWEEN 20 AND 200
+           |        AND len(list_filter(string_split(text,' '), w -> w IN ($stopList))) * 5
+           |            <= len(string_split(text,' ')) * 2
+           |       THEN 1 ELSE 0 END""".stripMargin
+      val centCols = (0 until B).map(b =>
+        s"CAST((sum(f$b) * $S) // count(*) AS BIGINT) AS c$b").mkString(", ")
+      val projE = (0 until B).map(b => s"t.f$b * (p.c$b - q.c$b)").mkString(" + ")
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+         |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w),
+         |feat AS (SELECT doc_id,
+         |  $featCols
+         |  FROM tf GROUP BY doc_id),
+         |lab AS (SELECT doc_id, $heur AS label_heur FROM documents),
+         |tr AS MATERIALIZED (SELECT f.*, l.label_heur
+         |  FROM feat f JOIN lab l USING (doc_id)),
+         |cpos AS (SELECT $centCols FROM tr WHERE label_heur = 1),
+         |cneg AS (SELECT $centCols FROM tr WHERE label_heur = 0),
+         |pr AS MATERIALIZED (SELECT t.doc_id, t.label_heur,
+         |  CAST($projE AS BIGINT) AS pv
+         |  FROM tr t CROSS JOIN cpos p CROSS JOIN cneg q),
+         |nct AS (SELECT sum(CASE WHEN label_heur = 1 THEN 1 ELSE 0 END) AS np,
+         |               sum(CASE WHEN label_heur = 0 THEN 1 ELSE 0 END) AS nn
+         |        FROM pr),
+         |byv AS (SELECT pv,
+         |          sum(CASE WHEN label_heur = 1 THEN 1 ELSE 0 END) AS pc,
+         |          sum(CASE WHEN label_heur = 0 THEN 1 ELSE 0 END) AS nc
+         |        FROM pr GROUP BY pv),
+         |cum AS (SELECT pv,
+         |          sum(pc) OVER (ORDER BY pv DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+         |          sum(nc) OVER (ORDER BY pv DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp
+         |        FROM byv),
+         |best AS (SELECT pv AS tau
+         |         FROM cum CROSS JOIN nct
+         |         ORDER BY (tp * $S) // np + ((nn - fp) * $S) // nn DESC, pv ASC
+         |         LIMIT 1)
+         |SELECT pr.doc_id, CAST(pr.label_heur AS INT) AS label_heur,
+         |  CAST(CASE WHEN pr.pv >= b.tau THEN 1 ELSE 0 END AS INT) AS label_model,
+         |  CAST(CASE WHEN (CASE WHEN pr.pv >= b.tau THEN 1 ELSE 0 END) = pr.label_heur
+         |       THEN 1 ELSE 0 END AS INT) AS agree
+         |FROM pr CROSS JOIN best b""".stripMargin
+    }) {
+      (s, d) =>
+        import graft.ops.Classify
+        val ws = Dedup.tokens(col("text"))
+        val stopCnt = TextAnalysis.stopwordCount(ws)
+        val labels = table(s, d, "documents").select(col("doc_id"),
+          when(size(ws).between(20, 200) && stopCnt * 5 <= size(ws) * 2, 1)
+            .otherwise(0).cast("int").as("label_heur"))
+        val feats = Classify.bucketFeatures(Indexes.termFrequencies(s, d), "doc_id")
+        // The feature frame feeds the centroid fit, the projection
+        // scan, and the predict: pin it once (bounded: B+2 longs per
+        // doc), the q99/rank lineage-truncation discipline.
+        val train = feats.join(labels, Seq("doc_id")).localCheckpoint(true)
+        val (w, tau) = Classify.thresholdFit(train, "label_heur")
+        Classify.thresholdPredict(train, w, tau)
+          .withColumn("agree", (col("label_model") === col("label_heur")).cast("int"))
+          .select("doc_id", "label_heur", "label_model", "agree")
+    },
+
     // SUB-DOCUMENT exact dedup WITH REASSEMBLY (the C4/RefinedWeb
     // stage q79 only flags): the corpus splits into fixed 8-token
     // tiles, each tile's FIRST occurrence corpus-wide survives

@@ -360,6 +360,95 @@ object CurationQueries {
             col("score").as("score_scaled"), col("rnk"))
     },
 
+    // MULTI-TERM BM25 retrieval — the actual search shape over the
+    // inverted index: a QUERY TABLE (each eval doc's first four
+    // distinct words, the doc_id % 13 convention — deterministic,
+    // derived, bounded) scored against the corpus, per-(query, doc)
+    // scores summed over matched terms, top-10 docs per query. The
+    // engine-spec'd rational BM25 of q132 term-for-term (log-free
+    // Robertson idf, milli avg-dl, tf saturation at 1000 — the same
+    // overflow envelope, summed over ≤ 4 terms). Scale shape: the
+    // query-term table broadcasts onto the posting lists (map-side —
+    // the 100 TB side never shuffles for the match), the per-pair
+    // score is one partial aggregate, and top-k per query is the
+    // q132 TWO-PHASE (row_number within (query, 32-way doc shard),
+    // final rank over ≤ 320 survivors) so no candidate list ever
+    // sorts in one partition. Oracle: the naive global formulation —
+    // the green row again proves the decomposition.
+    Q("q151_bm25_retrieval",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+        |stats AS (SELECT count(*) AS nd,
+        |                 (sum(dl) * 1000) // count(*) AS a FROM dl),
+        |dfr AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+        |qd AS (SELECT doc_id AS qid, string_split(text,' ') AS ws
+        |       FROM documents WHERE doc_id % 13 = 0
+        |       ORDER BY doc_id LIMIT 5),
+        |qt AS (SELECT DISTINCT qid, ws[CAST(i AS INT)] AS w
+        |       FROM qd, unnest(generate_series(1, least(4, len(ws)))) AS g(i)
+        |       WHERE ws[CAST(i AS INT)] <> ''),
+        |ts AS (SELECT qt.qid, tf.doc_id,
+        |         ((((stats.nd - dfr.df) * 2000 + 1000) // (2 * dfr.df + 1))
+        |          * ((22 * stats.a * least(tf.tf, 1000) * 1000000)
+        |             // (10 * stats.a * least(tf.tf, 1000) + 3 * stats.a
+        |                 + 9000 * dl.dl))) // 1000 AS tscore
+        |       FROM tf JOIN qt ON tf.w = qt.w
+        |       JOIN dfr ON dfr.w = tf.w
+        |       JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats),
+        |sc AS (SELECT qid, doc_id, count(*) AS n_terms, sum(tscore) AS score
+        |       FROM ts GROUP BY qid, doc_id),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY qid
+        |                   ORDER BY score DESC, doc_id) AS rnk FROM sc)
+        |SELECT qid, doc_id, CAST(n_terms AS BIGINT) AS n_terms,
+        |       CAST(score AS BIGINT) AS score_scaled, CAST(rnk AS BIGINT) AS rnk
+        |FROM rk WHERE rnk <= 10""".stripMargin) {
+      (s, d) =>
+        import org.apache.spark.sql.expressions.Window
+        val tf = Indexes.termFrequencies(s, d)
+        val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+        val stats = dl.agg(count(lit(1)).as("nd"),
+          expr("(sum(dl) * 1000) div count(1)").as("a"))
+        val qterms = table(s, d, "documents")
+          .filter(col("doc_id") % 13 === 0)
+          .orderBy("doc_id").limit(5)
+          .select(col("doc_id").as("qid"),
+            explode(slice(split(col("text"), " "), 1, 4)).as("w"))
+          .filter(col("w") =!= "").distinct()
+        // The broadcast match filters the index to the query terms'
+        // postings FIRST; their document frequencies then come from
+        // the matched postings themselves (df(w) = posting count) —
+        // never a vocabulary-wide df aggregate just to look up ≤ 20
+        // terms.
+        val post = tf.join(broadcast(qterms), "w")
+        // distinct first: a term shared by two queries duplicates its
+        // postings per qid in `post`; df is per (term, doc).
+        val qdf = post.select("w", "doc_id").distinct()
+          .groupBy("w").agg(count(lit(1)).as("df"))
+        val ts = post
+          .join(broadcast(qdf), "w")
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(stats))
+          .withColumn("tscore",
+            expr("""((((nd - df) * 2000 + 1000) div (2 * df + 1))
+                   * ((22 * a * least(tf, 1000) * 1000000)
+                      div (10 * a * least(tf, 1000) + 3 * a
+                          + 9000 * dl))) div 1000"""))
+        val sc = ts.groupBy("qid", "doc_id")
+          .agg(count(lit(1)).as("n_terms"), sum(col("tscore")).as("score"))
+        val shardW = Window
+          .partitionBy(col("qid"), pmod(col("doc_id"), lit(32)))
+          .orderBy(col("score").desc, col("doc_id"))
+        val finalW = Window.partitionBy(col("qid"))
+          .orderBy(col("score").desc, col("doc_id"))
+        sc.withColumn("__srk", row_number().over(shardW))
+          .filter(col("__srk") <= 10)
+          .withColumn("rnk", row_number().over(finalW).cast("bigint"))
+          .filter(col("rnk") <= 10)
+          .select(col("qid"), col("doc_id"), col("n_terms"),
+            col("score").as("score_scaled"), col("rnk"))
+    },
+
     // CCNet-style perplexity buckets: per language, rank documents by
     // their LM score (bits-per-bigram under the corpus bigram model —
     // q111's integer formulation normalized per bigram) and cut the

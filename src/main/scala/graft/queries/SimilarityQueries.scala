@@ -441,6 +441,62 @@ object SimilarityQueries {
           .select(col("v1"), col("v2"), col("label"), col("cos_r"))
     },
 
+    // SEMANTIC eval decontamination — q148's lexical gate in
+    // embedding space: corpus vectors too close (cosine ≥ 0.35) to
+    // any eval vector (the vec_id % 13 membership convention) are
+    // flagged before training — paraphrased benchmark leakage that
+    // shares no 10-token run and no shingle slips past every lexical
+    // gate; the embedding probe is the standard second net. Same
+    // scale shape as q61: candidates from the AUTO-SIZED
+    // random-hyperplane band buckets (never all-pairs), but
+    // ASYMMETRIC — eval bands probe corpus bands through a
+    // hot-key-salted equi join (result-identical to the plain join,
+    // so the oracle is the plain banded formulation), then exact
+    // cosine verification on the survivors. At 100 TB: |eval| band
+    // rows against a banded index, per-bucket fan-out bounded by the
+    // auto-sized plane count, stragglers split by the salt.
+    Q("q152_semantic_decontaminate",
+      s"""WITH $rpSigCtes,
+         |cand AS (
+         |  SELECT a.vec_id AS ve, b.vec_id AS vc FROM sig a
+         |  JOIN sig b ON a.b0 = b.b0
+         |  WHERE a.vec_id % 13 = 0 AND b.vec_id % 13 <> 0
+         |  UNION
+         |  SELECT a.vec_id AS ve, b.vec_id AS vc FROM sig a
+         |  JOIN sig b ON a.b1 = b.b1
+         |  WHERE a.vec_id % 13 = 0 AND b.vec_id % 13 <> 0)
+         |SELECT vc AS vec_id, ve AS eval_id,
+         |       ${cosSql("ec.embedding", "ee.embedding")} AS cos_r
+         |FROM cand JOIN embeddings ec ON ec.vec_id = vc
+         |          JOIN embeddings ee ON ee.vec_id = ve
+         |WHERE ${cosSql("ec.embedding", "ee.embedding")} >= 0.35""".stripMargin) {
+      (s, d) =>
+        import graft.functions.VectorExpressions.normF
+        val e = table(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding"),
+            normF(col("embedding")).as("nrm"))
+        val bands = e.join(graft.queries.Indexes.rpSignatures(s, d), "vec_id")
+          .select(col("vec_id"), col("embedding"), col("nrm"),
+            posexplode(array(col("b0"), col("b1"))).as(Seq("__band", "__bsig")))
+          .withColumn("__bkt", struct(col("__band"), col("__bsig")))
+        val evalB = bands.filter(col("vec_id") % 13 === 0)
+          .select(col("__bkt"), col("vec_id").as("eval_id"),
+            col("embedding").as("e_emb"), col("nrm").as("e_nrm"))
+        val corpB = bands.filter(col("vec_id") % 13 =!= 0)
+          .select(col("__bkt"), col("vec_id"), col("embedding"), col("nrm"))
+        graft.ops.Skew.saltedJoinHot(corpB, evalB, "__bkt",
+            saltBy = col("vec_id"), salts = 16,
+            hotCap = graft.ops.Dedup.DefaultHotShingleCap)
+          // A pair agreeing on BOTH bands met in two buckets: dedup
+          // before the exact-cosine verify.
+          .select(col("vec_id"), col("eval_id"), col("embedding"),
+            col("e_emb"), col("nrm"), col("e_nrm")).distinct()
+          .withColumn("cos_r", Similarity.cosRoundedPre(
+            col("embedding"), col("e_emb"), col("nrm"), col("e_nrm")))
+          .filter(col("cos_r") >= 0.35)
+          .select(col("vec_id"), col("eval_id"), col("cos_r"))
+    },
+
     // Random-hyperplane LSH near-dup: sign-of-dot band signatures
     // (two bands of AUTO-SIZED plane count over deterministic integer
     // hyperplanes — [[graft.ops.Similarity.rpWeights]] sized by

@@ -23,7 +23,7 @@ object CurationQueries {
   /** Power-iteration count for q130 — interpolated into the oracle's
     * unrolled CTE chain and passed to [[Graph.pageRank]], so the two
     * sides cannot drift. */
-  private val PrIters = 6
+  private[queries] val PrIters = 6
 
   /** The day-grain drift derivation shared by q136 (batch counts) and
     * q137 (streaming running counts): dense type×day grid (bounded),
@@ -196,7 +196,19 @@ object CurationQueries {
     * documents projection (2 columns — broadcast-sized at the gate
     * SFs, a plain narrow join at web scale), never a second pass over
     * the exploded index. */
+  /** Persisted-registry read of the domain ranks — built once per
+    * corpus generation ([[Indexes.domainRanks]]), read by every
+    * consumer (q130, and through [[rankRates]] q138/q145/q153): the
+    * rank table is 2 narrow columns × |sources|, and recomputing the
+    * attribution join + 6 power iterations per consumer was the
+    * dominant cost of the whole curation family (measured 4.4 s of
+    * q130's 4.4 s and ~4 s of each composition at sf0.1). */
   private def domainRank(s: org.apache.spark.sql.SparkSession,
+                         d: String): org.apache.spark.sql.DataFrame =
+    Indexes.domainRanks(s, d)
+
+  /** The raw rank computation behind [[Indexes.domainRanks]]'s build. */
+  private[queries] def domainRankCompute(s: org.apache.spark.sql.SparkSession,
                          d: String): org.apache.spark.sql.DataFrame = {
     val ex = Indexes.shingles(s, d)
       .select(col("doc_id"), col("source"), explode(col("__hs")).as("h"))
@@ -226,21 +238,23 @@ object CurationQueries {
     * shared by q146 (all-pairs), q148 (decontamination), and q149
     * (incremental) — the audioFpCtes discipline for the winnow
     * family. Mirrors [[graft.ops.Dedup.winnowSelect]] and the
-    * [[Indexes.winnowedPrints]] build exactly. */
-  private def winnowCtes: String =
-    s"""tok AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
-       |ph AS (SELECT doc_id, list_transform(range(1, len(ws)-1),
+    * [[Indexes.winnowedPrints]] build exactly. `p` prefixes every
+    * CTE name so the chain composes with other tokenizing chains
+    * (the v5 oracle carries three) in one WITH clause. */
+  private def winnowCtes(p: String = ""): String =
+    s"""${p}tok AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+       |${p}ph AS (SELECT doc_id, list_transform(range(1, len(ws)-1),
        |         i -> ${h64("ws[i]||' '||ws[i+1]||' '||ws[i+2]")}) AS hs
-       |       FROM tok WHERE len(ws) >= 3),
-       |win AS (SELECT doc_id,
+       |       FROM ${p}tok WHERE len(ws) >= 3),
+       |${p}win AS (SELECT doc_id,
        |          CASE WHEN len(hs) >= 8
        |               THEN list_distinct(list_transform(range(1, len(hs)-6),
        |                      i -> list_min(hs[i:i+7])))
        |               ELSE [list_min(hs)] END AS fps
-       |        FROM ph),
-       |wf AS (SELECT doc_id, unnest(fps) AS h FROM win),
-       |dfc AS (SELECT h, count(*) AS c FROM wf GROUP BY h),
-       |keep AS (SELECT wf.doc_id, wf.h FROM wf JOIN dfc USING (h)
+       |        FROM ${p}ph),
+       |${p}wf AS (SELECT doc_id, unnest(fps) AS h FROM ${p}win),
+       |${p}dfc AS (SELECT h, count(*) AS c FROM ${p}wf GROUP BY h),
+       |${p}keep AS (SELECT wf.doc_id, wf.h FROM ${p}wf wf JOIN ${p}dfc dfc USING (h)
        |         WHERE dfc.c <= 50)""".stripMargin
 
   /** The df-capped winnowed print frame (doc_id, `__h`) — the
@@ -975,7 +989,7 @@ object CurationQueries {
     // identically on both sides — a semantic parameter of the
     // operator, mirrored by the oracle, not a silent performance cap.
     Q("q146_winnowing_neardup",
-      s"""WITH $winnowCtes,
+      s"""WITH ${winnowCtes()},
          |kn AS (SELECT doc_id, count(*) AS n FROM keep GROUP BY doc_id)
          |SELECT a.doc_id AS d1, b.doc_id AS d2,
          |       CAST(count(*) AS BIGINT) AS n_shared,
@@ -1016,7 +1030,7 @@ object CurationQueries {
     // not a corpus scan. Oracle: the shared winnow chain + the same
     // membership split.
     Q("q148_winnow_decontaminate",
-      s"""WITH $winnowCtes
+      s"""WITH ${winnowCtes()}
          |SELECT c.doc_id AS d1, e.doc_id AS d2,
          |       CAST(count(*) AS BIGINT) AS n_shared
          |FROM keep c JOIN keep e ON c.h = e.h
@@ -1045,7 +1059,7 @@ object CurationQueries {
     // stays CORPUS-WIDE (the persisted index's counts — batch docs
     // are corpus members), mirrored exactly by the oracle.
     Q("q149_winnowing_incremental",
-      s"""WITH $winnowCtes,
+      s"""WITH ${winnowCtes()},
          |cut AS (SELECT max(doc_id) * 4 // 5 AS c FROM documents)
          |SELECT a.doc_id AS d1, b.doc_id AS d2,
          |       CAST(count(*) AS BIGINT) AS n_shared
@@ -1065,5 +1079,73 @@ object CurationQueries {
             .select(col("doc_id").as("d2"), col("__h")), "__h")
           .groupBy("d1", "d2").agg(count(lit(1)).as("n_shared"))
           .filter(col("n_shared") >= 2)
+    },
+
+    // Curation v5 — the round-11 signals composed into one RELEASE
+    // decision, continuing the v1→v4 series: ship a document iff
+    // (a) it is not an eval document itself (benchmark members never
+    // enter the training release — the doc_id % 13 convention),
+    // (b) the TRAINED linear-threshold quality model keeps it (q150 —
+    // projection ≥ the balanced-optimal τ, a map expression over
+    // bounded fitted metadata), (c) it shares no ≥10-token run with
+    // any eval document (the q148 winnow drop list, persisted-index
+    // backed), and (d) it survives the authority-weighted rate (the
+    // q138/q145 coin flip: hashed doc_id under the domain-rank ppm).
+    // The oracle replays EVERYTHING in one statement — the feature/
+    // centroid/threshold chain, the winnow selection + df cap + the
+    // contamination join, the unrolled PageRank and rate arithmetic,
+    // and all four membership tests — three independently-tokenizing
+    // CTE chains (prefixed lq/wn/plain) meeting in one WHERE.
+    // Scale bill: the model is fitted metadata + one map pass; the
+    // drop list and rate table are the q148/q130 costs, both
+    // persisted-index backed; the compose adds one anti join and one
+    // broadcast.
+    Q("q153_curation_v5",
+      s"""WITH $domainRankCtes,
+         |rates AS (SELECT v AS source,
+         |            least(1000000, (r * 500000) // (SELECT ${Graph.Scale} // n FROM nn))
+         |              AS rate_ppm
+         |          FROM r$PrIters),
+         |${LlmQueries.linearQualityCtes("lq")},
+         |${winnowCtes("wn")},
+         |contam AS (SELECT DISTINCT doc_id FROM (
+         |  SELECT c.doc_id FROM wnkeep c JOIN wnkeep e ON c.h = e.h
+         |  WHERE c.doc_id % 13 <> 0 AND e.doc_id % 13 = 0
+         |  GROUP BY c.doc_id, e.doc_id HAVING count(*) >= 2))
+         |SELECT d.doc_id, d.source, CAST(p.pv AS BIGINT) AS quality_proj,
+         |       CAST(rt.rate_ppm AS BIGINT) AS rate_ppm
+         |FROM documents d
+         |JOIN lqpr p ON p.doc_id = d.doc_id
+         |JOIN rates rt ON rt.source = d.source
+         |CROSS JOIN lqbest b
+         |WHERE d.doc_id % 13 <> 0
+         |  AND p.pv >= b.tau
+         |  AND ${h64("CAST(d.doc_id AS VARCHAR)")} % 1000000 < rt.rate_ppm
+         |  AND d.doc_id NOT IN (SELECT doc_id FROM contam)""".stripMargin) {
+      (s, d) =>
+        val (train, w, tau) = LlmQueries.qualityModel(s, d)
+        val kept = graft.ops.Classify.thresholdPredict(train, w, tau)
+          .filter(col("label_model") === 1)
+          .select(col("doc_id"),
+            // The projection is already computed inside the predict's
+            // expression; re-derive it for the output column from the
+            // same fitted direction (bounded metadata, map expression).
+            (0 until graft.ops.Classify.NumBuckets)
+              .map(b => col(s"f$b") * lit(w(b))).reduce(_ + _).as("quality_proj"))
+        val keep = winnowKept(s, d)
+        val contam = keep.filter(col("doc_id") % 13 =!= 0)
+          .select(col("doc_id").as("d1"), col("__h"))
+          .join(keep.filter(col("doc_id") % 13 === 0)
+            .select(col("doc_id").as("d2"), col("__h")), "__h")
+          .groupBy("d1", "d2").agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 2)
+          .select(col("d1").as("doc_id")).distinct()
+        table(s, d, "documents").select("doc_id", "source")
+          .filter(col("doc_id") % 13 =!= 0)
+          .join(kept, "doc_id")
+          .join(broadcast(rankRates(s, d)), "source")
+          .filter(graft.ops.Sampling.sampleKey(col("doc_id")) < col("rate_ppm"))
+          .join(contam, Seq("doc_id"), "left_anti")
+          .select("doc_id", "source", "quality_proj", "rate_ppm")
     })
 }

@@ -629,6 +629,21 @@ object Indexes {
       }
     }
 
+  /** The domain authority ranks (source, rank_scaled) — the
+    * shingle-attribution PageRank ([[CurationQueries.PrIters]]
+    * iterations) landed as a table: |sources| rows, built once per
+    * corpus generation, read by the rank query and every
+    * rate-composed release (recomputing the attribution join + the
+    * power iterations per consumer was the curation family's
+    * dominant cost). Iteration count is part of the table identity. */
+  def domainRanks(spark: SparkSession, sfDir: String): DataFrame =
+    lock.synchronized {
+      val name = s"domain_rank_i${CurationQueries.PrIters}"
+      cached(spark, store(spark, sfDir), name) { bst =>
+        bst.overwrite(name, CurationQueries.domainRankCompute(spark, sfDir))
+      }
+    }
+
   /** Resolved image near-dup cluster labels (id, component) —
     * connected components over the banded-Hamming phash pairs at
     * `maxHamming`, landed as a table: the media-dedup twin of

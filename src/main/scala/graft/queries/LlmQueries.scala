@@ -165,6 +165,76 @@ object LlmQueries {
        |fpw AS (SELECT doc_id, $assemble AS simhash FROM votesw)""".stripMargin
   }
 
+  /** The linear-threshold quality chain (q150): features →
+    * heuristic labels → centroid direction → projections → the
+    * balanced-accuracy-optimal threshold. Ends at `${p}pr(doc_id,
+    * label_heur, pv)` and `${p}best(tau)`; `p` prefixes every CTE
+    * name so the chain composes with other tokenizing chains (the
+    * v5 release oracle carries three) in one WITH clause. */
+  private[queries] def linearQualityCtes(p: String): String = {
+    val stopList = TextAnalysis.Stopwords.map("'" + _ + "'").mkString(",")
+    val B = graft.ops.Classify.NumBuckets
+    val S = graft.ops.Classify.Scale
+    val featCols = (0 until B).map(b =>
+      s"CAST(sum(CASE WHEN ${h64("w")} % $B = $b THEN tf ELSE 0 END) AS BIGINT) AS f$b")
+      .mkString(",\n       |  ")
+    val heur =
+      s"""CASE WHEN len(string_split(text,' ')) BETWEEN 20 AND 200
+         |        AND len(list_filter(string_split(text,' '), w -> w IN ($stopList))) * 5
+         |            <= len(string_split(text,' ')) * 2
+         |       THEN 1 ELSE 0 END""".stripMargin
+    val centCols = (0 until B).map(b =>
+      s"CAST((sum(f$b) * $S) // count(*) AS BIGINT) AS c$b").mkString(", ")
+    val projE = (0 until B).map(b => s"t.f$b * (p.c$b - q.c$b)").mkString(" + ")
+    s"""${p}tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+       |${p}tf AS (SELECT doc_id, w, count(*) AS tf FROM ${p}tok GROUP BY doc_id, w),
+       |${p}feat AS (SELECT doc_id,
+       |  $featCols
+       |  FROM ${p}tf GROUP BY doc_id),
+       |${p}lab AS (SELECT doc_id, $heur AS label_heur FROM documents),
+       |${p}tr AS MATERIALIZED (SELECT f.*, l.label_heur
+       |  FROM ${p}feat f JOIN ${p}lab l USING (doc_id)),
+       |${p}cpos AS (SELECT $centCols FROM ${p}tr WHERE label_heur = 1),
+       |${p}cneg AS (SELECT $centCols FROM ${p}tr WHERE label_heur = 0),
+       |${p}pr AS MATERIALIZED (SELECT t.doc_id, t.label_heur,
+       |  CAST($projE AS BIGINT) AS pv
+       |  FROM ${p}tr t CROSS JOIN ${p}cpos p CROSS JOIN ${p}cneg q),
+       |${p}nct AS (SELECT sum(CASE WHEN label_heur = 1 THEN 1 ELSE 0 END) AS np,
+       |               sum(CASE WHEN label_heur = 0 THEN 1 ELSE 0 END) AS nn
+       |        FROM ${p}pr),
+       |${p}byv AS (SELECT pv,
+       |          sum(CASE WHEN label_heur = 1 THEN 1 ELSE 0 END) AS pc,
+       |          sum(CASE WHEN label_heur = 0 THEN 1 ELSE 0 END) AS nc
+       |        FROM ${p}pr GROUP BY pv),
+       |${p}cum AS (SELECT pv,
+       |          sum(pc) OVER (ORDER BY pv DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+       |          sum(nc) OVER (ORDER BY pv DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp
+       |        FROM ${p}byv),
+       |${p}best AS (SELECT pv AS tau
+       |         FROM ${p}cum CROSS JOIN ${p}nct
+       |         ORDER BY (tp * $S) // np + ((nn - fp) * $S) // nn DESC, pv ASC
+       |         LIMIT 1)""".stripMargin
+  }
+
+  /** The Spark half of the q150 chain, shared with the v5 release:
+    * heuristic labels + bucket features, pinned once
+    * (localCheckpoint — the frame feeds the fit, the scan, and the
+    * predict), plus the fitted (direction, threshold). */
+  private[queries] def qualityModel(s: org.apache.spark.sql.SparkSession,
+                                    d: String):
+      (org.apache.spark.sql.DataFrame, Array[Long], Long) = {
+    import graft.ops.Classify
+    val ws = Dedup.tokens(col("text"))
+    val stopCnt = TextAnalysis.stopwordCount(ws)
+    val labels = table(s, d, "documents").select(col("doc_id"),
+      when(size(ws).between(20, 200) && stopCnt * 5 <= size(ws) * 2, 1)
+        .otherwise(0).cast("int").as("label_heur"))
+    val feats = Classify.bucketFeatures(Indexes.termFrequencies(s, d), "doc_id")
+    val train = feats.join(labels, Seq("doc_id")).localCheckpoint(true)
+    val (w, tau) = Classify.thresholdFit(train, "label_heur")
+    (train, w, tau)
+  }
+
   val all: Seq[Q] = Seq(
 
     // Exact dedup: 64-bit content hash → groupBy → keep the smallest
@@ -1316,48 +1386,8 @@ object LlmQueries {
     // hash gate. Scale shape: two fixed-width aggregates + one
     // value-grain cumulative + a map pass.
     Q("q150_linear_quality", {
-      val stopList = TextAnalysis.Stopwords.map("'" + _ + "'").mkString(",")
-      val B = graft.ops.Classify.NumBuckets
       val S = graft.ops.Classify.Scale
-      val featCols = (0 until B).map(b =>
-        s"CAST(sum(CASE WHEN ${h64("w")} % $B = $b THEN tf ELSE 0 END) AS BIGINT) AS f$b")
-        .mkString(",\n         |  ")
-      val heur =
-        s"""CASE WHEN len(string_split(text,' ')) BETWEEN 20 AND 200
-           |        AND len(list_filter(string_split(text,' '), w -> w IN ($stopList))) * 5
-           |            <= len(string_split(text,' ')) * 2
-           |       THEN 1 ELSE 0 END""".stripMargin
-      val centCols = (0 until B).map(b =>
-        s"CAST((sum(f$b) * $S) // count(*) AS BIGINT) AS c$b").mkString(", ")
-      val projE = (0 until B).map(b => s"t.f$b * (p.c$b - q.c$b)").mkString(" + ")
-      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
-         |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w),
-         |feat AS (SELECT doc_id,
-         |  $featCols
-         |  FROM tf GROUP BY doc_id),
-         |lab AS (SELECT doc_id, $heur AS label_heur FROM documents),
-         |tr AS MATERIALIZED (SELECT f.*, l.label_heur
-         |  FROM feat f JOIN lab l USING (doc_id)),
-         |cpos AS (SELECT $centCols FROM tr WHERE label_heur = 1),
-         |cneg AS (SELECT $centCols FROM tr WHERE label_heur = 0),
-         |pr AS MATERIALIZED (SELECT t.doc_id, t.label_heur,
-         |  CAST($projE AS BIGINT) AS pv
-         |  FROM tr t CROSS JOIN cpos p CROSS JOIN cneg q),
-         |nct AS (SELECT sum(CASE WHEN label_heur = 1 THEN 1 ELSE 0 END) AS np,
-         |               sum(CASE WHEN label_heur = 0 THEN 1 ELSE 0 END) AS nn
-         |        FROM pr),
-         |byv AS (SELECT pv,
-         |          sum(CASE WHEN label_heur = 1 THEN 1 ELSE 0 END) AS pc,
-         |          sum(CASE WHEN label_heur = 0 THEN 1 ELSE 0 END) AS nc
-         |        FROM pr GROUP BY pv),
-         |cum AS (SELECT pv,
-         |          sum(pc) OVER (ORDER BY pv DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
-         |          sum(nc) OVER (ORDER BY pv DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp
-         |        FROM byv),
-         |best AS (SELECT pv AS tau
-         |         FROM cum CROSS JOIN nct
-         |         ORDER BY (tp * $S) // np + ((nn - fp) * $S) // nn DESC, pv ASC
-         |         LIMIT 1)
+      s"""WITH ${linearQualityCtes("")}
          |SELECT pr.doc_id, CAST(pr.label_heur AS INT) AS label_heur,
          |  CAST(CASE WHEN pr.pv >= b.tau THEN 1 ELSE 0 END AS INT) AS label_model,
          |  CAST(CASE WHEN (CASE WHEN pr.pv >= b.tau THEN 1 ELSE 0 END) = pr.label_heur
@@ -1365,19 +1395,8 @@ object LlmQueries {
          |FROM pr CROSS JOIN best b""".stripMargin
     }) {
       (s, d) =>
-        import graft.ops.Classify
-        val ws = Dedup.tokens(col("text"))
-        val stopCnt = TextAnalysis.stopwordCount(ws)
-        val labels = table(s, d, "documents").select(col("doc_id"),
-          when(size(ws).between(20, 200) && stopCnt * 5 <= size(ws) * 2, 1)
-            .otherwise(0).cast("int").as("label_heur"))
-        val feats = Classify.bucketFeatures(Indexes.termFrequencies(s, d), "doc_id")
-        // The feature frame feeds the centroid fit, the projection
-        // scan, and the predict: pin it once (bounded: B+2 longs per
-        // doc), the q99/rank lineage-truncation discipline.
-        val train = feats.join(labels, Seq("doc_id")).localCheckpoint(true)
-        val (w, tau) = Classify.thresholdFit(train, "label_heur")
-        Classify.thresholdPredict(train, w, tau)
+        val (train, w, tau) = qualityModel(s, d)
+        graft.ops.Classify.thresholdPredict(train, w, tau)
           .withColumn("agree", (col("label_model") === col("label_heur")).cast("int"))
           .select("doc_id", "label_heur", "label_model", "agree")
     },

@@ -33,6 +33,13 @@ object BpeQueries {
     * ROUND11_NOTES). */
   val NMerges = 512
 
+  /** q155's monitor prefix — rule k of greedy training depends only
+    * on rules < k, so the first [[MonitorMerges]] entries of the
+    * persisted [[NMerges]]-rule table ARE the table a
+    * [[MonitorMerges]]-merge training would produce (BpeSpec pins
+    * it), and the monitor trains nothing. */
+  val MonitorMerges = 64
+
   private val NormSql =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
 
@@ -315,6 +322,67 @@ object BpeQueries {
             array_join(transform(Bpe.symbols(r),
               sym => element_at(idOf, sym).cast("string")), " ")), " ")
             .as("id_seq"))
+    },
+
+    // TOKENIZER DRIFT monitor — the retrain signal: fertility
+    // (merged symbols per word, milli) of an INCOMING batch (the
+    // last 20 % of the id space, the q43/q108 watermark convention)
+    // under the trained merge table, against the trained cohort's
+    // baseline. A vocabulary that stops fitting the data shows up
+    // exactly here — new-domain words stay unmerged and fertility
+    // climbs — BEFORE it shows up as a training-cost overrun.
+    // Monitored under the FIRST [[MonitorMerges]] rules of the
+    // PERSISTED table: greedy training is prefix-stable (rule k
+    // depends only on rules < k), so the prefix is free — no second
+    // training — and a shallow prefix keeps the metric SENSITIVE
+    // (under all 512 rules this corpus's vocabulary merges fully and
+    // fertility floors at 1000 for every cohort — measured, useless
+    // as a monitor). Integer throughout: drift is a scaled ratio
+    // minus 10⁶, so no signed division (DuckDB floors, Spark
+    // truncates — the Classify.tdiv hazard, avoided instead of
+    // mirrored). Scale bill: one tokenize map pass + a 2-row
+    // aggregate.
+    Q("q155_tokenizer_drift", {
+      val n = MonitorMerges
+      s"""WITH ${trainingCtes(n)},
+         |cut AS (SELECT (max(doc_id) * 4) // 5 AS c FROM documents),
+         |sym AS (SELECT doc_id, len(str_split(trim(rep, '<>'), '><')) AS ns FROM w$n),
+         |coh AS (SELECT CASE WHEN s.doc_id >= cut.c THEN 'incoming' ELSE 'trained' END AS cohort,
+         |          count(*) AS n_words, sum(ns) AS n_symbols
+         |        FROM sym s CROSS JOIN cut GROUP BY 1),
+         |base AS (SELECT (n_symbols * 1000) // n_words AS spw0
+         |         FROM coh WHERE cohort = 'trained')
+         |SELECT cohort, CAST(n_words AS BIGINT) AS n_words,
+         |       CAST(n_symbols AS BIGINT) AS n_symbols,
+         |       CAST((n_symbols * 1000) // n_words AS BIGINT) AS spw_milli,
+         |       CAST((((n_symbols * 1000) // n_words) * 1000000) // spw0
+         |            - 1000000 AS BIGINT) AS drift_ppm
+         |FROM coh CROSS JOIN base""".stripMargin
+    }) {
+      (s, d) =>
+        val mx = table(s, d, "documents")
+          .agg(max(col("doc_id"))).head().getLong(0)
+        val cutoff = mx * 4 / 5
+        // Prefix of the persisted 512-rule table (prefix-stable).
+        val merges = Indexes.bpeMerges(s, d, NMerges).take(MonitorMerges)
+        val coh = graft.ops.Bpe.withMergedReps(
+            table(s, d, "documents")
+              .select(col("doc_id"), Bpe.wordArray(col("text")).as("__ws")),
+            "__ws", merges, "__reps")
+          .select(
+            when(col("doc_id") >= cutoff, "incoming")
+              .otherwise("trained").as("cohort"),
+            size(col("__reps")).cast("long").as("nw"),
+            trainedTokens.as("ns"))
+          .groupBy("cohort")
+          .agg(sum(col("nw")).as("n_words"), sum(col("ns")).as("n_symbols"))
+        val base = coh.filter(col("cohort") === "trained")
+          .select(expr("(n_symbols * 1000) div n_words").as("spw0"))
+        coh.crossJoin(broadcast(base))
+          .select(col("cohort"), col("n_words"), col("n_symbols"),
+            expr("(n_symbols * 1000) div n_words").as("spw_milli"),
+            (expr("(((n_symbols * 1000) div n_words) * 1000000) div spw0")
+              - 1000000L).as("drift_ppm"))
     }
   )
 }

@@ -151,6 +151,67 @@ object SimilarityQueries {
           .withColumn("rnk", col("rnk").cast("bigint"))
     },
 
+    // ANN RECALL AUDIT — the index-quality measurement every
+    // production ANN deployment runs before trusting its index:
+    // recall@3 of the IVF result against the exact brute-force top-3
+    // for every query point, per query (the aggregate mean hides
+    // exactly the cold cells you need to see). Both sides use the
+    // SAME scoring and tie-breaks as their declared counterparts
+    // (q40/q41), so this row is also a cross-check tying the two
+    // formulations together. Integer output: hits and ppm recall.
+    // Scale shape: the audit sample is BOUNDED BY CONSTRUCTION (the
+    // first 100 of the %50 query points — a recall audit's cost must
+    // not grow with the corpus; measured: the unbounded %50 set made
+    // the exact side O(n²/50) and 60× at 100× data, the bounded one
+    // is the brute cost of exactly 100 queries at any scale); the
+    // IVF side is a cell-local probe; the compare is a (qid, vec_id)
+    // left join of two 3-row-per-query frames.
+    Q("q154_ann_recall",
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id % 37 = 1),
+         |assigned AS (
+         |  SELECT vec_id, embedding, cid, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY ${cosSql("embedding", "cvec")} DESC, cid) AS crnk
+         |  FROM embeddings CROSS JOIN c),
+         |cells AS (SELECT vec_id, embedding, cid FROM assigned WHERE crnk = 1),
+         |qc AS (SELECT vec_id AS qid, embedding AS qvec, cid FROM cells
+         |       WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 100),
+         |iscored AS (
+         |  SELECT qc.qid, cells.vec_id, ${cosSql("qc.qvec", "cells.embedding")} AS cos_r
+         |  FROM cells JOIN qc ON cells.cid = qc.cid AND cells.vec_id <> qc.qid),
+         |iranked AS (
+         |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY cos_r DESC, vec_id) AS rnk
+         |  FROM iscored),
+         |itop AS (SELECT qid, vec_id FROM iranked WHERE rnk <= 3),
+         |escored AS (
+         |  SELECT qc.qid, e.vec_id, ${cosSql("qc.qvec", "e.embedding")} AS cos_r
+         |  FROM embeddings e JOIN qc ON e.vec_id <> qc.qid),
+         |eranked AS (
+         |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY cos_r DESC, vec_id) AS rnk
+         |  FROM escored),
+         |etop AS (SELECT qid, vec_id FROM eranked WHERE rnk <= 3)
+         |SELECT e.qid, CAST(count(i.vec_id) AS BIGINT) AS n_hits,
+         |       CAST((count(i.vec_id) * 1000000) // 3 AS BIGINT) AS recall_ppm
+         |FROM etop e LEFT JOIN itop i ON i.qid = e.qid AND i.vec_id = e.vec_id
+         |GROUP BY e.qid""".stripMargin) {
+      (s, d) =>
+        val e = table(s, d, "embeddings")
+        val queries = e.filter(col("vec_id") % 50 === 0)
+          .orderBy("vec_id").limit(100)
+        val exact = Similarity.bruteForceKnn(e, queries, k = 3)
+          .select(col("qid"), col("vec_id"))
+        val ivf = Similarity.ivfKnn(
+            corpus = e,
+            centroids = e.filter(col("vec_id") % 37 === 1),
+            queries = queries, k = 3)
+          .select(col("qid").as("iqid"), col("vec_id").as("ivid"))
+        exact.join(ivf,
+            col("qid") === col("iqid") && col("vec_id") === col("ivid"),
+            "left")
+          .groupBy("qid")
+          .agg(count(col("ivid")).as("n_hits"),
+            expr("(count(ivid) * 1000000) div 3").as("recall_ppm"))
+    },
+
     // Distributed k-means codebook training (Lloyd, 2 assignment
     // passes) — the "trained upfront" half of the IVF story, and the
     // clustering core of SemDeDup-style semantic dedup. Everything is

@@ -66,6 +66,17 @@ class BpeSpec extends AnyFunSuite {
         .as[String].head())
   }
 
+  test("greedy training is prefix-stable (the q155 monitor contract)") {
+    // Rule k depends only on rules < k, so an n-merge table is a
+    // prefix of any longer table over the same corpus — what lets
+    // the drift monitor slice the persisted 512-rule table instead
+    // of training again.
+    val docs = Seq("low low lower lowest", "aaaa aaa ab b aab").toDF("text")
+    val m12 = Bpe.trainMerges(docs, "text", 12)
+    assert(m12.take(4) === Bpe.trainMerges(docs, "text", 4))
+    assert(m12.take(8) === Bpe.trainMerges(docs, "text", 8))
+  }
+
   test("training stops early when no adjacent pair remains") {
     // Single-char words only: zero adjacencies, zero merges.
     val docs = Seq("a b c d").toDF("text")

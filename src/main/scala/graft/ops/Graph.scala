@@ -119,4 +119,79 @@ object Graph {
     }
     rank
   }
+
+  /** PERSONALIZED (seed-teleport) PageRank — the TrustRank recipe
+    * (Gyöngyi/Garcia-Molina/Pedersen, public): the teleport mass
+    * lands ONLY on `seeds`, so rank measures reachability from a
+    * trusted set through the citation structure — the
+    * seed-expansion move behind trusted-domain curation (start from
+    * a vetted allowlist, let citation propagate trust, threshold
+    * the result). Same integer mass units, same vanishing-mass
+    * dangling treatment, same one-lazy-plan shape as [[pageRank]];
+    * the only changes are the initial distribution (`Scale div
+    * |seeds|` on seeds, 0 elsewhere) and the per-iteration teleport
+    * (seeds only). Nodes unreachable from the seed set rank exactly
+    * 0 — the property the thresholding consumer relies on.
+    *
+    * @param seeds one row per seed node under `nodeCol`'s name —
+    *              must be a subset of `nodes` (checked: an absent
+    *              seed would silently leak teleport mass). */
+  def personalizedPageRank(edges: DataFrame, nodes: DataFrame,
+                           nodeCol: String, seeds: DataFrame,
+                           iters: Int, dampingPct: Int = 85,
+                           validateEdges: Boolean = true): DataFrame = {
+    require(iters >= 1 && iters <= MaxIters,
+      s"personalizedPageRank: iters out of range: $iters")
+    require(dampingPct >= 0 && dampingPct <= 100,
+      s"personalizedPageRank: dampingPct out of range: $dampingPct")
+    val universe = nodes.select(col(nodeCol).as("v")).distinct()
+    val seedSet = seeds.select(col(nodeCol).as("v")).distinct()
+    val checkedSeeds = seedSet
+      .join(universe.select(col("v"), lit(1L).as("__in")), Seq("v"), "left")
+      .select(when(col("__in").isNull,
+          raise_error(concat(lit("personalizedPageRank: seed outside " +
+            "node universe: "), col("v").cast("string"))).cast("string"))
+        .otherwise(col("v")).as("v"))
+    val checkedEdges =
+      if (!validateEdges) edges
+      else edges
+        .join(universe.select(col("v").as("u"), lit(1L).as("__su")),
+          Seq("u"), "left")
+        .join(universe.select(col("v"), lit(1L).as("__sv")),
+          Seq("v"), "left")
+        .select(col("u"), col("v"),
+          when(col("__su").isNull || col("__sv").isNull,
+            raise_error(concat(
+              lit("personalizedPageRank: edge endpoint outside node " +
+                "universe: ("),
+              col("u").cast("string"), lit(" -> "),
+              col("v").cast("string"), lit(")"))).cast("bigint"))
+            .otherwise(col("w")).as("w"))
+    val ns = checkedSeeds.agg(count(lit(1)).as("__ns"))
+    // Seed membership rides the rank frame as a 0/1 column; the
+    // teleport expression gates on it, so the recurrence stays one
+    // lazy plan with the seed set joined once per iteration (its
+    // exchange canonicalizes and reuses).
+    val base = universe
+      .join(checkedSeeds.select(col("v"), lit(1L).as("__seed")), Seq("v"), "left")
+      .withColumn("__seed", coalesce(col("__seed"), lit(0L)))
+      .crossJoin(broadcast(ns))
+    val seedMass = expr(s"__seed * ($Scale div __ns)")
+    val teleport =
+      expr(s"__seed * (((100 - $dampingPct) * ($Scale div __ns)) div 100)")
+    val outW = checkedEdges.groupBy(col("u")).agg(sum(col("w")).as("__tw"))
+    val e2 = checkedEdges.join(outW, "u")
+      .select(col("u"), col("v"), expr(s"(w * $PpmScale) div __tw").as("p"))
+    val contribExpr = expr(s"($dampingPct * r * p) div ${100L * PpmScale}")
+    var rank = base.select(col("v"), col("__seed"), col("__ns"), seedMass.as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = e2.join(rank.select(col("v").as("u"), col("r")), "u")
+        .select(col("v"), contribExpr.as("__c"))
+        .groupBy("v").agg(sum(col("__c")).as("__m"))
+      rank = base.join(contrib, Seq("v"), "left")
+        .select(col("v"), col("__seed"), col("__ns"),
+          (teleport + coalesce(col("__m"), lit(0L))).as("r"))
+    }
+    rank.select(col("v"), col("r"))
+  }
 }

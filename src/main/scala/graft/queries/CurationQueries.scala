@@ -159,12 +159,12 @@ object CurationQueries {
        |    FROM e2 JOIN r$k ON e2.u = r$k.v GROUP BY e2.v) m ON m.v = s.v)""".stripMargin
   }.mkString(",\n")
 
-  /** The full domain-rank oracle chain (shingling → first-occurrence
-    * attribution → ppm transition weights → [[PrIters]] unrolled
-    * iterations), ending at CTE `r$PrIters(v, r)` with `srcs`/`nn` in
-    * scope — shared by q130 (the ranks themselves) and q138 (ranks
-    * composed into sampling), so the two replays cannot drift. */
-  private def domainRankCtes: String =
+  /** The citation-attribution half of the rank chains: shingling →
+    * first-occurrence attribution → ppm transition weights, ending
+    * at `e2(u, v, p)` with `srcs(v)` / `nn(n)` in scope — shared by
+    * the uniform-teleport chain ([[domainRankCtes]]) and the
+    * seed-teleport chain (q158). */
+  private def attributionCtes: String =
     s"""corpus AS (SELECT doc_id, text FROM documents),
        |$shingleCtes,
        |ex AS (SELECT h.doc_id, d.source, unnest(h.hs) AS hh
@@ -178,12 +178,33 @@ object CurationQueries {
        |        GROUP BY 1, 2),
        |srcs AS (SELECT DISTINCT source AS v FROM documents),
        |nn AS (SELECT count(*) AS n FROM srcs),
-       |tp AS (SELECT (15 * (${Graph.Scale} // n)) // 100 AS t FROM nn),
        |ow AS (SELECT u, sum(w) AS tw FROM att GROUP BY u),
        |e2 AS (SELECT a.u, a.v, (a.w * ${Graph.PpmScale}) // o.tw AS p
-       |       FROM att a JOIN ow o ON a.u = o.u),
+       |       FROM att a JOIN ow o ON a.u = o.u)""".stripMargin
+
+  /** The full domain-rank oracle chain (attribution + [[PrIters]]
+    * unrolled uniform-teleport iterations), ending at CTE
+    * `r$PrIters(v, r)` — shared by q130 (the ranks themselves) and
+    * q138 (ranks composed into sampling), so the replays cannot
+    * drift. */
+  private def domainRankCtes: String =
+    s"""$attributionCtes,
+       |tp AS (SELECT (15 * (${Graph.Scale} // n)) // 100 AS t FROM nn),
        |r0 AS (SELECT v, (SELECT ${Graph.Scale} // n FROM nn) AS r FROM srcs),
        |${prIterCtes(PrIters)}""".stripMargin
+
+  /** Seed-teleport iteration CTEs (t0..t`n`) — the exact integer
+    * recurrence of [[Graph.personalizedPageRank]] over `seeds(v)` /
+    * `nsd(n)` / `tps(t)` / `e2`. */
+  private def seedIterCtes(n: Int): String = (0 until n).map { k =>
+    s"""t${k + 1} AS (
+       |  SELECT s.v,
+       |    (CASE WHEN s.v IN (SELECT v FROM seeds)
+       |          THEN (SELECT t FROM tps) ELSE 0 END) + coalesce(m.m, 0) AS r
+       |  FROM srcs s LEFT JOIN (
+       |    SELECT e2.v, sum((85 * t$k.r * e2.p) // ${100L * Graph.PpmScale}) AS m
+       |    FROM e2 JOIN t$k ON e2.u = t$k.v GROUP BY e2.v) m ON m.v = s.v)""".stripMargin
+  }.mkString(",\n")
 
   /** The Spark domain-rank chain shared by q130/q138 — returns
     * (source, rank_scaled). The oracle's `e.doc_id <> s.odoc` guard is
@@ -207,9 +228,13 @@ object CurationQueries {
                          d: String): org.apache.spark.sql.DataFrame =
     Indexes.domainRanks(s, d)
 
-  /** The raw rank computation behind [[Indexes.domainRanks]]'s build. */
-  private[queries] def domainRankCompute(s: org.apache.spark.sql.SparkSession,
-                         d: String): org.apache.spark.sql.DataFrame = {
+  /** The citation edge frame (u cites v): per-shingle earliest-doc
+    * attribution over the persisted shingle index, salted against
+    * boilerplate keys, aggregated to source grain and pinned
+    * (bounded at |sources|²; consumed by two subtrees of every rank
+    * recurrence — out-weights and transitions). */
+  private def citationEdges(s: org.apache.spark.sql.SparkSession,
+                            d: String): org.apache.spark.sql.DataFrame = {
     val ex = Indexes.shingles(s, d)
       .select(col("doc_id"), col("source"), explode(col("__hs")).as("h"))
     val org = ex.groupBy("h").agg(min(col("doc_id")).as("odoc"))
@@ -217,19 +242,34 @@ object CurationQueries {
       table(s, d, "documents")
         .select(col("doc_id").as("odoc"), col("source").as("vsrc")),
       Seq("odoc"))
-    val att = Skew.saltedJoinHot(ex, osrc.select("h", "vsrc"), "h",
+    Skew.saltedJoinHot(ex, osrc.select("h", "vsrc"), "h",
         saltBy = col("doc_id"), salts = 16,
         hotCap = graft.ops.Dedup.DefaultHotShingleCap)
       .filter(col("source") =!= col("vsrc"))
       .select(col("source").as("u"), col("vsrc").as("v"))
       .groupBy("u", "v").agg(count(lit(1)).as("w"))
-      // Bounded at |sources|² and consumed by two subtrees of the
-      // rank recurrence (out-weights and transitions) — pinned
-      // once so the attribution join can never re-run.
       .localCheckpoint(true)
+  }
+
+  /** The raw rank computation behind [[Indexes.domainRanks]]'s build. */
+  private[queries] def domainRankCompute(s: org.apache.spark.sql.SparkSession,
+                         d: String): org.apache.spark.sql.DataFrame = {
     val nodes = table(s, d, "documents").select("source").distinct()
-    Graph.pageRank(att, nodes, "source", PrIters)
+    Graph.pageRank(citationEdges(s, d), nodes, "source", PrIters)
       .select(col("v").as("source"), col("r").as("rank_scaled"))
+  }
+
+  /** The seed-teleport (TrustRank) computation behind
+    * [[Indexes.trustedRanks]]'s build: teleport mass lands only on
+    * the two lexicographically-smallest sources — the harness's
+    * deterministic stand-in for a vetted allowlist. */
+  private[queries] def trustedRankCompute(s: org.apache.spark.sql.SparkSession,
+                         d: String): org.apache.spark.sql.DataFrame = {
+    val nodes = table(s, d, "documents").select("source").distinct()
+    val seeds = nodes.orderBy("source").limit(2)
+    Graph.personalizedPageRank(citationEdges(s, d), nodes, "source",
+        seeds, PrIters)
+      .select(col("v").as("source"), col("r").as("trust_scaled"))
   }
 
   /** Winnowed-fingerprint oracle chain ending in `keep` (doc_id, h):
@@ -374,6 +414,34 @@ object CurationQueries {
       s"""WITH $domainRankCtes
          |SELECT v AS source, CAST(r AS BIGINT) AS rank_scaled FROM r$PrIters""".stripMargin) {
       (s, d) => domainRank(s, d)
+    },
+
+    // TRUST propagation from a vetted seed set — the TrustRank
+    // recipe (Gyöngyi/Garcia-Molina/Pedersen, public) over the same
+    // citation graph as q130: teleport mass lands ONLY on the seed
+    // sources (the two lexicographically-smallest — the harness's
+    // deterministic stand-in for an allowlist), so rank measures
+    // citation-reachability FROM trust, and a source nobody on the
+    // trust frontier cites ranks exactly 0 — the allowlist-expansion
+    // move of web-corpus curation, complementary to q130's global
+    // authority (a content farm can accumulate authority from other
+    // farms; it cannot acquire trust the seeds never granted).
+    // Persisted-registry read like q130; the oracle replays
+    // attribution + the seed-conditional integer recurrence unrolled.
+    Q("q158_trusted_seed_rank",
+      s"""WITH $attributionCtes,
+         |seeds AS (SELECT v FROM srcs ORDER BY v LIMIT 2),
+         |nsd AS (SELECT count(*) AS n FROM seeds),
+         |tps AS (SELECT (15 * (${Graph.Scale} // n)) // 100 AS t FROM nsd),
+         |t0 AS (SELECT s.v,
+         |         CASE WHEN s.v IN (SELECT v FROM seeds)
+         |              THEN (SELECT ${Graph.Scale} // n FROM nsd)
+         |              ELSE 0 END AS r
+         |       FROM srcs s),
+         |${seedIterCtes(PrIters)}
+         |SELECT v AS source, CAST(r AS BIGINT) AS trust_scaled
+         |FROM t$PrIters""".stripMargin) {
+      (s, d) => Indexes.trustedRanks(s, d)
     },
 
     // BM25 top-k retrieval over the inverted index — the ranked-lookup

@@ -644,6 +644,16 @@ object Indexes {
       }
     }
 
+  /** The seed-teleport trust ranks (source, trust_scaled) — the
+    * TrustRank twin of [[domainRanks]], same registry discipline. */
+  def trustedRanks(spark: SparkSession, sfDir: String): DataFrame =
+    lock.synchronized {
+      val name = s"trusted_rank_i${CurationQueries.PrIters}_s2"
+      cached(spark, store(spark, sfDir), name) { bst =>
+        bst.overwrite(name, CurationQueries.trustedRankCompute(spark, sfDir))
+      }
+    }
+
   /** Resolved image near-dup cluster labels (id, component) —
     * connected components over the banded-Hamming phash pairs at
     * `maxHamming`, landed as a table: the media-dedup twin of

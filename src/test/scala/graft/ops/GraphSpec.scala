@@ -70,6 +70,46 @@ class GraphSpec extends AnyFunSuite {
       nodeIds.toDF("id"), "id", 2, validateEdges = false).collect(): Unit
   }
 
+  private def referenceSeeded(seeds: Set[Long], iters: Int,
+                              dampingPct: Int): Map[Long, Long] = {
+    val ns = seeds.size
+    val s0 = Graph.Scale / ns
+    val tp = ((100L - dampingPct) * s0) / 100L
+    val outW = edges.groupBy(_._1).map { case (u, es) => u -> es.map(_._3).sum }
+    val p = edges.map { case (u, v, w) => (u, v, w * Graph.PpmScale / outW(u)) }
+    var rank = nodeIds.map(v => v -> (if (seeds(v)) s0 else 0L)).toMap
+    for (_ <- 1 to iters) {
+      val in = p.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _, pp) =>
+          dampingPct * rank(u) * pp / (100L * Graph.PpmScale) }.sum
+      }
+      rank = nodeIds.map(v =>
+        v -> ((if (seeds(v)) tp else 0L) + in.getOrElse(v, 0L))).toMap
+    }
+    rank
+  }
+
+  test("personalizedPageRank equals the seeded sequential fold; unreachable nodes rank 0") {
+    val seeds = Set(10L, 20L)
+    val got = Graph.personalizedPageRank(edges.toDF("u", "v", "w"),
+        nodeIds.toDF("id"), "id", Seq(10L, 20L).toDF("id"), iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === referenceSeeded(seeds, 4, 85))
+    assert(got(99L) === 0L, "isolated node must be unreachable from seeds")
+  }
+
+  test("personalizedPageRank rejects a seed outside the node universe") {
+    val ex = intercept[Exception] {
+      Graph.personalizedPageRank(edges.toDF("u", "v", "w"),
+        nodeIds.toDF("id"), "id", Seq(10L, 777L).toDF("id"), iters = 2)
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("seed outside")), ex.toString)
+  }
+
   test("isolated and dangling nodes keep the teleport floor; mass is conserved within floor loss") {
     val r = run(6, 85)
     val teleport = (15L * (Graph.Scale / 6)) / 100L

@@ -35,4 +35,14 @@ class VerifySpec extends AnyFunSuite {
     val df = Seq((1L, "a")).toDF("id", "v")
     assert(Verify.canonTimestamps(df) eq df)
   }
+
+  test("the driver contract holds: entry returns rows; registries align") {
+    // t1 smoke, locally pinned (driver checks rows > 0 at sf0.001).
+    if (new java.io.File("/root/testdata/sf0.001").isDirectory)
+      assert(SparkEntry.entry(spark).limit(1).count() === 1L)
+    // Every oracle key names a declared query; names are unique.
+    val names = SparkEntry.queries.keySet
+    assert(SparkEntry.oracleSql.keySet.subsetOf(names))
+    assert(names.size === SparkEntry.queries.size)
+  }
 }

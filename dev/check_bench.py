@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Perf-regression gate: diff a full-bench JSON against the committed
+per-query baseline (dev/PERF_BASELINE.json).
+
+The r11 lesson: a monotone in-suite cost creep on untouched queries was
+visible across four committed full runs but nothing flagged it — this
+script is the PlanSpec discipline applied to time. Run it after every
+full bench; update the baseline deliberately (--update), never silently.
+
+Exit 1 on:
+  - any shared query slower than RATIO x baseline AND ABS s absolute
+    slack (both gates: sub-100ms queries jitter past any pure ratio);
+  - shared-window total (queries present in BOTH files) > TOTAL_RATIO x.
+New queries (absent from the baseline) are listed, never failed — add
+them with --update once their numbers are real.
+
+A run with run_quality > 1.5 is machine-contention-suspect: findings
+are reported but the exit code is forced 0 (re-run instead of chasing
+phantoms).
+
+Usage: python3 dev/check_bench.py BENCH.json [--baseline F] [--update]
+"""
+import json, sys, os
+
+RATIO, ABS, TOTAL_RATIO = 1.5, 0.15, 1.10
+
+args = [a for a in sys.argv[1:] if not a.startswith("--")]
+bench_path = args[0]
+base_path = "dev/PERF_BASELINE.json"
+if "--baseline" in sys.argv:
+    base_path = sys.argv[sys.argv.index("--baseline") + 1]
+update = "--update" in sys.argv
+
+bench = json.load(open(bench_path))
+queries = {k: v for k, v in bench["queries"].items() if v is not None}
+quality = bench.get("run_quality", 0.0)
+
+if update:
+    json.dump({"queries": queries, "run_quality": quality,
+               "source": os.path.basename(bench_path)},
+              open(base_path, "w"), indent=1, sort_keys=True)
+    print(f"baseline updated from {bench_path} "
+          f"({len(queries)} queries, run_quality {quality:.2f})")
+    sys.exit(0)
+
+base = json.load(open(base_path))["queries"]
+shared = sorted(set(base) & set(queries))
+new = sorted(set(queries) - set(base))
+gone = sorted(set(base) - set(queries))
+
+slow = []
+for q in shared:
+    b, t = base[q], queries[q]
+    if t > b * RATIO and t - b > ABS:
+        slow.append((q, b, t))
+tot_b = sum(base[q] for q in shared)
+tot_t = sum(queries[q] for q in shared)
+
+for q, b, t in sorted(slow, key=lambda x: x[1] - x[2]):
+    print(f"SLOW  {q}: {b:.2f}s -> {t:.2f}s ({t/b:.2f}x)")
+for q in new:
+    print(f"NEW   {q}: {queries[q]:.2f}s (not in baseline)")
+for q in gone:
+    print(f"GONE  {q}: in baseline, absent from this run")
+print(f"\nshared window: {len(shared)} queries, "
+      f"baseline {tot_b:.1f}s -> this run {tot_t:.1f}s "
+      f"({tot_t/tot_b:.3f}x), run_quality {quality:.2f}")
+
+fail = bool(slow) or tot_t > tot_b * TOTAL_RATIO
+if fail and quality > 1.5:
+    print("NOISY RUN (run_quality > 1.5): findings reported, exit forced 0 "
+          "— re-run on a quiet machine before acting on them")
+    fail = False
+elif tot_t > tot_b * TOTAL_RATIO:
+    print(f"FAIL: total creep {tot_t/tot_b:.3f}x > {TOTAL_RATIO}x")
+sys.exit(1 if fail else 0)

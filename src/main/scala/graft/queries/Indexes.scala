@@ -470,13 +470,17 @@ object Indexes {
   def bpeMerges(spark: SparkSession, sfDir: String,
                 nMerges: Int): Seq[(String, String)] = lock.synchronized {
     bpeMergeCache.getOrElseUpdate((sfDir, corpusEpoch(spark, sfDir), nMerges), {
-      // Training is nMerges corpus-wide aggregates — persist the rule
+      // Training is batched corpus-wide aggregates — persist the rule
       // table (ordered) so a second process reads it instead of
-      // re-training.
+      // re-training. The BATCHED trainer is the production path (same
+      // merge table as the sequential trainer — BpeSpec pins equality
+      // at 512 rules on the harness corpus — at a fraction of the
+      // aggregate count, which is what makes a 32k vocabulary a
+      // minutes-scale one-time build instead of an hours-scale one).
       val name = s"bpe_merges_n$nMerges"
       val df = cached(spark, store(spark, sfDir), name) { bst =>
         import spark.implicits._
-        val rules = graft.ops.Bpe.trainMerges(
+        val rules = graft.ops.Bpe.trainMergesBatched(
           corpusDocs(spark, sfDir), "text", nMerges)
           .zipWithIndex.map { case ((a, b), i) => (i, a, b) }
         bst.overwrite(name, rules.toDF("i", "a", "b"))
@@ -626,6 +630,37 @@ object Indexes {
         bst.overwrite("audio_fingerprint_adpcm",
           graft.ops.Multimodal.audioFingerprints(media,
             () => new graft.ops.Multimodal.AdpcmImaCodec))
+      }
+    }
+
+  /** The MDCT-transform twin of [[audioFingerprint]]: the same clips
+    * through the lossy MDCT subband codec (encodeMdctWav →
+    * [[graft.ops.Multimodal.MdctCodec]]) before fingerprinting — the
+    * corpus-population half of the q160 tolerance gate. Same build
+    * shape: one decode+hash map pass, landed as a table. */
+  def audioFingerprintMdct(spark: SparkSession, sfDir: String): DataFrame =
+    lock.synchronized {
+      cached(spark, store(spark, sfDir), "audio_fingerprint_mdct") { bst =>
+        import spark.implicits._
+        import org.apache.spark.sql.functions.col
+        val docs = corpusDocs(spark, sfDir)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+        val media = docs.mapPartitions { it =>
+          it.map { case (id, text) =>
+            val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val n = math.min(bytes.length, 130)
+            val samples = new Array[Short](n)
+            var i = 0
+            while (i < n) {
+              samples(i) = (((bytes(i) & 0xff) - 128) * 256).toShort
+              i += 1
+            }
+            (id, graft.ops.Multimodal.encodeMdctWav(samples))
+          }
+        }.toDF("doc_id", "content")
+        bst.overwrite("audio_fingerprint_mdct",
+          graft.ops.Multimodal.audioFingerprints(media,
+            () => new graft.ops.Multimodal.MdctCodec))
       }
     }
 

@@ -81,6 +81,46 @@ class BpeSpec extends AnyFunSuite {
     // Single-char words only: zero adjacencies, zero merges.
     val docs = Seq("a b c d").toDF("text")
     assert(Bpe.trainMerges(docs, "text", 5) === Seq.empty)
+    assert(Bpe.trainMergesBatched(docs, "text", 5) === Seq.empty)
+  }
+
+  test("batched trainer == sequential trainer on adversarial seeded corpora") {
+    // The batched trainer's whole claim is bit-identical merge tables.
+    // Tiny-alphabet seeded corpora maximize batch-breaking interactions
+    // (shared symbols, self-pairs, spawned-pair near-ties) — exactly
+    // where a wrong non-interaction rule would diverge. Run lengths
+    // force (a,a) self-merges; the ab-alternations force spawned pairs
+    // like (ab,ab) whose counts sit next to the following candidate's.
+    for (seed <- Seq(7, 48, 201)) {
+      val rnd = new scala.util.Random(seed)
+      val docs = Seq.fill(60)(
+        Seq.fill(1 + rnd.nextInt(7))(
+          Seq.fill(1 + rnd.nextInt(9))("aab" (rnd.nextInt(3))).mkString)
+          .mkString(" ")).toDF("text")
+      val seqM = Bpe.trainMerges(docs, "text", 40)
+      val batM = Bpe.trainMergesBatched(docs, "text", 40)
+      assert(batM === seqM, s"divergence at seed $seed")
+    }
+    // A wider-alphabet corpus where batches actually widen.
+    val rnd = new scala.util.Random(99)
+    val wide = Seq.fill(80)(
+      Seq.fill(2 + rnd.nextInt(6))(
+        Seq.fill(2 + rnd.nextInt(7))("abcdefgh" (rnd.nextInt(8))).mkString)
+        .mkString(" ")).toDF("text")
+    assert(Bpe.trainMergesBatched(wide, "text", 64) ===
+      Bpe.trainMerges(wide, "text", 64))
+  }
+
+  test("batched trainer == sequential at 512 merges on the harness corpus") {
+    // The declared-config gate the production path rides on: identical
+    // 512-rule tables over the real sf0.001 documents table (the
+    // registry's bpe_merges_n512 is built by the BATCHED trainer; the
+    // five BPE oracles replay the sequential formulation in DuckDB —
+    // this equality is what keeps them hash-exact).
+    val docs = graft.io.Sources.table(spark, "/root/testdata/sf0.001", "documents")
+    val seqM = Bpe.trainMerges(docs, "text", 512)
+    val batM = Bpe.trainMergesBatched(docs, "text", 512)
+    assert(batM === seqM)
   }
 
   test("the real-BPE counter plugs into the budget operator unchanged") {

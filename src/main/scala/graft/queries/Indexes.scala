@@ -470,17 +470,20 @@ object Indexes {
   def bpeMerges(spark: SparkSession, sfDir: String,
                 nMerges: Int): Seq[(String, String)] = lock.synchronized {
     bpeMergeCache.getOrElseUpdate((sfDir, corpusEpoch(spark, sfDir), nMerges), {
-      // Training is batched corpus-wide aggregates — persist the rule
-      // table (ordered) so a second process reads it instead of
-      // re-training. The BATCHED trainer is the production path (same
-      // merge table as the sequential trainer — BpeSpec pins equality
-      // at 512 rules on the harness corpus — at a fraction of the
-      // aggregate count, which is what makes a 32k vocabulary a
-      // minutes-scale one-time build instead of an hours-scale one).
+      // Persist the rule table (ordered) so a second process reads it
+      // instead of re-training. Training dispatches through
+      // [[graft.ops.Bpe.trainMergesAuto]]: ONE distributed corpus
+      // pass builds the word-type table, then the greedy loop runs
+      // in-memory when the types fit the collect bound (every
+      // natural-language vocabulary — 32k rules in ~86 s on an
+      // 86k-type corpus) and as distributed batched aggregates past
+      // it. All paths produce the identical merge table (BpeSpec pins
+      // equality at 512 rules on the harness corpus), so the oracles
+      // stay hash-exact whatever the dispatch.
       val name = s"bpe_merges_n$nMerges"
       val df = cached(spark, store(spark, sfDir), name) { bst =>
         import spark.implicits._
-        val rules = graft.ops.Bpe.trainMergesBatched(
+        val rules = graft.ops.Bpe.trainMergesAuto(
           corpusDocs(spark, sfDir), "text", nMerges)
           .zipWithIndex.map { case ((a, b), i) => (i, a, b) }
         bst.overwrite(name, rules.toDF("i", "a", "b"))

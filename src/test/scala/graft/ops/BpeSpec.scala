@@ -111,6 +111,33 @@ class BpeSpec extends AnyFunSuite {
       Bpe.trainMerges(wide, "text", 64))
   }
 
+  test("in-memory trainer == sequential trainer (the production path's gate)") {
+    // Same adversarial seeded corpora as the batched gate: runs,
+    // self-merges, overlap-blind count vs non-overlapping merge
+    // interplay, near-ties — where an incremental-recount bug or a
+    // wrong argmax order diverges immediately.
+    for (seed <- Seq(7, 48, 201)) {
+      val rnd = new scala.util.Random(seed)
+      val docs = Seq.fill(60)(
+        Seq.fill(1 + rnd.nextInt(7))(
+          Seq.fill(1 + rnd.nextInt(9))("aab" (rnd.nextInt(3))).mkString)
+          .mkString(" ")).toDF("text")
+      assert(Bpe.trainMergesInMemory(docs, "text", 40) ===
+        Bpe.trainMerges(docs, "text", 40), s"divergence at seed $seed")
+    }
+    val rnd = new scala.util.Random(99)
+    val wide = Seq.fill(80)(
+      Seq.fill(2 + rnd.nextInt(6))(
+        Seq.fill(2 + rnd.nextInt(7))("abcdefgh" (rnd.nextInt(8))).mkString)
+        .mkString(" ")).toDF("text")
+    assert(Bpe.trainMergesInMemory(wide, "text", 64) ===
+      Bpe.trainMerges(wide, "text", 64))
+    // The type-cap contract fails loudly toward the distributed path.
+    val e = intercept[IllegalArgumentException](
+      Bpe.trainMergesInMemory(wide, "text", 4, maxTypes = 3))
+    assert(e.getMessage.contains("trainMergesBatched"))
+  }
+
   test("batched trainer == sequential at 512 merges on the harness corpus") {
     // The declared-config gate the production path rides on: identical
     // 512-rule tables over the real sf0.001 documents table (the
@@ -119,8 +146,8 @@ class BpeSpec extends AnyFunSuite {
     // this equality is what keeps them hash-exact).
     val docs = graft.io.Sources.table(spark, "/root/testdata/sf0.001", "documents")
     val seqM = Bpe.trainMerges(docs, "text", 512)
-    val batM = Bpe.trainMergesBatched(docs, "text", 512)
-    assert(batM === seqM)
+    assert(Bpe.trainMergesBatched(docs, "text", 512) === seqM)
+    assert(Bpe.trainMergesInMemory(docs, "text", 512) === seqM)
   }
 
   test("the real-BPE counter plugs into the budget operator unchanged") {

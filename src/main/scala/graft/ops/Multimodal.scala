@@ -786,6 +786,231 @@ object Multimodal {
     out
   }
 
+  // ------------------------------------------------------------------
+  // MDCT transform audio codec — the third audio leg. WHY THIS AND NOT
+  // MP3/MP2: the perceptual stages of MPEG-1 audio (Layer II/III bit-
+  // allocation tables, the 512-tap synthesis window D[]) are committee-
+  // designed NUMERIC TABLES from ISO/IEC 11172-3 Annex B with no
+  // closed form — they cannot be re-derived from public math, only
+  // transcribed, so a bit-compatible MP3/MP2 leg is out of scope for
+  // this from-public-knowledge engine (recorded decision; the JDK
+  // ships no audio codec either — javax.sound handles PCM only).
+  // What IS public math is the transform architecture under all of
+  // them: the Modified DCT with 50 %-overlap time-domain aliasing
+  // cancellation (Princen–Bradley 1986/1987) and the closed-form sine
+  // window w[n] = sin(π/2M·(n+½)), which satisfies the PR condition
+  // w²[n] + w²[n+M] = 1 exactly. This codec is that architecture,
+  // honestly framed: real MDCT analysis, per-frame max-scalefactor
+  // 4-bit uniform quantization (the lossy stage), IMDCT + overlap-add
+  // synthesis, in a RIFF/WAVE container under an in-engine format tag
+  // (0x4D44 — NOT an IANA/Microsoft-registered codec id; readers
+  // outside this engine will not recognize it, by design). ~3.2:1 vs
+  // PCM16 at M=32. All trigonometry is StrictMath (bit-reproducible
+  // across JVMs/platforms — Math.cos intrinsics are not).
+  // ------------------------------------------------------------------
+
+  /** MDCT coefficients per frame (frame = 2M samples, hop M). */
+  val MdctM = 32
+
+  /** In-engine RIFF format tag for the MDCT codec ("MD" LE). */
+  val MdctFormatTag = 0x4D44
+
+  /** Bytes per MDCT frame: float32 scalefactor + M 4-bit coefficients. */
+  val MdctFrameBytes = 4 + MdctM / 2
+
+  /** The N×M MDCT basis, N = 2M rows of analysis window × cosine:
+    * basis(n)(k) = w[n]·cos(π/M·(n + ½ + M/2)·(k + ½)). Shared by
+    * analysis and synthesis (the MDCT is its own transpose up to the
+    * 2/M synthesis gain). StrictMath for cross-platform determinism. */
+  private lazy val mdctBasis: Array[Array[Double]] = {
+    val m = MdctM
+    Array.tabulate(2 * m) { n =>
+      val w = StrictMath.sin(StrictMath.PI / (2 * m) * (n + 0.5))
+      Array.tabulate(m) { k =>
+        w * StrictMath.cos(StrictMath.PI / m * (n + 0.5 + m / 2.0) * (k + 0.5))
+      }
+    }
+  }
+
+  /** Forward MDCT of a signal: frame f covers samples
+    * [fM − M, fM + M) (out-of-range reads are 0), f = 0 until
+    * ceil(n/M) + 1 so every sample lies in exactly two frames'
+    * overlap. Returns nFrames × M coefficient rows. */
+  private[ops] def mdctForward(x: Array[Float]): Array[Array[Double]] = {
+    val m = MdctM
+    val nFrames = if (x.length == 0) 1 else (x.length - 1) / m + 2
+    Array.tabulate(nFrames) { f =>
+      val base = f * m - m
+      val out = new Array[Double](m)
+      var k = 0
+      while (k < m) {
+        var acc = 0.0
+        var n = 0
+        while (n < 2 * m) {
+          val t = base + n
+          if (t >= 0 && t < x.length) acc += mdctBasis(n)(k) * x(t)
+          n += 1
+        }
+        out(k) = acc
+        k += 1
+      }
+      out
+    }
+  }
+
+  /** IMDCT + windowed overlap-add: the exact inverse of
+    * [[mdctForward]] for unquantized coefficients (time-domain alias
+    * terms cancel between adjacent frames — the Princen–Bradley
+    * property MultimodalSpec pins to float precision). */
+  private[ops] def mdctReconstruct(frames: Array[Array[Double]],
+                                   nSamples: Int): Array[Float] = {
+    val m = MdctM
+    val acc = new Array[Double](nSamples)
+    var f = 0
+    while (f < frames.length) {
+      val base = f * m - m
+      var n = 0
+      while (n < 2 * m) {
+        val t = base + n
+        if (t >= 0 && t < nSamples) {
+          var s = 0.0
+          var k = 0
+          while (k < m) { s += mdctBasis(n)(k) * frames(f)(k); k += 1 }
+          acc(t) += 2.0 / m * s
+        }
+        n += 1
+      }
+      f += 1
+    }
+    val out = new Array[Float](nSamples)
+    var t = 0
+    while (t < nSamples) {
+      out(t) = math.max(-1.0, math.min(1.0, acc(t))).toFloat
+      t += 1
+    }
+    out
+  }
+
+  /** MDCT transform-codec ENCODER: PCM16 mono → per-frame
+    * (scalefactor, 4-bit quantized coefficients) in a RIFF/WAVE
+    * container under [[MdctFormatTag]]. The lossy stage is the
+    * quantizer alone: q[k] = round(X[k]/scale·7) ∈ [−7, 7] with
+    * scale = max|X[k]| — so encode→decode error is exactly the
+    * quantizer's, the property the drift spec and the q160 tolerance
+    * gate measure (the [[encodeAdpcmImaWav]] contract). */
+  def encodeMdctWav(samples: Array[Short], sampleRate: Int = 8000): Array[Byte] = {
+    val x = new Array[Float](samples.length)
+    var i = 0
+    while (i < x.length) { x(i) = samples(i) / 32768f; i += 1 }
+    val frames = mdctForward(x)
+    val dataLen = frames.length * MdctFrameBytes
+    val out = new Array[Byte](12 + 28 + 12 + 8 + dataLen)
+    val buf = java.nio.ByteBuffer.wrap(out)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(out.length - 8)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(20)
+      .putShort(MdctFormatTag.toShort)
+      .putShort(1)                          // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * MdctFrameBytes / MdctM) // byte rate
+      .putShort(MdctFrameBytes.toShort)     // blockAlign = one frame
+      .putShort(4)                          // bits per coefficient
+      .putShort(2)                          // cbSize
+      .putShort(MdctM.toShort)              // coefficients per frame
+      .put("fact".getBytes("US-ASCII")).putInt(4).putInt(samples.length)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen): Unit
+    var off = 12 + 28 + 12 + 8
+    frames.foreach { fr =>
+      var scale = 0.0
+      var k = 0
+      while (k < MdctM) { if (math.abs(fr(k)) > scale) scale = math.abs(fr(k)); k += 1 }
+      buf.putFloat(off, scale.toFloat)
+      k = 0
+      while (k < MdctM) {
+        val q = if (scale == 0.0) 0
+          else math.round(fr(k) / scale * 7.0).toInt // ∈ [−7, 7]
+        val nib = q & 0xf
+        val b = off + 4 + k / 2
+        if (k % 2 == 0) out(b) = nib.toByte
+        else out(b) = (out(b) | (nib << 4)).toByte
+        k += 1
+      }
+      off += MdctFrameBytes
+    }
+    out
+  }
+
+  /** MDCT transform-codec DECODER (the [[MediaCodec]] leg): parses the
+    * [[MdctFormatTag]] container, dequantizes each frame
+    * (X̂[k] = q[k]·scale/7), IMDCT + overlap-adds, truncates to the
+    * `fact` sample count. Malformed input fails loudly. */
+  final class MdctCodec extends MediaCodec {
+    val name: String = "wav-mdct"
+    def init(): MdctCodec = this
+    def decode(content: Array[Byte]): Array[Float] = {
+      def ascii(off: Int) = new String(content, off, 4, "US-ASCII")
+      require(content.length >= 12 && ascii(0) == "RIFF" && ascii(8) == "WAVE",
+        "wav-mdct: not a RIFF/WAVE stream")
+      val buf = java.nio.ByteBuffer.wrap(content)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var haveFmt = false
+      var nSamples = -1
+      var out: Array[Float] = null
+      var pos = 12
+      while (pos + 8 <= content.length && out == null) {
+        val id = ascii(pos)
+        val size = buf.getInt(pos + 4)
+        require(size >= 0 && pos + 8 + size <= content.length,
+          s"wav-mdct: chunk '$id' overruns the stream")
+        id match {
+          case "fmt " =>
+            // Tag first: a foreign-but-valid WAV (16-byte PCM fmt)
+            // must be rejected as "wrong format tag", not "too small".
+            require(size >= 2, "wav-mdct: fmt chunk too small")
+            require((buf.getShort(pos + 8) & 0xffff) == MdctFormatTag,
+              "wav-mdct: not the MDCT format tag")
+            require(size >= 20, "wav-mdct: fmt chunk too small")
+            require(buf.getShort(pos + 10) == 1, "wav-mdct: only mono is supported")
+            require(buf.getShort(pos + 20) == MdctFrameBytes,
+              "wav-mdct: unexpected blockAlign")
+            require(buf.getShort(pos + 22) == 4, "wav-mdct: only 4-bit coefficients")
+            require(buf.getShort(pos + 26) == MdctM,
+              "wav-mdct: unexpected coefficients-per-frame")
+            haveFmt = true
+          case "fact" =>
+            require(size >= 4, "wav-mdct: fact chunk too small")
+            nSamples = buf.getInt(pos + 8)
+          case "data" =>
+            require(haveFmt, "wav-mdct: 'data' before 'fmt '")
+            require(nSamples >= 0, "wav-mdct: 'data' before 'fact'")
+            val nFrames = size / MdctFrameBytes
+            require(nFrames * MdctFrameBytes == size,
+              "wav-mdct: data size is not a whole number of frames")
+            require(nSamples == 0 || nFrames >= (nSamples - 1) / MdctM + 2,
+              "wav-mdct: too few frames for the declared sample count")
+            val frames = Array.tabulate(nFrames) { f =>
+              val off = pos + 8 + f * MdctFrameBytes
+              val scale = buf.getFloat(off).toDouble
+              require(scale >= 0 && !scale.isNaN && !scale.isInfinite,
+                "wav-mdct: invalid frame scalefactor")
+              Array.tabulate(MdctM) { k =>
+                val byte = content(off + 4 + k / 2) & 0xff
+                val nib = if (k % 2 == 0) byte & 0xf else byte >> 4
+                val q = if (nib >= 8) nib - 16 else nib // sign-extend 4-bit
+                q * scale / 7.0
+              }
+            }
+            out = mdctReconstruct(frames, nSamples)
+          case _ => // LIST/INFO chunks: skip
+        }
+        pos += 8 + size + (size & 1)
+      }
+      require(out != null, "wav-mdct: no 'data' chunk")
+      out
+    }
+  }
+
   /** Real grayscale PNG ENCODER (the inverse of [[PngCodec]]'s
     * color-type-0 subset): one gray byte per pixel, 8-bit depth,
     * filter 0 on every row, IDAT deflated with the JDK `Deflater`,
@@ -913,6 +1138,14 @@ object Multimodal {
     * (max 12, mean 5.5 at sf0.01 — half this bound) and q147's
     * oracle pins the flag for every document. */
   val AdpcmAfpTolerance = 24
+
+  /** Declared fingerprint Hamming tolerance of the MDCT audio leg
+    * (q160), same contract as [[AdpcmAfpTolerance]]: the max bits an
+    * MDCT 4-bit-quantizer round-trip may move a clip's 64-bit
+    * energy-contour fingerprint. MultimodalSpec measures the real
+    * corpus distribution at sf0.01 (max 9, mean 3.9 — under half
+    * this bound) and q160's oracle pins the flag per document. */
+  val MdctAfpTolerance = 24
 
   /** 64-bit difference hash (dHash) of a decoded grayscale image: the
     * perceptual fingerprint behind image NEAR-dup dedup. Pixels are

@@ -1788,6 +1788,54 @@ object LlmQueries {
             coalesce(col("lm_score"), lit(0L)).as("lm_score"))
     },
 
+    // REAL-perplexity scoring — the float log-prob path next to q111's
+    // integer skeleton, under the lossy-codec gate discipline (q109/
+    // q147): the declared output is the ORACLE-EXACT conditional
+    // skeleton (bits(cp(w1)) − bits(c(bg)) per occurrence — the
+    // integer shadow of −log2 p(w2|w1)) plus a flag pinning the float
+    // NLL within a PROVABLE bound of it: each log2 x differs from
+    // bits(x) by exactly its fractional part, the two ⌊·⌋+1 offsets
+    // cancel, so |nll − skel| < n_bigrams holds as exact arithmetic —
+    // a wrong float formula (missing tf weight, wrong denominator,
+    // natural log) blows the bound and hash-mismatches the row. The
+    // float arithmetic itself is spec-gated against a naive Scala fold
+    // (LmScoreSpec). Same scale shape as q111: persisted doc_bigrams
+    // index, vocabulary-sized count/prefix aggregates, salted hot-key
+    // joins, one per-doc aggregate.
+    Q("q159_float_perplexity",
+      """WITH bgr AS (
+        |  SELECT doc_id, words[CAST(i AS INT)] || ' ' || words[CAST(i AS INT)+1] AS bg
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |       unnest(generate_series(1, len(words)-1)) AS g(i)),
+        |bf AS (SELECT doc_id, bg, count(*) AS tf FROM bgr GROUP BY 1, 2),
+        |cnt AS (SELECT bg, sum(tf) AS c FROM bf GROUP BY bg),
+        |pfx AS (SELECT string_split(bg, ' ')[1] AS w1, sum(c) AS cp
+        |        FROM cnt GROUP BY 1),
+        |sc AS (
+        |  SELECT bf.doc_id, CAST(sum(bf.tf) AS BIGINT) AS n_bigrams,
+        |         CAST(sum((length(bin(p.cp)) - length(bin(cnt.c))) * bf.tf)
+        |              AS BIGINT) AS skel_bits
+        |  FROM bf JOIN cnt USING (bg)
+        |       JOIN pfx p ON p.w1 = string_split(bf.bg, ' ')[1]
+        |  GROUP BY 1)
+        |SELECT d.doc_id, CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |       CAST(coalesce(sc.skel_bits, 0) AS BIGINT) AS skel_bits,
+        |       1 AS ppx_ok
+        |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id""".stripMargin) {
+      (s, d) =>
+        val nll = graft.ops.LmScore.bigramNll(Indexes.bigramFrequencies(s, d))
+        table(s, d, "documents").select("doc_id")
+          .join(nll, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+            coalesce(col("skel_bits"), lit(0L)).as("skel_bits"),
+            coalesce(col("nll_bits"), lit(0.0)).as("nll_bits"))
+          .select(col("doc_id"), col("n_bigrams"), col("skel_bits"),
+            graft.ops.LmScore.nllWithinBound(
+              col("nll_bits"), col("skel_bits"), col("n_bigrams"))
+              .cast("int").as("ppx_ok"))
+    },
+
     // Deterministic shard assignment: the corpus-assembly endgame —
     // a stable pseudo-random shuffle (md5 order, id tie-break) cut
     // into fixed-size training shards a data loader streams. The

@@ -548,6 +548,35 @@ object MultimodalQueries {
             when(graft.ops.Dedup.hamming(col("afp"), col("adpcm_afp"))
               <= Multimodal.AdpcmAfpTolerance, 1).otherwise(0)
               .cast("int").as("adpcm_ok"))
+    },
+
+    // The TRANSFORM leg of the audio codec matrix: the same corpus
+    // clips through the MDCT subband codec (real Princen–Bradley
+    // 50 %-overlap MDCT analysis, per-frame scalefactor + 4-bit
+    // uniform quantization, IMDCT+overlap-add synthesis — the
+    // architecture under MP3/AAC, from the public closed-form math;
+    // ISO's Layer II/III bit-allocation tables have no closed form
+    // and are out of scope, recorded in Multimodal's codec note).
+    // Same q147 gate shape: emit the EXACT energy-contour fingerprint
+    // plus a flag pinning the MDCT-path fingerprint within
+    // MdctAfpTolerance Hamming bits; the oracle recomputes the exact
+    // fingerprint and pins every flag at 1 — a transform regression
+    // (window break, basis drift, nibble sign error) blows the bound
+    // and hash-mismatches the row. The audio matrix now has exact
+    // (PCM), time-domain lossy (ADPCM), and transform-domain lossy
+    // (MDCT) legs.
+    Q("q160_audio_fp_mdct",
+      s"""WITH ${audioFpCtes("")}
+        |SELECT doc_id, afp, 1 AS mdct_ok FROM fp""".stripMargin) {
+      (s, d) =>
+        val exact = Indexes.audioFingerprint(s, d)
+        val lossy = Indexes.audioFingerprintMdct(s, d)
+          .select(col("doc_id"), col("afp").as("mdct_afp"))
+        exact.join(lossy, "doc_id")
+          .select(col("doc_id"), col("afp"),
+            when(graft.ops.Dedup.hamming(col("afp"), col("mdct_afp"))
+              <= Multimodal.MdctAfpTolerance, 1).otherwise(0)
+              .cast("int").as("mdct_ok"))
     }
   )
 }

@@ -620,6 +620,95 @@ class MultimodalSpec extends AnyFunSuite {
       s"lossy drift ${hams.max} exceeds declared tolerance")
   }
 
+  test("MDCT: unquantized analysis→synthesis is perfect reconstruction (TDAC)") {
+    // The Princen–Bradley property the whole codec stands on: with the
+    // closed-form sine window, IMDCT + 50 %-overlap-add cancels the
+    // time-domain alias terms EXACTLY — reconstruction to float
+    // precision, no quantizer in the loop. Seeded signals across
+    // lengths incl. 0, sub-frame, exact-frame, and ragged tails.
+    val rnd = new scala.util.Random(11)
+    for (n <- Seq(0, 1, 31, 32, 33, 64, 100, 321)) {
+      val x = Array.fill(n)((rnd.nextFloat() * 2 - 1) * 0.9f)
+      val y = Multimodal.mdctReconstruct(Multimodal.mdctForward(x), n)
+      assert(y.length === n)
+      val maxErr = if (n == 0) 0.0
+        else x.indices.map(i => math.abs(y(i) - x(i)).toDouble).max
+      assert(maxErr < 1e-5, s"PR violated at n=$n: $maxErr")
+    }
+  }
+
+  test("MdctCodec: encode→decode tracks the source within quantizer error") {
+    val n = 400
+    val samples = Array.tabulate[Short](n) { i =>
+      ((math.sin(i / 7.0) * 8000) + i * 10).toShort
+    }
+    val decoded = new Multimodal.MdctCodec().init()
+      .decode(Multimodal.encodeMdctWav(samples))
+    assert(decoded.length === n)
+    // 4-bit per-frame max-scalefactor quantization: coarser than
+    // ADPCM's adaptive per-sample steps, but frame-local — no
+    // hot-start transient, every frame bounded by its own scale.
+    val errs = (0 until n).map(i => math.abs(decoded(i) - samples(i) / 32768f))
+    info(f"mdct max error: ${errs.max}%.4f")
+    assert(errs.max < 0.12f, s"quantizer lost track: ${errs.max}")
+    def corr(a: Seq[Float], b: Seq[Float]): Double = {
+      val (ma, mb) = (a.sum / a.size, b.sum / b.size)
+      val cov = a.zip(b).map { case (x, y) => (x - ma) * (y - mb) }.sum
+      cov / math.sqrt(a.map(x => (x - ma) * (x - ma)).sum *
+        b.map(y => (y - mb) * (y - mb)).sum)
+    }
+    assert(corr(decoded.toSeq, samples.map(_ / 32768f).toSeq) > 0.98)
+    // Empty input round-trips to zero samples.
+    assert(new Multimodal.MdctCodec().init()
+      .decode(Multimodal.encodeMdctWav(Array.empty[Short])).length === 0)
+  }
+
+  test("MdctCodec fails loudly on non-MDCT or corrupt input") {
+    val codec = new Multimodal.MdctCodec().init()
+    val pcm = Multimodal.encodeWavPcm16(Array[Short](1, 2, 3))
+    assert(intercept[IllegalArgumentException](codec.decode(pcm))
+      .getMessage.contains("format tag"))
+    val good = Multimodal.encodeMdctWav(
+      Array.tabulate[Short](100)(i => (i * 100).toShort))
+    val truncated = java.util.Arrays.copyOf(good, good.length - 30)
+    assert(intercept[IllegalArgumentException](codec.decode(truncated))
+      .getMessage.contains("overruns"))
+    // A NaN scalefactor is corrupt, not silently propagated.
+    val bad = good.clone()
+    val dataOff = 12 + 28 + 12 + 8
+    java.nio.ByteBuffer.wrap(bad).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putFloat(dataOff, Float.NaN): Unit
+    assert(intercept[IllegalArgumentException](codec.decode(bad))
+      .getMessage.contains("scalefactor"))
+  }
+
+  test("encodeMdctWav: lossy round-trip afp drift stays within the q160 tolerance") {
+    // Same gate as the ADPCM/JPEG legs, over the exact corpus-shaped
+    // fixture Indexes.audioFingerprintMdct builds.
+    val docsFile = new java.io.File("/root/testdata/sf0.01/documents.parquet")
+    val texts: Seq[String] =
+      if (docsFile.exists)
+        spark.read.parquet(docsFile.getPath).select("text")
+          .collect().map(_.getString(0)).toSeq
+      else (0 until 64).map(i => s"synthetic document $i " * 12)
+    val pcmCodec = new Multimodal.WavPcmCodec().init()
+    val mdctCodec = new Multimodal.MdctCodec().init()
+    val hams = texts.map { text =>
+      val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val n = math.min(bytes.length, 130)
+      val samples = Array.tabulate[Short](n)(i => (((bytes(i) & 0xff) - 128) * 256).toShort)
+      val exact = Multimodal.audioFingerprint64(
+        pcmCodec.decode(Multimodal.encodeWavPcm16(samples)))
+      val lossy = Multimodal.audioFingerprint64(
+        mdctCodec.decode(Multimodal.encodeMdctWav(samples)))
+      java.lang.Long.bitCount(exact ^ lossy)
+    }
+    info(s"mdct afp drift over ${hams.size} docs: max=${hams.max} " +
+      s"mean=${hams.sum.toDouble / hams.size}")
+    assert(hams.max <= Multimodal.MdctAfpTolerance,
+      s"lossy drift ${hams.max} exceeds declared tolerance")
+  }
+
   test("encodeJpegGray: lossy round-trip dHash drift stays within the q109 tolerance") {
     // The lossy leg's whole contract (the only honest one a lossy
     // codec can carry): over CORPUS-SHAPED images — text bytes as

@@ -850,8 +850,17 @@ object CurationQueries {
           .groupBy("u", "v").agg(sum(col("w")).as("w"))
           .localCheckpoint(true)
         val din = delta.groupBy(col("v")).agg(sum(col("w")).as("new_in_w"))
+        // validateEdges off — the sanctioned opt-out, with the upstream
+        // guarantee it requires: every endpoint of `att` IS a
+        // documents.source value by construction (u from the batch
+        // shingle rows' source, v from the origin index's vsrc /
+        // within-batch vsrcb, both projections of documents.source),
+        // and the universe below is exactly documents.source distinct.
+        // Measured: the two validation joins were ~15% of the query's
+        // warm cost (Q139Profile, committed phase timings) on a query
+        // whose remaining time is fixed stage-scheduling overhead.
         Graph.pageRank(att, docs.select("source").distinct(), "source",
-            PrIters)
+            PrIters, validateEdges = false)
           .join(din, Seq("v"), "left")
           .select(col("v").as("source"), col("r").as("rank_scaled"),
             coalesce(col("new_in_w"), lit(0L)).as("new_in_w"))

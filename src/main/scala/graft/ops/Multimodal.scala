@@ -787,6 +787,147 @@ object Multimodal {
   }
 
   // ------------------------------------------------------------------
+  // MJPEG-in-AVI video codec — the engine's first REAL video decode
+  // path (q50's frame sampling previously rode the FakeCodec stub).
+  // Motion-JPEG AVI is a genuine public format (camera/capture
+  // standard: RIFF 'AVI ' container, 'vids'/'MJPG' stream, each frame
+  // an independent baseline JPEG in a '00dc' chunk) whose entire
+  // decode stack the engine already carries: RIFF walking (the WAV
+  // codecs) + the in-engine JpegCodec per frame. Inter-frame
+  // prediction formats (H.264 etc.) remain out of scope — their
+  // entropy-coding tables and prediction machinery are not
+  // re-derivable from public math within this engine's constraints,
+  // and the JDK ships no video codec (recorded decision, the MP3
+  // note's sibling).
+  // ------------------------------------------------------------------
+
+  /** MJPEG-AVI ENCODER: grayscale frames (each `width`×`height` bytes)
+    * as max-quality baseline JPEGs inside a minimal-but-compliant AVI:
+    * hdrl LIST (avih main header + one 'vids'/'MJPG' strl), movi LIST
+    * of '00dc' frame chunks. 25 fps nominal. */
+  def encodeAviMjpeg(frames: Seq[Array[Byte]], width: Int,
+                     height: Int): Array[Byte] = {
+    require(frames.nonEmpty, "encodeAviMjpeg: no frames")
+    val jpegs = frames.map { f => encodeJpegGray(f, width, height) }
+    val bos = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Array[Byte] = Array[Byte](
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le16(v: Int): Array[Byte] = Array[Byte](
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def fourcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    // strf: BITMAPINFOHEADER
+    val strf = le32(40) ++ le32(width) ++ le32(height) ++ le16(1) ++
+      le16(24) ++ fourcc("MJPG") ++ le32(width * height * 3) ++
+      le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    // strh: stream header — 'vids'/'MJPG', rate 25/1, length = frames
+    val strh = fourcc("vids") ++ fourcc("MJPG") ++ le32(0) ++ le16(0) ++
+      le16(0) ++ le32(0) ++ le32(1) ++ le32(25) ++ le32(0) ++
+      le32(jpegs.length) ++ le32(jpegs.map(_.length).max) ++
+      le32(-1) ++ le32(0) ++ le16(0) ++ le16(0) ++ le16(width) ++ le16(height)
+    def chunk(id: String, body: Array[Byte]): Array[Byte] =
+      fourcc(id) ++ le32(body.length) ++ body ++
+        (if (body.length % 2 == 1) Array[Byte](0) else Array.emptyByteArray)
+    def list(kind: String, body: Array[Byte]): Array[Byte] =
+      fourcc("LIST") ++ le32(4 + body.length) ++ fourcc(kind) ++ body
+    // avih: 56-byte main header
+    val avih = le32(40000) ++ le32(0) ++ le32(0) ++ le32(0x10) ++
+      le32(jpegs.length) ++ le32(0) ++ le32(1) ++ le32(0) ++
+      le32(width) ++ le32(height) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val hdrl = list("hdrl",
+      chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi",
+      jpegs.map(j => chunk("00dc", j)).reduce(_ ++ _))
+    val body = fourcc("AVI ") ++ hdrl ++ movi
+    bos.write(fourcc("RIFF")); bos.write(le32(body.length)); bos.write(body)
+    bos.toByteArray
+  }
+
+  /** MJPEG-AVI DECODER (the video [[MediaCodec]] leg): walks the RIFF
+    * tree, validates the 'vids'/'MJPG' stream header and frame
+    * geometry against the main header, decodes every '00dc' frame
+    * through the production [[JpegCodec]], and returns ALL frames'
+    * gray intensities concatenated in stream order (frame f occupies
+    * [f·w·h, (f+1)·w·h) — the layout [[videoFrameSlice]] and the
+    * frame-sampling operators index into). The declared frame count
+    * must be met exactly; malformed input fails loudly. */
+  final class AviMjpegCodec extends MediaCodec {
+    val name: String = "avi-mjpeg"
+    def init(): AviMjpegCodec = this
+    def decode(content: Array[Byte]): Array[Float] = {
+      def ascii(off: Int) = new String(content, off, 4, "US-ASCII")
+      require(content.length >= 12 && ascii(0) == "RIFF" && ascii(8) == "AVI ",
+        "avi-mjpeg: not a RIFF/AVI stream")
+      val buf = java.nio.ByteBuffer.wrap(content)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var width = -1
+      var height = -1
+      var declaredFrames = -1
+      var sawMjpgStream = false
+      val jpeg = new JpegCodec().init()
+      val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+      def walk(pos0: Int, end0: Int): Unit = {
+        var pos = pos0
+        while (pos + 8 <= end0) {
+          val id = ascii(pos)
+          val size = buf.getInt(pos + 4)
+          require(size >= 0 && pos + 8 + size <= end0,
+            s"avi-mjpeg: chunk '$id' overruns the stream")
+          id match {
+            case "LIST" =>
+              require(size >= 4, "avi-mjpeg: LIST too small")
+              walk(pos + 12, pos + 8 + size)
+            case "avih" =>
+              require(size >= 56, "avi-mjpeg: avih too small")
+              declaredFrames = buf.getInt(pos + 8 + 16)
+              width = buf.getInt(pos + 8 + 32)
+              height = buf.getInt(pos + 8 + 36)
+              require(width > 0 && height > 0, "avi-mjpeg: empty geometry")
+            case "strh" =>
+              require(size >= 8, "avi-mjpeg: strh too small")
+              if (ascii(pos + 8) == "vids") {
+                require(ascii(pos + 12) == "MJPG",
+                  "avi-mjpeg: only the MJPG video codec is supported")
+                sawMjpgStream = true
+              }
+            case "00dc" =>
+              require(sawMjpgStream && width > 0,
+                "avi-mjpeg: frame chunk before headers")
+              val fb = java.util.Arrays.copyOfRange(content, pos + 8, pos + 8 + size)
+              val gray = jpeg.decode(fb)
+              require(gray.length == width * height,
+                s"avi-mjpeg: frame is ${gray.length} px, header says ${width}x$height")
+              frames += gray
+            case _ => // other streams/index/info chunks: skip
+          }
+          pos += 8 + size + (size & 1)
+        }
+      }
+      walk(12, content.length)
+      require(declaredFrames >= 0, "avi-mjpeg: no avih header")
+      require(frames.length == declaredFrames,
+        s"avi-mjpeg: decoded ${frames.length} frames, header declares $declaredFrames")
+      val out = new Array[Float](frames.length * width * height)
+      var f = 0
+      while (f < frames.length) {
+        System.arraycopy(frames(f), 0, out, f * width * height, width * height)
+        f += 1
+      }
+      out
+    }
+  }
+
+  /** One frame's pixels from [[AviMjpegCodec]]'s concatenated layout. */
+  def videoFrameSlice(decoded: Array[Float], width: Int, height: Int,
+                      frame: Int): Array[Float] = {
+    val fsz = width * height
+    require(decoded.length % fsz == 0 && frame >= 0 &&
+      (frame + 1) * fsz <= decoded.length,
+      s"videoFrameSlice: frame $frame of ${decoded.length / fsz}")
+    java.util.Arrays.copyOfRange(decoded, frame * fsz, (frame + 1) * fsz)
+  }
+
+  // ------------------------------------------------------------------
   // MDCT transform audio codec — the third audio leg. WHY THIS AND NOT
   // MP3/MP2: the perceptual stages of MPEG-1 audio (Layer II/III bit-
   // allocation tables, the 512-tap synthesis window D[]) are committee-

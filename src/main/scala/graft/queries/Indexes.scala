@@ -636,6 +636,44 @@ object Indexes {
       }
     }
 
+  /** Per-VIDEO perceptual hashes (doc_id, phash) — the video member
+    * of the media-dedup index family, and the engine's first REAL
+    * video decode path: each document's 18×16 gray fixture becomes a
+    * 3-frame MJPEG AVI (frame 0 = the exact fixture, frames 1–2
+    * deterministic brightness/mirror variants so multi-frame decode is
+    * genuinely exercised), decoded by the production
+    * [[graft.ops.Multimodal.AviMjpegCodec]] (RIFF walk + per-frame
+    * in-engine JPEG decode), and dHashed on FRAME 0 — the
+    * representative-frame fingerprinting a video dedup pipeline runs.
+    * One encode+decode+hash map pass per corpus, landed as a table. */
+  def videoPhashMjpeg(spark: SparkSession, sfDir: String): DataFrame =
+    lock.synchronized {
+      cached(spark, store(spark, sfDir), "video_phash_mjpeg") { bst =>
+        import spark.implicits._
+        import org.apache.spark.sql.functions.col
+        val docs = corpusDocs(spark, sfDir)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+        val hashed = docs.mapPartitions { it =>
+          val codec = new graft.ops.Multimodal.AviMjpegCodec().init()
+          it.map { case (id, text) =>
+            val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val gray = Array.fill[Byte](18 * 16)(32)
+            System.arraycopy(bytes, 0, gray, 0, math.min(bytes.length, gray.length))
+            val brighter = gray.map(b => math.min(255, (b & 0xff) + 40).toByte)
+            val mirrored = Array.tabulate[Byte](18 * 16) { i =>
+              val (y, x) = (i / 18, i % 18); gray(y * 18 + (17 - x))
+            }
+            val avi = graft.ops.Multimodal.encodeAviMjpeg(
+              Seq(gray, brighter, mirrored), 18, 16)
+            val frames = codec.decode(avi)
+            val f0 = graft.ops.Multimodal.videoFrameSlice(frames, 18, 16, 0)
+            (id, graft.ops.Multimodal.dhash64(f0, 18, 16))
+          }
+        }.toDF("doc_id", "phash")
+        bst.overwrite("video_phash_mjpeg", hashed)
+      }
+    }
+
   /** The MDCT-transform twin of [[audioFingerprint]]: the same clips
     * through the lossy MDCT subband codec (encodeMdctWav →
     * [[graft.ops.Multimodal.MdctCodec]]) before fingerprinting — the

@@ -577,6 +577,33 @@ object MultimodalQueries {
             when(graft.ops.Dedup.hamming(col("afp"), col("mdct_afp"))
               <= Multimodal.MdctAfpTolerance, 1).otherwise(0)
               .cast("int").as("mdct_ok"))
+    },
+
+    // REAL video decode in the dedup chain — q50's frame-sampling
+    // family previously stubbed the decode; this leg runs the full
+    // path on a genuine public video format: 3-frame MJPEG AVIs
+    // (RIFF container, 'vids'/'MJPG' stream, one baseline JPEG per
+    // '00dc' chunk) decoded by the production AviMjpegCodec, frame 0
+    // dHashed as the representative-frame video fingerprint. Frames
+    // are JPEGs, so the q109 lossy gate applies verbatim: emit the
+    // exact-pixel phash (oracle-recomputable) plus a flag pinning the
+    // video-path hash within JpegPhashTolerance — a container break,
+    // frame mis-order, or JPEG regression blows the bound and
+    // hash-mismatches the row. Inter-frame-predictive codecs (H.264)
+    // stay out of scope (entropy tables not re-derivable from public
+    // math; decision recorded with the MP3 note in Multimodal).
+    Q("q161_video_phash_mjpeg",
+      s"""WITH $PhashCtes
+        |SELECT doc_id, phash, 1 AS mjpeg_ok FROM fp""".stripMargin) {
+      (s, d) =>
+        val exact = Indexes.imagePhash(s, d)
+        val video = Indexes.videoPhashMjpeg(s, d)
+          .select(col("doc_id"), col("phash").as("video_phash"))
+        exact.join(video, "doc_id")
+          .select(col("doc_id"), col("phash"),
+            when(graft.ops.Dedup.hamming(col("phash"), col("video_phash"))
+              <= Multimodal.JpegPhashTolerance, 1).otherwise(0)
+              .cast("int").as("mjpeg_ok"))
     }
   )
 }

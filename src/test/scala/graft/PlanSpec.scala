@@ -326,6 +326,24 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q159: both LM count joins salted; q160 reads persisted fingerprints only") {
+    // q159 joins the bigram index against the corpus-count AND
+    // prefix-count tables — both keys are hot by construction
+    // (stopword bigrams / stopword prefixes), both joins must carry
+    // the salt column (the q111 pin, doubled).
+    val p159 = planOf("q159_float_perplexity")
+    assert(p159.contains("__salt"), s"q159 lost its salts:\n${p159.take(1500)}")
+    // q160's per-query plan is two fingerprint-index parquet reads and
+    // a join — the encode/decode mapPartitions pass lives in the index
+    // BUILD, never in the declared plan (the q148 discipline for the
+    // audio family).
+    val p160 = planOf("q160_audio_fp_mdct")
+    assert(!p160.contains("SerializeFromObject"),
+      s"q160 re-runs the codec pass:\n${p160.take(1500)}")
+    assert(!p160.contains("CartesianProduct") &&
+      !p160.contains("BroadcastNestedLoopJoin"), p160.take(1500))
+  }
+
   test("q150: feature extraction partial-aggregates; predict is a checkpoint-fed map") {
     // The declared plan reads the pinned feature frame (training
     // happened in thresholdFit's own jobs), so pin the two halves

@@ -620,6 +620,71 @@ class MultimodalSpec extends AnyFunSuite {
       s"lossy drift ${hams.max} exceeds declared tolerance")
   }
 
+  test("AviMjpegCodec: multi-frame round trip through a real AVI container") {
+    val (w, h) = (18, 16)
+    val rnd = new scala.util.Random(5)
+    // Smooth gradient frames (JPEG-friendly — pixel tolerance, not
+    // exactness, is the lossy contract; dHash equality is the gate).
+    val frames = (0 until 3).map { f =>
+      Array.tabulate[Byte](w * h) { i =>
+        val (y, x) = (i / w, i % w)
+        (x * 5 + y * 3 + f * 11 + 20).toByte // smooth ramp, max 172
+      }
+    }
+    val avi = Multimodal.encodeAviMjpeg(frames, w, h)
+    val codec = new Multimodal.AviMjpegCodec().init()
+    val decoded = codec.decode(avi)
+    assert(decoded.length === 3 * w * h)
+    // The AVI layer's contract is EXACTNESS relative to per-frame
+    // JPEG: container walk + frame slicing add zero error on top of
+    // the JPEG leg (whose own pixel drift is gated by dHash tolerance
+    // in the q109 discipline, not pixel equality — measured ~0.29 max
+    // on ramps for the in-engine decoder). Each decoded frame must be
+    // BIT-identical to decoding its own JPEG directly.
+    val jpeg = new Multimodal.JpegCodec().init()
+    for (f <- 0 until 3) {
+      val got = Multimodal.videoFrameSlice(decoded, w, h, f)
+      val direct = jpeg.decode(Multimodal.encodeJpegGray(frames(f), w, h))
+      assert(got.sameElements(direct), s"frame $f diverged from its JPEG")
+    }
+    // And the frames are genuinely distinct (order is load-bearing —
+    // a mis-ordered walk would still pass per-frame equality checks
+    // against the WRONG index if the content were identical).
+    assert(!Multimodal.videoFrameSlice(decoded, w, h, 0)
+      .sameElements(Multimodal.videoFrameSlice(decoded, w, h, 1)))
+    rnd.nextInt(): Unit
+  }
+
+  test("AviMjpegCodec fails loudly on non-AVI, foreign-codec, or corrupt input") {
+    val codec = new Multimodal.AviMjpegCodec().init()
+    // A WAV is RIFF but not AVI.
+    val wav = Multimodal.encodeWavPcm16(Array[Short](1, 2, 3))
+    assert(intercept[IllegalArgumentException](codec.decode(wav))
+      .getMessage.contains("not a RIFF/AVI"))
+    val (w, h) = (18, 16)
+    val good = Multimodal.encodeAviMjpeg(
+      Seq(Array.fill[Byte](w * h)(100)), w, h)
+    // Truncation makes the RIFF sizes lie — reject, never overrun.
+    assert(intercept[IllegalArgumentException](
+      codec.decode(java.util.Arrays.copyOf(good, good.length - 40)))
+      .getMessage.contains("overruns"))
+    // A foreign stream fourcc must be rejected by name.
+    val foreign = good.clone()
+    val idx = {
+      var i = -1; var p = 0
+      while (i < 0 && p < foreign.length - 4) {
+        if (foreign(p) == 'M' && foreign(p + 1) == 'J' &&
+            foreign(p + 2) == 'P' && foreign(p + 3) == 'G') i = p
+        p += 1
+      }
+      i
+    }
+    // Patch the strh fccHandler (the first MJPG occurrence).
+    System.arraycopy("H264".getBytes("US-ASCII"), 0, foreign, idx, 4)
+    assert(intercept[IllegalArgumentException](codec.decode(foreign))
+      .getMessage.contains("MJPG"))
+  }
+
   test("MDCT: unquantized analysis→synthesis is perfect reconstruction (TDAC)") {
     // The Princen–Bradley property the whole codec stands on: with the
     // closed-form sine window, IMDCT + 50 %-overlap-add cancels the

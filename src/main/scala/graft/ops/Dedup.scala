@@ -423,6 +423,227 @@ object Dedup {
           .cast("int").as("d2_in_d1"))
   }
 
+  /** The df-ordered containment PREFIX of every document — the exact
+    * candidate-generation index of the AllPairs/PPJoin family
+    * (Bayardo/Ma/Srikant, WWW'07; Xiao et al., WWW'08 — public):
+    * under ANY global total order on shingles, a pair (A,B) with
+    * |A∩B| ≥ ⌈t·min(|A|,|B|)/100⌉ MUST collide between the smaller
+    * side's first |A| − ⌈t·|A|/100⌉ + 1 shingles and the other side's
+    * full set — if B missed all of A's prefix, |A∩B| ≤
+    * |A| − prefixLen = ⌈t·|A|/100⌉ − 1, a contradiction. So joining
+    * prefix rows against full inverted rows finds EVERY qualifying
+    * pair; exactness needs no property of the order itself.
+    *
+    * The order we pick decides only the candidate VOLUME:
+    * document-frequency ascending (ties by hash) puts each doc's
+    * globally RAREST shingles in its prefix, so candidate rows are
+    * Σ_h df_prefix(h)·df(h) with df_prefix concentrated on small-df
+    * keys — the hot boilerplate shingles that dominate the naive
+    * Σ_h df(h)²/2 self join all but vanish from the prefix side.
+    * Measured on the q145 chain at sf10: 528.6 M self-join candidates
+    * → the prefix join's collision volume (see tools/Q145Floor).
+    *
+    * Cost: one linear df aggregate over the inverted index (map-side
+    * combine), one join back by shingle, one per-doc sort of its own
+    * shingle array — all linear in index size, all amortizable by
+    * persisting the result as an index table keyed by threshold. */
+  def containmentPrefixRows(hs: DataFrame, idCol: String,
+                            thresholdPct: Int): DataFrame = {
+    require(thresholdPct > 0 && thresholdPct <= 100,
+      s"containmentPrefixRows: thresholdPct out of range: $thresholdPct")
+    val inv = hs.select(col(idCol), explode(col("__hs")).as("__h"))
+    val freq = inv.groupBy("__h").agg(count(lit(1)).as("__df"))
+    inv.join(freq, "__h")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("__df"), col("__h")))).as("__sh"))
+      .select(col(idCol), explode(expr(
+        s"slice(__sh, 1, size(__sh) - ((size(__sh) * $thresholdPct + 99) div 100) + 1)"
+      )).as("__p"))
+      .select(col(idCol), col("__p.__h").as("__h"))
+  }
+
+  /** [[containmentPairsFromHashes]] with PREFIX-FILTERED candidate
+    * generation — the exact same pair set (the ContainmentSpec
+    * equivalence pin), at a candidate volume of Σ_h df_prefix(h)·df(h)
+    * instead of the full inverted-index self join's
+    * Σ_h df(h)·(df(h)−1)/2.
+    *
+    * MEASURED HONESTY (tools/Q145Floor, sf10): on the harness's
+    * replica-heavy corpus this is NOT the declared path — the df
+    * distribution is uniformly inflated by replication (median 36,
+    * max 100, no Zipf tail), so the prefix cut only 3.75× of the
+    * candidate volume (528.6 M → 140.9 M) while the per-candidate
+    * verify (distinct + two array joins + array_intersect) costs
+    * more per row than the skinny self-join count: 204 s vs 77.5 s
+    * end-to-end. The declared queries use
+    * [[containmentPairsCollapsed]] (set collapse fits the corpus's
+    * actual redundancy shape); THIS operator is the right tool when
+    * the corpus is Zipf-shaped with little exact duplication —
+    * boilerplate-heavy crawls where hot shingles dominate Σ df².
+    *
+    * Stages: (1) candidates = prefix rows ⋈ full inverted rows by
+    * shingle hash (selective salting on detected-hot keys — pure
+    * routing, set-neutral), deduped to unordered (d1,d2);
+    * (2) verify = two joins back to the shingle-set table and an
+    * exact `array_intersect` count per surviving candidate — one row
+    * per pair, never a re-explosion. Candidates below threshold
+    * filter out here, so over-generation costs time, never
+    * correctness; under-generation is impossible by the prefix
+    * guarantee above.
+    *
+    * `prefix` is [[containmentPrefixRows]]' output (idCol, `__h`) —
+    * pass a PERSISTED build (the index discipline) so repeat
+    * consumers skip the df aggregate and per-doc sort. It must have
+    * been built at the SAME thresholdPct: a longer-threshold prefix
+    * (smaller t → longer prefix) stays exact but over-generates; a
+    * shorter one silently drops pairs — hence the explicit parameter
+    * pairing here rather than a stored-table convention. */
+  def containmentPairsFromPrefix(prefix: DataFrame, hs: DataFrame,
+                                 idCol: String, thresholdPct: Int,
+                                 hotShingleCap: Int = DefaultHotShingleCap,
+                                 salts: Int = 32): DataFrame = {
+    require(thresholdPct > 0 && thresholdPct <= 100,
+      s"containmentPairsFromPrefix: thresholdPct out of range: $thresholdPct")
+    val inv = hs.select(col(idCol).as("__idf"), explode(col("__hs")).as("__h"))
+    val pre = prefix.select(col(idCol).as("__idp"), col("__h"))
+    val cands = Skew.saltedJoinHot(inv, pre, "__h", col("__idf"),
+        salts = salts, hotCap = hotShingleCap, detectOneIn = 16)
+      .filter(col("__idf") =!= col("__idp"))
+      .select(least(col("__idf"), col("__idp")).as("d1"),
+        greatest(col("__idf"), col("__idp")).as("d2"))
+      .distinct()
+    val sets = hs.select(col(idCol), col("__hs"))
+    cands
+      .join(sets.select(col(idCol).as("d1"), col("__hs").as("__hs1")), "d1")
+      .join(sets.select(col(idCol).as("d2"), col("__hs").as("__hs2")), "d2")
+      .select(col("d1"), col("d2"),
+        size(array_intersect(col("__hs1"), col("__hs2"))).cast("bigint")
+          .as("inter_cnt"),
+        size(col("__hs1")).cast("bigint").as("n1"),
+        size(col("__hs2")).cast("bigint").as("n2"))
+      .filter(col("inter_cnt") * 100 >= lit(thresholdPct) * col("n1") ||
+        col("inter_cnt") * 100 >= lit(thresholdPct) * col("n2"))
+      .select(col("d1"), col("d2"), col("inter_cnt"), col("n1"), col("n2"),
+        expr("(inter_cnt * 1000000) div n1").as("c1_ppm"),
+        expr("(inter_cnt * 1000000) div n2").as("c2_ppm"),
+        (col("inter_cnt") * 100 >= lit(thresholdPct) * col("n1"))
+          .cast("int").as("d1_in_d2"),
+        (col("inter_cnt") * 100 >= lit(thresholdPct) * col("n2"))
+          .cast("int").as("d2_in_d1"))
+  }
+
+  /** [[containmentPairsFromPrefix]] building its prefix inline — the
+    * stateless spelling (specs, one-shot runs); production persists
+    * [[containmentPrefixRows]] and calls the two-arg form. */
+  def containmentPairsPrefixFromHashes(hs: DataFrame, idCol: String,
+                                       thresholdPct: Int,
+                                       hotShingleCap: Int = DefaultHotShingleCap): DataFrame =
+    containmentPairsFromPrefix(
+      containmentPrefixRows(hs, idCol, thresholdPct),
+      hs, idCol, thresholdPct, hotShingleCap)
+
+  /** Exact-duplicate SET collapse for containment: one (`__gid`,
+    * idCol, `__n`) membership row per document, where `__gid` is the
+    * MINIMUM doc id sharing the document's exact shingle set (sorted
+    * arrays compared whole — grouping is by the set itself, never a
+    * lossy 64-bit digest, so two distinct sets can never merge).
+    *
+    * Why this exists: containment C(A→B) = |A∩B|/|A| is a function of
+    * the SETS alone, so documents with identical shingle sets are
+    * interchangeable in every pair computation — pair generation need
+    * only run over DISTINCT sets, and replica-heavy corpora (mirrors,
+    * reposts, crawl re-fetches — the dominant redundancy at 100 TB)
+    * collapse quadratically: k average copies cut inverted-index
+    * self-join work k². On a corpus with no exact dups this is a
+    * no-op costing one linear groupBy. */
+  def shingleSetMembers(hs: DataFrame, idCol: String): DataFrame =
+    hs.select(col(idCol), sort_array(col("__hs")).as("__k"))
+      .groupBy("__k")
+      .agg(min(col(idCol)).as("__gid"), collect_list(col(idCol)).as("__ids"))
+      .select(col("__gid"), explode(col("__ids")).as(idCol),
+        size(col("__k")).cast("bigint").as("__n"))
+
+  /** [[containmentPairsFromHashes]] with exact-duplicate set collapse
+    * — the same pair set (ContainmentSpec equivalence pin + q134's
+    * all-pairs DuckDB oracle), with the quadratic candidate stage run
+    * over DISTINCT shingle sets only:
+    *
+    *  1. representatives = the shingle rows of each group's `__gid`
+    *     (a semi join against the membership table — the arrays are
+    *     never re-shuffled);
+    *  2. group-level pairs via the inverted-index self join — work
+    *     drops by the square of the average duplication factor
+    *     (measured on the sf10 corpus: 500k docs → 129,792 distinct
+    *     sets, 528.6 M → ~36 M candidate rows);
+    *  3. WITHIN-group doc pairs are mutual 100 % containments by
+    *     construction (identical sets) — emitted straight from the
+    *     membership table under the fragment-replicate cap, no
+    *     shingle work at all;
+    *  4. qualifying group pairs expand back to doc pairs through two
+    *     membership joins — output-proportional, which is the
+    *     semantics' own lower bound (the oracle emits every doc
+    *     pair too).
+    *
+    * `members` is [[shingleSetMembers]]' output and `reps` the
+    * shingle rows of each group's `__gid` — pass PERSISTED builds so
+    * repeat consumers skip both the set groupBy and the semi join.
+    * Skew honesty: a megadup group (k identical docs) emits C(k,2)
+    * within-group pairs because the SEMANTICS demand them; the cap
+    * bounds per-task work, but output volume is irreducible — a
+    * production pipeline that only needs canonical assignment should
+    * read `members` directly (doc → `__gid` IS the canonical map)
+    * and skip pair expansion. */
+  def containmentPairsCollapsed(members: DataFrame, reps: DataFrame,
+                                idCol: String, thresholdPct: Int,
+                                hotShingleCap: Int = DefaultHotShingleCap): DataFrame = {
+    require(thresholdPct > 0 && thresholdPct <= 100,
+      s"containmentPairsCollapsed: thresholdPct out of range: $thresholdPct")
+    // Group-level pairs: d1/d2 are gids here; sizes/inter are exact
+    // set measures, identical for every member of the group.
+    val gp = containmentPairsFromHashes(reps, idCol, thresholdPct, hotShingleCap)
+    // (3) within-group: every doc pair of a ≥2-member group, mutual
+    // full containment (inter = n1 = n2 = the group's set size).
+    val within = Skew.boundedBucketSelfJoin(
+        members.select(col("__gid"), col(idCol), col("__n")),
+        "__gid", idCol, hotShingleCap)
+      .select(col(idCol).as("d1"), col(idCol + "_2").as("d2"),
+        col("__n").as("inter_cnt"), col("__n").as("n1"), col("__n").as("n2"),
+        lit(1000000L).as("c1_ppm"), lit(1000000L).as("c2_ppm"),
+        lit(1).as("d1_in_d2"), lit(1).as("d2_in_d1"))
+    // (4) cross-group expansion: each member doc pair inherits its
+    // group pair's exact measures, re-oriented so d1 < d2 (the gid
+    // order and the doc-id order can disagree once expanded).
+    val m1 = members.select(col("__gid").as("__g1"), col(idCol).as("__a"))
+    val m2 = members.select(col("__gid").as("__g2"), col(idCol).as("__b"))
+    val cross = gp
+      .withColumnRenamed("d1", "__g1").withColumnRenamed("d2", "__g2")
+      .join(m1, "__g1").join(m2, "__g2")
+      .select(
+        least(col("__a"), col("__b")).as("d1"),
+        greatest(col("__a"), col("__b")).as("d2"),
+        col("inter_cnt"),
+        when(col("__a") < col("__b"), col("n1")).otherwise(col("n2")).as("n1"),
+        when(col("__a") < col("__b"), col("n2")).otherwise(col("n1")).as("n2"),
+        when(col("__a") < col("__b"), col("c1_ppm")).otherwise(col("c2_ppm")).as("c1_ppm"),
+        when(col("__a") < col("__b"), col("c2_ppm")).otherwise(col("c1_ppm")).as("c2_ppm"),
+        when(col("__a") < col("__b"), col("d1_in_d2")).otherwise(col("d2_in_d1")).as("d1_in_d2"),
+        when(col("__a") < col("__b"), col("d2_in_d1")).otherwise(col("d1_in_d2")).as("d2_in_d1"))
+    within.unionByName(cross)
+  }
+
+  /** [[containmentPairsCollapsed]] building its membership and
+    * representative tables inline — the stateless spelling;
+    * production persists both and calls the two-frame form. */
+  def containmentPairsCollapsedFromHashes(hs: DataFrame, idCol: String,
+                                          thresholdPct: Int,
+                                          hotShingleCap: Int = DefaultHotShingleCap): DataFrame = {
+    val members = shingleSetMembers(hs, idCol)
+    val reps = hs.join(
+      members.filter(col("__gid") === col(idCol)).select(idCol),
+      Seq(idCol), "left_semi")
+    containmentPairsCollapsed(members, reps, idCol, thresholdPct, hotShingleCap)
+  }
+
   /** Benchmark-contamination stats: for every corpus document, how
     * many of its distinct word n-gram shingles also appear anywhere
     * in `evalDocs` (the held-out benchmark/eval suite), plus a

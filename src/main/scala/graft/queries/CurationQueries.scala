@@ -614,13 +614,17 @@ object CurationQueries {
 
     // Sub/superset detection via asymmetric containment — the measure
     // Jaccard misses: a quote inside a long article, an excerpt page,
-    // a boilerplate-wrapped copy. See
-    // [[graft.ops.Dedup.containmentPairsFromHashes]] for the scale
-    // shape (corpus-wide inverted-index candidates under the
-    // fragment-replicate cap; zero-overlap pairs provably cannot pass,
-    // so the candidate set is exact). The oracle is the naive
-    // ALL-PAIRS containment over the same shingle space — the green
-    // row proves both the candidate pruning and the cap drop no pair.
+    // a boilerplate-wrapped copy. The quadratic candidate stage runs
+    // over DISTINCT shingle sets via the persisted set-collapse
+    // membership index — containment is a function of the sets alone,
+    // so exact replicas are interchangeable and the inverted-index
+    // self join shrinks by the square of the duplication factor
+    // (sf10: 528.6 M → ~36 M candidate rows); qualifying group pairs
+    // expand back to doc pairs, within-group pairs are mutual 100 %
+    // containments by construction. See
+    // [[graft.ops.Dedup.containmentPairsCollapsed]]. The oracle is
+    // the naive ALL-PAIRS containment over the same shingle space —
+    // the green row proves the collapse drops no pair.
     Q("q134_containment_pairs",
       s"""WITH corpus AS (SELECT doc_id, text FROM documents),
          |$shingleCtes
@@ -636,8 +640,9 @@ object CurationQueries {
          |WHERE len(list_intersect(a.hs, b.hs)) * 100 >= 80 * len(a.hs)
          |   OR len(list_intersect(a.hs, b.hs)) * 100 >= 80 * len(b.hs)""".stripMargin) {
       (s, d) =>
-        graft.ops.Dedup.containmentPairsFromHashes(
-          Indexes.shingles(s, d), "doc_id", thresholdPct = 80)
+        graft.ops.Dedup.containmentPairsCollapsed(
+          Indexes.containmentGroups(s, d),
+          Indexes.containmentReps(s, d), "doc_id", thresholdPct = 80)
     },
 
     // Dataset card: the per-(source, language) statistics sheet every
@@ -1081,8 +1086,9 @@ object CurationQueries {
          |  AND d.doc_id NOT IN (SELECT doc_id FROM drops)""".stripMargin) {
       (s, d) =>
         val buck = ccnetBuckets(s, d).filter(col("bucket") =!= "tail")
-        val cont = graft.ops.Dedup.containmentPairsFromHashes(
-          Indexes.shingles(s, d), "doc_id", thresholdPct = 80)
+        val cont = graft.ops.Dedup.containmentPairsCollapsed(
+          Indexes.containmentGroups(s, d),
+          Indexes.containmentReps(s, d), "doc_id", thresholdPct = 80)
         // Every emitted pair yields EXACTLY ONE drop ((c1,¬c2) → d1,
         // otherwise d2 — mutual containment keeps the smaller id), so
         // the drop set is one projection, not a two-filter union that

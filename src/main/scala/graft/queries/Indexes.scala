@@ -191,6 +191,58 @@ object Indexes {
     }
   }
 
+  /** The df-ordered containment-prefix index at threshold `t`%: one
+    * (doc_id, `__h`) row per PREFIX shingle per document — each doc's
+    * n − ⌈t·n/100⌉ + 1 globally-rarest shingles, the exact candidate
+    * index of [[graft.ops.Dedup.containmentPrefixRows]] (AllPairs
+    * prefix filtering). Name is threshold-keyed: a cached build is
+    * never served to a caller who asked for a different threshold,
+    * because a SHORTER prefix silently drops pairs. Derived FROM the
+    * persisted [[shingles]] index — the df aggregate and the per-doc
+    * sort are paid once per corpus generation, not per consumer. */
+  def containmentPrefix(spark: SparkSession, sfDir: String,
+                        thresholdPct: Int = 80): DataFrame = lock.synchronized {
+    val name = s"containment_prefix_t$thresholdPct"
+    cached(spark, store(spark, sfDir), name) { bst =>
+      bst.overwrite(name, Dedup.containmentPrefixRows(
+        shingles(spark, sfDir).drop("source"), "doc_id", thresholdPct))
+    }
+  }
+
+  /** The exact-duplicate set-collapse membership index: one (`__gid`,
+    * doc_id, `__n`) row per document, `__gid` = the minimum doc id
+    * sharing the document's exact shingle set
+    * ([[graft.ops.Dedup.shingleSetMembers]]). The quadratic
+    * containment stage runs over distinct sets only (sf10: 500k docs
+    * → 129,792 groups → ~15× less self-join work); doc → `__gid` is
+    * also the corpus's canonical-document map. Derived FROM the
+    * persisted [[shingles]] index — the set groupBy is paid once per
+    * corpus generation. */
+  def containmentGroups(spark: SparkSession, sfDir: String): DataFrame =
+    lock.synchronized {
+      cached(spark, store(spark, sfDir), "containment_groups") { bst =>
+        bst.overwrite("containment_groups", Dedup.shingleSetMembers(
+          shingles(spark, sfDir).drop("source"), "doc_id"))
+      }
+    }
+
+  /** The distinct-set REPRESENTATIVE shingle rows (doc_id = the
+    * group's `__gid`, `__hs`) — [[shingles]] semi-joined to
+    * [[containmentGroups]]' gids at BUILD time, so the quadratic
+    * containment stage scans one row per distinct set (sf10: 129,792
+    * instead of 500k) and repeat consumers never pay the semi join. */
+  def containmentReps(spark: SparkSession, sfDir: String): DataFrame =
+    lock.synchronized {
+      cached(spark, store(spark, sfDir), "containment_reps") { bst =>
+        import org.apache.spark.sql.functions.col
+        val m = containmentGroups(spark, sfDir)
+        bst.overwrite("containment_reps",
+          shingles(spark, sfDir).drop("source").join(
+            m.filter(col("__gid") === col("doc_id")).select("doc_id"),
+            Seq("doc_id"), "left_semi"))
+      }
+    }
+
   /** The winnowed-fingerprint index: one (doc_id, `__fp`) row per
     * selected print per document, at window `w` (name is
     * parameter-keyed — a cached build is never served to a caller

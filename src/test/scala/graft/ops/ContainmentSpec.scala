@@ -52,6 +52,82 @@ class ContainmentSpec extends AnyFunSuite {
     assert(run(80, 1) === naive(80)) // every shared shingle bucket splits
   }
 
+  private def runPrefix(thresholdPct: Int, cap: Int): Set[(Long, Long, Long, Long, Long)] =
+    Dedup.containmentPairsPrefixFromHashes(hashFrame, "doc_id", thresholdPct, cap)
+      .select("d1", "d2", "inter_cnt", "n1", "n2")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+
+  test("prefix-filtered pair set equals naive all-pairs containment") {
+    assert(runPrefix(80, 1000) === naive(80))
+    assert(runPrefix(50, 1000) === naive(50))
+    // t=100 degenerates the prefix to ONE shingle per doc (full
+    // containment must share the globally rarest) — the duplicate
+    // pair (1,5) and the strict sub-document (1,2) must survive.
+    assert(runPrefix(100, 1000) === naive(100))
+    assert(naive(100).exists(p => p._1 == 1L && p._2 == 5L))
+    // The hot-key salt cap is pure routing — set-neutral at cap 1.
+    assert(runPrefix(80, 1) === naive(80))
+  }
+
+  private def runCollapsed(thresholdPct: Int, cap: Int): Set[(Long, Long, Long, Long, Long)] =
+    Dedup.containmentPairsCollapsedFromHashes(hashFrame, "doc_id", thresholdPct, cap)
+      .select("d1", "d2", "inter_cnt", "n1", "n2")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+
+  test("set-collapsed pair set equals naive all-pairs containment") {
+    // The fixture carries an exact duplicate pair (1,5): the collapse
+    // must emit it as a within-group mutual pair AND route every
+    // cross pair touching 1 or 5 through the group expansion.
+    assert(runCollapsed(80, 1000) === naive(80))
+    assert(runCollapsed(50, 1000) === naive(50))
+    assert(runCollapsed(100, 1000) === naive(100))
+    assert(runCollapsed(80, 1) === naive(80)) // caps are routing only
+    // Full flag/ppm row equality (not just the size tuple) against
+    // the uncollapsed path — the expansion's orientation swap is
+    // where a subtle bug would hide.
+    val full = Dedup.containmentPairsFromHashes(hashFrame, "doc_id", 80)
+      .collect().map(_.toSeq).toSet
+    val coll = Dedup.containmentPairsCollapsedFromHashes(hashFrame, "doc_id", 80)
+      .collect().map(_.toSeq).toSet
+    assert(coll === full)
+  }
+
+  test("prefix path equals the self-join path on a seeded random corpus") {
+    // Adversarial shapes in one corpus: boilerplate prefix shared by
+    // EVERY doc (a hot shingle that must stay out of df-ordered
+    // prefixes), exact duplicates, strict sub-documents, disjoint
+    // docs, and length spread — under the harness vocabulary so
+    // shingle df varies.
+    val rnd = new scala.util.Random(42)
+    val vocab = ('a' to 'z').map(_.toString)
+    val texts = (1L to 60L).map { i =>
+      val body = Seq.fill(3 + rnd.nextInt(28))(vocab(rnd.nextInt(vocab.size)))
+      val withBoiler =
+        if (i % 3 == 0) Seq("the", "end", "of") ++ body else body
+      (i, withBoiler.mkString(" "))
+    } ++ Seq(
+      (61L, "x y z w v u t s r q p o n m l k"), // superset
+      (62L, "x y z w v u"),                     // strict subset of 61
+      (63L, "x y z w v u t s r q p o n m l k")) // duplicate of 61
+    val hf = Dedup.shingleFrame(
+      spark.createDataFrame(texts).toDF("doc_id", "text"), "doc_id", "text")
+    for (t <- Seq(50, 80, 100)) {
+      val self = Dedup.containmentPairsFromHashes(hf, "doc_id", t)
+        .collect().map(_.toSeq).toSet
+      val pref = Dedup.containmentPairsPrefixFromHashes(hf, "doc_id", t)
+        .collect().map(_.toSeq).toSet
+      val coll = Dedup.containmentPairsCollapsedFromHashes(hf, "doc_id", t)
+        .collect().map(_.toSeq).toSet
+      assert(pref === self, s"prefix/self divergence at t=$t")
+      assert(coll === self, s"collapsed/self divergence at t=$t")
+      assert(self.nonEmpty, s"degenerate fixture at t=$t — nothing gated")
+    }
+  }
+
   test("asymmetry: the quote is contained, Jaccard would miss it") {
     val pairs = Dedup.containmentPairsFromHashes(hashFrame, "doc_id", 80)
       .filter(col("d1") === 1L && col("d2") === 2L).collect()

@@ -144,10 +144,8 @@ object BpeQueries {
   private def tokenized(s: org.apache.spark.sql.SparkSession, d: String,
                         cols: String*): org.apache.spark.sql.DataFrame =
     graft.ops.Bpe.withMergedReps(
-      table(s, d, "documents")
-        .select(cols.map(col) :+ Bpe.wordArray(col("text")).as("__ws"): _*),
-      "__ws", Indexes.bpeMerges(s, d, NMerges), "__reps")
-      .drop("__ws")
+      Indexes.bpeWords(s, d).select(cols.map(col) :+ col("__ws"): _*),
+      "__ws", Indexes.bpeMerges(s, d, NMerges), "__reps", dropInput = true)
 
   /** Trained token count of a `__reps` row — expression space. */
   private def trainedTokens =
@@ -162,9 +160,8 @@ object BpeQueries {
       (s, d) =>
         val merges = Indexes.bpeMerges(s, d, NMerges)
         Bpe.withMergedReps(
-            table(s, d, "documents")
-              .select(col("doc_id"), Bpe.wordArray(col("text")).as("words")),
-            "words", merges, "reps")
+            Indexes.bpeWords(s, d).select(col("doc_id"), col("__ws").as("words")),
+            "words", merges, "reps", dropInput = true)
           .select(col("doc_id"),
             aggregate(col("reps"), lit(0L),
               (acc, r) => acc + size(Bpe.symbols(r))).as("bpe_tokens"),
@@ -262,10 +259,17 @@ object BpeQueries {
          |GROUP BY d.lang""".stripMargin
     }) {
       (s, d) =>
-        val per = tokenized(s, d, "lang", "text").select(col("lang"),
-          trainedTokens.as("toks"),
-          aggregate(Bpe.wordArray(col("text")),
-            lit(0L), (acc, w) => acc + length(w)).as("chars"))
+        // chars is computed from the persisted word arrays BEFORE the
+        // per-partition apply pass — the full text never re-normalizes
+        // and never crosses the object boundary.
+        val per = graft.ops.Bpe.withMergedReps(
+            Indexes.bpeWords(s, d).select(col("lang"),
+              aggregate(col("__ws"),
+                lit(0L), (acc, w) => acc + length(w)).as("chars"),
+              col("__ws")),
+            "__ws", Indexes.bpeMerges(s, d, NMerges), "__reps",
+            dropInput = true)
+          .select(col("lang"), trainedTokens.as("toks"), col("chars"))
         per.groupBy("lang").agg(
             count(lit(1)).as("n_docs"),
             sum(col("chars")).as("n_chars"),
@@ -299,29 +303,17 @@ object BpeQueries {
     }) {
       (s, d) =>
         val merges = Indexes.bpeMerges(s, d, NMerges)
-        val docs = tokenized(s, d, "doc_id")
-          .withColumnRenamed("__reps", "reps")
-        // Bounded vocabulary collect: |V| ≤ alphabet + NMerges. Derived
-        // from DISTINCT words (the symbol set of the distinct-word set
-        // equals the corpus's), so the merge chain runs once per
-        // distinct word here, not once per corpus occurrence — the
-        // corpus-wide apply above is the encode itself.
-        val vocab = graft.ops.Bpe.withMergedReps(
-            table(s, d, "documents")
-              .select(explode(Bpe.wordArray(col("text"))).as("w")).distinct()
-              .select(array(col("w")).as("__ws")),
-            "__ws", merges, "__reps")
-          .select(explode(Bpe.symbols(col("__reps")(0))).as("sym"))
-          .distinct().orderBy("sym").collect().map(_.getString(0))
-        val idOf = typedlit(vocab.zipWithIndex.map { case (sym, i) =>
-          (sym, i.toLong) }.toMap)
-        docs.select(col("doc_id"),
-          aggregate(col("reps"), lit(0L),
-            (acc, r) => acc + size(Bpe.symbols(r))).as("n_tok"),
-          array_join(transform(col("reps"), r =>
-            array_join(transform(Bpe.symbols(r),
-              sym => element_at(idOf, sym).cast("string")), " ")), " ")
-            .as("id_seq"))
+        // Bounded vocabulary collect (|V| ≤ alphabet + NMerges) off the
+        // persisted vocab table — the corpus-wide distinct that used to
+        // re-normalize 27 M words per query lives in the index build.
+        val idOf = Indexes.bpeVocab(s, d, NMerges).collect()
+          .map(r => (r.getString(0), r.getLong(1))).toMap
+        // Encode straight to ids in the memoized per-partition pass —
+        // the id string is computed once per word TYPE, and the word
+        // arrays come pre-normalized from the persisted index.
+        graft.ops.Bpe.withEncodedIds(
+          Indexes.bpeWords(s, d).select(col("doc_id"), col("__ws")),
+          "__ws", merges, idOf, "n_tok", "id_seq")
     },
 
     // TOKENIZER DRIFT monitor — the retrain signal: fertility
@@ -366,9 +358,8 @@ object BpeQueries {
         // Prefix of the persisted 512-rule table (prefix-stable).
         val merges = Indexes.bpeMerges(s, d, NMerges).take(MonitorMerges)
         val coh = graft.ops.Bpe.withMergedReps(
-            table(s, d, "documents")
-              .select(col("doc_id"), Bpe.wordArray(col("text")).as("__ws")),
-            "__ws", merges, "__reps")
+            Indexes.bpeWords(s, d).select(col("doc_id"), col("__ws")),
+            "__ws", merges, "__reps", dropInput = true)
           .select(
             when(col("doc_id") >= cutoff, "incoming")
               .otherwise("trained").as("cohort"),

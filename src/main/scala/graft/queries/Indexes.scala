@@ -209,6 +209,54 @@ object Indexes {
     }
   }
 
+  /** The normalized WORD-ARRAY index: one (doc_id, source, lang,
+    * `__ws`) row per document — [[graft.ops.Bpe.wordArray]]'s
+    * normalize+split+filter materialized once per corpus generation.
+    * Measured motivation (tools/BpeApplyProfile, sf10): the regex
+    * normalization alone is ~20 s of every ~24 s tokenizer pass —
+    * the trained-merge apply machinery is ~0 s on top — and the BPE
+    * family re-paid it per query (twice in q129). At 100 TB,
+    * normalization is one linear pass over every byte; it belongs in
+    * the registry next to [[shingles]], not in every consumer's
+    * plan. */
+  def bpeWords(spark: SparkSession, sfDir: String): DataFrame =
+    lock.synchronized {
+      cached(spark, store(spark, sfDir), "bpe_words") { bst =>
+        import org.apache.spark.sql.functions.col
+        bst.overwrite("bpe_words",
+          corpusDocs(spark, sfDir)
+            .select(col("doc_id"), col("source"), col("lang"),
+              graft.ops.Bpe.wordArray(col("text")).as("__ws")))
+      }
+    }
+
+  /** The trained vocabulary under the n-rule merge table: (sym, tid)
+    * — the distinct symbols of the corpus's distinct-word set after
+    * merging, id-assigned in sorted order (the q129 convention).
+    * Bounded (|V| ≤ alphabet + n); derived FROM [[bpeWords]] so the
+    * derivation never re-normalizes the corpus. */
+  def bpeVocab(spark: SparkSession, sfDir: String, n: Int): DataFrame =
+    lock.synchronized {
+      val name = s"bpe_vocab_n$n"
+      cached(spark, store(spark, sfDir), name) { bst =>
+        import org.apache.spark.sql.functions._
+        val merges = bpeMerges(spark, sfDir, n)
+        // Bounded collect (|V| ≤ alphabet + n): sorted id assignment
+        // happens driver-side — a partition-less row_number window
+        // would be a single-partition WindowExec for no reason.
+        val syms = graft.ops.Bpe.withMergedReps(
+            bpeWords(spark, sfDir)
+              .select(explode(col("__ws")).as("w")).distinct()
+              .select(array(col("w")).as("__ws")),
+            "__ws", merges, "__reps")
+          .select(explode(graft.ops.Bpe.symbols(col("__reps")(0))).as("sym"))
+          .distinct().orderBy("sym").collect().map(_.getString(0))
+        import spark.implicits._
+        bst.overwrite(name, syms.zipWithIndex.toSeq
+          .map { case (s, i) => (s, i.toLong) }.toDF("sym", "tid"))
+      }
+    }
+
   /** The exact-duplicate set-collapse membership index: one (`__gid`,
     * doc_id, `__n`) row per document, `__gid` = the minimum doc id
     * sharing the document's exact shingle set

@@ -66,6 +66,49 @@ class BpeSpec extends AnyFunSuite {
         .as[String].head())
   }
 
+  test("withEncodedIds equals the expression-space id mapping, dropInput drops") {
+    // Same corpus shape as the withMergedReps pin; ids assigned by
+    // the q129 convention (distinct symbols of the corpus under the
+    // merge table, sorted, 0-based). The single-pass encode must
+    // reproduce the two-pass spelling exactly — counts, id order,
+    // spacing, and the empty-document row.
+    val rnd = new scala.util.Random(50)
+    val rand = Seq.fill(30)(
+      Seq.fill(1 + rnd.nextInt(8))(
+        Seq.fill(1 + rnd.nextInt(6))("ab" (rnd.nextInt(2))).mkString)
+        .mkString(" "))
+    val docs = (Seq("aaaa aaa ab", "low low lower lowest", "b aab aaab",
+        "", "x") ++ rand).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(docs, "text", 24)
+    val base = docs.select(col("doc_id"), Bpe.wordArray(col("text")).as("__ws"))
+    val vocab = Bpe.withMergedReps(base, "__ws", merges, "reps")
+      .select(explode(col("reps")).as("rep"))
+      .select(explode(Bpe.symbols(col("rep"))).as("sym"))
+      .distinct().orderBy("sym").as[String].collect()
+    val idOf = vocab.zipWithIndex.map { case (s, i) => (s, i.toLong) }.toMap
+    val idLit = typedlit(idOf)
+    val viaExpr = Bpe.withMergedReps(base, "__ws", merges, "reps")
+      .select(col("doc_id"),
+        aggregate(col("reps"), lit(0L),
+          (acc, r) => acc + size(Bpe.symbols(r))).as("n_tok"),
+        array_join(transform(col("reps"), r =>
+          array_join(transform(Bpe.symbols(r),
+            sym => element_at(idLit, sym).cast("string")), " ")), " ")
+          .as("id_seq"))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val viaFn = Bpe.withEncodedIds(base, "__ws", merges, idOf, "n_tok", "id_seq")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(viaFn === viaExpr)
+    // dropInput: the word array is absent from the output schema.
+    assert(!Bpe.withEncodedIds(base, "__ws", merges, idOf, "n", "i")
+      .columns.contains("__ws"))
+    assert(!Bpe.withMergedReps(base, "__ws", merges, "reps", dropInput = true)
+      .columns.contains("__ws"))
+    assert(Bpe.withMergedReps(base, "__ws", merges, "reps")
+      .columns.contains("__ws"))
+  }
+
   test("greedy training is prefix-stable (the q155 monitor contract)") {
     // Rule k depends only on rules < k, so an n-merge table is a
     // prefix of any longer table over the same corpus — what lets

@@ -1270,6 +1270,16 @@ object Multimodal {
     * flag for every document. */
   val JpegPhashTolerance = 24
 
+  /** Declared SUMMED Hamming tolerance of the temporal video verify
+    * (q163): the max total bits, over all 3 frames of a candidate
+    * pair's MJPEG-AVI hash sequences, that the lossy per-frame JPEG
+    * round-trips may add on top of the pair's exact distance: 3
+    * frames × the per-image [[JpegPhashTolerance]]. MultimodalSpec
+    * measures the real corpus distribution (max 33, mean 7.3 over
+    * qualifying pairs at sf0.01 — the ≥2× margin discipline) and
+    * q163's oracle pins the flag for every pair. */
+  val VideoSeqTolerance = 72
+
   /** Declared fingerprint Hamming tolerance of the LOSSY audio leg
     * (q147): the max bits an IMA ADPCM round-trip may move a clip's
     * 64-bit energy-contour fingerprint. The contour compares SUMS of

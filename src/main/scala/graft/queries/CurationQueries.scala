@@ -1288,5 +1288,104 @@ object CurationQueries {
           .filter(graft.ops.Sampling.sampleKey(col("doc_id")) < col("rate_ppm"))
           .join(contam, Seq("doc_id"), "left_anti")
           .select("doc_id", "source", "quality_proj", "rate_ppm")
+    },
+
+    // Importance-resampling data selection — the DSIR recipe (Xie et
+    // al., "Data Selection for Language Models via Importance
+    // Resampling", NeurIPS 2023, public): score every raw document by
+    // how much more likely its hashed-n-gram features are under a
+    // TARGET domain's bag-of-ngrams model than under the raw corpus's,
+    // then keep the top of the importance-weight distribution. Kept in
+    // the house integer space (the q111/q133 discipline): bigram
+    // features hash into 4096 buckets (portable md5 hash — both sides
+    // agree bit-for-bit), each bucket's target/raw counts are
+    // +1-smoothed, log-probabilities become integer bit-lengths
+    // (length(bin(c)) = floor(log2 c)+1, so the per-bucket log-ratio
+    // is bits(c_target) - bits(c_raw); the normalization constants
+    // shared by all buckets cancel in the RANK the selection is made
+    // on), and the per-doc weight is the tf-weighted sum. Selection is
+    // deterministic top-25% via the two-phase rank decomposition
+    // (rankNormalize — no global single-partition sort; the paper's
+    // Gumbel resampling trades reproducibility for variance, the
+    // wrong trade for an oracle-gated engine). The target here is the
+    // vetted source 'src1' — the pattern's stand-in for "Wikipedia-
+    // like"; any predicate works. Scale shape: the feature pass rides
+    // the persisted bigram index (no re-tokenize), bucket stats are a
+    // ≤4096-row aggregate with map-side partial collapse, scoring is
+    // a BROADCAST probe of those 4096 rows (the corpus never shuffles
+    // on a feature key), and ranking is the bounded-offset two-phase
+    // machinery — at 100 TB the only corpus-sized exchanges are the
+    // per-doc aggregate and the rank bucket counts.
+    Q("q162_dsir_select",
+      s"""WITH $dsirCtes,
+         |r AS (SELECT doc_id, score,
+         |        CAST(row_number() OVER (ORDER BY score, doc_id) - 1 AS BIGINT) AS rnk,
+         |        CAST(count(*) OVER () AS BIGINT) AS n
+         |      FROM alldocs)
+         |SELECT doc_id, score, (rnk * 1000000) // greatest(n - 1, 1) AS pct_ppm
+         |FROM r WHERE (rnk * 1000000) // greatest(n - 1, 1) >= 750000""".stripMargin) {
+      (s, d) =>
+        dsirScoreFrame(s, d)
+          .withColumn("__g", lit(0))
+          .transform(f =>
+            graft.ops.Sampling.rankNormalize(f, "__g", "doc_id", col("score")))
+          .filter(col("pct_ppm") >= 750000L)
+          .select("doc_id", "score", "pct_ppm")
     })
+
+  /** The DSIR importance score (q162's arithmetic) as CTEs ending in
+    * `alldocs (doc_id, score)` — kept a named building block so the
+    * q162 oracle and future consumers share one spelling. */
+  private def dsirCtes: String =
+    s"""bgr AS (
+       |  SELECT doc_id, words[CAST(i AS INT)] || ' ' || words[CAST(i AS INT)+1] AS bg
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+       |       unnest(generate_series(1, len(words)-1)) AS g(i)),
+       |bkt AS (
+       |  SELECT doc_id, ${h64("bg")} % 4096 AS b,
+       |         CAST(count(*) AS BIGINT) AS tf
+       |  FROM bgr GROUP BY 1, 2),
+       |raw AS (SELECT b, 1 + sum(tf) AS c_r FROM bkt GROUP BY b),
+       |tgt AS (SELECT b, 1 + sum(tf) AS c_t
+       |        FROM bkt JOIN documents USING (doc_id)
+       |        WHERE source = 'src1' GROUP BY b),
+       |sc AS (
+       |  SELECT bkt.doc_id,
+       |         sum(tf * (length(bin(coalesce(c_t, 1))) - length(bin(c_r)))) AS score
+       |  FROM bkt JOIN raw USING (b) LEFT JOIN tgt USING (b)
+       |  GROUP BY 1),
+       |alldocs AS (
+       |  SELECT d.doc_id, CAST(coalesce(sc.score, 0) AS BIGINT) AS score
+       |  FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id)""".stripMargin
+
+  /** The DSIR per-document importance score (q162):
+    * tf-weighted Σ over the doc's hashed bigram buckets of
+    * bits(c_target) − bits(c_raw) with +1 smoothing — the integer
+    * bit-length log-likelihood ratio; 0 for docs with no bigrams.
+    * The persisted hashed-feature table (doc_id, b, tf) is scanned by
+    * the three consumers (raw stats, target stats, scoring); NO
+    * per-doc bucket collapse anywhere — every use is a
+    * collapse-invariant sum, so a (doc_id, b) groupBy would be a
+    * corpus-sized shuffle buying nothing. Scoring is a BROADCAST
+    * probe of the ≤4096-row stats table — the corpus never shuffles
+    * on a feature key. */
+  private def dsirScoreFrame(s: org.apache.spark.sql.SparkSession,
+                             d: String): org.apache.spark.sql.DataFrame = {
+    val bkt = Indexes.bigramBuckets(s, d)
+    val raw = bkt.groupBy("b").agg((sum(col("tf")) + 1L).as("c_r"))
+    val tgtDocs = table(s, d, "documents")
+      .filter(col("source") === "src1").select("doc_id")
+    val tgt = bkt.join(broadcast(tgtDocs), "doc_id")
+      .groupBy("b").agg((sum(col("tf")) + 1L).as("c_t"))
+    val stats = raw.join(tgt, Seq("b"), "left")
+      .select(col("b"), col("c_r"), coalesce(col("c_t"), lit(1L)).as("c_t"))
+    val sc = bkt.join(broadcast(stats), "b")
+      .groupBy("doc_id")
+      .agg(sum(col("tf") *
+        (length(bin(col("c_t"))) - length(bin(col("c_r")))).cast("long"))
+        .as("score"))
+    table(s, d, "documents").select("doc_id")
+      .join(sc, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("score"), lit(0L)).as("score"))
+  }
 }

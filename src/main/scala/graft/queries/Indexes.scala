@@ -476,6 +476,26 @@ object Indexes {
     }
   }
 
+  /** Hashed bigram feature buckets (doc_id, b, tf) — the bigram index
+    * with each bigram's portable 64-bit hash folded into 4096 feature
+    * buckets (the DSIR/hashed-ngram feature space, q162). Landing it
+    * keeps the md5 bucket hash out of every consumer's per-query plan
+    * (the bpe_words discipline): consumers scan a 3-column skinny
+    * table instead of re-hashing the corpus's bigrams. Rows are NOT
+    * collapsed per (doc, bucket) — every downstream use is a
+    * collapse-invariant sum, and the collapse would be a corpus-sized
+    * shuffle in the build buying nothing. */
+  def bigramBuckets(spark: SparkSession, sfDir: String): DataFrame = lock.synchronized {
+    import org.apache.spark.sql.functions._
+    cached(spark, store(spark, sfDir), "bigram_buckets") { bst =>
+      bst.overwrite("bigram_buckets",
+        bigramFrequencies(spark, sfDir).select(col("doc_id"),
+          pmod(graft.functions.Functions.portableHash64(col("bg")),
+            lit(4096L)).as("b"),
+          col("tf")))
+    }
+  }
+
   /** Trained k-means cell assignments (vec_id, cid, dist) over the
     * `embeddings` table (k=8, 2 Lloyd iterations — the declared
     * codebook config). Training is deterministic scaled-integer math,
@@ -771,6 +791,44 @@ object Indexes {
           }
         }.toDF("doc_id", "phash")
         bst.overwrite("video_phash_mjpeg", hashed)
+      }
+    }
+
+  /** Per-frame hash SEQUENCES (doc_id, h0, h1, h2) over the same
+    * 3-frame MJPEG AVIs as [[videoPhashMjpeg]] — the temporal
+    * fingerprint a video near-dup pipeline verifies with: frame 0 is
+    * the representative hash (candidate generation), the full sequence
+    * is the cheap cross-frame confirmation that two videos agree over
+    * TIME, not just on one keyframe. Same build shape (one
+    * encode+decode+hash map pass landed as a table); each frame is
+    * sliced from the single decoded buffer, so multi-frame decode is
+    * exercised per corpus row, not just in specs. */
+  def videoSeqPhashMjpeg(spark: SparkSession, sfDir: String): DataFrame =
+    lock.synchronized {
+      cached(spark, store(spark, sfDir), "video_seq_phash_mjpeg") { bst =>
+        import spark.implicits._
+        import org.apache.spark.sql.functions.col
+        val docs = corpusDocs(spark, sfDir)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+        val hashed = docs.mapPartitions { it =>
+          val codec = new graft.ops.Multimodal.AviMjpegCodec().init()
+          it.map { case (id, text) =>
+            val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val gray = Array.fill[Byte](18 * 16)(32)
+            System.arraycopy(bytes, 0, gray, 0, math.min(bytes.length, gray.length))
+            val brighter = gray.map(b => math.min(255, (b & 0xff) + 40).toByte)
+            val mirrored = Array.tabulate[Byte](18 * 16) { i =>
+              val (y, x) = (i / 18, i % 18); gray(y * 18 + (17 - x))
+            }
+            val avi = graft.ops.Multimodal.encodeAviMjpeg(
+              Seq(gray, brighter, mirrored), 18, 16)
+            val frames = codec.decode(avi)
+            def h(f: Int): Long = graft.ops.Multimodal.dhash64(
+              graft.ops.Multimodal.videoFrameSlice(frames, 18, 16, f), 18, 16)
+            (id, h(0), h(1), h(2))
+          }
+        }.toDF("doc_id", "h0", "h1", "h2")
+        bst.overwrite("video_seq_phash_mjpeg", hashed)
       }
     }
 

@@ -604,6 +604,51 @@ object MultimodalQueries {
             when(graft.ops.Dedup.hamming(col("phash"), col("video_phash"))
               <= Multimodal.JpegPhashTolerance, 1).otherwise(0)
               .cast("int").as("mjpeg_ok"))
+    },
+
+    // Temporal video near-dup: q161 fingerprints ONE representative
+    // frame; a real video-dedup pipeline then confirms candidates
+    // across TIME — two videos sharing a keyframe but diverging later
+    // must not merge. The pair universe is the oracle-recomputable
+    // one (exact-pixel frame-0 dHash, banded Hamming ≤ 3 — q97's
+    // machinery verbatim, provably exact by pigeonhole), and each
+    // pair is then verified against the per-frame hash SEQUENCES from
+    // the real MJPEG-AVI decode path (Indexes.videoSeqPhashMjpeg):
+    // summed Hamming over all 3 frames within VideoSeqTolerance.
+    // The gate is the lossy-codec discipline (q109/q147/q160): the
+    // declared flag pins the video-path sequence distance — a
+    // container break, frame mis-order, or a codec regression on ANY
+    // frame blows the bound and hash-mismatches the row. At 100 TB
+    // the seq index is 24 bytes/video, candidates come from the
+    // 8-byte keyframe hash join, and the temporal verify is 3 XORs
+    // per candidate pair — no second decode, no frame shuffle.
+    // Measured drift at sf0.01: max summed seq distance over
+    // qualifying pairs 33 bits (mean 7.3) vs the declared 72 — the
+    // >=2x margin discipline; the bound's derivation is 3 frames x
+    // the 24-bit per-image JPEG gate q109 declares.
+    Q("q163_video_temporal_neardup",
+      s"""WITH $PhashCtes
+        |SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |       bit_count(xor(a.phash, b.phash))::INT AS hamming,
+        |       1 AS video_ok
+        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.phash, b.phash)) <= 3""".stripMargin) {
+      (s, d) =>
+        val pairs = graft.ops.Dedup.simhashPairs(Indexes.imagePhash(s, d),
+            "doc_id", "phash", maxHamming = 3, fpBits = 64)
+          .select("d1", "d2", "hamming")
+        val seq = Indexes.videoSeqPhashMjpeg(s, d)
+        val a = seq.select(col("doc_id").as("d1"), col("h0").as("a0"),
+          col("h1").as("a1"), col("h2").as("a2"))
+        val b = seq.select(col("doc_id").as("d2"), col("h0").as("b0"),
+          col("h1").as("b1"), col("h2").as("b2"))
+        val seqDist = graft.ops.Dedup.hamming(col("a0"), col("b0")) +
+          graft.ops.Dedup.hamming(col("a1"), col("b1")) +
+          graft.ops.Dedup.hamming(col("a2"), col("b2"))
+        pairs.join(a, "d1").join(b, "d2")
+          .select(col("d1"), col("d2"), col("hamming"),
+            when(seqDist <= Multimodal.VideoSeqTolerance, 1).otherwise(0)
+              .cast("int").as("video_ok"))
     }
   )
 }

@@ -344,6 +344,25 @@ class PlanSpec extends AnyFunSuite {
       !p160.contains("BroadcastNestedLoopJoin"), p160.take(1500))
   }
 
+  test("q162: bucket stats broadcast onto the feature frame; q163 reads persisted indexes only") {
+    // q162's scoring join must BROADCAST the ≤4096-row bucket-stats
+    // table onto the per-doc feature frame — a SortMergeJoin there
+    // would shuffle the corpus on the feature key to look up 4096
+    // rows. (The per-doc frame itself is a localCheckpoint, so the
+    // bigram-index lineage never re-plans per consumer.)
+    val p162 = planOf("q162_dsir_select")
+    assert(p162.contains("BroadcastHashJoin"), s"q162:\n${p162.take(1500)}")
+    assert(!p162.contains("CartesianProduct"), p162.take(1000))
+    // q163's per-query plan joins the exact-phash pair frame with two
+    // reads of the persisted seq index — the AVI encode/decode pass
+    // lives in the index BUILD, never in the declared plan.
+    val p163 = planOf("q163_video_temporal_neardup")
+    assert(!p163.contains("SerializeFromObject"),
+      s"q163 re-runs the codec pass:\n${p163.take(1500)}")
+    assert(!p163.contains("CartesianProduct") &&
+      !p163.contains("BroadcastNestedLoopJoin"), p163.take(1000))
+  }
+
   test("q150: feature extraction partial-aggregates; predict is a checkpoint-fed map") {
     // The declared plan reads the pinned feature frame (training
     // happened in thresholdFit's own jobs), so pin the two halves

@@ -806,6 +806,49 @@ class MultimodalSpec extends AnyFunSuite {
       s"lossy drift ${hams.max} exceeds declared tolerance")
   }
 
+  test("AviMjpegCodec: temporal seq-hash pair drift stays within the q163 tolerance") {
+    // The PAIR-level contract of the temporal video verify: over the
+    // real corpus's qualifying pairs (exact frame-0 dHash Hamming <=
+    // 3 — q163's oracle-defined universe), the summed 3-frame Hamming
+    // between the two members' MJPEG-AVI-decoded hash sequences stays
+    // within VideoSeqTolerance. Measures the real distribution the
+    // declared flag gates (the ADPCM/JPEG drift-spec discipline,
+    // lifted from per-doc to per-pair).
+    val docsFile = new java.io.File("/root/testdata/sf0.01/documents.parquet")
+    val texts: Seq[String] =
+      if (docsFile.exists)
+        spark.read.parquet(docsFile.getPath).select("text")
+          .collect().map(_.getString(0)).toSeq
+      else (0 until 64).map(i => s"synthetic document $i " * 12)
+    val codec = new Multimodal.AviMjpegCodec().init()
+    val sigs = texts.map { text =>
+      val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val gray = Array.fill[Byte](288)(32)
+      System.arraycopy(bytes, 0, gray, 0, math.min(bytes.length, 288))
+      val brighter = gray.map(b => math.min(255, (b & 0xff) + 40).toByte)
+      val mirrored = Array.tabulate[Byte](288) { i =>
+        val (y, x) = (i / 18, i % 18); gray(y * 18 + (17 - x))
+      }
+      val exact0 = Multimodal.dhash64(
+        gray.map(b => (b & 0xff).toFloat), 18, 16)
+      val frames = codec.decode(
+        Multimodal.encodeAviMjpeg(Seq(gray, brighter, mirrored), 18, 16))
+      val vh = (0 until 3).map(f => Multimodal.dhash64(
+        Multimodal.videoFrameSlice(frames, 18, 16, f), 18, 16))
+      (exact0, vh)
+    }
+    val dists = for {
+      i <- sigs.indices; j <- (i + 1) until sigs.size
+      if java.lang.Long.bitCount(sigs(i)._1 ^ sigs(j)._1) <= 3
+    } yield (0 until 3).map(f =>
+      java.lang.Long.bitCount(sigs(i)._2(f) ^ sigs(j)._2(f))).sum
+    assert(dists.nonEmpty, "corpus produced no qualifying pairs")
+    info(s"video seq drift over ${dists.size} qualifying pairs: " +
+      s"max=${dists.max} mean=${dists.sum.toDouble / dists.size}")
+    assert(dists.max <= Multimodal.VideoSeqTolerance,
+      s"pair seq drift ${dists.max} exceeds declared tolerance")
+  }
+
   test("JpegCodec fails loudly on non-JPEG or corrupt input") {
     // PNG bytes are a VALID image — but not a JPEG; the format check
     // must reject them (a codec silently decoding the wrong format

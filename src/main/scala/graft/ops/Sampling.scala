@@ -306,6 +306,125 @@ object Sampling {
       .drop("__b", "__mn", "__mx", "__n", "__off", "__c")
   }
 
+  /** Per-stratum rank AND running-weight prefix sum in one pass — the
+    * quota-fill primitive: ordering a stratum's documents by a score
+    * and asking "how many tokens precede this row?" is how a source's
+    * token quota is filled with its best members (q165). Returns the
+    * slim frame (`strataCol`, `idCol`, `score`, `w`, `rnk`, `cw`)
+    * where `rnk` is the 0-based (score, id) rank within the stratum
+    * and `cw` the exact sum of `w` over strictly-preceding rows.
+    *
+    * Same 100 TB decomposition as [[rankNormalize]] (it is that
+    * machinery generalized from COUNT prefix to WEIGHT prefix): 256
+    * monotone score buckets per stratum, bounded per-(stratum,
+    * bucket) count+weight subtotals prefix-summed into exact offsets,
+    * ONE window partitioned by (stratum, bucket) for the intra-bucket
+    * rank and running weight — never a stratum-global sort partition.
+    * Both intra-bucket frames share one window spec, so the plan
+    * carries a single WindowExec. Descending order is the caller
+    * negating `scoreCol` (exact on bigint). Weights must be
+    * non-negative for `cw` to be monotone (quota fill relies on it;
+    * the arithmetic itself is exact either way). */
+  def rankAndCumsum(df: DataFrame, strataCol: String, idCol: String,
+                    scoreCol: Column, weightCol: Column): DataFrame = {
+    // Slim projection materialized once (the rankNormalize
+    // discipline): extrema, bucket subtotals, and the final ranked
+    // join all re-read it.
+    val s = df
+      .select(col(strataCol), col(idCol),
+        scoreCol.cast("bigint").as("score"),
+        weightCol.cast("bigint").as("w"))
+      .localCheckpoint(true)
+    val ext = s.groupBy(col(strataCol)).agg(
+      min(col("score")).as("__mn"), max(col("score")).as("__mx"))
+    val b = s.join(broadcast(ext), Seq(strataCol))
+      .withColumn("__b", when(col("__mx") === col("__mn"), lit(0L))
+        .otherwise(expr("((score - __mn) * 256) div (__mx - __mn + 1)")))
+    val bw = Window.partitionBy(col(strataCol))
+      .orderBy(col("__b")).rowsBetween(Window.unboundedPreceding, -1)
+    val offs = b.groupBy(col(strataCol), col("__b"))
+      .agg(count(lit(1)).as("__c"), sum(col("w")).as("__wc"))
+      .withColumn("__off", coalesce(sum(col("__c")).over(bw), lit(0L)))
+      .withColumn("__woff", coalesce(sum(col("__wc")).over(bw), lit(0L)))
+      .select(col(strataCol), col("__b"), col("__off"), col("__woff"))
+    val w = Window.partitionBy(col(strataCol), col("__b"))
+      .orderBy(col("score"), col(idCol))
+    b.join(broadcast(offs), Seq(strataCol, "__b"))
+      .withColumn("rnk", col("__off") + row_number().over(w).cast("long") - 1L)
+      .withColumn("cw", col("__woff") + coalesce(
+        sum(col("w")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col(strataCol), col(idCol), col("score"), col("w"),
+        col("rnk"), col("cw"))
+  }
+
+  /** Integer water-filling token-budget allocation — the mixture
+    * PLANNING step of dataset assembly: given each stratum's
+    * available weight (tokens), split a total budget of
+    * `⌊total·budgetNum/budgetDen⌋` as evenly as possible WITHOUT
+    * over-asking any stratum — small strata are kept whole, the
+    * remainder levels across the rest (the classic water-fill, done
+    * in exact integer arithmetic so any engine reproduces it
+    * bit-for-bit). Returns (`strataCol`, `avail`, `quota`,
+    * `fully_kept`); Σ quota = min(budget, Σ avail) and
+    * quota ≤ avail per row.
+    *
+    * The deterministic integer definition (the spec, mirrored by the
+    * q164 oracle): order strata by (avail, name) ascending with
+    * 1-based position k and prefix sum cb; a stratum is FULLY KEPT
+    * iff k ≤ p where p is the largest k with
+    * `avail_k·(n−k+1) + cb_k ≤ budget` (the standard fully-served
+    * prefix; 0 if none). The remaining pool `budget − Σ_{k≤p} avail`
+    * levels over the n−p others as `⌊pool/(n−p)⌋`, with the mod
+    * remainder granted one unit each to the first `pool mod (n−p)`
+    * of them in the same order — so quotas are exact integers, not
+    * rounded shares.
+    *
+    * Scale shape: `avail` is stratum-grain metadata (one row per
+    * source/language/domain-bucket), but it is NOT collected — the
+    * prefix machinery is [[rankAndCumsum]] (bounded bucket offsets,
+    * no global sort), the three scalar parameters (n/budget, p,
+    * absorbed sum) are 1-row aggregates broadcast back, so the op
+    * holds even at millions of domain-grain strata. Requires
+    * non-negative avail and max(avail)·n < 2⁶³ (any real token count
+    * at any real stratum count fits). */
+  def waterFillQuota(avail: DataFrame, strataCol: String, availCol: String,
+                     budgetNum: Long, budgetDen: Long): DataFrame = {
+    require(budgetNum >= 0 && budgetDen > 0,
+      s"waterFillQuota: budget $budgetNum/$budgetDen")
+    val a = avail
+      .select(col(strataCol), col(availCol).cast("bigint").as("__av"))
+      .withColumn("__g", lit(0))
+    // rnk = k−1 in (avail, stratum) order; cw = Σ avail over k'<k.
+    val rk = rankAndCumsum(a, "__g", strataCol, col("__av"), col("__av"))
+      .drop("__g")
+    // The ranked frame feeds three consumers (p, absorbed sum, final
+    // select) — pin it once; it is stratum-grain, never corpus-grain.
+    val fl = rk.localCheckpoint(true)
+    val par = fl.agg(count(lit(1)).as("__n"), coalesce(sum(col("w")), lit(0L))
+        .as("__t"))
+      .select(col("__n"),
+        expr(s"(__t * $budgetNum) div $budgetDen").as("__bud"))
+    val p = fl.crossJoin(broadcast(par))
+      .filter(col("w") * (col("__n") - col("rnk")) + col("cw") <= col("__bud"))
+      .agg(coalesce(max(col("rnk") + 1L), lit(0L)).as("__p"))
+    val absorbed = fl.crossJoin(broadcast(p))
+      .filter(col("rnk") < col("__p"))
+      .agg(coalesce(sum(col("w")), lit(0L)).as("__abs"))
+    val lvl = par.crossJoin(p).crossJoin(absorbed)
+      .select(col("__p"),
+        expr("(__bud - __abs) div greatest(__n - __p, 1)").as("__lvl"),
+        expr("(__bud - __abs) % greatest(__n - __p, 1)").as("__rest"))
+    fl.crossJoin(broadcast(lvl))
+      .select(col(strataCol), col("w").as("avail"),
+        when(col("rnk") < col("__p"), col("w"))
+          .otherwise(col("__lvl") +
+            when(col("rnk") + 1L - col("__p") <= col("__rest"), 1L)
+              .otherwise(0L)).as("quota"),
+        when(col("rnk") < col("__p"), 1).otherwise(0)
+          .cast("int").as("fully_kept"))
+  }
+
   /** Deterministic corpus shuffle → fixed-size training shards: every
     * pretraining run's final assembly step (a stable pseudo-random
     * visit order, cut into shards a data loader streams). Order is

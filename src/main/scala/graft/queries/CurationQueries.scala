@@ -1331,11 +1331,97 @@ object CurationQueries {
             graft.ops.Sampling.rankNormalize(f, "__g", "doc_id", col("score")))
           .filter(col("pct_ppm") >= 750000L)
           .select("doc_id", "score", "pct_ppm")
+    },
+
+    // Token-budget mixture PLANNING — the step between scoring and
+    // assembly: given what each source actually has (its token mass),
+    // split a corpus-level token budget (here half the corpus) across
+    // sources as evenly as possible without over-asking anyone — the
+    // water-filling allocation every "N-token pretraining mix"
+    // spec sheet implies (uniform-share intent, availability-capped).
+    // Exact integer water-fill (Sampling.waterFillQuota documents the
+    // deterministic definition the oracle mirrors): sources below the
+    // water level are kept whole, the rest level, the integer
+    // remainder is granted deterministically. Scale shape: ONE
+    // corpus-sized aggregate (per-source token sums); everything after
+    // is stratum-grain metadata through the bounded two-phase prefix
+    // machinery — no collect, no global sort, holds at domain-grain
+    // strata counts.
+    Q("q164_token_allocation",
+      s"""WITH tok AS (
+         |  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS avail
+         |  FROM documents GROUP BY 1),
+         |$quotaCtes
+         |SELECT source, avail AS avail_tok, quota AS quota_tok, fully_kept
+         |FROM quota""".stripMargin) {
+      (s, d) =>
+        // Token counts come from the persisted doc_tokens index — the
+        // allocation never touches the raw text column.
+        val avail = Indexes.docTokens(s, d)
+          .groupBy("source").agg(sum(col("n_tok")).as("avail"))
+        graft.ops.Sampling.waterFillQuota(avail, "source", "avail", 1L, 2L)
+          .select(col("source"), col("avail").as("avail_tok"),
+            col("quota").as("quota_tok"), col("fully_kept"))
+    },
+
+    // Quota FILL — the assembly step the plan above feeds: each
+    // source's token quota is filled with its highest-importance
+    // documents (the q162 DSIR score), in deterministic
+    // (score DESC, doc_id) order, until the next document would start
+    // past the quota. This is the chain a curated pretraining mix
+    // actually ships: q162 scores → q164-style quotas → this emits
+    // the kept rows with their running token position. Scale shape:
+    // the score rides the persisted bigram-bucket index and a
+    // broadcast stats probe (q162's plan), token counts are one
+    // corpus pass, the per-source running sums are the two-phase
+    // rankAndCumsum (bounded bucket offsets — never a source-global
+    // sort partition), and the quota join broadcasts stratum-grain
+    // rows. The fill rule is positional (keep while tokens-before <
+    // quota), so membership is exact integer comparison.
+    Q("q165_quota_fill",
+      s"""WITH $dsirCtes,
+         |doc AS (
+         |  SELECT d.doc_id, d.source,
+         |         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok,
+         |         a.score
+         |  FROM documents d JOIN alldocs a USING (doc_id)),
+         |tok AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS avail
+         |        FROM doc GROUP BY 1),
+         |$quotaCtes,
+         |cum AS (
+         |  SELECT doc_id, source, n_tok, score,
+         |         CAST(coalesce(sum(n_tok) OVER (PARTITION BY source
+         |           ORDER BY score DESC, doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |           AS BIGINT) AS cum_before
+         |  FROM doc)
+         |SELECT c.doc_id, c.source, c.n_tok, c.score, c.cum_before
+         |FROM cum c JOIN quota q USING (source)
+         |WHERE c.cum_before < q.quota""".stripMargin) {
+      (s, d) =>
+        // One pinned (doc_id, source, n_tok, score) frame feeds both
+        // the per-source availability aggregate and the ranked fill —
+        // without the pin the DSIR scoring chain would run twice.
+        // Token counts come from the persisted doc_tokens index, so
+        // the fill never re-splits the raw text column.
+        val doc = Indexes.docTokens(s, d)
+          .join(dsirScoreFrame(s, d), "doc_id")
+          .localCheckpoint(true)
+        val avail = doc.groupBy("source").agg(sum(col("n_tok")).as("avail"))
+        val quota = graft.ops.Sampling
+          .waterFillQuota(avail, "source", "avail", 1L, 2L)
+          .select(col("source"), col("quota"))
+        graft.ops.Sampling.rankAndCumsum(doc, "source", "doc_id",
+            -col("score"), col("n_tok"))
+          .join(broadcast(quota), "source")
+          .filter(col("cw") < col("quota"))
+          .select(col("doc_id"), col("source"), col("w").as("n_tok"),
+            (-col("score")).as("score"), col("cw").as("cum_before"))
     })
 
   /** The DSIR importance score (q162's arithmetic) as CTEs ending in
-    * `alldocs (doc_id, score)` — kept a named building block so the
-    * q162 oracle and future consumers share one spelling. */
+    * `alldocs (doc_id, score)` — shared verbatim by the q162 and q165
+    * oracles so the two cannot drift. */
   private def dsirCtes: String =
     s"""bgr AS (
        |  SELECT doc_id, words[CAST(i AS INT)] || ' ' || words[CAST(i AS INT)+1] AS bg
@@ -1358,7 +1444,36 @@ object CurationQueries {
        |  SELECT d.doc_id, CAST(coalesce(sc.score, 0) AS BIGINT) AS score
        |  FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id)""".stripMargin
 
-  /** The DSIR per-document importance score (q162):
+  /** The integer water-fill over a `tok (source, avail)` CTE, ending
+    * in `quota (source, avail, quota, fully_kept)` — the SQL mirror
+    * of [[graft.ops.Sampling.waterFillQuota]] at budget = total/2,
+    * shared by the q164 and q165 oracles. */
+  private def quotaCtes: String =
+    """tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |               CAST(coalesce(sum(avail), 0) AS BIGINT) AS t FROM tok),
+      |par AS (SELECT n, t // 2 AS bud FROM tot),
+      |ord AS (SELECT source, avail,
+      |          CAST(row_number() OVER (ORDER BY avail, source) AS BIGINT) AS k,
+      |          CAST(coalesce(sum(avail) OVER (ORDER BY avail, source
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |            AS BIGINT) AS cb
+      |        FROM tok),
+      |pp AS (SELECT coalesce(max(k) FILTER (WHERE avail * (n - k + 1) + cb <= bud), 0) AS p
+      |       FROM ord, par),
+      |ab AS (SELECT CAST(coalesce(sum(avail) FILTER (WHERE k <= p), 0) AS BIGINT) AS absum
+      |       FROM ord, pp),
+      |lv AS (SELECT p, (bud - absum) // greatest(n - p, 1) AS lvl,
+      |              (bud - absum) % greatest(n - p, 1) AS rest
+      |       FROM pp, ab, par),
+      |quota AS (
+      |  SELECT source, avail,
+      |         CAST(CASE WHEN k <= p THEN avail
+      |              ELSE lvl + CASE WHEN k - p <= rest THEN 1 ELSE 0 END
+      |              END AS BIGINT) AS quota,
+      |         CAST(CASE WHEN k <= p THEN 1 ELSE 0 END AS INT) AS fully_kept
+      |  FROM ord, lv)""".stripMargin
+
+  /** The DSIR per-document importance score (shared by q162/q165):
     * tf-weighted Σ over the doc's hashed bigram buckets of
     * bits(c_target) − bits(c_raw) with +1 smoothing — the integer
     * bit-length log-likelihood ratio; 0 for docs with no bigrams.

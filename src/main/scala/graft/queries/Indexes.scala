@@ -496,6 +496,24 @@ object Indexes {
     }
   }
 
+  /** Per-document token counts (doc_id, source, n_tok — plain
+    * whitespace split, the q36/q164 definition) as a persisted index:
+    * every budget/allocation consumer reads 16 bytes/doc instead of
+    * re-splitting the raw text column (the bpe_words discipline —
+    * token counts are computed once at ingest, not once per analysis
+    * query). The count is exact and engine-portable (split on a
+    * single space, no normalization), so oracles recomputing
+    * `len(string_split(text, ' '))` from the raw table match
+    * bit-for-bit. */
+  def docTokens(spark: SparkSession, sfDir: String): DataFrame = lock.synchronized {
+    import org.apache.spark.sql.functions._
+    cached(spark, store(spark, sfDir), "doc_tokens") { bst =>
+      bst.overwrite("doc_tokens",
+        corpusDocs(spark, sfDir).select(col("doc_id"), col("source"),
+          size(Dedup.tokens(col("text"))).cast("bigint").as("n_tok")))
+    }
+  }
+
   /** Trained k-means cell assignments (vec_id, cid, dist) over the
     * `embeddings` table (k=8, 2 Lloyd iterations — the declared
     * codebook config). Training is deterministic scaled-integer math,

@@ -363,6 +363,23 @@ class PlanSpec extends AnyFunSuite {
       !p163.contains("BroadcastNestedLoopJoin"), p163.take(1000))
   }
 
+  test("q164/q165: allocation is metadata-grain; quota joins broadcast") {
+    // q164's only corpus-sized work is the per-source token aggregate;
+    // the water-fill runs over the stratum-grain checkpoint (1-row
+    // parameter frames broadcast back — BroadcastNestedLoopJoin over
+    // single-row frames is the sanctioned crossJoin shape, never a
+    // CartesianProduct).
+    val p164 = planOf("q164_token_allocation")
+    assert(!p164.contains("CartesianProduct"), p164.take(1500))
+    // q165: the per-source quota and the bounded bucket-offset frames
+    // must broadcast onto the ranked corpus frame — a SortMergeJoin
+    // on `source` there would shuffle the corpus to look up
+    // stratum-grain rows.
+    val p165 = planOf("q165_quota_fill")
+    assert(p165.contains("BroadcastHashJoin"), s"q165:\n${p165.take(1500)}")
+    assert(!p165.contains("CartesianProduct"), p165.take(1500))
+  }
+
   test("q150: feature extraction partial-aggregates; predict is a checkpoint-fed map") {
     // The declared plan reads the pinned feature frame (training
     // happened in thresholdFit's own jobs), so pin the two halves

@@ -69,6 +69,62 @@ class SamplingPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("rankAndCumsum equals the naive per-stratum sort with weight prefix sums") {
+    check(Prop.forAll(genCorpus) { rows =>
+      // Decouple weight from score (deterministically) so the prefix
+      // sum is tested over a different column than the sort key.
+      val wrows = rows.map { case (id, s, sc) => (id, s, sc, (id * 31 + sc) % 50) }
+      val df = wrows.toDF("doc_id", "lang", "sc", "w")
+      val got = Sampling.rankAndCumsum(df, "lang", "doc_id", col("sc"), col("w"))
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("rnk"), r.getAs[Long]("cw"))).toMap
+      val naive = wrows.groupBy(_._2).flatMap { case (_, rs) =>
+        val sorted = rs.sortBy(r => (r._3, r._1))
+        sorted.zipWithIndex.map { case (r, p) =>
+          r._1 -> (p.toLong, sorted.take(p).map(_._4).sum)
+        }
+      }
+      got == naive
+    })
+  }
+
+  test("waterFillQuota equals the integer water-fill model; budget conserved") {
+    val genAvail: Gen[List[(String, Long)]] = for {
+      n <- Gen.choose(1, 40)
+      av <- Gen.listOfN(n, Gen.frequency(
+        (2, Gen.choose(0L, 20L)),          // tiny strata (absorbed)
+        (2, Gen.choose(0L, 5000L)),        // mid
+        (1, Gen.choose(0L, 2000000L))))    // dominating strata (levelled)
+    } yield av.zipWithIndex.map { case (a, i) => (f"s$i%03d", a) }
+    check(Prop.forAll(genAvail, Gen.choose(0L, 5L), Gen.choose(1L, 4L)) {
+      (rows, num, den) =>
+        val got = Sampling.waterFillQuota(
+            rows.toDF("src", "avail"), "src", "avail", num, den)
+          .collect().map(r => r.getAs[String]("src") ->
+            (r.getAs[Long]("avail"), r.getAs[Long]("quota"),
+              r.getAs[Int]("fully_kept"))).toMap
+        val t = rows.map(_._2).sum
+        val bud = t * num / den
+        val n = rows.size
+        val ord = rows.sortBy(r => (r._2, r._1))
+        val cb = ord.map(_._2).scanLeft(0L)(_ + _)
+        val ks = (1 to n).filter(k => ord(k - 1)._2 * (n - k + 1) + cb(k - 1) <= bud)
+        val p = if (ks.isEmpty) 0 else ks.max
+        val pool = bud - cb(p)
+        val rem = math.max(n - p, 1)
+        val (lvl, rest) = (pool / rem, pool % rem)
+        val model = ord.zipWithIndex.map { case ((s, a), i) =>
+          val k = i + 1
+          s -> (a,
+            if (k <= p) a else lvl + (if (k - p <= rest) 1L else 0L),
+            if (k <= p) 1 else 0)
+        }.toMap
+        val conserved = got.values.map(_._2).sum == math.min(bud, t)
+        val capped = got.values.forall { case (a, q, _) => q <= a && q >= 0 }
+        got == model && conserved && capped
+    })
+  }
+
   test("ppsSample equals the naive interval walk; hit mass is tight") {
     check(Prop.forAll(genCorpus, Gen.choose(1L, 500L)) { (rows, step) =>
       val df = rows.toDF("doc_id", "lang", "w")

@@ -1417,6 +1417,156 @@ object CurationQueries {
           .filter(col("cw") < col("quota"))
           .select(col("doc_id"), col("source"), col("w").as("n_tok"),
             (-col("score")).as("score"), col("cw").as("cum_before"))
+    },
+
+    // Streaming maintenance of the DSIR feature stats — the live-ingest
+    // leg of the q162 family (the q122/q137 stream==batch discipline):
+    // the target/raw bucket counts the importance weights are computed
+    // from are RUNNING SUMS, so a live feed maintains them as streaming
+    // aggregate state (≤4096 rows — bounded by the feature space, not
+    // the corpus) and scoring always probes current stats without any
+    // corpus re-aggregation. The oracle is the BATCH formulation over
+    // the same rows — a green row is a machine proof the per-trigger
+    // folds reach exactly the batch answer whatever the trigger
+    // boundaries were. +1 smoothing is applied in bounded
+    // post-processing (state stays pure sums, so folds are trivially
+    // associative).
+    Q("q166_stream_dsir_stats",
+      s"""WITH $dsirCtes
+         |SELECT b, CAST(1 + sum(tf) AS BIGINT) AS c_r,
+         |       CAST(1 + coalesce(sum(CASE WHEN source = 'src1' THEN tf END), 0)
+         |            AS BIGINT) AS c_t
+         |FROM bkt JOIN documents USING (doc_id)
+         |GROUP BY b""".stripMargin) {
+      (s, d) =>
+        val bkt = Indexes.bigramBuckets(s, d)
+        val tgtDocs = table(s, d, "documents")
+          .filter(col("source") === "src1")
+          .select(col("doc_id"), lit(1).as("__tg"))
+        val feed = bkt.join(broadcast(tgtDocs), Seq("doc_id"), "left")
+          .select(col("doc_id"), col("b"), col("tf"),
+            coalesce(col("__tg"), lit(0)).cast("int").as("is_tgt"))
+        val scratch = java.nio.file.Files.createTempDirectory("graft_q166")
+        val staging = s"$scratch/feats"
+        feed.repartitionByRange(4, col("doc_id")).write.parquet(staging)
+        val stream = s.readStream.schema(feed.schema)
+          .option("maxFilesPerTrigger", 2).parquet(staging)
+        val agg = stream.groupBy(col("b")).agg(
+          sum(col("tf")).as("s_r"),
+          sum(col("tf") * col("is_tgt")).as("s_t"))
+        val sinkName = "q166_stream_dsir_sink"
+        s.catalog.dropTempView(sinkName)
+        val q = agg.writeStream.format("memory").queryName(sinkName)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        // awaitTermination returns FALSE on timeout without throwing —
+        // unchecked, a timed-out stream would emit stats from the
+        // completed triggers only: plausible-looking, silently wrong.
+        try require(q.awaitTermination(300000),
+          "q166: stream did not drain within 300s — partial stats")
+        finally q.stop()
+        org.apache.commons.io.FileUtils.deleteDirectory(scratch.toFile)
+        s.table(sinkName).select(col("b"),
+          (col("s_r") + 1L).as("c_r"), (col("s_t") + 1L).as("c_t"))
+    },
+
+    // Incremental DSIR scoring — the production shape of q162 over an
+    // arriving batch: feature stats LAG the corpus (rebuilt per
+    // generation, not per batch), so new documents are scored as a
+    // pure BROADCAST PROBE of the existing base-corpus stats and
+    // gated at the base distribution's selection boundary (the
+    // minimum score of the base top-25% — the q162 threshold frozen
+    // as a scalar). Nothing corpus-sized re-aggregates when a batch
+    // arrives: the batch's feature rows probe ≤4096 broadcast stats
+    // rows, the boundary is a 1-row broadcast, and the base stats /
+    // boundary are themselves one-time index-scan aggregates. Buckets
+    // unseen in the base corpus contribute bits(1)−bits(1) = 0 —
+    // exactly the +1-smoothed prior. Split is the q139 convention:
+    // the newest tenth of doc_id space is "the batch".
+    Q("q167_dsir_incremental",
+      s"""WITH cut AS (SELECT (max(doc_id) * 9) // 10 AS c FROM documents),
+         |bgr AS (
+         |  SELECT doc_id, words[CAST(i AS INT)] || ' ' || words[CAST(i AS INT)+1] AS bg
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+         |       unnest(generate_series(1, len(words)-1)) AS g(i)),
+         |bkt AS (
+         |  SELECT doc_id, ${h64("bg")} % 4096 AS b,
+         |         CAST(count(*) AS BIGINT) AS tf
+         |  FROM bgr GROUP BY 1, 2),
+         |base AS (SELECT bkt.* FROM bkt, cut WHERE doc_id < c),
+         |raw AS (SELECT b, 1 + sum(tf) AS c_r FROM base GROUP BY b),
+         |tgt AS (SELECT b, 1 + sum(tf) AS c_t
+         |        FROM base JOIN documents USING (doc_id)
+         |        WHERE source = 'src1' GROUP BY b),
+         |scb AS (
+         |  SELECT base.doc_id,
+         |         sum(tf * (length(bin(coalesce(c_t, 1))) - length(bin(c_r)))) AS score
+         |  FROM base JOIN raw USING (b) LEFT JOIN tgt USING (b)
+         |  GROUP BY 1),
+         |allb AS (
+         |  SELECT d.doc_id, CAST(coalesce(s.score, 0) AS BIGINT) AS score
+         |  FROM (SELECT doc_id FROM documents, cut WHERE doc_id < c) d
+         |  LEFT JOIN scb s ON s.doc_id = d.doc_id),
+         |r AS (SELECT doc_id, score,
+         |        CAST(row_number() OVER (ORDER BY score, doc_id) - 1 AS BIGINT) AS rnk,
+         |        CAST(count(*) OVER () AS BIGINT) AS n
+         |      FROM allb),
+         |bnd AS (SELECT min(score) AS bscore FROM r
+         |        WHERE (rnk * 1000000) // greatest(n - 1, 1) >= 750000),
+         |scn AS (
+         |  SELECT k.doc_id,
+         |         sum(tf * (length(bin(coalesce(c_t, 1))) -
+         |                   length(bin(coalesce(c_r, 1))))) AS score
+         |  FROM (SELECT bkt.* FROM bkt, cut WHERE doc_id >= c) k
+         |  LEFT JOIN raw USING (b) LEFT JOIN tgt USING (b)
+         |  GROUP BY 1)
+         |SELECT d.doc_id, CAST(coalesce(s.score, 0) AS BIGINT) AS score,
+         |       CAST(CASE WHEN coalesce(s.score, 0) >= bscore THEN 1 ELSE 0 END
+         |            AS INT) AS selected
+         |FROM (SELECT doc_id FROM documents, cut WHERE doc_id >= c) d
+         |LEFT JOIN scn s ON s.doc_id = d.doc_id, bnd""".stripMargin) {
+      (s, d) =>
+        val docs = table(s, d, "documents")
+        val mx = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
+        val cutoff = (mx * 9L) / 10L
+        val bkt = Indexes.bigramBuckets(s, d)
+        val base = bkt.filter(col("doc_id") < cutoff)
+        val raw = base.groupBy("b").agg((sum(col("tf")) + 1L).as("c_r"))
+        val tgtDocs = docs
+          .filter(col("source") === "src1" && col("doc_id") < cutoff)
+          .select("doc_id")
+        val tgt = base.join(broadcast(tgtDocs), "doc_id")
+          .groupBy("b").agg((sum(col("tf")) + 1L).as("c_t"))
+        val stats = raw.join(tgt, Seq("b"), "left")
+          .select(col("b"), col("c_r"),
+            coalesce(col("c_t"), lit(1L)).as("c_t"))
+        val scB = base.join(broadcast(stats), "b")
+          .groupBy("doc_id")
+          .agg(sum(col("tf") *
+            (length(bin(col("c_t"))) - length(bin(col("c_r")))).cast("long"))
+            .as("score"))
+        val allB = docs.filter(col("doc_id") < cutoff).select("doc_id")
+          .join(scB, Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("score"), lit(0L)).as("score"),
+            lit(0).as("__g"))
+        val boundary = graft.ops.Sampling
+          .rankNormalize(allB, "__g", "doc_id", col("score"))
+          .filter(col("pct_ppm") >= 750000L)
+          .agg(min(col("score")).as("__bnd"))
+        val scN = bkt.filter(col("doc_id") >= cutoff)
+          .join(broadcast(stats), Seq("b"), "left")
+          .groupBy("doc_id")
+          .agg(sum(col("tf") *
+            (length(bin(coalesce(col("c_t"), lit(1L)))) -
+              length(bin(coalesce(col("c_r"), lit(1L))))).cast("long"))
+            .as("score"))
+        docs.filter(col("doc_id") >= cutoff).select("doc_id")
+          .join(scN, Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("score"), lit(0L)).as("score"))
+          .crossJoin(broadcast(boundary))
+          .select(col("doc_id"), col("score"),
+            (col("score") >= col("__bnd")).cast("int").as("selected"))
     })
 
   /** The DSIR importance score (q162's arithmetic) as CTEs ending in

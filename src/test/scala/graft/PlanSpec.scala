@@ -380,6 +380,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p165.contains("CartesianProduct"), p165.take(1500))
   }
 
+  test("q167: incremental scoring is a broadcast probe of base stats") {
+    // The production claim: a new batch never re-aggregates the
+    // corpus — batch feature rows probe the ≤4096-row base stats by
+    // broadcast, and the selection boundary arrives as a broadcast
+    // 1-row frame (the sanctioned crossJoin shape). A SortMergeJoin
+    // on the feature key would shuffle the batch to look up 4096
+    // rows.
+    val p167 = planOf("q167_dsir_incremental")
+    assert(p167.contains("BroadcastHashJoin"), s"q167:\n${p167.take(1500)}")
+    assert(!p167.contains("CartesianProduct"), p167.take(1500))
+  }
+
   test("q150: feature extraction partial-aggregates; predict is a checkpoint-fed map") {
     // The declared plan reads the pinned feature frame (training
     // happened in thresholdFit's own jobs), so pin the two halves

@@ -527,6 +527,22 @@ object Indexes {
     }
   }
 
+  /** The SCALED blocking codebook (k=64, same trainer/space/iters as
+    * [[kmeansCells]]) — the SemDeDup production dial made concrete:
+    * within-cell pair work is Σ C(n_c, 2), so at a FIXED k it grows
+    * quadratically with the corpus; growing k with N keeps cell size
+    * (and so total pair work per vector) constant. q69 declares the
+    * k=8 gate config; q168 runs the identical dedup over these cells
+    * — measured at sf10 the k dial alone takes the within-cell stage
+    * ~8× down. Same persisted-registry discipline: trained once per
+    * corpus generation. */
+  def kmeansCells64(spark: SparkSession, sfDir: String): DataFrame = lock.synchronized {
+    cached(spark, store(spark, sfDir), "kmeans_cells_k64") { bst =>
+      bst.overwrite("kmeans_cells_k64", graft.ops.Similarity.kmeansFit(
+        graft.io.Sources.table(spark, sfDir, "embeddings"), k = 64, iters = 2))
+    }
+  }
+
   /** Per-doc span occurrences (doc_id, span, occ) — every 8-token
     * sliding span of the NORMALIZED token stream, pre-collapsed to
     * one row per (doc, span). ONE normalize+explode pass over the

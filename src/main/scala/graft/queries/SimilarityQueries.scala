@@ -304,6 +304,46 @@ object SimilarityQueries {
           .select(col("vec_id"), col("cid"))
     },
 
+    // SemDeDup at the PRODUCTION cell count — the scale dial q69's
+    // Scaladoc promises, made a declared, measured row. q69 pins the
+    // k=8 gate config; its within-cell pair work is Σ C(n_c, 2),
+    // which at FIXED k grows quadratically with the corpus (it is
+    // the one super-linear row in the full sf10 matrix: 178 s).
+    // Growing k with N keeps cell size constant, making total pair
+    // work linear-in-corpus: identical dedup semantics (same
+    // threshold, same survivor policy, same skew-capped self join),
+    // only the blocking codebook changes — k=64 from the persisted
+    // kmeans_cells_k64 index. Cross-cell misses remain the SemDeDup
+    // trade, now at finer granularity (the paper's regime: k is
+    // chosen so cells are ~constant-size at any corpus scale).
+    Q("q168_semantic_dedup_scaled",
+      s"""WITH ${kmeansCtes("", "embedding", 64)},
+         |emb AS (
+         |  SELECT e.vec_id, e.embedding, a2.cid
+         |  FROM embeddings e JOIN a2 USING (vec_id))
+         |SELECT vec_id, cid FROM emb v
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM emb u
+         |  WHERE u.cid = v.cid AND u.vec_id < v.vec_id
+         |    AND ${cosSql("u.embedding", "v.embedding")} >= 0.35)""".stripMargin) {
+      (s, d) =>
+        import graft.functions.VectorExpressions.normF
+        val e = table(s, d, "embeddings")
+        val cells = graft.queries.Indexes.kmeansCells64(s, d)
+          .select(col("vec_id"), col("cid"))
+        val withVec = e.select(col("vec_id"), col("embedding"),
+          normF(col("embedding")).as("nrm"))
+          .join(cells, "vec_id")
+        val dropped = graft.ops.Skew
+          .boundedBucketSelfJoin(withVec, "cid", "vec_id", cap = 256)
+          .withColumn("cos_r", Similarity.cosRoundedPre(
+            col("embedding"), col("embedding_2"), col("nrm"), col("nrm_2")))
+          .filter(col("cos_r") >= 0.35)
+          .select(col("vec_id_2").as("vec_id")).distinct()
+        withVec.join(dropped, Seq("vec_id"), "left_anti")
+          .select(col("vec_id"), col("cid"))
+    },
+
     // Product quantization ANN (Jégou et al.): the 64-dim vector
     // splits into 4 subspaces of 16 dims, each trained to its own
     // 4-entry scaled-integer k-means codebook (the q68 recipe, once

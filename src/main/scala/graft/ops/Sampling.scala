@@ -386,8 +386,12 @@ object Sampling {
     * no global sort), the three scalar parameters (n/budget, p,
     * absorbed sum) are 1-row aggregates broadcast back, so the op
     * holds even at millions of domain-grain strata. Requires
-    * non-negative avail and max(avail)·n < 2⁶³ (any real token count
-    * at any real stratum count fits). */
+    * non-negative avail, max(avail)·n < 2⁶³, and Σavail·budgetNum
+    * < 2⁶³ — the second product is CHECKED IN-PLAN at the 1-row
+    * parameter aggregate (a silent wraparound there would misallocate
+    * every quota downstream; any real token total with a small
+    * rational budget fits comfortably, so the raise only fires on a
+    * genuinely out-of-contract call). */
   def waterFillQuota(avail: DataFrame, strataCol: String, availCol: String,
                      budgetNum: Long, budgetDen: Long): DataFrame = {
     require(budgetNum >= 0 && budgetDen > 0,
@@ -401,10 +405,18 @@ object Sampling {
     // The ranked frame feeds three consumers (p, absorbed sum, final
     // select) — pin it once; it is stratum-grain, never corpus-grain.
     val fl = rk.localCheckpoint(true)
+    // Guard the only multiplication the documented preconditions do
+    // not already bound: __t = Σ avail times budgetNum. The CASE folds
+    // the check into __bud itself so no optimizer pass can prune it.
+    val budExpr =
+      if (budgetNum <= 1L) s"(__t * $budgetNum) div $budgetDen"
+      else s"CASE WHEN __t > ${Long.MaxValue / budgetNum}L THEN " +
+        s"CAST(raise_error(concat('waterFillQuota: sum(avail)=', __t, " +
+        s"' * budgetNum=$budgetNum overflows int64')) AS BIGINT) " +
+        s"ELSE (__t * $budgetNum) div $budgetDen END"
     val par = fl.agg(count(lit(1)).as("__n"), coalesce(sum(col("w")), lit(0L))
         .as("__t"))
-      .select(col("__n"),
-        expr(s"(__t * $budgetNum) div $budgetDen").as("__bud"))
+      .select(col("__n"), expr(budExpr).as("__bud"))
     val p = fl.crossJoin(broadcast(par))
       .filter(col("w") * (col("__n") - col("rnk")) + col("cw") <= col("__bud"))
       .agg(coalesce(max(col("rnk") + 1L), lit(0L)).as("__p"))

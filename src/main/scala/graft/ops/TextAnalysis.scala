@@ -109,6 +109,83 @@ object TextAnalysis {
     regexp_replace(noCard, PhoneRe, "<PHONE>")
   }
 
+  // ── HTML / markup boilerplate extraction (crawl step 0) ──────────
+
+  /** `<script>`/`<style>` subtrees — removed FIRST, because their
+    * contents are code, not text (a tag-stripper alone would leak
+    * `var n=42` into the "visible text"). Non-greedy, dotall,
+    * case-insensitive; no backreferences, so Java regex (Spark) and
+    * RE2 (DuckDB) match identically. */
+  val ScriptStyleRe: String =
+    "(?is)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>"
+
+  /** HTML comments. */
+  val HtmlCommentRe: String = "(?s)<!--.*?-->"
+
+  /** Any remaining markup tag. */
+  val TagRe: String = "<[^>]*>"
+
+  /** Block-level container contents, in document order. Non-greedy to
+    * the nearest closing block tag — a FLAT block model: nested
+    * markup yields innermost-first fragments (deterministically and
+    * identically on both regex engines), which is the right unit for
+    * boilerplate separation — a nav inside a wrapper div is still its
+    * own low-density block. */
+  val BlockRe: String =
+    "(?is)<(?:div|p|nav|aside|header|footer|section|article)[^>]*>" +
+      "(.*?)</(?:div|p|nav|aside|header|footer|section|article)>"
+
+  /** Scripts, styles and comments out — the shared first stage of
+    * [[pageText]] and [[blockContents]]. */
+  def stripScriptStyle(html: Column): Column =
+    regexp_replace(regexp_replace(html, ScriptStyleRe, " "), HtmlCommentRe, " ")
+
+  /** Whole-page visible text: script/style/comment subtrees removed,
+    * every remaining tag → space, whitespace collapsed, trimmed.
+    * Pure codegen'd regex chain — markup stripping runs over every
+    * byte of a crawl, so like [[normalize]] it must stay a map pass
+    * inside whole-stage codegen. */
+  def pageText(html: Column): Column =
+    trim(regexp_replace(regexp_replace(
+      stripScriptStyle(html), TagRe, " "), " +", " "))
+
+  /** Visible text of ONE extracted block fragment. */
+  def blockText(raw: Column): Column =
+    trim(regexp_replace(regexp_replace(raw, TagRe, " "), " +", " "))
+
+  /** Contents of every block-level container, in document order. */
+  def blockContents(html: Column): Column =
+    regexp_extract_all(stripScriptStyle(html), lit(BlockRe), lit(1))
+
+  /** Main-content selection by INTEGER text density: per block,
+    * score = len(text)²·1000 / (len(raw)+1) — long AND markup-light
+    * blocks win (the boilerpipe signal with both of its factors:
+    * a link-farm nav is markup-dense, a promo line is short; the
+    * main body is neither). Returns the argmax block as a struct
+    * (s = score, ni = −index, t = text): `array_max` over the scored
+    * struct array is the argmax with ties broken by FIRST block —
+    * a single codegen'd expression per document, no explode, no
+    * shuffle, no window. The float division inside `floor` is exact:
+    * numerator ≤ len²·1000 < 2⁵³ and a non-divisible quotient sits
+    * ≥ 1/len(raw) below the next integer — 10⁸ ulps away from any
+    * rounding hazard — so `floor(a/b)` equals the oracle's integer
+    * `//` bit-for-bit. */
+  def mainBlockStruct(html: Column): Column = {
+    val scored = transform(blockContents(html), (b, i) => {
+      val t = blockText(b)
+      struct(
+        floor(length(t).cast("long") * length(t) * lit(1000L)
+          / (length(b) + lit(1))).as("s"),
+        (-i).cast("long").as("ni"),
+        t.as("t"))
+    })
+    array_max(scored)
+  }
+
+  /** The selected main-content text (null when the page has no
+    * block-level containers at all). */
+  def mainText(html: Column): Column = mainBlockStruct(html).getField("t")
+
   /** Sliding-window token chunks — the concat-and-chunk prep step
     * that turns variable-length documents into fixed-ish training
     * windows. One (start offset) element per `stride` tokens; callers

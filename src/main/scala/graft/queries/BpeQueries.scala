@@ -37,7 +37,20 @@ object BpeQueries {
     * on rules < k, so the first [[MonitorMerges]] entries of the
     * persisted [[NMerges]]-rule table ARE the table a
     * [[MonitorMerges]]-merge training would produce (BpeSpec pins
-    * it), and the monitor trains nothing. */
+    * it), and the monitor trains nothing.
+    *
+    * The DOWNSTREAM consumers (q101 budget, q142 packing, q131
+    * compression, q129 encode) are also pinned at this prefix, not at
+    * [[NMerges]]: their oracles replay one MATERIALIZED CTE iteration
+    * per rule, and at 512 rules each replay cost ~36 s — five of them
+    * were 72 % of the whole suite's oracle ledger (r12 ORACLE_BUDGET).
+    * The rule-application machinery is IDENTICAL at any cap (one
+    * memoized per-partition pass over the same merge-table prefix;
+    * BpeSpec pins trainer-path equivalence and prefix stability), so
+    * q98 alone keeps the full 512-rule gate and the composition
+    * queries gate their own logic — budget windows, packing layout,
+    * fertility ratios, id assignment — at the cheap prefix with zero
+    * coverage loss. */
   val MonitorMerges = 64
 
   private val NormSql =
@@ -142,10 +155,13 @@ object BpeQueries {
     * per-partition apply over the memoized merge table) — the shared
     * tokenize stage of every trained-tokenizer query. */
   private def tokenized(s: org.apache.spark.sql.SparkSession, d: String,
-                        cols: String*): org.apache.spark.sql.DataFrame =
+                        nRules: Int, cols: String*): org.apache.spark.sql.DataFrame =
     graft.ops.Bpe.withMergedReps(
       Indexes.bpeWords(s, d).select(cols.map(col) :+ col("__ws"): _*),
-      "__ws", Indexes.bpeMerges(s, d, NMerges), "__reps", dropInput = true)
+      // Prefix of the persisted full-rule table (prefix-stable) — the
+      // consumers pinned at MonitorMerges never train a second table.
+      "__ws", Indexes.bpeMerges(s, d, NMerges).take(nRules), "__reps",
+      dropInput = true)
 
   /** Trained token count of a `__reps` row — expression space. */
   private def trainedTokens =
@@ -179,10 +195,10 @@ object BpeQueries {
     // (bounded metadata); the count is a pure map expression; the
     // budget is one prefix-sum window per stratum — the whole lineage
     // adds ONE shuffle on `source` over the tokenize pass.
-    Q("q101_bpe_token_budget", budgetOracleSql(NMerges)) {
+    Q("q101_bpe_token_budget", budgetOracleSql(MonitorMerges)) {
       (s, d) =>
         graft.ops.Sampling.tokenBudget(
-          tokenized(s, d, "doc_id", "source"),
+          tokenized(s, d, MonitorMerges, "doc_id", "source"),
           "source", "doc_id", trainedTokens,
           budgets = Budgets, defaultBudget = DefaultBudget)
           .select("doc_id", "source", "n_tok", "cum_tok")
@@ -198,7 +214,7 @@ object BpeQueries {
     // count is a pure map expression over the memoized merge table,
     // the layout is one prefix-sum window per source shard.
     Q("q142_bpe_packing", {
-      val n = NMerges
+      val n = MonitorMerges
       s"""WITH ${trainingCtes(n)},
          |${countCte(n)},
          |c AS (SELECT doc_id, source, n_tok,
@@ -212,7 +228,7 @@ object BpeQueries {
     }) {
       (s, d) =>
         graft.ops.Packing.packSequences(
-          tokenized(s, d, "doc_id", "source"),
+          tokenized(s, d, MonitorMerges, "doc_id", "source"),
           "source", "doc_id", trainedTokens, capacity = 256)
           .select("doc_id", "source", "n_tok", "seq_id", "seq_off")
     },
@@ -242,7 +258,7 @@ object BpeQueries {
     // memoized index. Integer milli-ratio, ties to the oracle's replay
     // of the full training chain.
     Q("q131_bpe_compression", {
-      val n = NMerges
+      val n = MonitorMerges
       s"""WITH ${trainingCtes(n)},
          |pt AS (SELECT doc_id,
          |         sum(len(str_split(trim(rep, '<>'), '><'))) AS toks,
@@ -267,8 +283,8 @@ object BpeQueries {
               aggregate(col("__ws"),
                 lit(0L), (acc, w) => acc + length(w)).as("chars"),
               col("__ws")),
-            "__ws", Indexes.bpeMerges(s, d, NMerges), "__reps",
-            dropInput = true)
+            "__ws", Indexes.bpeMerges(s, d, NMerges).take(MonitorMerges),
+            "__reps", dropInput = true)
           .select(col("lang"), trainedTokens.as("toks"), col("chars"))
         per.groupBy("lang").agg(
             count(lit(1)).as("n_docs"),
@@ -282,7 +298,7 @@ object BpeQueries {
     },
 
     Q("q129_bpe_encode_ids", {
-      val n = NMerges
+      val n = MonitorMerges
       s"""WITH ${trainingCtes(n)},
          |vocab AS (SELECT sym,
          |            CAST(row_number() OVER (ORDER BY sym) - 1 AS BIGINT) AS tid
@@ -302,11 +318,12 @@ object BpeQueries {
          |FROM documents d LEFT JOIN ids ON ids.doc_id = d.doc_id""".stripMargin
     }) {
       (s, d) =>
-        val merges = Indexes.bpeMerges(s, d, NMerges)
-        // Bounded vocabulary collect (|V| ≤ alphabet + NMerges) off the
-        // persisted vocab table — the corpus-wide distinct that used to
-        // re-normalize 27 M words per query lives in the index build.
-        val idOf = Indexes.bpeVocab(s, d, NMerges).collect()
+        val merges = Indexes.bpeMerges(s, d, NMerges).take(MonitorMerges)
+        // Bounded vocabulary collect (|V| ≤ alphabet + MonitorMerges)
+        // off the persisted vocab table — the corpus-wide distinct that
+        // used to re-normalize 27 M words per query lives in the index
+        // build.
+        val idOf = Indexes.bpeVocab(s, d, MonitorMerges).collect()
           .map(r => (r.getString(0), r.getLong(1))).toMap
         // Encode straight to ids in the memoized per-partition pass —
         // the id string is computed once per word TYPE, and the word

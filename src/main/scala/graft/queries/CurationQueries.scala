@@ -1456,17 +1456,23 @@ object CurationQueries {
           sum(col("tf") * col("is_tgt")).as("s_t"))
         val sinkName = "q166_stream_dsir_sink"
         s.catalog.dropTempView(sinkName)
-        val q = agg.writeStream.format("memory").queryName(sinkName)
-          .outputMode("complete")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        // awaitTermination returns FALSE on timeout without throwing —
-        // unchecked, a timed-out stream would emit stats from the
-        // completed triggers only: plausible-looking, silently wrong.
-        try require(q.awaitTermination(300000),
-          "q166: stream did not drain within 300s — partial stats")
-        finally q.stop()
-        org.apache.commons.io.FileUtils.deleteDirectory(scratch.toFile)
+        // Outer finally owns the scratch dir (the q137 shape): the
+        // drain `require` throwing must still remove the corpus-sized
+        // staged feature dump — it only feeds the stream; the memory
+        // sink holds the ≤4096 stats rows the result reads.
+        try {
+          val q = agg.writeStream.format("memory").queryName(sinkName)
+            .outputMode("complete")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          // awaitTermination returns FALSE on timeout without throwing —
+          // unchecked, a timed-out stream would emit stats from the
+          // completed triggers only: plausible-looking, silently wrong.
+          try require(q.awaitTermination(300000),
+            "q166: stream did not drain within 300s — partial stats")
+          finally q.stop()
+        } finally
+          org.apache.commons.io.FileUtils.deleteDirectory(scratch.toFile)
         s.table(sinkName).select(col("b"),
           (col("s_r") + 1L).as("c_r"), (col("s_t") + 1L).as("c_t"))
     },
@@ -1634,8 +1640,8 @@ object CurationQueries {
     * corpus-sized shuffle buying nothing. Scoring is a BROADCAST
     * probe of the ≤4096-row stats table — the corpus never shuffles
     * on a feature key. */
-  private def dsirScoreFrame(s: org.apache.spark.sql.SparkSession,
-                             d: String): org.apache.spark.sql.DataFrame = {
+  private[graft] def dsirScoreFrame(s: org.apache.spark.sql.SparkSession,
+                                    d: String): org.apache.spark.sql.DataFrame = {
     val bkt = Indexes.bigramBuckets(s, d)
     val raw = bkt.groupBy("b").agg((sum(col("tf")) + 1L).as("c_r"))
     val tgtDocs = table(s, d, "documents")

@@ -623,7 +623,16 @@ object Indexes {
     scala.collection.mutable.Map.empty[(String, Long, Int), Seq[(String, String)]]
   def bpeMerges(spark: SparkSession, sfDir: String,
                 nMerges: Int): Seq[(String, String)] = lock.synchronized {
-    bpeMergeCache.getOrElseUpdate((sfDir, corpusEpoch(spark, sfDir), nMerges), {
+    val epoch = corpusEpoch(spark, sfDir)
+    bpeMergeCache.getOrElseUpdate((sfDir, epoch, nMerges), {
+      // Greedy training is prefix-stable (rule k depends only on rules
+      // < k — BpeSpec pins it), so a longer already-trained table
+      // serves any shorter cap as its prefix: no second training, no
+      // second persisted table.
+      bpeMergeCache.collectFirst {
+        case ((d2, e2, n2), rules) if d2 == sfDir && e2 == epoch && n2 >= nMerges =>
+          rules.take(nMerges)
+      }.getOrElse {
       // Persist the rule table (ordered) so a second process reads it
       // instead of re-training. Training dispatches through
       // [[graft.ops.Bpe.trainMergesAuto]]: ONE distributed corpus
@@ -642,8 +651,9 @@ object Indexes {
           .zipWithIndex.map { case ((a, b), i) => (i, a, b) }
         bst.overwrite(name, rules.toDF("i", "a", "b"))
       }
-      df.collect().sortBy(_.getInt(0))
-        .map(r => (r.getString(1), r.getString(2))).toSeq
+        df.collect().sortBy(_.getInt(0))
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+      }
     })
   }
 

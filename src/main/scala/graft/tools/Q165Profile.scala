@@ -23,23 +23,11 @@ object Q165Profile {
     }
     (1 to 4).foreach { round =>
       println(s"--- round $round")
-      // dsirScoreFrame inlined (it is private in CurationQueries)
-      val bkt = t("bigramBuckets read")(Indexes.bigramBuckets(s, d))
-      val raw = bkt.groupBy("b").agg((sum(col("tf")) + 1L).as("c_r"))
-      val tgtDocs = graft.io.Sources.table(s, d, "documents")
-        .filter(col("source") === "src1").select("doc_id")
-      val tgt = bkt.join(broadcast(tgtDocs), "doc_id")
-        .groupBy("b").agg((sum(col("tf")) + 1L).as("c_t"))
-      val stats = raw.join(tgt, Seq("b"), "left")
-        .select(col("b"), col("c_r"), coalesce(col("c_t"), lit(1L)).as("c_t"))
-      val sc = bkt.join(broadcast(stats), "b")
-        .groupBy("doc_id")
-        .agg(sum(col("tf") *
-          (length(bin(col("c_t"))) - length(bin(col("c_r")))).cast("long"))
-          .as("score"))
-      val scores = graft.io.Sources.table(s, d, "documents").select("doc_id")
-        .join(sc, Seq("doc_id"), "left")
-        .select(col("doc_id"), coalesce(col("score"), lit(0L)).as("score"))
+      // The REAL scoring chain (private[graft]) — the profiler must
+      // measure the plan q162/q165 actually run, not a hand-inlined
+      // copy that silently diverges when the scoring changes.
+      val scores = t("dsirScoreFrame construction")(
+        graft.queries.CurationQueries.dsirScoreFrame(s, d))
       val doc = t("doc checkpoint (tokenize + score join)")(
         graft.io.Sources.table(s, d, "documents")
           .select(col("doc_id"), col("source"),

@@ -70,6 +70,22 @@ class PlanSpec extends AnyFunSuite {
       s"BPE apply path shuffles:\n${plan.take(1500)}")
   }
 
+  test("q169: HTML extraction is a shuffle-free map pass; q170 adds one hash agg") {
+    // Extraction (wrap → strip → block argmax) must stay a pure
+    // projection over the scan: extracting main text from 100 TB of
+    // crawl is a map job, never an explode + window.
+    val plan = planOf("q169_html_extract")
+    assert(!plan.contains("Exchange"),
+      s"extraction path shuffles:\n${plan.take(1500)}")
+    assert(!plan.contains("Window") && !plan.contains("Generate"),
+      s"extraction planned explode/window:\n${plan.take(1500)}")
+    // The curation composition adds exactly the dedup's hash exchange.
+    val plan170 = planOf("q170_crawl_curate")
+    val shuffles = plan170.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles === 1, s"expected 1 hash exchange, got $shuffles")
+    assert(plan170.contains("partial_"), "dedup agg lost map-side partial aggregation")
+  }
+
   test("q97/q102: image phash pairing is banded hash joins, never nested-loop") {
     // Both containers (BMP and PNG) must plan the identical pairing
     // shape — the codec seam is upstream of the join.

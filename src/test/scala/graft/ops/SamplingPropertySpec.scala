@@ -125,6 +125,22 @@ class SamplingPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("waterFillQuota raises in-plan when Σavail·budgetNum overflows int64") {
+    // Per-row preconditions hold (max(avail)·n ≪ 2⁶³) but the budget
+    // product Σavail·budgetNum = 2⁴¹·2³⁰ wraps — the parameter
+    // aggregate must raise, never silently misallocate.
+    val big = Seq(("a", 1L << 40), ("b", 1L << 40)).toDF("src", "avail")
+    val ex = intercept[Exception] {
+      Sampling.waterFillQuota(big, "src", "avail", 1L << 30, 3L).collect()
+    }
+    assert(ex.getMessage.contains("overflows int64") ||
+      Option(ex.getCause).exists(_.getMessage.contains("overflows int64")))
+    // The same magnitudes under a sane budget ratio still succeed.
+    val ok = Sampling.waterFillQuota(big, "src", "avail", 1L, 2L)
+      .collect().map(r => r.getAs[Long]("quota")).sum
+    assert(ok == 1L << 40)
+  }
+
   test("ppsSample equals the naive interval walk; hit mass is tight") {
     check(Prop.forAll(genCorpus, Gen.choose(1L, 500L)) { (rows, step) =>
       val df = rows.toDF("doc_id", "lang", "w")

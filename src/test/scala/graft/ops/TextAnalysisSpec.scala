@@ -27,6 +27,59 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(one("clean text stays", TextAnalysis.scrubPii) === "clean text stays")
   }
 
+  test("pageText: scripts/styles/comments removed, tags stripped, ws collapsed") {
+    val in = "<html><head><style>p{x:1}</style><script>var a = 1 < 2;</script>" +
+      "</head><body><!-- note --><p>Hello <b>world</b></p></body></html>"
+    assert(one(in, TextAnalysis.pageText) === "Hello world")
+    // Script content with angle brackets must not leak as text.
+    assert(!one(in, TextAnalysis.pageText).contains("var"))
+    // Tag-free input passes through (collapsed).
+    assert(one("plain   text", TextAnalysis.pageText) === "plain text")
+  }
+
+  test("mainBlockStruct: density argmax picks the text-dense long block") {
+    def best(html: String): (Long, String) = {
+      val r = Seq(html).toDF("h")
+        .select(TextAnalysis.mainBlockStruct(col("h")).as("b"))
+        .select(col("b").getField("s"), col("b").getField("t"))
+        .collect().head
+      (r.getLong(0), r.getString(1))
+    }
+    val nav = "<nav><a href=\"/x\">home</a> <a href=\"/y\">about</a></nav>"
+    val main = "<div>the quick brown fox jumps over the lazy dog again and again</div>"
+    val promo = "<div>subscribe now</div>"
+    val (s, t) = best(s"<body>$nav$main$promo</body>")
+    assert(t === "the quick brown fox jumps over the lazy dog again and again")
+    // Exact integer density of the winning block: len(txt)²·1000/(len(raw)+1)
+    // — raw = txt here (no inline tags).
+    val n = "the quick brown fox jumps over the lazy dog again and again".length.toLong
+    assert(s === n * n * 1000 / (n + 1))
+    // The link-farm nav loses even against a same-text-length div: its
+    // markup inflates len(raw).
+    val navTxt = "<nav><a href=\"/first\">alpha beta</a> <a href=\"/second\">gamma</a></nav>"
+    val plain = "<div>alpha beta gamma</div>"
+    assert(best(s"$navTxt$plain")._2 === "alpha beta gamma")
+    // Tie on score → first block wins (the −index field).
+    assert(best("<div>same text</div><div>same text</div>")._2 === "same text")
+    // No block containers at all → null struct.
+    val none = Seq("<html><body>loose text</body></html>").toDF("h")
+      .select(TextAnalysis.mainBlockStruct(col("h"))).collect().head
+    assert(none.isNullAt(0))
+  }
+
+  test("blockContents: flat block model, script/style removed first") {
+    def blocks(html: String): Seq[String] =
+      Seq(html).toDF("h")
+        .select(TextAnalysis.blockContents(col("h"))).collect()
+        .head.getSeq[String](0).toSeq
+    assert(blocks("<div>a</div><p>b</p><footer>c</footer>") === Seq("a", "b", "c"))
+    // A style block containing 'p{...}' must never yield a phantom block.
+    assert(blocks("<style>div{x:1}</style><div>real</div>") === Seq("real"))
+    // Nested markup: innermost-first fragment (deterministic on both
+    // engines) — the outer open pairs with the INNER close.
+    assert(blocks("<div>a<div>b</div>c</div>") === Seq("a<div>b"))
+  }
+
   test("chunkStarts/chunkAt: clamped sliding windows with overlap") {
     def chunks(text: String, stride: Int, size: Int): Seq[Seq[String]] = {
       val ws = Dedup.tokens(col("t"))

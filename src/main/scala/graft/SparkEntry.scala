@@ -16,7 +16,8 @@ object SparkEntry {
     ParityQueries.all ++ graft.queries.ExtensionQueries.all ++
       graft.queries.LlmQueries.all ++ graft.queries.SimilarityQueries.all ++
       graft.queries.MultimodalQueries.all ++ graft.queries.BpeQueries.all ++
-      graft.queries.CurationQueries.all ++ graft.queries.HtmlQueries.all
+      graft.queries.CurationQueries.all ++ graft.queries.HtmlQueries.all ++
+      graft.queries.UnicodeQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

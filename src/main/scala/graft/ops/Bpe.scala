@@ -49,7 +49,7 @@ object Bpe {
 
   /** Normalized, empty-filtered word array of a document. */
   def wordArray(text: Column): Column =
-    filter(split(TextAnalysis.normalize(text), " "), w => w =!= "")
+    filter(split(TextAnalysis.normalizeNfc(text), " "), w => w =!= "")
 
   /** The symbol array of a wrapped representation. */
   def symbols(rep: Column): Column = split(trim(rep, "<>"), "><")

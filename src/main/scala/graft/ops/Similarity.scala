@@ -75,15 +75,34 @@ object Similarity {
     * relevance, then k−1 rounds of score = λ·rel − (1−λ)·ms where
     * `ms` is each candidate's max cosine to the already-selected set.
     *
-    * Scale shape: `ms` updates INCREMENTALLY (ms' = greatest(ms,
-    * cos(cand, last pick))), so each round is ONE map pass over the
-    * candidates (the pick's vector rides the plan as a literal — the
-    * IVF-codebook discipline) plus a distributed TakeOrdered(1)
-    * argmax; k rounds total, k bounded driver rows collected, no
-    * shuffle anywhere. Cosines are [[cosRounded]] (6-decimal,
-    * engine-portable float ops) and the λ-mix runs on those rounded
-    * doubles identically on any IEEE engine, so an oracle replays the
-    * greedy chain exactly; ties break by id.
+    * Scale shape, in three exact mechanisms (all pick-preserving —
+    * MmrSpec pins the output against a sequential reference):
+    *   - CANDIDATES MATERIALIZE ONCE: (id, vec, rel) is
+    *     localCheckpoint'ed before round 1, so the k rounds scan a
+    *     compact materialized frame instead of re-deriving the
+    *     corpus scan + broadcast + cosine every round (the old
+    *     shape's dominant cost, and the q146-postmortem lineage
+    *     growth: one filter+withColumn pair per round over an
+    *     ever-deeper plan).
+    *   - EXACT RELEVANCE PRUNE: in any round, a remaining candidate d
+    *     guarantees score ≥ λ·rel_d − (1−λ) (ms ≤ 1), while c can
+    *     never exceed λ·rel_c + (1−λ); at most k−1 candidates are
+    *     ever removed, so the k-th-largest rel is always present
+    *     among remaining. Hence rel_c < relK − 2(1−λ)/λ ⇒ c can win
+    *     NO round — dropped once, before the checkpoint (skipped at
+    *     λ = 0 where relevance is score-irrelevant; a 1e-9 slack
+    *     keeps float-boundary candidates, conservatively exact).
+    *   - BOUNDED LINEAGE: `ms` still updates incrementally
+    *     (ms' = greatest(ms, cos(cand, pick)) — one map pass per
+    *     round, the pick's vector a plan literal), and the frame
+    *     re-checkpoints every 8 rounds so plan depth stays ≤ 8
+    *     whatever k is.
+    * Each round is then one map pass + a distributed TakeOrdered(1)
+    * argmax; k bounded driver rows collected; no shuffle anywhere.
+    * Cosines are [[cosRounded]] (6-decimal, engine-portable float
+    * ops) and the λ-mix runs on those rounded doubles identically on
+    * any IEEE engine, so an oracle replays the greedy chain exactly;
+    * ties break by id.
     *
     * Returns the k picks as a driver-built frame:
     * (sel_rank, `idCol`, rel_r, score_r). */
@@ -109,8 +128,26 @@ object Similarity {
       .select(col(idCol), col(vecCol),
         cosRoundedPre(col("qvec"), col(vecCol), col("qnorm"), col("__norm"))
           .as("rel"))
+    // The exact prune. relK comes from a TakeOrdered(k) (k bounded
+    // driver rows); null-rel candidates are kept — they can never win
+    // (NULLS LAST under the desc argmax) but dropping them would
+    // change nothing and keeping them costs nothing.
+    val pruned =
+      if (lam == 0.0) cand
+      else {
+        val topK = cand.filter(col("rel").isNotNull)
+          .orderBy(col("rel").desc, col(idCol)).limit(k)
+          .select(col("rel")).collect()
+        if (topK.isEmpty) cand
+        else {
+          val relK = topK.last.getDouble(0)
+          val floor = relK - 2.0 * pen / lam - 1e-9
+          cand.filter(col("rel").isNull || col("rel") >= lit(floor))
+        }
+      }
     val picks = scala.collection.mutable.ArrayBuffer[(Long, Long, Double, Double)]()
-    var remaining = cand
+    var remaining = pruned.localCheckpoint(true)
+    var sinceCheckpoint = 0
     for (i <- 1 to k) {
       val scored =
         if (i == 1) remaining.withColumn("score", col("rel"))
@@ -127,6 +164,11 @@ object Similarity {
         remaining =
           if (i == 1) remaining.withColumn("ms", simToPick)
           else remaining.withColumn("ms", greatest(col("ms"), simToPick))
+        sinceCheckpoint += 1
+        if (sinceCheckpoint == 8 && i < k) {
+          remaining = remaining.localCheckpoint(true)
+          sinceCheckpoint = 0
+        }
       }
     }
     import spark.implicits._

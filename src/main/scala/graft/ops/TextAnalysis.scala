@@ -92,6 +92,20 @@ object TextAnalysis {
     trim(regexp_replace(
       regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
 
+  /** [[normalize]] with Unicode NFC canonicalization FIRST
+    * ([[graft.functions.UnicodeExpressions.nfc]]): codepoint-
+    * equivalent spellings ("é" precomposed vs e+combining-acute)
+    * byte-diverge and so defeat exact dedup and split BPE word types
+    * unless composed before any byte-keyed stage. On pure-ASCII text
+    * the two functions are IDENTICAL (ASCII is already in NFC and the
+    * fast path is an allocation-free byte scan), which is why the
+    * ASCII-oracle'd consumers can adopt this variant with their
+    * oracles gaining only a `nfc_normalize(...)` wrap. Multilingual
+    * corpora should use this everywhere; q171/q172 oracle-gate the
+    * NFC leg on injected decomposed characters. */
+  def normalizeNfc(text: Column): Column =
+    normalize(graft.functions.UnicodeExpressions.nfc(text))
+
   /** PII redaction patterns (emails, international-ish phone numbers,
     * 13-16-digit card numbers) → fixed placeholder tokens. Fixed-form
     * regexes chosen to match identically across regex engines. */

@@ -53,8 +53,12 @@ object BpeQueries {
     * coverage loss. */
   val MonitorMerges = 64
 
+  /** Mirrors [[graft.ops.Bpe.wordArray]]'s normalization, NFC
+    * canonicalization included (identity on this ASCII corpus; load-
+    * bearing the moment a non-ASCII document arrives — see
+    * [[graft.ops.TextAnalysis.normalizeNfc]]). */
   private val NormSql =
-    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+    "trim(regexp_replace(regexp_replace(lower(nfc_normalize(text)), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
 
   /** The unrolled training CTE chain, ending in `w$n` (doc_id, j,
     * rep). `MATERIALIZED` is load-bearing: each `t{k}` is referenced

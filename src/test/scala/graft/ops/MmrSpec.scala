@@ -56,6 +56,39 @@ class MmrSpec extends AnyFunSuite {
     for (lp <- Seq(70, 50)) assert(run(5, lp) === naive(5, lp), s"lambdaPct=$lp")
   }
 
+  test("relevance prune + checkpointed rounds preserve picks on a random corpus") {
+    // 120 seeded vectors with a wide rel spread (so the exact
+    // λ·rel + (1−λ) prune actually removes candidates) and k past the
+    // 8-round re-checkpoint boundary; the distributed greedy must
+    // still equal the sequential reference pick-for-pick.
+    val rnd = new scala.util.Random(421L)
+    val many: Seq[(Long, Seq[Float])] = (0L until 120L).map { i =>
+      i -> Seq.fill(8)(rnd.nextFloat() * 2f - 1f)
+    }
+    def naiveMany(k: Int, lambdaPct: Int): Seq[(Long, Long)] = {
+      val q = many.find(_._1 == 0L).get._2
+      val lam = lambdaPct / 100.0; val pen = (100 - lambdaPct) / 100.0
+      var rem = many.filter(_._1 != 0L).map { case (id, v) => (id, v, cos(q, v)) }
+      var ms = Map.empty[Long, Double]
+      (1 to k).map { i =>
+        val pick =
+          if (i == 1) rem.minBy { case (id, _, rel) => (-rel, id) }
+          else rem.minBy { case (id, _, rel) => (-(lam * rel - pen * ms(id)), id) }
+        rem = rem.filterNot(_._1 == pick._1)
+        ms = rem.map { case (id, v, _) =>
+          val s = cos(v, pick._2)
+          id -> (if (i == 1) s else math.max(ms(id), s))
+        }.toMap
+        (i.toLong, pick._1)
+      }
+    }
+    def runMany(k: Int, lambdaPct: Int): Seq[(Long, Long)] =
+      Similarity.mmrSelect(many.toDF("vec_id", "embedding"), 0L, k, lambdaPct)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
+    for (lp <- Seq(100, 70, 30, 0))
+      assert(runMany(12, lp) === naiveMany(12, lp), s"lambdaPct=$lp")
+  }
+
   test("diversity: the near-copy of the top hit is deferred") {
     // At a diversity-heavy mix (λ = 0.3) the near-copy's ~0.999
     // similarity to the first pick must fall BEHIND every genuinely

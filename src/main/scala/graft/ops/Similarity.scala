@@ -415,10 +415,20 @@ object Similarity {
     * `idCol`, `__sv` (scaled vector, internal), `cid`, `dist`. */
   private def kmeansAssign(corpus: DataFrame, cents: Seq[Array[Long]],
                            idCol: String, vecCol: String): DataFrame =
-    corpus.select(col(idCol), scaledVec(col(vecCol)).as("__sv"))
-      .withColumn("__best", nearestScaled(col("__sv"), cents))
-      .select(col(idCol), col("__sv"),
-        col("__best.cid").as("cid"), col("__best.dist").as("dist"))
+    kmeansAssignScaled(
+      corpus.select(col(idCol), scaledVec(col(vecCol)).as("__sv")), cents, idCol)
+
+  /** [[kmeansAssign]] over a frame that ALREADY carries the scaled
+    * vector as `__sv` (a materialized column, per the
+    * [[nearestScaled]] caller contract) — the shared kernel of the
+    * flat and residual trainers. Input columns pass through (the
+    * residual level threads its coarse cid alongside). */
+  private def kmeansAssignScaled(sv: DataFrame, cents: Seq[Array[Long]],
+                                 idCol: String): DataFrame =
+    sv.withColumn("__best", nearestScaled(col("__sv"), cents))
+      .withColumn("cid", col("__best").getField("cid"))
+      .withColumn("dist", col("__best").getField("dist"))
+      .drop("__best")
 
   /** Distributed Lloyd's k-means over an embedding column — the
     * trainer for the IVF codebook ([[assignCells]]/[[ivfKnn]] take
@@ -451,18 +461,30 @@ object Similarity {
     * Runs `iters - 1` update rounds; [[kmeansFit]] adds the final
     * assignment pass over the result. */
   def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int,
-                      idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Array[Long]] = {
+                      idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Array[Long]] =
+    kmeansCentroidsScaled(
+      corpus.select(col(idCol), scaledVec(col(vecCol)).as("__sv")), k, iters, idCol)
+
+  /** The Lloyd loop over an already-scaled `__sv` frame — shared by
+    * the flat trainer and both levels of [[kmeansFitResidual]].
+    * Components must be POSITIVE ([[scaledVec]]'s (−4, 4)→(0, 8·10⁶)
+    * range, or residuals under the [[ResidualShift]]): the centroid
+    * update is integer sum-div-count, and Spark's `/` (truncate
+    * toward zero) only agrees with the oracle's `//` (floor) on
+    * non-negative operands. */
+  private def kmeansCentroidsScaled(sv: DataFrame, k: Int, iters: Int,
+                                    idCol: String): Seq[Array[Long]] = {
     require(k >= 1 && k <= MaxCentroids,
       s"kmeansFit: k must be in [1, $MaxCentroids], got $k")
     require(iters >= 1 && iters <= 100,
       s"kmeansFit: iters must be in [1, 100], got $iters")
-    var cents: Seq[Array[Long]] = corpus
-      .select(col(idCol), scaledVec(col(vecCol)).as("__sv"))
+    var cents: Seq[Array[Long]] = sv
+      .select(col(idCol), col("__sv"))
       .orderBy(col(idCol)).limit(k).collect()
       .map(_.getSeq[Long](1).toArray).toSeq
     require(cents.nonEmpty, "kmeansFit: empty corpus")
     for (_ <- 1 until iters) {
-      val sums = kmeansAssign(corpus, cents, idCol, vecCol)
+      val sums = kmeansAssignScaled(sv, cents, idCol)
         .select(col("cid"), posexplode(col("__sv")).as(Seq("i", "x")))
         .groupBy("cid", "i")
         .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
@@ -476,6 +498,85 @@ object Similarity {
       }
     }
     cents
+  }
+
+  /** Auto-sized SemDeDup blocking-codebook cell count — the k analogue
+    * of [[autoPlanes]]. A FIXED k is a fixed cell count, so within-cell
+    * pair work Σ C(n_c, 2) grows QUADRATICALLY with the corpus (the
+    * r12 sf10 matrix measured the k=8 gate config at 178 s — its one
+    * super-linear row). Targeting a constant expected occupancy of 64
+    * vectors per cell (k = ⌈n/64⌉) keeps per-cell pair work constant
+    * and total pair work ∝ n·occupancy — linear, the SemDeDup paper's
+    * own regime ("k chosen so cells stay constant-size"). Integer-exact
+    * (no float an oracle could round differently), clamped to
+    * [8, [[MaxCentroids]]]. At the harness's 500-vector oracle scale
+    * this yields exactly the historical k = 8 gate config. */
+  def autoCodebookK(corpusRows: Long): Int = {
+    val k = ((corpusRows + 63) / 64).min(MaxCentroids.toLong).toInt
+    math.max(8, k)
+  }
+
+  /** Smallest integer whose square is ≥ k — the per-level size of the
+    * two-level residual codebook (integer-exact; both engines scan the
+    * same bounded range instead of trusting a float `sqrt` at perfect
+    * squares). k ≤ [[MaxCentroids]] = 8192 ⇒ result ≤ 91. */
+  def sqrtCeil(k: Int): Int = {
+    require(k >= 1 && k <= MaxCentroids, s"sqrtCeil: k out of range: $k")
+    Iterator.from(1).find(i => i * i >= k).get
+  }
+
+  /** Shift making residual components positive before the fine Lloyd
+    * level: [[scaledVec]] maps components in (−4, 4) to (0, 8·10⁶), so
+    * any (vector − centroid) component lies in (−8·10⁶, 8·10⁶) and
+    * shifting by 8·10⁶ lands it in (0, 16·10⁶) — positive (the
+    * [[kmeansCentroidsScaled]] division contract) and exact (far from
+    * int64 overflow: squared distances stay < 64·(16·10⁶)² ≈ 2⁶⁴/10³
+    * per dim, summed over ≤ 4096 dims < 2⁶³). Squared distances are
+    * shift-invariant, so assignment geometry is unchanged. */
+  val ResidualShift = 8000000L
+
+  /** TWO-LEVEL residual k-means — the codebook architecture that makes
+    * [[autoCodebookK]] trainable at any corpus size. Flat Lloyd
+    * assignment folds the vector over a k-entry literal codebook:
+    * O(k·dim) per vector per pass, fine at the k ≤ 64 gate configs but
+    * 50× the measured k=64 cost at the k ≈ 3000 an sf10 corpus wants —
+    * the codebook BUILD would become the quadratic row. Here a coarse
+    * level of `kCoarse` cells trains normally, then a fine level of
+    * `kFine` cells trains on the coarse RESIDUALS (vector − assigned
+    * coarse centroid, shifted positive by [[ResidualShift]]), giving
+    * `kCoarse × kFine` distinct blocking cells for
+    * O((kCoarse + kFine)·dim) per vector per pass — √k scaling, the
+    * public faiss IVF-residual / multi-index shape.
+    *
+    * Deterministic by the same construction as [[kmeansFit]]: both
+    * levels init from the k smallest-id vectors and run all-integer
+    * math, so the fitted cells are a pure function of the data. The
+    * residual frame is materialized once (`localCheckpoint`) before
+    * the fine loop — the [[nearestScaled]] capture contract would
+    * otherwise re-evaluate the coarse fold once per fine centroid,
+    * re-creating exactly the flat O(k·dim) cost this exists to avoid.
+    *
+    * Returns (`idCol`, cid, dist): cid = coarseCid·kFine + fineCid
+    * (BIGINT, < kCoarse·kFine), dist = exact scaled squared distance
+    * to the fine residual centroid. */
+  def kmeansFitResidual(corpus: DataFrame, kCoarse: Int, kFine: Int, iters: Int,
+                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(kCoarse >= 1 && kFine >= 1 && kCoarse.toLong * kFine <= MaxCentroids.toLong * MaxCentroids,
+      s"kmeansFitResidual: cell space $kCoarse×$kFine out of range")
+    val sv = corpus.select(col(idCol), scaledVec(col(vecCol)).as("__sv"))
+    val coarse = kmeansCentroidsScaled(sv, kCoarse, iters, idCol)
+    val centLit = typedlit(coarse.map(_.toSeq))
+    val resid = kmeansAssignScaled(sv, coarse, idCol)
+      .select(col(idCol), col("cid").as("__ccid"),
+        zip_with(col("__sv"),
+          element_at(centLit, col("cid").cast("int") + 1),
+          (x, c) => x - c + lit(ResidualShift)).as("__sv"))
+      .localCheckpoint(true)
+    val fine = kmeansCentroidsScaled(resid, kFine, iters, idCol)
+    kmeansAssignScaled(resid, fine, idCol)
+      .select(col(idCol),
+        (col("__ccid") * lit(kFine.toLong) + col("cid")).as("cid"),
+        col("dist"))
   }
 
   // ── Product quantization (PQ) ─────────────────────────────────────

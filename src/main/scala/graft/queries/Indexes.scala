@@ -543,6 +543,30 @@ object Indexes {
     }
   }
 
+  /** The AUTO-SIZED blocking codebook — the semantic-dedup default.
+    * Cell count targets constant ~64-vector occupancy at any corpus
+    * size ([[graft.ops.Similarity.autoCodebookK]]; at the harness's
+    * 500-vector oracle scale: the historical k = 8), trained as a
+    * TWO-LEVEL residual codebook of ⌈√k⌉ cells per level
+    * ([[graft.ops.Similarity.kmeansFitResidual]]) so the build costs
+    * O(√k·dim) per vector instead of flat Lloyd's O(k·dim) — at the
+    * k ≈ 3000 an sf10 corpus wants, the flat build would itself be the
+    * quadratic row. The corpus row count is read once at build time;
+    * the registry's generation keying re-derives k when the corpus is
+    * recommitted. q69 gates this path end-to-end with a dynamic
+    * oracle (k1 derived from count(*) in SQL); the fixed k=8 flat
+    * config survives as q68's trainer gate and the [[kmeansCells]]
+    * IVF codebook. */
+  def kmeansCellsAuto(spark: SparkSession, sfDir: String): DataFrame = lock.synchronized {
+    cached(spark, store(spark, sfDir), "kmeans_cells_auto") { bst =>
+      import graft.ops.Similarity
+      val emb = graft.io.Sources.table(spark, sfDir, "embeddings")
+      val k1 = Similarity.sqrtCeil(Similarity.autoCodebookK(emb.count()))
+      bst.overwrite("kmeans_cells_auto",
+        Similarity.kmeansFitResidual(emb, k1, k1, iters = 2))
+    }
+  }
+
   /** Per-doc span occurrences (doc_id, span, occ) — every 8-token
     * sliding span of the NORMALIZED token stream, pre-collapsed to
     * one row per (doc, span). ONE normalize+explode pass over the

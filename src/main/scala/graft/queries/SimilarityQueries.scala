@@ -68,6 +68,69 @@ object SimilarityQueries {
   /** Shared q68/q69 chain: the whole vector, k = 8, no suffix. */
   private val kmeansCtesSql: String = kmeansCtes("", "embedding", 8)
 
+  /** [[kmeansCtes]] with a DYNAMIC cell count and an EXISTING scaled
+    * CTE as input — the oracle leg of the two-level residual trainer
+    * ([[graft.ops.Similarity.kmeansFitResidual]]). `src` must expose
+    * (vec_id, s); k comes from the `params` CTE's `k1` (derived from
+    * count(*), the [[rpSigCtes]] discipline: ONE oracle text serves
+    * every corpus cardinality), so init selects the first k1 vec_ids
+    * via QUALIFY instead of a constant LIMIT. CTE names carry `sfx`
+    * (coarse level: "", fine level: "f"). */
+  private def lloyd2DynCtes(sfx: String, src: String): String =
+    s"""init$sfx AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, s
+       |  FROM $src QUALIFY row_number() OVER (ORDER BY vec_id) <= (SELECT k1 FROM params)),
+       |a1$sfx AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT v.vec_id, c.cid,
+       |           row_number() OVER (PARTITION BY v.vec_id
+       |             ORDER BY list_sum(list_transform(v.s, (x, i) -> (x - c.s[i]) * (x - c.s[i]))), c.cid) AS rn
+       |    FROM $src v CROSS JOIN init$sfx c) WHERE rn = 1),
+       |u$sfx AS (
+       |  SELECT a.cid, generate_subscripts(v.s, 1) AS i, unnest(v.s) AS x
+       |  FROM a1$sfx a JOIN $src v USING (vec_id)),
+       |c1$sfx AS (
+       |  SELECT init$sfx.cid, coalesce(agg.s, init$sfx.s) AS s
+       |  FROM init$sfx LEFT JOIN (
+       |    SELECT cid, list(q ORDER BY i) AS s
+       |    FROM (SELECT cid, i, sum(x) // count(*) AS q FROM u$sfx GROUP BY cid, i)
+       |    GROUP BY cid) agg USING (cid)),
+       |a2$sfx AS (
+       |  SELECT vec_id, cid, dist FROM (
+       |    SELECT v.vec_id, c.cid,
+       |           list_sum(list_transform(v.s, (x, i) -> (x - c.s[i]) * (x - c.s[i]))) AS dist,
+       |           row_number() OVER (PARTITION BY v.vec_id
+       |             ORDER BY list_sum(list_transform(v.s, (x, i) -> (x - c.s[i]) * (x - c.s[i]))), c.cid) AS rn
+       |    FROM $src v CROSS JOIN c1$sfx c) WHERE rn = 1)""".stripMargin
+
+  /** The full auto-k two-level residual cell assignment as CTEs:
+    * `cells` = (vec_id, cid) under the
+    * [[graft.ops.Similarity.autoCodebookK]] codebook. k1 = ⌈√k⌉ is
+    * integer-exact via a bounded range scan (k ≤ 8192 ⇒ k1 ≤ 91 < 100
+    * — no float sqrt at perfect squares); residuals shift by the same
+    * +8·10⁶ the Scala side uses, keeping every component positive
+    * where `//` and Spark's `/` agree. */
+  private val autoCellsCtesSql: String =
+    s"""params0 AS (
+       |  SELECT greatest(8, least(8192, (count(*) + 63) // 64)) AS k
+       |  FROM embeddings),
+       |params AS (
+       |  SELECT CAST(min(i) AS BIGINT) AS k1
+       |  FROM range(1, 100) t(i), params0 WHERE i * i >= k),
+       |sv AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding, x -> CAST(round((CAST(x AS DOUBLE) + 4.0) * 1000000.0) AS BIGINT)) AS s
+       |  FROM embeddings),
+       |${lloyd2DynCtes("", "sv")},
+       |rv AS (
+       |  SELECT v.vec_id, a2.cid AS ccid,
+       |         list_transform(list_zip(v.s, c.s), p -> p[1] - p[2] + 8000000) AS s
+       |  FROM sv v JOIN a2 USING (vec_id) JOIN c1 c ON a2.cid = c.cid),
+       |${lloyd2DynCtes("f", "rv")},
+       |cells AS (
+       |  SELECT rv.vec_id, rv.ccid * (SELECT k1 FROM params) + a2f.cid AS cid
+       |  FROM rv JOIN a2f USING (vec_id))""".stripMargin
+
   /** Shared q42/q61 random-hyperplane signature CTEs (`params` + `sig`
     * with columns vec_id, b0, b1), mirroring
     * [[graft.ops.Similarity.rpSignatures]] with AUTO-SIZED planes per
@@ -262,23 +325,31 @@ object SimilarityQueries {
           .select("vec_id", "cid", "rnk")
     },
 
-    // SemDeDup-style semantic dedup: the TRAINED k-means cells (q68's
-    // codebook, not q42's precomputed label column) become the
+    // SemDeDup-style semantic dedup at the AUTO-SIZED blocking
+    // codebook — the production default. Trained cells become the
     // blocking key, and within each cell a vector is dropped when any
     // LOWER-id vector sits within the cosine threshold — the greedy
     // single-pass survivor policy (deterministic, no transitivity;
     // the survivor-chain variant is the q57/q67 connected-components
     // family). Cross-cell near-dups are missed by design — that is
     // the SemDeDup trade: clustering as blocking makes pair work
-    // linear-in-cell instead of corpus-quadratic, and the
+    // linear-in-cell instead of corpus-quadratic — and the cell count
+    // GROWS with the corpus (autoCodebookK: constant ~64 occupancy,
+    // trained as a two-level residual codebook so the build is
+    // O(√k·dim) per vector), because at any FIXED k the within-cell
+    // pair work Σ C(n_c,2) is corpus-quadratic: the r12 sf10 matrix
+    // measured this very query's old k=8 config at 178 s, its one
+    // super-linear row. The oracle derives k from count(*) in SQL
+    // (the rpSigCtes discipline), so one text gates every scale; the
     // boundedBucketSelfJoin cap keeps one hot cell from becoming one
     // straggler task (pair set provably unchanged, so the plain-join
-    // oracle stays exact).
+    // oracle stays exact). Fixed-k configs remain as gate fixtures:
+    // q68 (flat trainer, k=8), q168 (the explicit k=64 dial).
     Q("q69_semantic_dedup",
-      s"""WITH $kmeansCtesSql,
+      s"""WITH $autoCellsCtesSql,
          |emb AS (
-         |  SELECT e.vec_id, e.embedding, a2.cid
-         |  FROM embeddings e JOIN a2 USING (vec_id))
+         |  SELECT e.vec_id, e.embedding, cells.cid
+         |  FROM embeddings e JOIN cells USING (vec_id))
          |SELECT vec_id, cid FROM emb v
          |WHERE NOT EXISTS (
          |  SELECT 1 FROM emb u
@@ -287,9 +358,9 @@ object SimilarityQueries {
       (s, d) =>
         import graft.functions.VectorExpressions.normF
         val e = table(s, d, "embeddings")
-        // Blocking cells from the persisted codebook assignment —
-        // SemDeDup never retrains per query.
-        val cells = graft.queries.Indexes.kmeansCells(s, d)
+        // Blocking cells from the persisted auto-k codebook
+        // assignment — SemDeDup never retrains per query.
+        val cells = graft.queries.Indexes.kmeansCellsAuto(s, d)
           .select(col("vec_id"), col("cid"))
         val withVec = e.select(col("vec_id"), col("embedding"),
           normF(col("embedding")).as("nrm"))
@@ -304,18 +375,16 @@ object SimilarityQueries {
           .select(col("vec_id"), col("cid"))
     },
 
-    // SemDeDup at the PRODUCTION cell count — the scale dial q69's
-    // Scaladoc promises, made a declared, measured row. q69 pins the
-    // k=8 gate config; its within-cell pair work is Σ C(n_c, 2),
-    // which at FIXED k grows quadratically with the corpus (it is
-    // the one super-linear row in the full sf10 matrix: 178 s).
-    // Growing k with N keeps cell size constant, making total pair
-    // work linear-in-corpus: identical dedup semantics (same
-    // threshold, same survivor policy, same skew-capped self join),
-    // only the blocking codebook changes — k=64 from the persisted
-    // kmeans_cells_k64 index. Cross-cell misses remain the SemDeDup
-    // trade, now at finer granularity (the paper's regime: k is
-    // chosen so cells are ~constant-size at any corpus scale).
+    // SemDeDup at an EXPLICIT k=64 cell count — the measured k dial
+    // between the fixed k=8 flat gate (q68's trainer config) and
+    // q69's auto-sized default. Within-cell pair work is Σ C(n_c, 2),
+    // which at FIXED k grows quadratically with the corpus (the r12
+    // sf10 matrix measured k=8 at 178 s); this row documents what the
+    // k dial alone buys: identical dedup semantics (same threshold,
+    // same survivor policy, same skew-capped self join), only the
+    // blocking codebook changes — k=64 from the persisted
+    // kmeans_cells_k64 index. q69 carries the production answer
+    // (auto-k, constant occupancy at any corpus scale).
     Q("q168_semantic_dedup_scaled",
       s"""WITH ${kmeansCtes("", "embedding", 64)},
          |emb AS (

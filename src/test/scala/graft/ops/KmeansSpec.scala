@@ -67,4 +67,64 @@ class KmeansSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Similarity.kmeansFit(df, k = 0, iters = 2) }
     intercept[IllegalArgumentException] { Similarity.kmeansFit(df, k = 2, iters = 0) }
   }
+
+  // ── auto-k + two-level residual codebook ──────────────────────────
+
+  test("autoCodebookK: integer-exact occupancy-64 sizing, clamped") {
+    // The 500-vector oracle scale yields exactly the historical k=8
+    // gate config — the autoPlanes discipline.
+    assert(Similarity.autoCodebookK(500) === 8)
+    assert(Similarity.autoCodebookK(1) === 8)
+    assert(Similarity.autoCodebookK(512) === 8)
+    assert(Similarity.autoCodebookK(513) === 9)
+    assert(Similarity.autoCodebookK(2000) === 32)
+    assert(Similarity.autoCodebookK(200000) === 3125)
+    assert(Similarity.autoCodebookK(64L * 8192) === 8192)
+    assert(Similarity.autoCodebookK(Long.MaxValue / 2) === 8192) // clamp
+  }
+
+  test("sqrtCeil: exact at and around perfect squares") {
+    assert(Similarity.sqrtCeil(1) === 1)
+    assert(Similarity.sqrtCeil(8) === 3)
+    assert(Similarity.sqrtCeil(9) === 3)
+    assert(Similarity.sqrtCeil(10) === 4)
+    assert(Similarity.sqrtCeil(3125) === 56)
+    assert(Similarity.sqrtCeil(8192) === 91)
+    intercept[IllegalArgumentException] { Similarity.sqrtCeil(0) }
+  }
+
+  test("residual trainer with a 1-cell fine level equals the flat coarse fit") {
+    // kFine = 1 makes the fine level a no-op for the cid (everything
+    // lands in fine cell 0), so cid = coarseCid·1 + 0 must MATCH the
+    // flat trainer exactly — pins that the two-level path's coarse
+    // leg is the same Lloyd chain, not a reimplementation.
+    val df = vecs((1L to 40L).map(i =>
+      (i, Seq(math.sin(i * 2.3).toFloat, math.cos(i * 1.1).toFloat,
+        (i % 9) / 10f, -(i % 4) / 10f))): _*)
+    val flat = Similarity.kmeansFit(df, k = 5, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val resid = Similarity.kmeansFitResidual(df, kCoarse = 5, kFine = 1, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(resid === flat)
+  }
+
+  test("two-level residual fit: cid space, determinism, finer-than-coarse blocking") {
+    val df = vecs((1L to 60L).map(i =>
+      (i, Seq(math.sin(i * 1.3).toFloat, math.cos(i * 0.7).toFloat,
+        math.sin(i * 0.31).toFloat, (i % 11) / 12f))): _*)
+    val r1 = Similarity.kmeansFitResidual(df, kCoarse = 4, kFine = 3, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // cid = coarse·kFine + fine ∈ [0, 12); distances are exact bigints ≥ 0.
+    assert(r1.forall { case (_, cid, dist) => cid >= 0 && cid < 12 && dist >= 0 })
+    assert(r1.map(_._1).size === 60)
+    // Same coarse cell ⇒ same cid/kFine; the fine level only splits
+    // WITHIN coarse cells (cid // kFine recovers the coarse cid).
+    val coarse = Similarity.kmeansFit(df, k = 4, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1.forall { case (id, cid, _) => cid / 3 === coarse(id) })
+    // Bit-exact under repartitioning, like the flat trainer.
+    val r2 = Similarity.kmeansFitResidual(df.repartition(7), kCoarse = 4, kFine = 3, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(r1 === r2)
+  }
 }

@@ -1,0 +1,125 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.io.Sources.table
+import graft.ops.Url
+
+/** Crawl-frontier URL canonicalization ([[graft.ops.Url]]): the dedup
+  * key a crawler computes before fetching, and the collapse report a
+  * curation run reads per host. The harness ships no URLs, so — the
+  * HtmlQueries fixture discipline — each document deterministically
+  * grows a messy absolute URL from shared constants: consecutive
+  * document PAIRS (uid = doc_id div 2) target the same resource under
+  * different spellings (scheme/host case, `www.`, default ports,
+  * duplicate slashes, `utm_*` noise, fragments, param order), except
+  * where one member carries a genuinely different `:8080` port — the
+  * negative control that canonicalization must NOT merge. */
+object UrlQueries {
+
+  /** The messy URL for one document (exactly mirrored by [[uCte]]). */
+  private def urlCol = {
+    val uid = expr("doc_id div 2")
+    val scheme = when(uid % 2 === 0, "HTTPS").otherwise("http")
+    val www = when(col("doc_id") % 3 === 0, "WWW.").otherwise("")
+    val port = when(col("doc_id") % 5 === 0,
+        when(uid % 2 === 0, ":443").otherwise(":80"))
+      .when(col("doc_id") % 7 === 0, ":8080")
+      .otherwise("")
+    val path = when(col("doc_id") % 11 === 0,
+        concat(lit("/docs//page/"), uid))
+      .otherwise(concat(lit("/docs/page/"), uid))
+    val query = when(col("doc_id") % 2 === 0,
+        concat(lit("?utm_source=feed&id="), uid, lit("&utm_campaign=x")))
+      .otherwise(concat(lit("?id="), uid))
+    val frag = when(col("doc_id") % 3 === 0, "#Top").otherwise("")
+    concat(scheme, lit("://"), www,
+      lit("Site-"), uid % 20, lit(".Example.COM"), port, path, query, frag)
+  }
+
+  /** Fixture + canonicalization as SQL CTEs: `u` = (doc_id, url),
+    * `c` = (doc_id, url, host, canon) — each rule the verbatim
+    * DuckDB mirror of the [[graft.ops.Url]] expression chain. */
+  private val urlCtes: String =
+    """u AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN (doc_id // 2) % 2 = 0 THEN 'HTTPS' ELSE 'http' END) ||
+      |    '://' ||
+      |    (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+      |    'Site-' || CAST((doc_id // 2) % 20 AS VARCHAR) || '.Example.COM' ||
+      |    (CASE WHEN doc_id % 5 = 0
+      |          THEN (CASE WHEN (doc_id // 2) % 2 = 0 THEN ':443' ELSE ':80' END)
+      |          WHEN doc_id % 7 = 0 THEN ':8080' ELSE '' END) ||
+      |    (CASE WHEN doc_id % 11 = 0 THEN '/docs//page/' ELSE '/docs/page/' END) ||
+      |    CAST(doc_id // 2 AS VARCHAR) ||
+      |    (CASE WHEN doc_id % 2 = 0
+      |          THEN '?utm_source=feed&id=' || CAST(doc_id // 2 AS VARCHAR) || '&utm_campaign=x'
+      |          ELSE '?id=' || CAST(doc_id // 2 AS VARCHAR) END) ||
+      |    (CASE WHEN doc_id % 3 = 0 THEN '#Top' ELSE '' END) AS url
+      |  FROM documents),
+      |cx AS (
+      |  SELECT doc_id, url,
+      |         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+      |         lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS auth,
+      |         regexp_replace(regexp_extract(url,
+      |           '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1), '/{2,}', '/', 'g') AS path,
+      |         array_to_string(list_sort(list_filter(
+      |           string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+      |           p -> p <> '' AND p[1:4] <> 'utm_')), '&') AS q
+      |  FROM u),
+      |c AS (
+      |  SELECT doc_id, url,
+      |    regexp_replace(
+      |      CASE WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
+      |           WHEN scheme = 'http'  THEN regexp_replace(auth, ':80$', '')
+      |           ELSE auth END,
+      |      '^www\.', '') AS host,
+      |    scheme || '://' ||
+      |    regexp_replace(
+      |      CASE WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
+      |           WHEN scheme = 'http'  THEN regexp_replace(auth, ':80$', '')
+      |           ELSE auth END,
+      |      '^www\.', '') ||
+      |    path ||
+      |    (CASE WHEN q = '' THEN '' ELSE '?' || q END) AS canon
+      |  FROM cx)""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    // Per-URL canonicalization: every RFC 3986 §6 rule plus the two
+    // de-facto crawl rules (www., utm_*), as one codegen'd map pass.
+    Q("q175_url_canonicalize",
+      s"""WITH $urlCtes
+         |SELECT doc_id, url, canon FROM c""".stripMargin) {
+      (s, d) =>
+        table(s, d, "documents")
+          .select(col("doc_id"), urlCol.as("url"))
+          .select(col("doc_id"), col("url"),
+            Url.canonicalizeUrl(col("url")).as("canon"))
+    },
+
+    // The frontier collapse report per canonical host: raw spellings
+    // seen, distinct raw URLs, distinct canonical targets — the
+    // fetch-savings ledger (n_raw / n_canon ≈ 2 here by fixture
+    // construction, except where the :8080 negative control keeps a
+    // pair apart). One hash aggregate on the canonical host — the
+    // q30 exact-dedup shape applied to the frontier.
+    Q("q176_url_frontier",
+      s"""WITH $urlCtes
+         |SELECT host,
+         |       CAST(count(*) AS BIGINT) AS n_urls,
+         |       CAST(count(DISTINCT url) AS BIGINT) AS n_raw,
+         |       CAST(count(DISTINCT canon) AS BIGINT) AS n_canon
+         |FROM c GROUP BY host""".stripMargin) {
+      (s, d) =>
+        table(s, d, "documents")
+          .select(col("doc_id"), urlCol.as("url"))
+          .select(col("url"),
+            Url.urlHost(col("url")).as("host"),
+            Url.canonicalizeUrl(col("url")).as("canon"))
+          .groupBy("host")
+          .agg(count(lit(1)).as("n_urls"),
+            countDistinct(col("url")).as("n_raw"),
+            countDistinct(col("canon")).as("n_canon"))
+    }
+  )
+}

@@ -1,0 +1,112 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.io.Sources.table
+import graft.ops.{Dedup, TextAnalysis}
+
+/** Corpus release reporting and denoising-objective sample prep —
+  * the two bookends of a training-data pipeline: the per-source
+  * datasheet a corpus release ships (counts every consumer audits
+  * before training), and the T5-style span-corruption pairs the
+  * pretraining job reads.
+  */
+object CorpusReportQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // The corpus DATASHEET: one row per source with the release
+    // ledger — document count, exact-unique texts (the dedup
+    // headroom), total whitespace tokens (the budget currency every
+    // q62/q164 allocation speaks), quality-gate pass count (q35's
+    // gate in its integer-exact form), distinct languages. One hash
+    // aggregate; the distinct counts plan as two-phase distinct
+    // aggregates (first exchange keyed by (source, text) — a source
+    // with 10⁹ identical docs spreads across reducers). At 100 TB
+    // this is the whole-corpus summary scan: one pass, no joins.
+    Q("q178_corpus_datasheet",
+      s"""SELECT source,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT text) AS BIGINT) AS n_unique,
+         |  CAST(sum(len(string_split(text,' '))) AS BIGINT) AS n_tok,
+         |  CAST(sum(CASE WHEN len(string_split(text,' ')) BETWEEN 20 AND 200
+         |        AND len(list_filter(string_split(text,' '),
+         |              w -> w IN (${TextAnalysis.Stopwords.map("'" + _ + "'").mkString(",")}))) * 5
+         |            <= len(string_split(text,' ')) * 2
+         |       THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+         |FROM documents GROUP BY source""".stripMargin) {
+      (s, d) =>
+        val ws = Dedup.tokens(col("text"))
+        val stopCnt = TextAnalysis.stopwordCount(ws)
+        table(s, d, "documents")
+          .select(col("source"), col("text"), col("lang"),
+            size(ws).cast("bigint").as("n_tok"),
+            when(size(ws).between(20, 200) &&
+                 stopCnt * 5 <= size(ws) * 2, 1L).otherwise(0L).as("is_q"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("text")).as("n_unique"),
+            sum(col("n_tok")).as("n_tok"),
+            sum(col("is_q")).as("n_quality"),
+            countDistinct(col("lang")).as("n_langs"))
+    },
+
+    // T5-style SPAN CORRUPTION (Raffel et al., "Exploring the Limits
+    // of Transfer Learning..."): ~15% of each document's tokens drop
+    // out in 3-token spans; the input keeps one sentinel <x_k> per
+    // span, the target lists each sentinel followed by the tokens it
+    // hides. Span placement is DETERMINISTIC (position p corrupted
+    // iff (p + doc_id%20) % 20 < 3 — a per-doc phase instead of an
+    // RNG stream no two engines would share; spans can never overlap
+    // by construction, and the doc's last span may run short). The
+    // whole pair builds inside the row as transform/filter lambdas
+    // over the token array — a pure map pass over 10¹⁰ documents, no
+    // explode, no shuffle, no UDF. Spark lambda indexes are 0-based,
+    // DuckDB's 1-based: the oracle shifts by one, pinned here.
+    Q("q179_span_corruption",
+      """SELECT doc_id,
+        |  coalesce(array_to_string(list_filter(list_transform(ws, (w, i) ->
+        |    CASE WHEN (i - 1 + off) % 20 >= 3 THEN w
+        |         WHEN (i - 1 + off) % 20 = 0
+        |           THEN '<x_' || CAST((i - 1 + off) // 20 AS VARCHAR) || '>'
+        |         ELSE NULL END), x -> x IS NOT NULL), ' '), '') AS input_text,
+        |  -- array_to_string([]) is NULL in DuckDB; Spark's array_join is ''
+        |  coalesce(array_to_string(list_filter(list_transform(ws, (w, i) ->
+        |    CASE WHEN (i - 1 + off) % 20 >= 3 THEN NULL
+        |         WHEN (i - 1 + off) % 20 = 0
+        |           THEN '<x_' || CAST((i - 1 + off) // 20 AS VARCHAR) || '> ' || w
+        |         ELSE w END), x -> x IS NOT NULL), ' '), '') AS target_text,
+        |  CAST(len(list_filter(list_transform(ws, (w, i) ->
+        |    CASE WHEN (i - 1 + off) % 20 < 3 THEN w ELSE NULL END),
+        |    x -> x IS NOT NULL)) AS BIGINT) AS n_corrupt
+        |FROM (SELECT doc_id, string_split(text,' ') AS ws, doc_id % 20 AS off
+        |      FROM documents)""".stripMargin) {
+      (s, d) =>
+        val base = table(s, d, "documents")
+          .select(col("doc_id"), Dedup.tokens(col("text")).as("ws"),
+            (col("doc_id") % 20).as("off"))
+        def phase(i: org.apache.spark.sql.Column) = (i + col("off")) % 20
+        def spanK(i: org.apache.spark.sql.Column) =
+          floor((i + col("off")) / lit(20)).cast("long")
+        def sentinel(i: org.apache.spark.sql.Column) =
+          concat(lit("<x_"), spanK(i), lit(">"))
+        base.select(col("doc_id"),
+          array_join(filter(
+            transform(col("ws"), (w, i) =>
+              when(phase(i) >= 3, w)
+                .when(phase(i) === 0, sentinel(i))
+                .otherwise(lit(null))),
+            x => x.isNotNull), " ").as("input_text"),
+          array_join(filter(
+            transform(col("ws"), (w, i) =>
+              when(phase(i) >= 3, lit(null))
+                .when(phase(i) === 0, concat(sentinel(i), lit(" "), w))
+                .otherwise(w)),
+            x => x.isNotNull), " ").as("target_text"),
+          size(filter(
+            transform(col("ws"), (w, i) =>
+              when(phase(i) < 3, w).otherwise(lit(null))),
+            x => x.isNotNull)).cast("bigint").as("n_corrupt"))
+    }
+  )
+}

@@ -150,6 +150,53 @@ object LineDedupQueries {
                   x => x.getField("line")),
                 "\n"),
               lit("")).as("text_clean"))
+    },
+
+    // STREAMING maintenance of the line-frequency profile: the
+    // corpus arrives in batches (maxFilesPerTrigger-paced file
+    // stream), the per-line document frequency accretes in a
+    // streaming aggregate, and the boilerplate set is read off the
+    // final state — hash-matching q173's from-scratch batch answer
+    // (the q166/q137 stream==batch discipline). Streaming
+    // aggregations cannot hold COUNT(DISTINCT) state, so the feed is
+    // the DISTINCT (doc_id, line) pairs — deduped batch-side at
+    // ingest, exactly where production dedups them — and the
+    // streaming state is then a plain additive count per line:
+    // bounded by the distinct-line count, mergeable across any
+    // trigger pacing. Oracle: identical text to q173 (correct
+    // maintenance is indistinguishable from recomputation).
+    Q("q180_stream_line_stats",
+      s"""WITH $lineCtes
+         |SELECT line, df FROM dfreq, nd WHERE df * $DfDenom > n""".stripMargin) {
+      (s, d) =>
+        val lined = table(s, d, "documents")
+          .select(col("doc_id"), linedCol.as("t"))
+        val pairs = lined.select(col("doc_id"),
+            explode(split(col("t"), "\n")).as("line"))
+          .distinct()
+        val n = lined.count()
+        val scratch = java.nio.file.Files.createTempDirectory("graft_q180")
+        val staging = s"$scratch/pairs"
+        pairs.repartitionByRange(4, col("doc_id")).write.parquet(staging)
+        val stream = s.readStream.schema(pairs.schema)
+          .option("maxFilesPerTrigger", 2).parquet(staging)
+        val agg = stream.groupBy(col("line"))
+          .agg(count(lit(1)).as("df"))
+        val sinkName = "q180_stream_line_sink"
+        s.catalog.dropTempView(sinkName)
+        try {
+          val q = agg.writeStream.format("memory").queryName(sinkName)
+            .outputMode("complete")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          try require(q.awaitTermination(300000),
+            "q180: stream did not drain within 300s — partial line stats")
+          finally q.stop()
+        } finally
+          org.apache.commons.io.FileUtils.deleteDirectory(scratch.toFile)
+        s.table(sinkName)
+          .filter(col("df") * DfDenom > lit(n))
+          .select(col("line"), col("df"))
     }
   )
 }

@@ -338,6 +338,63 @@ object LlmQueries {
           .withColumn("cluster_size", count(lit(1)).over(w))
     },
 
+    // Quality-based cluster REPRESENTATIVE selection: production
+    // near-dup pipelines do not keep the min-id member of each
+    // cluster (that keeps whichever spelling happened to be crawled
+    // first — often the worst one); they keep the highest-QUALITY
+    // member. Representative = argmax of the integer quality key
+    // (is_q gate first, then longest text, smallest doc_id as the
+    // tie-break — the stop-ratio gate is the integer-exact form
+    // stop_cnt·5 ≤ n_tok·2 of q35's ≤ 0.4). The argmax is ONE
+    // max(struct(...)) hash aggregate — partial-aggregable map-side,
+    // so a 10⁹-member cluster contributes one row per partition to
+    // the shuffle; a row_number window here would sort every cluster
+    // to keep one row.
+    Q("q177_cluster_representatives",
+      s"""WITH RECURSIVE $rawCorpus,
+         |$shingleCtes,
+         |sig AS (SELECT doc_id, hs, $mhColsSql FROM hst),
+         |cand AS ($bandJoinSql),
+         |$componentCtes,
+         |q AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(string_split(text,' ')) BETWEEN 20 AND 200
+         |          AND len(list_filter(string_split(text,' '),
+         |                w -> w IN (${TextAnalysis.Stopwords.map("'" + _ + "'").mkString(",")}))) * 5
+         |              <= len(string_split(text,' ')) * 2
+         |         THEN 1 ELSE 0 END AS is_q,
+         |    length(text) AS nc
+         |  FROM corpus)
+         |SELECT component, cluster_size, doc_id AS rep_doc_id,
+         |       is_q AS rep_is_q, nc AS rep_nc
+         |FROM (
+         |  SELECT c.component,
+         |         CAST(count(*) OVER (PARTITION BY c.component) AS BIGINT) AS cluster_size,
+         |         c.doc_id, q.is_q, q.nc,
+         |         row_number() OVER (PARTITION BY c.component
+         |           ORDER BY q.is_q DESC, q.nc DESC, c.doc_id ASC) AS rn
+         |  FROM comp c JOIN q USING (doc_id)) WHERE rn = 1""".stripMargin) {
+      (s, d) =>
+        val ws = Dedup.tokens(col("text"))
+        val stopCnt = TextAnalysis.stopwordCount(ws)
+        val quality = docsHeavy(s, d).select(
+          col("doc_id"),
+          when(size(ws).between(20, 200) &&
+               stopCnt * 5 <= size(ws) * 2, 1).otherwise(0).as("is_q"),
+          length(col("text")).cast("bigint").as("nc"))
+        components(s, d)
+          .join(quality, "doc_id")
+          .groupBy("component")
+          .agg(
+            count(lit(1)).as("cluster_size"),
+            max(struct(col("is_q"), col("nc"),
+              (-col("doc_id")).as("negid"))).as("m"))
+          .select(col("component"), col("cluster_size"),
+            (-col("m.negid")).as("rep_doc_id"),
+            col("m.is_q").as("rep_is_q"),
+            col("m.nc").as("rep_nc"))
+    },
+
     // Dedup DATACARD: the cluster-size histogram of the resolved
     // near-dup components — the number a release note actually
     // reports ("X% of the corpus is removable duplicate mass, the

@@ -44,8 +44,9 @@ object HtmlQueries {
   /** The page for one document: even ids carry a short promo block,
     * ids divisible by 3 split their body across two divs (so density
     * selection has real work — the extractor must pick the dominant
-    * half, not "the only div"). */
-  private def htmlCol = {
+    * half, not "the only div"). (`private[queries]`: q181 wraps the
+    * frontier survivors in the same pages.) */
+  private[queries] def htmlCol = {
     val promo = when(col("doc_id") % 2 === 0, lit(Promo)).otherwise(lit(""))
     val body = when(col("doc_id") % 3 === 0,
       concat(lit(BodyOpen), col("text").substr(lit(1), lit(80)),
@@ -57,8 +58,10 @@ object HtmlQueries {
       promo, body, lit(Foot))
   }
 
-  /** The identical page as a SQL CTE over `documents`. */
-  private val hxCte: String =
+  /** The identical page as a SQL CTE over a (doc_id, source, text)
+    * relation — parameterized so q181 can build pages over the
+    * frontier survivors instead of raw `documents`. */
+  private[queries] def hxCteOver(src: String): String =
     s"""hx AS (
        |  SELECT doc_id, source,
        |    '$HeadA' || CAST(doc_id AS VARCHAR) || '$HeadB' ||
@@ -68,13 +71,13 @@ object HtmlQueries {
        |              substr(text, 81, greatest(length(text) - 80, 0)) || '</div>'
        |         ELSE '$BodyOpen' || text || '</div>' END ||
        |    '$Foot' AS html
-       |  FROM documents)""".stripMargin
+       |  FROM $src)""".stripMargin
 
   /** Shared extraction CTEs: block list per page, per-block text and
     * integer density, and the per-page argmax (`best`). Mirrors
     * [[graft.ops.TextAnalysis.mainBlockStruct]] stage for stage. */
-  private val extractCtes: String =
-    s"""$hxCte,
+  private[queries] def extractCtesOver(src: String): String =
+    s"""${hxCteOver(src)},
        |ns AS (
        |  SELECT doc_id, source,
        |         regexp_replace(regexp_replace(html,
@@ -104,6 +107,9 @@ object HtmlQueries {
        |           row_number() OVER (PARTITION BY doc_id
        |             ORDER BY s DESC, i) AS rn
        |    FROM scored) WHERE rn = 1)""".stripMargin
+
+  /** The q169/q170 instantiation: pages over raw `documents`. */
+  private val extractCtes: String = extractCtesOver("documents")
 
   val all: Seq[Q] = Seq(
 
@@ -173,6 +179,87 @@ object HtmlQueries {
           .select(col("__k").getField("doc_id").as("doc_id"),
             col("__k").getField("source").as("source"),
             size(split(col("main_text"), " ")).cast("long").as("n_tok"),
+            col("n_copies"))
+    },
+
+    // The FULL crawl pipeline, end to end — every step-0 stage this
+    // engine grew in r13, composed in production order over one
+    // corpus: URL canonicalization + frontier dedup (fetch each
+    // canonical target once: min-id survivor per canon), page fixture
+    // + main-text extraction (q169's density argmax), line-level
+    // corpus-boilerplate removal at the corpus-fraction threshold
+    // computed over the SURVIVING corpus (q173's rule — the df
+    // denominator is what the frontier kept, not what was crawled),
+    // NFC normalization, token-count quality gate, and exact dedup on
+    // the cleaned text (min-id survivor, copy count). The oracle is
+    // the same composition assembled from each stage's already-gated
+    // CTEs (urlCtes / extractCtesOver / lineCtesOver), so the chain
+    // is pinned stage-for-stage, not just end-to-end. Scale shape:
+    // three map passes (canon, page+extract, re-line), three hash
+    // aggregates (frontier min, line df, final dedup), one bounded
+    // boilerplate join — no window over the corpus, no self-join, no
+    // explode except the line stage's ~50 rows/doc.
+    Q("q181_crawl_pipeline_v5",
+      s"""WITH ${UrlQueries.urlCtes},
+         |w AS (SELECT min(doc_id) AS doc_id FROM c GROUP BY canon),
+         |s1 AS (
+         |  SELECT d.doc_id, d.source, d.text
+         |  FROM documents d JOIN w USING (doc_id)),
+         |${extractCtesOver("s1")},
+         |e1 AS (
+         |  SELECT best.doc_id, s1.source, best.txt AS text
+         |  FROM best JOIN s1 USING (doc_id)),
+         |${LineDedupQueries.lineCtesOver("e1")},
+         |b AS (SELECT line FROM dfreq, nd
+         |      WHERE df * ${LineDedupQueries.DfDenom} > n),
+         |c2 AS (
+         |  SELECT l.doc_id,
+         |         coalesce(string_agg(l.line, chr(10) ORDER BY l.pos)
+         |                    FILTER (WHERE b.line IS NULL), '') AS tclean
+         |  FROM l LEFT JOIN b ON l.line = b.line
+         |  GROUP BY l.doc_id),
+         |g AS (
+         |  SELECT c2.doc_id, e1.source,
+         |         nfc_normalize(replace(c2.tclean, chr(10), ' ')) AS t
+         |  FROM c2 JOIN e1 USING (doc_id)
+         |  WHERE len(string_split(
+         |          nfc_normalize(replace(c2.tclean, chr(10), ' ')), ' ')) >= 20),
+         |k AS (
+         |  SELECT t, min(doc_id) AS doc_id,
+         |         CAST(count(*) AS BIGINT) AS n_copies
+         |  FROM g GROUP BY t)
+         |SELECT k.doc_id, g.source,
+         |       CAST(len(string_split(k.t, ' ')) AS BIGINT) AS n_tok,
+         |       k.n_copies
+         |FROM k JOIN g ON g.doc_id = k.doc_id""".stripMargin) {
+      (s, d) =>
+        import graft.functions.UnicodeExpressions.nfc
+        val docs = table(s, d, "documents")
+        // 1. frontier: one fetch per canonical URL (min-id survivor)
+        val keep = docs
+          .select(col("doc_id"),
+            graft.ops.Url.canonicalizeUrl(UrlQueries.urlCol).as("canon"))
+          .groupBy("canon").agg(min(col("doc_id")).as("doc_id"))
+          .select("doc_id")
+        val s1 = docs.join(keep, Seq("doc_id"), "left_semi")
+        // 2. pages → main-text extraction
+        val ext = s1.select(col("doc_id"), col("source"), htmlCol.as("html"))
+          .select(col("doc_id"), col("source"),
+            TextAnalysis.mainText(col("html")).as("text"))
+        // 3. line-level boilerplate removal over the surviving corpus
+        val cleaned = LineDedupQueries.cleanLines(
+          ext.select(col("doc_id"), LineDedupQueries.linedCol.as("t")))
+        // 4. NFC + token gate; 5. exact dedup on cleaned text
+        val gated = cleaned.join(ext.select("doc_id", "source"), "doc_id")
+          .select(col("doc_id"), col("source"),
+            nfc(regexp_replace(col("text_clean"), "\n", " ")).as("t"))
+          .filter(size(split(col("t"), " ")) >= 20)
+        gated.groupBy("t")
+          .agg(min(struct(col("doc_id"), col("source"))).as("__k"),
+            count(lit(1)).as("n_copies"))
+          .select(col("__k").getField("doc_id").as("doc_id"),
+            col("__k").getField("source").as("source"),
+            size(split(col("t"), " ")).cast("long").as("n_tok"),
             col("n_copies"))
     }
   )

@@ -43,12 +43,49 @@ object LineDedupQueries {
 
   /** A line is boilerplate iff df · DfDenom > n_docs (df strictly
     * above 1/DfDenom of the corpus) — integer-exact in both engines. */
-  private val DfDenom = 20L
+  private[queries] val DfDenom = 20L
+
+  /** The q173/q174/q180 instantiation: lines over raw `documents`. */
+  private lazy val lineCtes: String = lineCtesOver("documents")
+
+  /** The removal pass over a (doc_id, t) frame of re-lined text:
+    * per-doc (n_lines, n_kept, text_clean) with corpus-boilerplate
+    * lines (df · [[DfDenom]] > n) removed, order preserved — the
+    * Spark leg q174 declares and q181's pipeline reuses. One explode,
+    * one line-frequency aggregate (two-phase distinct), one key join
+    * against the bounded boilerplate set, one groupBy reassembly via
+    * sort_array — no window, no second explode. */
+  private[queries] def cleanLines(lined: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val lines = lined.select(col("doc_id"),
+      posexplode(split(col("t"), "\n")).as(Seq("pos", "line")))
+    val nd = lined.agg(count(lit(1)).as("n"))
+    val boiler = lines.groupBy("line")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .crossJoin(broadcast(nd))
+      .filter(col("df") * DfDenom > col("n"))
+      .select(col("line"), lit(1).as("__boiler"))
+    lines.join(boiler, Seq("line"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        count(when(col("__boiler").isNull, 1)).as("n_kept"),
+        coalesce(
+          array_join(
+            transform(
+              filter(
+                sort_array(collect_list(when(col("__boiler").isNull,
+                  struct(col("pos"), col("line"))))),
+                x => x.isNotNull),
+              x => x.getField("line")),
+            "\n"),
+          lit("")).as("text_clean"))
+  }
 
   /** Re-line the document: every 10th space → newline (one global
     * regex pass; Java and RE2 agree on this pattern), then the salted
-    * boilerplate lines. */
-  private def linedCol = {
+    * boilerplate lines. (`private[queries]`: q181's pipeline applies
+    * the same re-lining to its extracted text.) */
+  private[queries] def linedCol = {
     val base = regexp_replace(col("text"), "((\\S+ ){9}\\S+) ", "$1\n")
     val withCookie = when(col("doc_id") % 2 === 0,
       concat(lit(Cookie + "\n"), base)).otherwise(base)
@@ -56,10 +93,12 @@ object LineDedupQueries {
       concat(withCookie, lit("\n" + Footer))).otherwise(withCookie)
   }
 
-  /** The identical fixture + explode as SQL CTEs: `lx` = (doc_id,
-    * source, t), `l` = (doc_id, pos, line), `dfreq` = per-line
-    * document frequency, `nd` = corpus size. */
-  private val lineCtes: String =
+  /** The identical fixture + explode as SQL CTEs over a (doc_id,
+    * source, text) relation: `lx` = (doc_id, source, t), `l` =
+    * (doc_id, pos, line), `dfreq` = per-line document frequency,
+    * `nd` = corpus size. Parameterized so q181 can run the line
+    * stage over its extracted survivors. */
+  private[queries] def lineCtesOver(src: String): String =
     s"""lx AS (
        |  SELECT doc_id, source,
        |    CASE WHEN doc_id % 3 = 0 THEN x || chr(10) || '$Footer' ELSE x END AS t
@@ -69,7 +108,7 @@ object LineDedupQueries {
        |    FROM (
        |      SELECT doc_id, source,
        |        regexp_replace(text, '((\\S+ ){9}\\S+) ', '\\1' || chr(10), 'g') AS y
-       |      FROM documents))),
+       |      FROM $src))),
        |l AS (
        |  SELECT doc_id, CAST(i AS BIGINT) AS pos, ln[CAST(i AS INT)] AS line
        |  FROM (SELECT doc_id, string_split(t, chr(10)) AS ln FROM lx),
@@ -125,31 +164,10 @@ object LineDedupQueries {
          |FROM l LEFT JOIN b ON l.line = b.line
          |GROUP BY l.doc_id""".stripMargin) {
       (s, d) =>
-        val lined = table(s, d, "documents")
-          .select(col("doc_id"), linedCol.as("t"))
-        val lines = lined.select(col("doc_id"),
-          posexplode(split(col("t"), "\n")).as(Seq("pos", "line")))
-        val nd = lined.agg(count(lit(1)).as("n"))
-        val boiler = lines.groupBy("line")
-          .agg(countDistinct(col("doc_id")).as("df"))
-          .crossJoin(broadcast(nd))
-          .filter(col("df") * DfDenom > col("n"))
-          .select(col("line"), lit(1).as("__boiler"))
-        lines.join(boiler, Seq("line"), "left")
-          .groupBy("doc_id")
-          .agg(
-            count(lit(1)).as("n_lines"),
-            count(when(col("__boiler").isNull, 1)).as("n_kept"),
-            coalesce(
-              array_join(
-                transform(
-                  filter(
-                    sort_array(collect_list(when(col("__boiler").isNull,
-                      struct(col("pos"), col("line"))))),
-                    x => x.isNotNull),
-                  x => x.getField("line")),
-                "\n"),
-              lit("")).as("text_clean"))
+        cleanLines(table(s, d, "documents")
+          .select(col("doc_id"), linedCol.as("t")))
+          .select(col("doc_id"), col("n_lines"), col("n_kept"),
+            col("text_clean"))
     },
 
     // STREAMING maintenance of the line-frequency profile: the

@@ -16,8 +16,9 @@ import graft.ops.Url
   * negative control that canonicalization must NOT merge. */
 object UrlQueries {
 
-  /** The messy URL for one document (exactly mirrored by [[uCte]]). */
-  private def urlCol = {
+  /** The messy URL for one document (exactly mirrored by the `u`
+    * CTE of [[urlCtes]]). */
+  private[queries] def urlCol = {
     val uid = expr("doc_id div 2")
     val scheme = when(uid % 2 === 0, "HTTPS").otherwise("http")
     val www = when(col("doc_id") % 3 === 0, "WWW.").otherwise("")
@@ -38,8 +39,10 @@ object UrlQueries {
 
   /** Fixture + canonicalization as SQL CTEs: `u` = (doc_id, url),
     * `c` = (doc_id, url, host, canon) — each rule the verbatim
-    * DuckDB mirror of the [[graft.ops.Url]] expression chain. */
-  private val urlCtes: String =
+    * DuckDB mirror of the [[graft.ops.Url]] expression chain.
+    * (`private[queries]`: q181's pipeline composition reuses the
+    * frontier layer verbatim.) */
+  private[queries] val urlCtes: String =
     """u AS (
       |  SELECT doc_id,
       |    (CASE WHEN (doc_id // 2) % 2 = 0 THEN 'HTTPS' ELSE 'http' END) ||

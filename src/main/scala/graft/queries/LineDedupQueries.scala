@@ -215,6 +215,43 @@ object LineDedupQueries {
         s.table(sinkName)
           .filter(col("df") * DfDenom > lit(n))
           .select(col("line"), col("df"))
+    },
+
+    // INCREMENTAL maintenance of the line-frequency profile (the
+    // q167/q73 lagged-update discipline): the existing corpus's line
+    // stats are a persisted table (modeled here as the stats over the
+    // first 90% of doc ids); a new document batch arrives, and the
+    // update computes line counts over ONLY the batch, then MERGES by
+    // addition — exact, because per-line document frequency is
+    // additive over disjoint document sets (the within-doc dedup is
+    // per-document). Steady-state cost is ∝ batch, not corpus: the
+    // only full-corpus artifact touched is the stats table itself
+    // (a full-outer key merge — in production a MERGE INTO). Oracle:
+    // the from-scratch q173 text verbatim — correct incremental
+    // maintenance is indistinguishable from recomputing the world.
+    Q("q182_line_stats_incremental",
+      s"""WITH $lineCtes
+         |SELECT line, df FROM dfreq, nd WHERE df * $DfDenom > n""".stripMargin) {
+      (s, d) =>
+        val lined = table(s, d, "documents")
+          .select(col("doc_id"), linedCol.as("t"))
+        val mx = lined.agg(max(col("doc_id"))).collect()(0).getLong(0)
+        val cut = (mx * 9L) / 10L
+        val pairs = lined.select(col("doc_id"),
+            explode(split(col("t"), "\n")).as("line"))
+          .distinct()
+        val baseDf = pairs.filter(col("doc_id") < cut)
+          .groupBy("line").agg(count(lit(1)).as("df_b"))
+        val batchDf = pairs.filter(col("doc_id") >= cut)
+          .groupBy("line").agg(count(lit(1)).as("df_n"))
+        val merged = baseDf.join(batchDf, Seq("line"), "full")
+          .select(col("line"),
+            (coalesce(col("df_b"), lit(0L)) +
+             coalesce(col("df_n"), lit(0L))).as("df"))
+        val nd = lined.agg(count(lit(1)).as("n"))
+        merged.crossJoin(broadcast(nd))
+          .filter(col("df") * DfDenom > col("n"))
+          .select(col("line"), col("df"))
     }
   )
 }

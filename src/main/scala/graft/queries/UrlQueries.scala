@@ -123,6 +123,37 @@ object UrlQueries {
           .agg(count(lit(1)).as("n_urls"),
             countDistinct(col("url")).as("n_raw"),
             countDistinct(col("canon")).as("n_canon"))
+    },
+
+    // INCREMENTAL frontier: a new URL batch (the last 10% of doc ids)
+    // against the SEEN canonical set (the first 90% — in production
+    // the persisted frontier table). Emit one fetch per genuinely new
+    // canonical target: anti-join the batch against seen, then
+    // min-id per canon dedups WITHIN the batch. Steady-state cost is
+    // ∝ batch plus one key anti-join against the frontier table —
+    // the crawl loop's actual inner operation (a crawler never
+    // re-canonicalizes its history per batch; it probes it). Same
+    // exact-semantics shape as q01's anti insert, keyed on the
+    // canonical form instead of a natural key.
+    Q("q183_url_frontier_incremental",
+      s"""WITH $urlCtes,
+         |cut AS (SELECT (max(doc_id) * 9) // 10 AS k FROM documents),
+         |seen AS (SELECT DISTINCT canon FROM c, cut WHERE doc_id < k),
+         |batch AS (SELECT doc_id, canon FROM c, cut WHERE doc_id >= k)
+         |SELECT canon, min(doc_id) AS doc_id
+         |FROM batch b
+         |WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.canon = b.canon)
+         |GROUP BY canon""".stripMargin) {
+      (s, d) =>
+        val withCanon = table(s, d, "documents")
+          .select(col("doc_id"), urlCol.as("url"))
+          .select(col("doc_id"), Url.canonicalizeUrl(col("url")).as("canon"))
+        val mx = withCanon.agg(max(col("doc_id"))).collect()(0).getLong(0)
+        val cut = (mx * 9L) / 10L
+        val seen = withCanon.filter(col("doc_id") < cut).select("canon")
+        withCanon.filter(col("doc_id") >= cut)
+          .join(seen, Seq("canon"), "left_anti")
+          .groupBy("canon").agg(min(col("doc_id")).as("doc_id"))
     }
   )
 }

@@ -107,6 +107,25 @@ object Sources {
   def stringSchema(cols: String*): StructType =
     StructType(cols.map(c => StructField(c, StringType, nullable = true)))
 
+  /** Newline-delimited JSON (JSONL) with an EXPLICIT schema — the
+    * interchange format most training corpora actually ship as.
+    * Never `inferSchema`-equivalent (a schemaless `spark.read.json`
+    * runs a whole extra corpus pass just to guess types, and guesses
+    * differently when a batch happens to lack a field — at 100 TB
+    * that is both a doubled scan and a schema that drifts per
+    * ingest). Splittability note for scale: plain `.jsonl` and
+    * `.jsonl.zst`/`.bz2` split by line across tasks; a single giant
+    * `.gz` member does not — shard compressed corpora at write time.
+    * `mode=FAILFAST` surfaces corrupt lines as ingest errors instead
+    * of silent nulls; callers wanting quarantine semantics pass
+    * PERMISSIVE and a `columnNameOfCorruptRecord` column. */
+  def jsonl(spark: SparkSession, path: String, schema: StructType,
+            mode: String = "FAILFAST"): DataFrame =
+    spark.read
+      .option("mode", mode)
+      .schema(schema)
+      .json(path)
+
   /** Extract the `DDMMYYYY` date embedded in a source filename and
     * stamp every row with it (reference `transaction.py:49-50` +
     * `terminals.py:55`) — done as a Catalyst expression so it runs

@@ -86,6 +86,30 @@ class PlanSpec extends AnyFunSuite {
     assert(plan170.contains("partial_"), "dedup agg lost map-side partial aggregation")
   }
 
+  test("q175/q179: URL canonicalization and span corruption are shuffle-free map passes") {
+    // Both are per-row rewrites (regex/array lambdas) over the scan:
+    // canonicalizing 10¹² frontier URLs or building corruption pairs
+    // for 10¹⁰ documents must plan as a projection — any Exchange,
+    // Window, or Generate here multiplies the whole-corpus pass.
+    for (q <- Seq("q175_url_canonicalize", "q179_span_corruption")) {
+      val plan = planOf(q)
+      assert(!plan.contains("Exchange"), s"$q shuffles:\n${plan.take(1500)}")
+      assert(!plan.contains("Window") && !plan.contains("Generate"),
+        s"$q planned explode/window:\n${plan.take(1500)}")
+    }
+  }
+
+  test("q177: cluster representative is a hash-agg argmax, never a per-cluster window sort") {
+    // max(struct(...)) partial-aggregates map-side: a 10⁹-member
+    // cluster contributes one candidate row per partition to the
+    // shuffle. A row_number window would sort every cluster.
+    val plan = planOf("q177_cluster_representatives")
+    assert(!plan.contains("Window"),
+      s"representative pick planned a window sort:\n${plan.take(1500)}")
+    assert(plan.contains("partial_"),
+      "argmax lost map-side partial aggregation")
+  }
+
   test("q97/q102: image phash pairing is banded hash joins, never nested-loop") {
     // Both containers (BMP and PNG) must plan the identical pairing
     // shape — the codec seam is upstream of the join.

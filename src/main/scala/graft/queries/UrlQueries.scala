@@ -154,6 +154,74 @@ object UrlQueries {
         withCanon.filter(col("doc_id") >= cut)
           .join(seen, Seq("canon"), "left_anti")
           .groupBy("canon").agg(min(col("doc_id")).as("doc_id"))
+    },
+
+    // robots.txt gating — the fetch-permission step between frontier
+    // and fetch, with the REP precedence rule that actually bites
+    // (RFC 9309 §2.2.2): the LONGEST matching path rule wins, Allow
+    // beats Disallow on a length tie, and a URL matching no rule is
+    // allowed. The per-host rule table is synthesized
+    // deterministically (every host disallows /private/; every third
+    // host disallows /docs/ but allows the longer /docs/page/ — the
+    // classic override; every seventh disallows the /docs/page/1
+    // prefix — so a page can match three rules of three lengths and
+    // only the longest decides). Scale shape: rules are a tiny
+    // per-host table — BROADCAST equi-joined on host, prefix-filtered
+    // in the stream side, then ONE max(struct(len, allow)) hash
+    // argmax per URL (the q177 discipline: never a per-URL window);
+    // unmatched URLs rejoin with the allow default. At 10¹² frontier
+    // URLs this is a map-side join plus one aggregate.
+    Q("q184_robots_gate",
+      s"""WITH $urlCtes,
+         |up AS (
+         |  SELECT doc_id, (doc_id // 2) % 20 AS hn,
+         |         regexp_replace(regexp_extract(url,
+         |           '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1), '/{2,}', '/', 'g') AS path
+         |  FROM u),
+         |hosts AS (SELECT DISTINCT hn FROM up),
+         |rules AS (
+         |  SELECT hn, '/private/' AS p, 0 AS a FROM hosts
+         |  UNION ALL SELECT hn, '/docs/', 0 FROM hosts WHERE hn % 3 = 0
+         |  UNION ALL SELECT hn, '/docs/page/', 1 FROM hosts WHERE hn % 3 = 0
+         |  UNION ALL SELECT hn, '/docs/page/1', 0 FROM hosts WHERE hn % 7 = 0),
+         |m AS (
+         |  SELECT up.doc_id,
+         |         CAST(max(struct_pack(l := length(r.p), a := r.a)).l AS BIGINT) AS rule_len,
+         |         max(struct_pack(l := length(r.p), a := r.a)).a AS mat_a
+         |  FROM up JOIN rules r ON up.hn = r.hn AND starts_with(up.path, r.p)
+         |  GROUP BY up.doc_id)
+         |SELECT up.doc_id,
+         |       CAST(coalesce(m.mat_a, 1) AS INT) AS allowed,
+         |       coalesce(m.rule_len, 0) AS rule_len
+         |FROM up LEFT JOIN m USING (doc_id)""".stripMargin) {
+      (s, d) =>
+        val ruleType = "array<struct<p:string,a:int>>"
+        val up = table(s, d, "documents")
+          .select(col("doc_id"), urlCol.as("url"))
+          .select(col("doc_id"),
+            (expr("doc_id div 2") % 20).as("hn"),
+            Url.urlPath(col("url")).as("path"))
+        val rules = up.select(col("hn")).distinct()
+          .select(col("hn"), explode(concat(
+            array(struct(lit("/private/").as("p"), lit(0).as("a"))),
+            when(col("hn") % 3 === 0, array(
+              struct(lit("/docs/").as("p"), lit(0).as("a")),
+              struct(lit("/docs/page/").as("p"), lit(1).as("a"))))
+              .otherwise(array().cast(ruleType)),
+            when(col("hn") % 7 === 0, array(
+              struct(lit("/docs/page/1").as("p"), lit(0).as("a"))))
+              .otherwise(array().cast(ruleType)))).as("r"))
+          .select(col("hn"), col("r.p").as("p"), col("r.a").as("a"))
+        val matched = up.join(broadcast(rules), Seq("hn"))
+          .filter(col("path").startsWith(col("p")))
+          .groupBy("doc_id")
+          .agg(max(struct(length(col("p")).as("l"), col("a").as("a"))).as("m"))
+          .select(col("doc_id"),
+            col("m.l").cast("bigint").as("rule_len"), col("m.a").as("mat_a"))
+        up.join(matched, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("mat_a"), lit(1)).cast("int").as("allowed"),
+            coalesce(col("rule_len"), lit(0L)).as("rule_len"))
     }
   )
 }

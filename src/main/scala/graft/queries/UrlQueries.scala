@@ -222,6 +222,46 @@ object UrlQueries {
           .select(col("doc_id"),
             coalesce(col("mat_a"), lit(1)).cast("int").as("allowed"),
             coalesce(col("rule_len"), lit(0L)).as("rule_len"))
+    },
+
+    // STREAMING frontier maintenance — the URL family's third leg
+    // (batch q176, incremental q183, streaming here): URLs arrive in
+    // paced file batches and the frontier state is a streaming
+    // min(doc_id) aggregate per canonical form. min is chosen over
+    // dropDuplicates deliberately: streaming dropDuplicates keeps
+    // whichever row a partition happened to deliver first —
+    // nondeterministic under task scheduling — while a min aggregate
+    // is order-invariant, so the final state hash-matches the batch
+    // answer under ANY trigger pacing (the stream==batch discipline).
+    // State is bounded by the distinct-canon count, the same bound
+    // the batch frontier table carries.
+    Q("q185_stream_frontier",
+      s"""WITH $urlCtes
+         |SELECT canon, min(doc_id) AS doc_id FROM c GROUP BY canon""".stripMargin) {
+      (s, d) =>
+        val feed = table(s, d, "documents")
+          .select(col("doc_id"), urlCol.as("url"))
+          .select(col("doc_id"), Url.canonicalizeUrl(col("url")).as("canon"))
+        val scratch = java.nio.file.Files.createTempDirectory("graft_q185")
+        val staging = s"$scratch/urls"
+        feed.repartitionByRange(4, col("doc_id")).write.parquet(staging)
+        val stream = s.readStream.schema(feed.schema)
+          .option("maxFilesPerTrigger", 2).parquet(staging)
+        val agg = stream.groupBy(col("canon"))
+          .agg(min(col("doc_id")).as("doc_id"))
+        val sinkName = "q185_stream_frontier_sink"
+        s.catalog.dropTempView(sinkName)
+        try {
+          val q = agg.writeStream.format("memory").queryName(sinkName)
+            .outputMode("complete")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          try require(q.awaitTermination(300000),
+            "q185: stream did not drain within 300s — partial frontier")
+          finally q.stop()
+        } finally
+          org.apache.commons.io.FileUtils.deleteDirectory(scratch.toFile)
+        s.table(sinkName).select(col("canon"), col("doc_id"))
     }
   )
 }

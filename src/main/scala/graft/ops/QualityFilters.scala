@@ -1,0 +1,164 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Repetition- and rule-based document quality filters — the Gopher
+  * repetition battery (Rae et al. 2021, "Scaling Language Models",
+  * Appendix A: duplicate-line fraction, duplicate-line character
+  * fraction, top-n-gram character fraction, mean word length) and the
+  * C4 line-level cleaning rules (Raffel et al. 2020, §2.2: keep lines
+  * that end in terminal punctuation and have ≥ `C4MinWords` words,
+  * drop lines carrying code/policy markers, drop whole pages with
+  * brace/placeholder markers or too few surviving sentences).
+  *
+  * Scale design: every signal is a per-document array expression —
+  * one codegen'd map pass, no explode, no shuffle, no UDF (the same
+  * stance as [[TextAnalysis]]; these run over every byte of a 100 TB
+  * corpus). Within-document duplicate counting is the sort-and-
+  * run-length form, O(L log L) per document in the document's OWN
+  * length — never a corpus-wide aggregate (that family is the
+  * LINE-dedup operators, q173/q174, where the signal is cross-doc
+  * document frequency). All arithmetic is integer (milli-fractions
+  * via `x * 1000 div y`), so the DuckDB oracle matches bit-for-bit.
+  *
+  * The run-length machinery mirrors this DuckDB form (1-BASED
+  * positions on both engines):
+  * {{{
+  *   bpos = positions i where sorted[i] starts a new run
+  *   runs[j] = bpos[j+1] - bpos[j]   (last: n+1 - bpos[last])
+  * }}}
+  */
+object QualityFilters {
+
+  /** Gopher keep-thresholds (milli-fractions / milli-chars). */
+  val MaxDupLineMilli = 300L // dup-line fraction ≤ 0.30
+  val MaxDupCharMilli = 400L // chars-in-duplicated-lines ≤ 0.40
+  val MaxTop2CharMilli = 200L // top-2-gram char fraction ≤ 0.20
+  val MinMeanWordMilli = 3000L // mean word length ∈ [3, 10]
+  val MaxMeanWordMilli = 10000L
+
+  /** C4: a surviving line needs at least this many words. */
+  val C4MinWords = 5
+  /** C4: a surviving page needs at least this many surviving lines. */
+  val C4MinLines = 3
+
+  /** Sorted copy plus run-length decomposition of `arr`, appended as
+    * materialized columns (`p_sorted`, `p_bpos`, `p_runs` under the
+    * given prefix). Staged `.select`s on purpose: the lambdas CAPTURE
+    * the previous stage's columns, and Spark performs no subexpression
+    * elimination inside higher-order-function lambdas — inlining
+    * `sort_array(...)` into every `element_at` would re-sort per
+    * ELEMENT (the spanGrams caller-contract lesson). */
+  private def withRuns(df: DataFrame, arr: String, p: String): DataFrame = {
+    val sorted = df.withColumn(s"${p}_sorted", sort_array(col(arr)))
+    val bpos = sorted.withColumn(s"${p}_bpos",
+      filter(
+        sequence(lit(1), size(col(s"${p}_sorted"))),
+        i => i === 1 ||
+          element_at(col(s"${p}_sorted"), i) =!=
+          element_at(col(s"${p}_sorted"), i - 1)))
+    bpos.withColumn(s"${p}_runs",
+      transform(sequence(lit(1), size(col(s"${p}_bpos"))),
+        j => when(j === size(col(s"${p}_bpos")),
+          size(col(s"${p}_sorted")) + 1 - element_at(col(s"${p}_bpos"), j))
+          .otherwise(element_at(col(s"${p}_bpos"), j + 1) -
+            element_at(col(s"${p}_bpos"), j))))
+  }
+
+  /** Characters inside within-doc duplicated elements (every copy of
+    * every element whose run length > 1), from [[withRuns]] columns. */
+  private def dupChars(p: String): Column =
+    aggregate(
+      zip_with(col(s"${p}_runs"), col(s"${p}_bpos"),
+        (r, b) => when(r > 1,
+          r * length(element_at(col(s"${p}_sorted"), b)))
+          .otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Longest run length (the top element's within-doc count). */
+  private def maxRun(p: String): Column = array_max(col(s"${p}_runs"))
+
+  /** The most frequent element, ties broken lexicographically
+    * smallest — deterministic and identical on both engines (binary
+    * collation over lowercase-ASCII tokens). Callers must have
+    * materialized `${p}_maxrun` first (lambda-capture rule). */
+  private def topElem(p: String): Column =
+    array_min(transform(
+      filter(sequence(lit(1), size(col(s"${p}_bpos"))),
+        j => element_at(col(s"${p}_runs"), j) === col(s"${p}_maxrun")),
+      j => element_at(col(s"${p}_sorted"), element_at(col(s"${p}_bpos"), j))))
+
+  /** Gopher repetition battery over a frame bearing `doc_id`, raw
+    * `text`, and a line array `lines`. Output is per-document:
+    * line-duplication fractions, the top word-2-gram and its
+    * character share, mean word length, and the composite keep flag —
+    * every ratio an exact integer milli-fraction. */
+  def gopherSignals(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("lines"),
+      split(col("text"), " ").as("ws"),
+      length(col("text")).cast("long").as("n_chars"))
+    // Word 2-grams WITH repeats (q47's shingle builder dedups; the
+    // Gopher signal needs multiplicity).
+    val grams = base.withColumn("g2",
+      transform(sequence(lit(1), size(col("ws")) - 1),
+        i => concat_ws(" ", element_at(col("ws"), i),
+          element_at(col("ws"), i + 1))))
+    val lineRuns = withRuns(grams, "lines", "ln")
+    val gramRuns = withRuns(lineRuns, "g2", "g")
+      .withColumn("g_maxrun", maxRun("g"))
+    val scored = gramRuns.select(
+      col("doc_id"),
+      size(col("lines")).cast("long").as("n_lines"),
+      size(col("ln_bpos")).cast("long").as("n_distinct_lines"),
+      dupChars("ln").as("dup_line_chars"),
+      aggregate(col("lines"), lit(0L), (a, l) => a + length(l))
+        .as("line_chars"),
+      col("g_maxrun").cast("long").as("top2_cnt"),
+      topElem("g").as("top2_gram"),
+      col("n_chars"),
+      aggregate(col("ws"), lit(0L), (a, w) => a + length(w)).as("word_chars"),
+      size(col("ws")).cast("long").as("n_words"))
+    // Integer `div` (not float `/` + cast) so every milli-fraction is
+    // bit-identical to the oracle's `//`.
+    val withMilli = scored.select(
+      col("doc_id"), col("n_lines"), col("top2_cnt"), col("top2_gram"),
+      expr("(n_lines - n_distinct_lines) * 1000 div n_lines")
+        .as("dup_line_milli"),
+      expr("dup_line_chars * 1000 div line_chars").as("dup_char_milli"),
+      expr("top2_cnt * length(top2_gram) * 1000 div n_chars")
+        .as("top2_char_milli"),
+      expr("word_chars * 1000 div n_words").as("mean_wlen_milli"))
+    withMilli.withColumn("keep_gopher",
+      (col("dup_line_milli") <= MaxDupLineMilli &&
+        col("dup_char_milli") <= MaxDupCharMilli &&
+        col("top2_char_milli") <= MaxTop2CharMilli &&
+        col("mean_wlen_milli").between(MinMeanWordMilli, MaxMeanWordMilli))
+        .cast("int"))
+  }
+
+  /** C4 line-keep predicate: terminal punctuation, ≥ [[C4MinWords]]
+    * words, no code/policy marker. */
+  def c4LineKeep(l: Column): Column =
+    l.endsWith(".") &&
+      size(split(l, " ")) >= C4MinWords &&
+      !l.contains("javascript") && !l.contains("cookies")
+
+  /** C4 cleaning over a frame bearing `doc_id` and a salted line
+    * array `lines`: per-document kept-line ledger, the page-level
+    * keep flag (no brace, no placeholder text, ≥ [[C4MinLines]]
+    * surviving lines), and the cleaned text. One map pass. */
+  def c4Clean(docs: DataFrame): DataFrame = {
+    val kept = docs.select(col("doc_id"), col("lines"),
+      filter(col("lines"), l => c4LineKeep(l)).as("kept"))
+    kept.select(
+      col("doc_id"),
+      size(col("lines")).cast("long").as("n_lines"),
+      size(col("kept")).cast("long").as("n_kept"),
+      (size(col("kept")) >= C4MinLines &&
+        !exists(col("lines"), l => l.contains("{")) &&
+        !exists(col("lines"), l => l.contains("lorem ipsum")))
+        .cast("int").as("page_keep"),
+      array_join(col("kept"), "\n").as("text_c4"))
+  }
+}

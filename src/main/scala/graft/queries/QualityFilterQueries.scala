@@ -1,0 +1,176 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.io.Sources
+import graft.ops.QualityFilters
+
+/** Document-quality filter batteries: the Gopher repetition signals
+  * (q186) and the C4 line-cleaning rules (q187) — the two published
+  * rule sets every crawl-scale curation pipeline starts from, and the
+  * per-document complement of the corpus-wide line-dedup family
+  * (q173/q174: cross-doc document frequency; here: within-doc
+  * repetition and per-line form rules). Both are single codegen'd map
+  * passes — no explode, no shuffle, no window (PlanSpec pins this) —
+  * because they run over every byte of a 100 TB corpus before any
+  * keyed stage gets to see it.
+  *
+  * Fixture discipline (the LineDedupQueries pattern): the harness
+  * corpus is single-line word salad, so documents are re-lined via the
+  * shared [[LineDedupQueries.linedCol]] fixture; q187 additionally
+  * salts deterministic C4 triggers (terminal periods, a `javascript`
+  * prefix, a `lorem ipsum` placeholder line, a brace line) from
+  * doc_id/position arithmetic — both engines build the identical
+  * fixture, so every rule fires on real rows in both. */
+object QualityFilterQueries {
+
+  import QualityFilters._
+
+  /** q187 fixture lines (shared Spark/SQL constants). The lorem line
+    * deliberately PASSES the line filter (terminal period, 5 words)
+    * while killing the page — the C4 line-vs-page rule distinction. */
+  private val LoremLine = "lorem ipsum dolor sit amet."
+  private val BraceLine = "function() { return 0; }"
+
+  private def lx = LineDedupQueries.lineCtesOver("documents")
+
+  val all: Seq[Q] = Seq(
+
+    // Gopher repetition battery (Rae et al. 2021, Appendix A): per
+    // document, the duplicate-line fraction, the fraction of
+    // characters inside duplicated lines, the top word-2-gram and its
+    // character share, and mean word length — each an exact integer
+    // milli-fraction — plus the composite keep flag. Within-doc
+    // duplicate counting is sort + run-length decomposition,
+    // O(L log L) in the document's own length; ties on the top gram
+    // break to the lexicographically smallest (binary collation on
+    // both engines). One map pass, no shuffle.
+    Q("q186_gopher_quality",
+      s"""WITH $lx,
+         |lf AS (SELECT doc_id, string_split(t, chr(10)) AS l0 FROM lx),
+         |base AS (
+         |  SELECT lf.doc_id,
+         |         CASE WHEN lf.doc_id % 5 = 0 THEN list_append(l0, l0[1])
+         |              ELSE l0 END AS lines,
+         |         string_split(d.text, ' ') AS ws, length(d.text) AS n_chars
+         |  FROM lf JOIN documents d ON lf.doc_id = d.doc_id),
+         |g AS (SELECT *, list_transform(range(1, len(ws)),
+         |        i -> ws[i] || ' ' || ws[i+1]) AS g2 FROM base),
+         |s1 AS (SELECT *, list_sort(lines) AS ln_sorted,
+         |         list_sort(g2) AS g_sorted FROM g),
+         |s2 AS (SELECT *,
+         |  list_filter(range(1, len(ln_sorted)+1),
+         |    i -> i = 1 OR ln_sorted[i] <> ln_sorted[i-1]) AS ln_bpos,
+         |  list_filter(range(1, len(g_sorted)+1),
+         |    i -> i = 1 OR g_sorted[i] <> g_sorted[i-1]) AS g_bpos
+         |  FROM s1),
+         |s3 AS (SELECT *,
+         |  list_transform(range(1, len(ln_bpos)+1),
+         |    j -> CASE WHEN j = len(ln_bpos) THEN len(ln_sorted) + 1 - ln_bpos[j]
+         |         ELSE ln_bpos[j+1] - ln_bpos[j] END) AS ln_runs,
+         |  list_transform(range(1, len(g_bpos)+1),
+         |    j -> CASE WHEN j = len(g_bpos) THEN len(g_sorted) + 1 - g_bpos[j]
+         |         ELSE g_bpos[j+1] - g_bpos[j] END) AS g_runs
+         |  FROM s2),
+         |s4 AS (SELECT *, list_max(g_runs) AS g_maxrun FROM s3),
+         |scored AS (SELECT doc_id,
+         |  CAST(len(lines) AS BIGINT) AS n_lines,
+         |  CAST(len(ln_bpos) AS BIGINT) AS n_distinct_lines,
+         |  CAST(list_sum(list_transform(range(1, len(ln_bpos)+1),
+         |    j -> CASE WHEN ln_runs[j] > 1
+         |         THEN ln_runs[j] * length(ln_sorted[ln_bpos[j]])
+         |         ELSE 0 END)) AS BIGINT) AS dup_line_chars,
+         |  CAST(list_sum(list_transform(lines, l -> length(l))) AS BIGINT) AS line_chars,
+         |  CAST(g_maxrun AS BIGINT) AS top2_cnt,
+         |  list_min(list_transform(
+         |    list_filter(range(1, len(g_bpos)+1), j -> g_runs[j] = g_maxrun),
+         |    j -> g_sorted[g_bpos[j]])) AS top2_gram,
+         |  CAST(n_chars AS BIGINT) AS n_chars,
+         |  CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) AS word_chars,
+         |  CAST(len(ws) AS BIGINT) AS n_words
+         |  FROM s4)
+         |SELECT doc_id, n_lines, top2_cnt, top2_gram,
+         |  (n_lines - n_distinct_lines) * 1000 // n_lines AS dup_line_milli,
+         |  dup_line_chars * 1000 // line_chars AS dup_char_milli,
+         |  top2_cnt * length(top2_gram) * 1000 // n_chars AS top2_char_milli,
+         |  word_chars * 1000 // n_words AS mean_wlen_milli,
+         |  CASE WHEN (n_lines - n_distinct_lines) * 1000 // n_lines <= $MaxDupLineMilli
+         |        AND dup_line_chars * 1000 // line_chars <= $MaxDupCharMilli
+         |        AND top2_cnt * length(top2_gram) * 1000 // n_chars <= $MaxTop2CharMilli
+         |        AND word_chars * 1000 // n_words BETWEEN $MinMeanWordMilli AND $MaxMeanWordMilli
+         |   THEN 1 ELSE 0 END AS keep_gopher
+         |FROM scored""".stripMargin) {
+      (s, d) => {
+        // Fixture: re-lined corpus, plus a salted WITHIN-doc duplicate
+        // (every 5th doc repeats its first line) so the dup-line
+        // signal has live coverage — the corpus's cross-doc
+        // boilerplate lines appear once per document.
+        val lf = Sources.table(s, d, "documents")
+          .select(col("doc_id"), col("text"),
+            split(LineDedupQueries.linedCol, "\n").as("l0"))
+        QualityFilters.gopherSignals(lf.select(col("doc_id"), col("text"),
+          when(col("doc_id") % 5 === 0,
+            concat(col("l0"), slice(col("l0"), 1, 1))).otherwise(col("l0"))
+            .as("lines")))
+      }
+    },
+
+    // C4 line-cleaning rules (Raffel et al. 2020 §2.2): keep lines
+    // ending in terminal punctuation with ≥ 5 words and no
+    // code/policy marker; drop whole pages carrying a brace or a
+    // `lorem ipsum` placeholder or fewer than 3 surviving lines.
+    // Salts (period / `javascript ` / placeholder / brace lines) are
+    // deterministic doc_id+position arithmetic so every rule fires;
+    // the lorem line passes the LINE filter while killing the PAGE —
+    // the rule-level distinction the battery must preserve. One map
+    // pass; the cleaned text ships with the flag so a downstream
+    // stage filters without recomputing.
+    Q("q187_c4_line_filters",
+      s"""WITH $lx,
+         |ls0 AS (SELECT doc_id, string_split(t, chr(10)) AS l0 FROM lx),
+         |ls1 AS (SELECT doc_id, list_transform(l0, (l, p) ->
+         |    CASE WHEN (doc_id + p) % 7 = 0 THEN 'javascript ' ELSE '' END
+         |    || l ||
+         |    CASE WHEN (doc_id + p) % 3 = 0 THEN '.' ELSE '' END) AS l1
+         |  FROM ls0),
+         |ls2 AS (SELECT doc_id, CASE WHEN doc_id % 13 = 0
+         |    THEN list_append(l1, '$LoremLine') ELSE l1 END AS l2 FROM ls1),
+         |ls3 AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0
+         |    THEN list_append(l2, '$BraceLine') ELSE l2 END AS lines FROM ls2),
+         |k AS (SELECT doc_id, lines, list_filter(lines, l ->
+         |    ends_with(l, '.') AND len(string_split(l, ' ')) >= $C4MinWords
+         |    AND NOT contains(l, 'javascript')
+         |    AND NOT contains(l, 'cookies')) AS kept FROM ls3)
+         |SELECT doc_id,
+         |  CAST(len(lines) AS BIGINT) AS n_lines,
+         |  CAST(len(kept) AS BIGINT) AS n_kept,
+         |  CASE WHEN len(kept) >= $C4MinLines
+         |        AND len(list_filter(lines, l -> contains(l, '{'))) = 0
+         |        AND len(list_filter(lines, l -> contains(l, 'lorem ipsum'))) = 0
+         |   THEN 1 ELSE 0 END AS page_keep,
+         |  coalesce(array_to_string(kept, chr(10)), '') AS text_c4
+         |FROM k""".stripMargin) {
+      (s, d) =>
+        val lined = Sources.table(s, d, "documents")
+          .select(col("doc_id"), LineDedupQueries.linedCol.as("t"))
+        val ls0 = lined.select(col("doc_id"), split(col("t"), "\n").as("l0"))
+        // Spark transform indexes are 0-based; the oracle's DuckDB
+        // lambdas are 1-based — p = i + 1 aligns them.
+        val ls1 = ls0.select(col("doc_id"),
+          transform(col("l0"), (l, i) => concat(
+            when((col("doc_id") + i + 1) % 7 === 0, lit("javascript "))
+              .otherwise(lit("")),
+            l,
+            when((col("doc_id") + i + 1) % 3 === 0, lit("."))
+              .otherwise(lit("")))).as("l1"))
+        val ls2 = ls1.select(col("doc_id"),
+          when(col("doc_id") % 13 === 0,
+            concat(col("l1"), array(lit(LoremLine)))).otherwise(col("l1"))
+            .as("l2"))
+        val ls3 = ls2.select(col("doc_id"),
+          when(col("doc_id") % 11 === 0,
+            concat(col("l2"), array(lit(BraceLine)))).otherwise(col("l2"))
+            .as("lines"))
+        QualityFilters.c4Clean(ls3)
+    }
+  )
+}

@@ -99,6 +99,19 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q186/q187: quality-filter batteries are shuffle-free map passes") {
+    // Gopher repetition signals and C4 line rules run over every byte
+    // of the corpus BEFORE any keyed stage — within-doc sort +
+    // run-length counting must stay a per-row array expression (one
+    // projection), never an explode + groupBy or a window.
+    for (q <- Seq("q186_gopher_quality", "q187_c4_line_filters")) {
+      val plan = planOf(q)
+      assert(!plan.contains("Exchange"), s"$q shuffles:\n${plan.take(1500)}")
+      assert(!plan.contains("Window") && !plan.contains("Generate"),
+        s"$q planned explode/window:\n${plan.take(1500)}")
+    }
+  }
+
   test("q177: cluster representative is a hash-agg argmax, never a per-cluster window sort") {
     // max(struct(...)) partial-aggregates map-side: a 10⁹-member
     // cluster contributes one candidate row per partition to the

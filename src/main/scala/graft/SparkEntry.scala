@@ -19,7 +19,8 @@ object SparkEntry {
       graft.queries.CurationQueries.all ++ graft.queries.HtmlQueries.all ++
       graft.queries.UnicodeQueries.all ++ graft.queries.LineDedupQueries.all ++
       graft.queries.UrlQueries.all ++ graft.queries.CorpusReportQueries.all ++
-      graft.queries.QualityFilterQueries.all
+      graft.queries.QualityFilterQueries.all ++
+      graft.queries.BloomDedupQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

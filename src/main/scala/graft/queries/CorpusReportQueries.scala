@@ -107,6 +107,55 @@ object CorpusReportQueries {
             transform(col("ws"), (w, i) =>
               when(phase(i) < 3, w).otherwise(lit(null))),
             x => x.isNotNull)).cast("bigint").as("n_corrupt"))
+    },
+
+    // EXACT length-percentile trim (P5/P95 by token count) WITHOUT a
+    // global sort: token counts have a bounded integer domain, so the
+    // exact distribution is a histogram (one partial-aggregated
+    // groupBy over ≤ max-doc-tokens distinct values) and the
+    // percentile boundary is a prefix-sum over that BOUNDED frame —
+    // the only single-partition stage touches the histogram, never
+    // the corpus. The trim itself is then a map-pass filter against
+    // two 1-row broadcasts. This is how "drop the length tails before
+    // training" stays exact at 100 TB — quantile_approx would be
+    // neither exact nor oracle-pinnable, and a global ORDER BY to
+    // find P5 would sort 10¹⁰ rows to read two of them.
+    // Boundary definition (integer-exact in both engines): pXX = the
+    // smallest token count whose cumulative doc count reaches
+    // ceil(XX% of n), i.e. min v with cum(v)·20 ≥ n (P5) / ≥ 19n (P95).
+    Q("q189_percentile_trim",
+      """WITH tok AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text,' ')) AS BIGINT) AS tok FROM documents),
+        |hist AS (SELECT tok AS v, count(*) AS c FROM tok GROUP BY 1),
+        |cum AS (SELECT v, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cum FROM hist),
+        |nn AS (SELECT count(*) AS n FROM tok),
+        |lo AS (SELECT CAST(min(v) AS BIGINT) AS p05_tok FROM cum, nn WHERE cum * 20 >= n),
+        |hi AS (SELECT CAST(min(v) AS BIGINT) AS p95_tok FROM cum, nn WHERE cum * 20 >= 19 * n)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN tok BETWEEN p05_tok AND p95_tok THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  p05_tok, p95_tok
+        |FROM tok, lo, hi GROUP BY source, p05_tok, p95_tok""".stripMargin) {
+      (s, d) =>
+        val docs = table(s, d, "documents").select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("tok"))
+        val hist = docs.groupBy(col("tok").as("v")).agg(count(lit(1)).as("c"))
+        // Single-partition window over the HISTOGRAM — bounded by the
+        // token-count domain (≤ max doc length rows), not the corpus.
+        val cum = hist.withColumn("cum",
+          sum("c").over(org.apache.spark.sql.expressions.Window.orderBy("v")))
+        val nd = docs.agg(count(lit(1)).as("n"))
+        val cn = cum.crossJoin(broadcast(nd))
+        val lo = cn.filter(col("cum") * 20 >= col("n"))
+          .agg(min("v").as("p05_tok"))
+        val hi = cn.filter(col("cum") * 20 >= col("n") * 19)
+          .agg(min("v").as("p95_tok"))
+        docs.crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+          .groupBy("source", "p05_tok", "p95_tok")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("tok").between(col("p05_tok"), col("p95_tok")), 1L)
+              .otherwise(0L)).as("n_kept"))
+          .select(col("source"), col("n_docs"), col("n_kept"),
+            col("p05_tok"), col("p95_tok"))
     }
   )
 }

@@ -156,6 +156,54 @@ object CorpusReportQueries {
               .otherwise(0L)).as("n_kept"))
           .select(col("source"), col("n_docs"), col("n_kept"),
             col("p05_tok"), col("p95_tok"))
+    },
+
+    // Corpus-generation DIFF: the release audit between two corpus
+    // versions — which documents were added, removed, or changed
+    // (same id, different text). One full-outer equi join on the id,
+    // comparing exact-dedup fingerprints rather than full texts (at
+    // 100 TB the diff reads two fingerprint columns, not 2×100 TB of
+    // text; both generations' stores already carry the hash). A
+    // bucketed-by-id table layout makes this join co-located — the
+    // TableStore generation discipline — but the semantics need only
+    // the join. Fixture: the "previous" generation is derived from
+    // the corpus deterministically — every 17th doc missing (added
+    // since), every 13th doc carrying an older text (changed), and a
+    // shifted-id tail the new generation dropped (removed).
+    Q("q193_corpus_diff", {
+      val fp = (e: String) => LlmQueries.h64(e)
+      s"""WITH g1 AS (
+         |  SELECT doc_id, ${fp("CASE WHEN doc_id % 13 = 0 THEN 'OLD ' || text ELSE text END")} AS fp1
+         |  FROM documents WHERE doc_id % 17 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 1000000000, ${fp("text")} FROM documents WHERE doc_id % 19 = 0),
+         |g2 AS (SELECT doc_id, ${fp("text")} AS fp2 FROM documents)
+         |SELECT coalesce(g2.doc_id, g1.doc_id) AS doc_id,
+         |  CASE WHEN g1.doc_id IS NULL THEN 'added'
+         |       WHEN g2.doc_id IS NULL THEN 'removed'
+         |       WHEN fp1 <> fp2 THEN 'changed'
+         |       ELSE 'unchanged' END AS verdict
+         |FROM g1 FULL OUTER JOIN g2 ON g1.doc_id = g2.doc_id""".stripMargin
+    }) {
+      (s, d) =>
+        import graft.functions.Functions.portableHash64
+        val docs = table(s, d, "documents").select(col("doc_id"), col("text"))
+        val g1 = docs.filter(col("doc_id") % 17 =!= 0)
+          .select(col("doc_id"), portableHash64(
+            when(col("doc_id") % 13 === 0, concat(lit("OLD "), col("text")))
+              .otherwise(col("text"))).as("fp1"))
+          .unionByName(docs.filter(col("doc_id") % 19 === 0)
+            .select((col("doc_id") + 1000000000L).as("doc_id"),
+              portableHash64(col("text")).as("fp1")))
+        val g2 = docs.select(col("doc_id").as("doc_id2"),
+          portableHash64(col("text")).as("fp2"))
+        g1.join(g2, col("doc_id") === col("doc_id2"), "full")
+          .select(
+            coalesce(col("doc_id2"), col("doc_id")).as("doc_id"),
+            when(col("fp1").isNull, "added")
+              .when(col("fp2").isNull, "removed")
+              .when(col("fp1") =!= col("fp2"), "changed")
+              .otherwise("unchanged").as("verdict"))
     }
   )
 }

@@ -20,7 +20,8 @@ object SparkEntry {
       graft.queries.UnicodeQueries.all ++ graft.queries.LineDedupQueries.all ++
       graft.queries.UrlQueries.all ++ graft.queries.CorpusReportQueries.all ++
       graft.queries.QualityFilterQueries.all ++
-      graft.queries.BloomDedupQueries.all ++ graft.queries.ChatQueries.all
+      graft.queries.BloomDedupQueries.all ++ graft.queries.ChatQueries.all ++
+      graft.queries.HygieneQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

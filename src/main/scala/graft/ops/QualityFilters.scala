@@ -93,11 +93,15 @@ object QualityFilters {
     * `text`, and a line array `lines`. Output is per-document:
     * line-duplication fractions, the top word-2-gram and its
     * character share, mean word length, and the composite keep flag —
-    * every ratio an exact integer milli-fraction. */
-  def gopherSignals(docs: DataFrame): DataFrame = {
-    val base = docs.select(col("doc_id"), col("lines"),
+    * every ratio an exact integer milli-fraction. `extra` columns
+    * from the input pass through untouched (the q196 funnel threads
+    * its C4 flag and dedup key through the one map pass instead of
+    * re-scanning and joining). */
+  def gopherSignals(docs: DataFrame, extra: Seq[String] = Nil): DataFrame = {
+    val ex = extra.map(col)
+    val base = docs.select(Seq(col("doc_id"), col("lines"),
       split(col("text"), " ").as("ws"),
-      length(col("text")).cast("long").as("n_chars"))
+      length(col("text")).cast("long").as("n_chars")) ++ ex: _*)
     // Word 2-grams WITH repeats (q47's shingle builder dedups; the
     // Gopher signal needs multiplicity).
     val grams = base.withColumn("g2",
@@ -107,7 +111,7 @@ object QualityFilters {
     val lineRuns = withRuns(grams, "lines", "ln")
     val gramRuns = withRuns(lineRuns, "g2", "g")
       .withColumn("g_maxrun", maxRun("g"))
-    val scored = gramRuns.select(
+    val scored = gramRuns.select(Seq(
       col("doc_id"),
       size(col("lines")).cast("long").as("n_lines"),
       size(col("ln_bpos")).cast("long").as("n_distinct_lines"),
@@ -118,17 +122,17 @@ object QualityFilters {
       topElem("g").as("top2_gram"),
       col("n_chars"),
       aggregate(col("ws"), lit(0L), (a, w) => a + length(w)).as("word_chars"),
-      size(col("ws")).cast("long").as("n_words"))
+      size(col("ws")).cast("long").as("n_words")) ++ ex: _*)
     // Integer `div` (not float `/` + cast) so every milli-fraction is
     // bit-identical to the oracle's `//`.
-    val withMilli = scored.select(
+    val withMilli = scored.select(Seq(
       col("doc_id"), col("n_lines"), col("top2_cnt"), col("top2_gram"),
       expr("(n_lines - n_distinct_lines) * 1000 div n_lines")
         .as("dup_line_milli"),
       expr("dup_line_chars * 1000 div line_chars").as("dup_char_milli"),
       expr("top2_cnt * length(top2_gram) * 1000 div n_chars")
         .as("top2_char_milli"),
-      expr("word_chars * 1000 div n_words").as("mean_wlen_milli"))
+      expr("word_chars * 1000 div n_words").as("mean_wlen_milli")) ++ ex: _*)
     withMilli.withColumn("keep_gopher",
       (col("dup_line_milli") <= MaxDupLineMilli &&
         col("dup_char_milli") <= MaxDupCharMilli &&
@@ -143,6 +147,13 @@ object QualityFilters {
     l.endsWith(".") &&
       size(split(l, " ")) >= C4MinWords &&
       !l.contains("javascript") && !l.contains("cookies")
+
+  /** C4 page-keep flag over a line array (the page-level half of
+    * [[c4Clean]], exposed for compositions that only gate). */
+  def c4PageKeep(lines: Column): Column =
+    (size(filter(lines, l => c4LineKeep(l))) >= C4MinLines &&
+      !exists(lines, l => l.contains("{")) &&
+      !exists(lines, l => l.contains("lorem ipsum"))).cast("int")
 
   /** C4 cleaning over a frame bearing `doc_id` and a salted line
     * array `lines`: per-document kept-line ledger, the page-level

@@ -32,6 +32,11 @@ import org.apache.spark.sql.functions._
   * regex semantics and both engines' binary string sort agree). */
 object Url {
 
+  /** Politeness spacing between same-host fetches (q199's schedule;
+    * the conservative default a crawler uses when robots.txt names
+    * no Crawl-delay). */
+  val CrawlDelaySec = 10L
+
   /** The URL's scheme, lowercased ("" when the input has none). */
   def urlScheme(url: Column): Column =
     lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))

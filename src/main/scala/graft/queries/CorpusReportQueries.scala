@@ -204,6 +204,73 @@ object CorpusReportQueries {
               .when(col("fp2").isNull, "removed")
               .when(col("fp1") =!= col("fp2"), "changed")
               .otherwise("unchanged").as("verdict"))
+    },
+
+    // Cross-source OVERLAP MATRIX: for every source pair, how many
+    // distinct texts they share — the provenance diagnostic behind
+    // "which feeds are re-crawling each other" and the input to
+    // source-priority dedup. Scale shape: NEVER the (fp, source)
+    // self-join (a boilerplate text in 10⁹ docs across two sources
+    // would quadratically explode exactly there); instead one groupBy
+    // per text key collecting the DISTINCT source set — bounded by
+    // the source count, a release-grain constant — then in-array pair
+    // expansion and one count per pair. Fixture: the harness corpus
+    // has zero natural cross-source dups, so every 9th-mod doc keys
+    // on a shared constant (the q188 salt discipline).
+    Q("q197_source_overlap",
+      """WITH k AS (SELECT DISTINCT
+        |    CASE WHEN doc_id % 9 < 2 THEN 'shared-' || CAST(doc_id % 35 AS VARCHAR)
+        |         ELSE text END AS key,
+        |    source
+        |  FROM documents),
+        |p AS (SELECT a.key, a.source AS src_a, b.source AS src_b
+        |      FROM k a JOIN k b ON a.key = b.key AND a.source < b.source)
+        |SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_shared
+        |FROM p GROUP BY src_a, src_b""".stripMargin) {
+      (s, d) =>
+        val keyed = table(s, d, "documents")
+          .select(
+            when(col("doc_id") % 9 < 2,
+              concat(lit("shared-"), (col("doc_id") % 35).cast("string")))
+              .otherwise(col("text")).as("key"),
+            col("source"))
+          .distinct()
+        val sets = keyed.groupBy("key")
+          .agg(sort_array(collect_set(col("source"))).as("ss"))
+          .filter(size(col("ss")) > 1)
+        sets.select(explode(flatten(transform(
+            sequence(lit(1), size(col("ss")) - 1),
+            i => transform(sequence(i + 1, size(col("ss"))),
+              j => struct(
+                element_at(col("ss"), i).as("src_a"),
+                element_at(col("ss"), j).as("src_b")))))).as("pair"))
+          .groupBy(col("pair.src_a").as("src_a"), col("pair.src_b").as("src_b"))
+          .agg(count(lit(1)).as("n_shared"))
+    },
+
+    // Vocabulary HEAD audit: the corpus's top-20 words by exact
+    // frequency with their corpus share in ppm — the Zipf-head report
+    // a tokenizer-training or stopword decision reads. Deterministic
+    // under ties (count desc, word asc), so the LIMIT is exact. Plan:
+    // one partial-aggregated word count and a TakeOrdered(20) — no
+    // global sort materializes.
+    Q("q198_vocab_head",
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        |cnt AS (SELECT word, count(*) AS n FROM w GROUP BY word),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM cnt)
+        |SELECT word, CAST(n AS BIGINT) AS n,
+        |       CAST(n * 1000000 // t AS BIGINT) AS share_ppm
+        |FROM cnt, tot ORDER BY n DESC, word LIMIT 20""".stripMargin) {
+      (s, d) =>
+        val cnt = table(s, d, "documents")
+          .select(explode(split(col("text"), " ")).as("word"))
+          .groupBy("word").agg(count(lit(1)).as("n"))
+        val tot = cnt.agg(sum(col("n")).cast("long").as("t"))
+        cnt.crossJoin(broadcast(tot))
+          .select(col("word"), col("n"),
+            expr("n * 1000000 div t").as("share_ppm"))
+          .orderBy(col("n").desc, col("word").asc)
+          .limit(20)
     }
   )
 }

@@ -262,6 +262,33 @@ object UrlQueries {
         } finally
           org.apache.commons.io.FileUtils.deleteDirectory(scratch.toFile)
         s.table(sinkName).select(col("canon"), col("doc_id"))
+    },
+
+    // Crawl POLITENESS SCHEDULE: per canonical host, URLs get fetch
+    // slots spaced CrawlDelaySec apart (RFC 9309's Crawl-delay
+    // semantics) in deterministic doc_id order — the dispatch plan a
+    // polite fetcher executes. The per-host rank comes from
+    // Sampling.rankAndCumsum's two-phase decomposition (256 bounded
+    // bucket offsets + one intra-bucket window), NEVER a host-global
+    // sort partition: one viral host with 10⁹ frontier URLs must not
+    // become a single straggler sort task — the same reason the quota
+    // fill (q165) uses this machinery.
+    Q("q199_crawl_schedule",
+      s"""WITH $urlCtes,
+         |r AS (SELECT doc_id, host,
+         |        CAST(row_number() OVER (PARTITION BY host ORDER BY doc_id) - 1
+         |             AS BIGINT) AS rnk
+         |      FROM c)
+         |SELECT doc_id, host, rnk, rnk * ${Url.CrawlDelaySec} AS slot_sec
+         |FROM r""".stripMargin) {
+      (s, d) =>
+        val hosts = table(s, d, "documents")
+          .select(col("doc_id"), urlCol.as("url"))
+          .select(col("doc_id"), Url.urlHost(col("url")).as("host"))
+        graft.ops.Sampling.rankAndCumsum(hosts, "host", "doc_id",
+            scoreCol = col("doc_id"), weightCol = lit(1L))
+          .select(col("doc_id"), col("host"), col("rnk"),
+            (col("rnk") * Url.CrawlDelaySec).as("slot_sec"))
     }
   )
 }

@@ -271,6 +271,44 @@ object CorpusReportQueries {
             expr("n * 1000000 div t").as("share_ppm"))
           .orderBy(col("n").desc, col("word").asc)
           .limit(20)
+    },
+
+    // STREAMING maintenance of the length histogram — q189's exact
+    // percentile state kept warm as the corpus arrives (the
+    // q180/q166 stream==batch discipline): token counts stream in, a
+    // streaming aggregate accretes per-value counts, and the final
+    // state IS the bounded-domain histogram q189's boundary read-off
+    // consumes. State is bounded by the token-count domain (never the
+    // corpus), additive under any trigger pacing, and the oracle is
+    // the from-scratch histogram — correct maintenance is
+    // indistinguishable from recomputation.
+    Q("q200_stream_length_stats",
+      """SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS v,
+        |       CAST(count(*) AS BIGINT) AS c
+        |FROM documents GROUP BY 1""".stripMargin) {
+      (s, d) =>
+        val feed = table(s, d, "documents")
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("v"))
+        val scratch = java.nio.file.Files.createTempDirectory("graft_q200")
+        val staging = s"$scratch/toks"
+        try {
+          feed.repartitionByRange(4, col("doc_id")).write.parquet(staging)
+          val stream = s.readStream.schema(feed.schema)
+            .option("maxFilesPerTrigger", 2).parquet(staging)
+          val agg = stream.groupBy(col("v")).agg(count(lit(1)).as("c"))
+          val sinkName = "q200_stream_length_sink"
+          s.catalog.dropTempView(sinkName)
+          val q = agg.writeStream.format("memory").queryName(sinkName)
+            .outputMode("complete")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          try require(q.awaitTermination(300000),
+            "q200: stream did not drain within 300s — partial histogram")
+          finally q.stop()
+          s.table(sinkName).select(col("v"), col("c"))
+        } finally
+          org.apache.commons.io.FileUtils.deleteDirectory(scratch.toFile)
     }
   )
 }

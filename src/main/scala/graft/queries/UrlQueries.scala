@@ -37,9 +37,45 @@ object UrlQueries {
       lit("Site-"), uid % 20, lit(".Example.COM"), port, path, query, frag)
   }
 
+  /** Canonicalization chain over any relation bearing a URL column:
+    * `${p}x` = parsed parts (scheme/auth/path/query), `$p` = carried
+    * columns + (host, canon) — each rule the verbatim DuckDB mirror
+    * of the [[graft.ops.Url]] expression chain. Parameterized so
+    * q201 canonicalizes EXTRACTED link targets with the same text
+    * the frontier queries gate — one chain, two instantiations. */
+  private[queries] def canonOver(src: String, carried: Seq[String],
+                                 u: String, p: String): String = {
+    val cols = carried.mkString(", ")
+    s"""${p}x AS (
+       |  SELECT $cols,
+       |         lower(regexp_extract($u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+       |         lower(regexp_extract($u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS auth,
+       |         regexp_replace(regexp_extract($u,
+       |           '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1), '/{2,}', '/', 'g') AS path,
+       |         coalesce(array_to_string(list_sort(list_filter(
+       |           string_split(coalesce(regexp_extract($u, '\\?([^#]*)', 1), ''), '&'),
+       |           kv -> kv <> '' AND kv[1:4] <> 'utm_')), '&'), '') AS q
+       |  FROM $src),
+       |$p AS (
+       |  SELECT $cols,
+       |    regexp_replace(
+       |      CASE WHEN scheme = 'https' THEN regexp_replace(auth, ':443$$', '')
+       |           WHEN scheme = 'http'  THEN regexp_replace(auth, ':80$$', '')
+       |           ELSE auth END,
+       |      '^www\\.', '') AS host,
+       |    scheme || '://' ||
+       |    regexp_replace(
+       |      CASE WHEN scheme = 'https' THEN regexp_replace(auth, ':443$$', '')
+       |           WHEN scheme = 'http'  THEN regexp_replace(auth, ':80$$', '')
+       |           ELSE auth END,
+       |      '^www\\.', '') ||
+       |    path ||
+       |    (CASE WHEN q = '' THEN '' ELSE '?' || q END) AS canon
+       |  FROM ${p}x)""".stripMargin
+  }
+
   /** Fixture + canonicalization as SQL CTEs: `u` = (doc_id, url),
-    * `c` = (doc_id, url, host, canon) — each rule the verbatim
-    * DuckDB mirror of the [[graft.ops.Url]] expression chain.
+    * `c` = (doc_id, url, host, canon) via [[canonOver]].
     * (`private[queries]`: q181's pipeline composition reuses the
     * frontier layer verbatim.) */
   private[queries] val urlCtes: String =
@@ -58,33 +94,8 @@ object UrlQueries {
       |          THEN '?utm_source=feed&id=' || CAST(doc_id // 2 AS VARCHAR) || '&utm_campaign=x'
       |          ELSE '?id=' || CAST(doc_id // 2 AS VARCHAR) END) ||
       |    (CASE WHEN doc_id % 3 = 0 THEN '#Top' ELSE '' END) AS url
-      |  FROM documents),
-      |cx AS (
-      |  SELECT doc_id, url,
-      |         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-      |         lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS auth,
-      |         regexp_replace(regexp_extract(url,
-      |           '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1), '/{2,}', '/', 'g') AS path,
-      |         array_to_string(list_sort(list_filter(
-      |           string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
-      |           p -> p <> '' AND p[1:4] <> 'utm_')), '&') AS q
-      |  FROM u),
-      |c AS (
-      |  SELECT doc_id, url,
-      |    regexp_replace(
-      |      CASE WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
-      |           WHEN scheme = 'http'  THEN regexp_replace(auth, ':80$', '')
-      |           ELSE auth END,
-      |      '^www\.', '') AS host,
-      |    scheme || '://' ||
-      |    regexp_replace(
-      |      CASE WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
-      |           WHEN scheme = 'http'  THEN regexp_replace(auth, ':80$', '')
-      |           ELSE auth END,
-      |      '^www\.', '') ||
-      |    path ||
-      |    (CASE WHEN q = '' THEN '' ELSE '?' || q END) AS canon
-      |  FROM cx)""".stripMargin
+      |  FROM documents),""".stripMargin + "\n" +
+      canonOver("u", Seq("doc_id", "url"), "url", "c")
 
   val all: Seq[Q] = Seq(
 
@@ -289,6 +300,90 @@ object UrlQueries {
             scoreCol = col("doc_id"), weightCol = lit(1L))
           .select(col("doc_id"), col("host"), col("rnk"),
             (col("rnk") * Url.CrawlDelaySec).as("slot_sec"))
+    },
+
+    // LINK-GRAPH extraction: anchors out of the HTML fixture pages
+    // (two-group regex extraction, hrefs and texts zipped by
+    // position), relative hrefs RESOLVED against the page's own
+    // scheme+host, targets canonicalized by the same chain the
+    // frontier gates, then one aggregate per target — the edge list
+    // q130's PageRank and anchor-text retrieval consume, produced
+    // from raw markup in one map pass + one explode + one hash agg.
+    // Per-target state is bounded (counts + min), never a
+    // collect_list of a viral target's 10⁹ anchor texts. Fixture: the
+    // page skeleton's constant nav/footer links exercise relative
+    // resolution; two doc-varying messy absolute outlinks (built from
+    // doc_id arithmetic in both engines) exercise canonicalization.
+    Q("q201_link_graph", {
+      val anchorRe = "<a href=\"([^\"]*)\"[^>]*>(.*?)</a>"
+      s"""WITH $urlCtes,
+         |${HtmlQueries.hxCteOver("documents")},
+         |ks AS (SELECT doc_id, (doc_id * 7 + 3) % 250 AS k1,
+         |               (doc_id * 11 + 5) % 250 AS k2 FROM documents),
+         |pg AS (SELECT hx.doc_id, hx.html ||
+         |    '<div class="out"><a href="HTTP://Site-' || CAST(k1 % 20 AS VARCHAR) ||
+         |    '.Example.COM/docs/page/' || CAST(k1 AS VARCHAR) ||
+         |    '?utm_source=x&id=' || CAST(k1 AS VARCHAR) ||
+         |    '">see doc ' || CAST(k1 AS VARCHAR) ||
+         |    '</a> <a href="https://WWW.site-' || CAST(k2 % 20 AS VARCHAR) ||
+         |    '.example.com:443/docs/page/' || CAST(k2 AS VARCHAR) ||
+         |    '?id=' || CAST(k2 AS VARCHAR) ||
+         |    '">ref ' || CAST(k2 AS VARCHAR) || '</a></div>' AS h
+         |  FROM hx JOIN ks ON hx.doc_id = ks.doc_id),
+         |ax AS (SELECT doc_id,
+         |    regexp_extract_all(h, '$anchorRe', 1) AS hrefs,
+         |    regexp_extract_all(h, '$anchorRe', 2) AS txts FROM pg),
+         |e AS (SELECT ax.doc_id, hrefs[CAST(i AS INT)] AS href,
+         |             txts[CAST(i AS INT)] AS txt
+         |      FROM ax, unnest(generate_series(1, len(hrefs))) g(i)),
+         |r AS (SELECT e.doc_id, e.txt,
+         |      CASE WHEN contains(e.href, '://') THEN e.href
+         |           ELSE cx.scheme || '://' || c.host || e.href END AS absu
+         |      FROM e JOIN cx ON e.doc_id = cx.doc_id
+         |             JOIN c ON e.doc_id = c.doc_id),
+         |${canonOver("r", Seq("doc_id", "txt"), "absu", "cc")}
+         |SELECT canon AS target, CAST(count(*) AS BIGINT) AS n_links,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT txt) AS BIGINT) AS n_anchors,
+         |  min(txt) AS top_anchor
+         |FROM cc GROUP BY canon""".stripMargin
+    }) {
+      (s, d) =>
+        val anchorRe = "<a href=\"([^\"]*)\"[^>]*>(.*?)</a>"
+        val k1 = (col("doc_id") * 7 + 3) % 250
+        val k2 = (col("doc_id") * 11 + 5) % 250
+        val out = concat(
+          lit("<div class=\"out\"><a href=\"HTTP://Site-"),
+          (k1 % 20).cast("string"), lit(".Example.COM/docs/page/"),
+          k1.cast("string"), lit("?utm_source=x&id="), k1.cast("string"),
+          lit("\">see doc "), k1.cast("string"),
+          lit("</a> <a href=\"https://WWW.site-"),
+          (k2 % 20).cast("string"), lit(".example.com:443/docs/page/"),
+          k2.cast("string"), lit("?id="), k2.cast("string"),
+          lit("\">ref "), k2.cast("string"), lit("</a></div>"))
+        val pg = table(s, d, "documents")
+          .select(col("doc_id"), urlCol.as("url"),
+            concat(HtmlQueries.htmlCol, out).as("h"))
+        val ax = pg.select(col("doc_id"), col("url"),
+          regexp_extract_all(col("h"), lit(anchorRe), lit(1)).as("hrefs"),
+          regexp_extract_all(col("h"), lit(anchorRe), lit(2)).as("txts"))
+        val e = ax.select(col("doc_id"), col("url"),
+            explode(zip_with(col("hrefs"), col("txts"),
+              (h, t) => struct(h.as("href"), t.as("txt")))).as("a"))
+          .select(col("doc_id"), col("url"),
+            col("a.href").as("href"), col("a.txt").as("txt"))
+        val resolved = e.select(col("doc_id"), col("txt"),
+          when(col("href").contains("://"), col("href"))
+            .otherwise(concat(Url.urlScheme(col("url")), lit("://"),
+              Url.urlHost(col("url")), col("href"))).as("absu"))
+        resolved
+          .select(col("doc_id"), col("txt"),
+            Url.canonicalizeUrl(col("absu")).as("target"))
+          .groupBy("target")
+          .agg(count(lit(1)).as("n_links"),
+            countDistinct(col("doc_id")).as("n_docs"),
+            countDistinct(col("txt")).as("n_anchors"),
+            min(col("txt")).as("top_anchor"))
     }
   )
 }

@@ -384,6 +384,97 @@ object UrlQueries {
             countDistinct(col("doc_id")).as("n_docs"),
             countDistinct(col("txt")).as("n_anchors"),
             min(col("txt")).as("top_anchor"))
+    },
+
+    // INCREMENTAL link-graph maintenance (the q182 lagged-update
+    // discipline): the existing corpus's per-target edge stats are a
+    // persisted table (modeled as stats over the first 90% of doc
+    // ids); a page batch arrives and its stats MERGE by addition/min
+    // — exact, because link and source-doc counts are additive over
+    // disjoint crawl batches and the representative anchor is a min.
+    // (Distinct-anchor counts are deliberately NOT in this row: they
+    // are not additive across batches — the from-scratch q201 carries
+    // them.) Steady-state cost ∝ batch; the only corpus-sized
+    // artifact touched is the stats table's own key merge.
+    Q("q202_link_graph_incremental", {
+      val anchorRe = "<a href=\"([^\"]*)\"[^>]*>(.*?)</a>"
+      s"""WITH $urlCtes,
+         |${HtmlQueries.hxCteOver("documents")},
+         |ks AS (SELECT doc_id, (doc_id * 7 + 3) % 250 AS k1,
+         |               (doc_id * 11 + 5) % 250 AS k2 FROM documents),
+         |pg AS (SELECT hx.doc_id, hx.html ||
+         |    '<div class="out"><a href="HTTP://Site-' || CAST(k1 % 20 AS VARCHAR) ||
+         |    '.Example.COM/docs/page/' || CAST(k1 AS VARCHAR) ||
+         |    '?utm_source=x&id=' || CAST(k1 AS VARCHAR) ||
+         |    '">see doc ' || CAST(k1 AS VARCHAR) ||
+         |    '</a> <a href="https://WWW.site-' || CAST(k2 % 20 AS VARCHAR) ||
+         |    '.example.com:443/docs/page/' || CAST(k2 AS VARCHAR) ||
+         |    '?id=' || CAST(k2 AS VARCHAR) ||
+         |    '">ref ' || CAST(k2 AS VARCHAR) || '</a></div>' AS h
+         |  FROM hx JOIN ks ON hx.doc_id = ks.doc_id),
+         |ax AS (SELECT doc_id,
+         |    regexp_extract_all(h, '$anchorRe', 1) AS hrefs,
+         |    regexp_extract_all(h, '$anchorRe', 2) AS txts FROM pg),
+         |e AS (SELECT ax.doc_id, hrefs[CAST(i AS INT)] AS href,
+         |             txts[CAST(i AS INT)] AS txt
+         |      FROM ax, unnest(generate_series(1, len(hrefs))) g(i)),
+         |r AS (SELECT e.doc_id, e.txt,
+         |      CASE WHEN contains(e.href, '://') THEN e.href
+         |           ELSE cx.scheme || '://' || c.host || e.href END AS absu
+         |      FROM e JOIN cx ON e.doc_id = cx.doc_id
+         |             JOIN c ON e.doc_id = c.doc_id),
+         |${canonOver("r", Seq("doc_id", "txt"), "absu", "cc")}
+         |SELECT canon AS target, CAST(count(*) AS BIGINT) AS n_links,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  min(txt) AS top_anchor
+         |FROM cc GROUP BY canon""".stripMargin
+    }) {
+      (s, d) =>
+        val anchorRe = "<a href=\"([^\"]*)\"[^>]*>(.*?)</a>"
+        val k1 = (col("doc_id") * 7 + 3) % 250
+        val k2 = (col("doc_id") * 11 + 5) % 250
+        val out = concat(
+          lit("<div class=\"out\"><a href=\"HTTP://Site-"),
+          (k1 % 20).cast("string"), lit(".Example.COM/docs/page/"),
+          k1.cast("string"), lit("?utm_source=x&id="), k1.cast("string"),
+          lit("\">see doc "), k1.cast("string"),
+          lit("</a> <a href=\"https://WWW.site-"),
+          (k2 % 20).cast("string"), lit(".example.com:443/docs/page/"),
+          k2.cast("string"), lit("?id="), k2.cast("string"),
+          lit("\">ref "), k2.cast("string"), lit("</a></div>"))
+        val pg = table(s, d, "documents")
+          .select(col("doc_id"), urlCol.as("url"),
+            concat(HtmlQueries.htmlCol, out).as("h"))
+        val edges = pg
+          .select(col("doc_id"), col("url"),
+            regexp_extract_all(col("h"), lit(anchorRe), lit(1)).as("hrefs"),
+            regexp_extract_all(col("h"), lit(anchorRe), lit(2)).as("txts"))
+          .select(col("doc_id"), col("url"),
+            explode(zip_with(col("hrefs"), col("txts"),
+              (h, t) => struct(h.as("href"), t.as("txt")))).as("a"))
+          .select(col("doc_id"),
+            col("a.txt").as("txt"),
+            Url.canonicalizeUrl(
+              when(col("a.href").contains("://"), col("a.href"))
+                .otherwise(concat(Url.urlScheme(col("url")), lit("://"),
+                  Url.urlHost(col("url")), col("a.href")))).as("target"))
+        val mx = edges.agg(max(col("doc_id"))).collect()(0).getLong(0)
+        val cut = mx * 9L / 10L
+        def stats(df: org.apache.spark.sql.DataFrame, sfx: String) =
+          df.groupBy("target").agg(
+            count(lit(1)).as(s"nl$sfx"),
+            countDistinct(col("doc_id")).as(s"nd$sfx"),
+            min(col("txt")).as(s"ta$sfx"))
+        val base = stats(edges.filter(col("doc_id") < cut), "_b")
+        val batch = stats(edges.filter(col("doc_id") >= cut), "_n")
+        base.join(batch, Seq("target"), "full")
+          .select(col("target"),
+            (coalesce(col("nl_b"), lit(0L)) + coalesce(col("nl_n"), lit(0L)))
+              .as("n_links"),
+            (coalesce(col("nd_b"), lit(0L)) + coalesce(col("nd_n"), lit(0L)))
+              .as("n_docs"),
+            least(coalesce(col("ta_b"), col("ta_n")),
+              coalesce(col("ta_n"), col("ta_b"))).as("top_anchor"))
     }
   )
 }

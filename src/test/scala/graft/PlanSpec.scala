@@ -112,6 +112,33 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q188: bloom word table broadcasts; no cartesian anywhere in the routing") {
+    // The (widx, bits) table is bounded by m/32 rows — it must enter
+    // the probe as a broadcast, and the two-path union must stay
+    // equi-joined (a cartesian here would scan seen × batch).
+    val plan = planOf("q188_bloom_ingest_dedup")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q190: conversation assembly rides ONE key shuffle") {
+    // Sessionize's window partitions by user_id; the collect_list
+    // aggregate's (user_id, session_seq) clustering is satisfied by
+    // that same hash partitioning — a second exchange means the
+    // aggregate stopped reusing it and every conversation re-shuffles.
+    val plan = planOf("q190_sft_render")
+    val shuffles = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles === 1, s"expected 1 hash exchange, got $shuffles:\n${plan.take(2000)}")
+  }
+
+  test("q196: the funnel is a map pass + aggregates — no window, no explode") {
+    val plan = planOf("q196_curation_funnel")
+    assert(!plan.contains("Window") && !plan.contains("Generate"),
+      s"funnel planned explode/window:\n${plan.take(1500)}")
+    assert(plan.contains("partial_"), "funnel agg lost map-side partials")
+  }
+
   test("q177: cluster representative is a hash-agg argmax, never a per-cluster window sort") {
     // max(struct(...)) partial-aggregates map-side: a 10⁹-member
     // cluster contributes one candidate row per partition to the

@@ -97,6 +97,63 @@ object UrlQueries {
       |  FROM documents),""".stripMargin + "\n" +
       canonOver("u", Seq("doc_id", "url"), "url", "c")
 
+  /** Robots fixture + RFC 9309 longest-match verdict as SQL CTEs
+    * (references `u`): `up` = (doc_id, hn, path), `m` = per-doc
+    * longest matching rule (length + allow bit); an unmatched URL
+    * defaults to allowed. Shared by q184 (the verdict row) and q204
+    * (the allowed-only schedule). */
+  private val robotsCtes: String =
+    """up AS (
+      |  SELECT doc_id, (doc_id // 2) % 20 AS hn,
+      |         regexp_replace(regexp_extract(url,
+      |           '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1), '/{2,}', '/', 'g') AS path
+      |  FROM u),
+      |hosts AS (SELECT DISTINCT hn FROM up),
+      |rules AS (
+      |  SELECT hn, '/private/' AS p, 0 AS a FROM hosts
+      |  UNION ALL SELECT hn, '/docs/', 0 FROM hosts WHERE hn % 3 = 0
+      |  UNION ALL SELECT hn, '/docs/page/', 1 FROM hosts WHERE hn % 3 = 0
+      |  UNION ALL SELECT hn, '/docs/page/1', 0 FROM hosts WHERE hn % 7 = 0),
+      |m AS (
+      |  SELECT up.doc_id,
+      |         CAST(max(struct_pack(l := length(r.p), a := r.a)).l AS BIGINT) AS rule_len,
+      |         max(struct_pack(l := length(r.p), a := r.a)).a AS mat_a
+      |  FROM up JOIN rules r ON up.hn = r.hn AND starts_with(up.path, r.p)
+      |  GROUP BY up.doc_id)""".stripMargin
+
+  /** Spark side of [[robotsCtes]]: per-doc (doc_id, allowed,
+    * rule_len) — broadcast per-host rules, ONE max(struct) argmax. */
+  private def robotsVerdicts(s: org.apache.spark.sql.SparkSession,
+                             d: String): org.apache.spark.sql.DataFrame = {
+    val ruleType = "array<struct<p:string,a:int>>"
+    val up = table(s, d, "documents")
+      .select(col("doc_id"), urlCol.as("url"))
+      .select(col("doc_id"),
+        (expr("doc_id div 2") % 20).as("hn"),
+        Url.urlPath(col("url")).as("path"))
+    val rules = up.select(col("hn")).distinct()
+      .select(col("hn"), explode(concat(
+        array(struct(lit("/private/").as("p"), lit(0).as("a"))),
+        when(col("hn") % 3 === 0, array(
+          struct(lit("/docs/").as("p"), lit(0).as("a")),
+          struct(lit("/docs/page/").as("p"), lit(1).as("a"))))
+          .otherwise(array().cast(ruleType)),
+        when(col("hn") % 7 === 0, array(
+          struct(lit("/docs/page/1").as("p"), lit(0).as("a"))))
+          .otherwise(array().cast(ruleType)))).as("r"))
+      .select(col("hn"), col("r.p").as("p"), col("r.a").as("a"))
+    val matched = up.join(broadcast(rules), Seq("hn"))
+      .filter(col("path").startsWith(col("p")))
+      .groupBy("doc_id")
+      .agg(max(struct(length(col("p")).as("l"), col("a").as("a"))).as("m"))
+      .select(col("doc_id"),
+        col("m.l").cast("bigint").as("rule_len"), col("m.a").as("mat_a"))
+    up.join(matched, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("mat_a"), lit(1)).cast("int").as("allowed"),
+        coalesce(col("rule_len"), lit(0L)).as("rule_len"))
+  }
+
   val all: Seq[Q] = Seq(
 
     // Per-URL canonicalization: every RFC 3986 §6 rule plus the two
@@ -184,55 +241,12 @@ object UrlQueries {
     // URLs this is a map-side join plus one aggregate.
     Q("q184_robots_gate",
       s"""WITH $urlCtes,
-         |up AS (
-         |  SELECT doc_id, (doc_id // 2) % 20 AS hn,
-         |         regexp_replace(regexp_extract(url,
-         |           '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1), '/{2,}', '/', 'g') AS path
-         |  FROM u),
-         |hosts AS (SELECT DISTINCT hn FROM up),
-         |rules AS (
-         |  SELECT hn, '/private/' AS p, 0 AS a FROM hosts
-         |  UNION ALL SELECT hn, '/docs/', 0 FROM hosts WHERE hn % 3 = 0
-         |  UNION ALL SELECT hn, '/docs/page/', 1 FROM hosts WHERE hn % 3 = 0
-         |  UNION ALL SELECT hn, '/docs/page/1', 0 FROM hosts WHERE hn % 7 = 0),
-         |m AS (
-         |  SELECT up.doc_id,
-         |         CAST(max(struct_pack(l := length(r.p), a := r.a)).l AS BIGINT) AS rule_len,
-         |         max(struct_pack(l := length(r.p), a := r.a)).a AS mat_a
-         |  FROM up JOIN rules r ON up.hn = r.hn AND starts_with(up.path, r.p)
-         |  GROUP BY up.doc_id)
+         |$robotsCtes
          |SELECT up.doc_id,
          |       CAST(coalesce(m.mat_a, 1) AS INT) AS allowed,
          |       coalesce(m.rule_len, 0) AS rule_len
          |FROM up LEFT JOIN m USING (doc_id)""".stripMargin) {
-      (s, d) =>
-        val ruleType = "array<struct<p:string,a:int>>"
-        val up = table(s, d, "documents")
-          .select(col("doc_id"), urlCol.as("url"))
-          .select(col("doc_id"),
-            (expr("doc_id div 2") % 20).as("hn"),
-            Url.urlPath(col("url")).as("path"))
-        val rules = up.select(col("hn")).distinct()
-          .select(col("hn"), explode(concat(
-            array(struct(lit("/private/").as("p"), lit(0).as("a"))),
-            when(col("hn") % 3 === 0, array(
-              struct(lit("/docs/").as("p"), lit(0).as("a")),
-              struct(lit("/docs/page/").as("p"), lit(1).as("a"))))
-              .otherwise(array().cast(ruleType)),
-            when(col("hn") % 7 === 0, array(
-              struct(lit("/docs/page/1").as("p"), lit(0).as("a"))))
-              .otherwise(array().cast(ruleType)))).as("r"))
-          .select(col("hn"), col("r.p").as("p"), col("r.a").as("a"))
-        val matched = up.join(broadcast(rules), Seq("hn"))
-          .filter(col("path").startsWith(col("p")))
-          .groupBy("doc_id")
-          .agg(max(struct(length(col("p")).as("l"), col("a").as("a"))).as("m"))
-          .select(col("doc_id"),
-            col("m.l").cast("bigint").as("rule_len"), col("m.a").as("mat_a"))
-        up.join(matched, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            coalesce(col("mat_a"), lit(1)).cast("int").as("allowed"),
-            coalesce(col("rule_len"), lit(0L)).as("rule_len"))
+      (s, d) => robotsVerdicts(s, d)
     },
 
     // STREAMING frontier maintenance — the URL family's third leg
@@ -475,6 +489,39 @@ object UrlQueries {
               .as("n_docs"),
             least(coalesce(col("ta_b"), col("ta_n")),
               coalesce(col("ta_n"), col("ta_b"))).as("top_anchor"))
+    },
+
+    // Robots-gated politeness schedule — the dispatch plan a REAL
+    // fetcher executes: q184's RFC 9309 verdict filters the frontier
+    // to allowed URLs, THEN q199's per-host Crawl-delay slots are
+    // assigned over the survivors (gating after scheduling would
+    // leave holes in the slot sequence and under-use every host's
+    // fetch budget — order matters, and this row pins it). Same
+    // two-phase rank machinery; the verdict join keys on doc id.
+    Q("q204_allowed_schedule",
+      s"""WITH $urlCtes,
+         |$robotsCtes,
+         |al AS (SELECT up.doc_id, c.host
+         |       FROM up JOIN c ON up.doc_id = c.doc_id
+         |       LEFT JOIN m ON up.doc_id = m.doc_id
+         |       WHERE coalesce(m.mat_a, 1) = 1),
+         |r AS (SELECT doc_id, host,
+         |        CAST(row_number() OVER (PARTITION BY host ORDER BY doc_id) - 1
+         |             AS BIGINT) AS rnk
+         |      FROM al)
+         |SELECT doc_id, host, rnk, rnk * ${Url.CrawlDelaySec} AS slot_sec
+         |FROM r""".stripMargin) {
+      (s, d) =>
+        val allowed = robotsVerdicts(s, d)
+          .filter(col("allowed") === 1).select("doc_id")
+        val hosts = table(s, d, "documents")
+          .select(col("doc_id"), urlCol.as("url"))
+          .select(col("doc_id"), Url.urlHost(col("url")).as("host"))
+          .join(allowed, Seq("doc_id"))
+        graft.ops.Sampling.rankAndCumsum(hosts, "host", "doc_id",
+            scoreCol = col("doc_id"), weightCol = lit(1L))
+          .select(col("doc_id"), col("host"), col("rnk"),
+            (col("rnk") * Url.CrawlDelaySec).as("slot_sec"))
     }
   )
 }

@@ -49,21 +49,31 @@ object QualityFilters {
     * the previous stage's columns, and Spark performs no subexpression
     * elimination inside higher-order-function lambdas — inlining
     * `sort_array(...)` into every `element_at` would re-sort per
-    * ELEMENT (the spanGrams caller-contract lesson). */
+    * ELEMENT (the spanGrams caller-contract lesson).
+    *
+    * Empty-array guard: Spark's `sequence(1, 0)` is the DESCENDING
+    * [1, 0] — `element_at(arr, 0)` then throws unconditionally —
+    * while DuckDB's `range(1, 1)` is empty. Every sequence here is
+    * gated on the array being non-empty so an empty input yields
+    * empty bpos/runs on both engines instead of a crash. */
   private def withRuns(df: DataFrame, arr: String, p: String): DataFrame = {
     val sorted = df.withColumn(s"${p}_sorted", sort_array(col(arr)))
     val bpos = sorted.withColumn(s"${p}_bpos",
-      filter(
-        sequence(lit(1), size(col(s"${p}_sorted"))),
-        i => i === 1 ||
-          element_at(col(s"${p}_sorted"), i) =!=
-          element_at(col(s"${p}_sorted"), i - 1)))
+      when(size(col(s"${p}_sorted")) >= 1,
+        filter(
+          sequence(lit(1), size(col(s"${p}_sorted"))),
+          i => i === 1 ||
+            element_at(col(s"${p}_sorted"), i) =!=
+            element_at(col(s"${p}_sorted"), i - 1)))
+        .otherwise(array().cast("array<int>")))
     bpos.withColumn(s"${p}_runs",
-      transform(sequence(lit(1), size(col(s"${p}_bpos"))),
-        j => when(j === size(col(s"${p}_bpos")),
-          size(col(s"${p}_sorted")) + 1 - element_at(col(s"${p}_bpos"), j))
-          .otherwise(element_at(col(s"${p}_bpos"), j + 1) -
-            element_at(col(s"${p}_bpos"), j))))
+      when(size(col(s"${p}_bpos")) >= 1,
+        transform(sequence(lit(1), size(col(s"${p}_bpos"))),
+          j => when(j === size(col(s"${p}_bpos")),
+            size(col(s"${p}_sorted")) + 1 - element_at(col(s"${p}_bpos"), j))
+            .otherwise(element_at(col(s"${p}_bpos"), j + 1) -
+              element_at(col(s"${p}_bpos"), j))))
+        .otherwise(array().cast("array<int>")))
   }
 
   /** Characters inside within-doc duplicated elements (every copy of
@@ -84,10 +94,13 @@ object QualityFilters {
     * collation over lowercase-ASCII tokens). Callers must have
     * materialized `${p}_maxrun` first (lambda-capture rule). */
   private def topElem(p: String): Column =
-    array_min(transform(
-      filter(sequence(lit(1), size(col(s"${p}_bpos"))),
-        j => element_at(col(s"${p}_runs"), j) === col(s"${p}_maxrun")),
-      j => element_at(col(s"${p}_sorted"), element_at(col(s"${p}_bpos"), j))))
+    when(size(col(s"${p}_bpos")) >= 1,
+      array_min(transform(
+        filter(sequence(lit(1), size(col(s"${p}_bpos"))),
+          j => element_at(col(s"${p}_runs"), j) === col(s"${p}_maxrun")),
+        j => element_at(col(s"${p}_sorted"),
+          element_at(col(s"${p}_bpos"), j)))))
+      .otherwise(lit(null).cast("string"))
 
   /** Gopher repetition battery over a frame bearing `doc_id`, raw
     * `text`, and a line array `lines`. Output is per-document:
@@ -104,10 +117,16 @@ object QualityFilters {
       length(col("text")).cast("long").as("n_chars")) ++ ex: _*)
     // Word 2-grams WITH repeats (q47's shingle builder dedups; the
     // Gopher signal needs multiplicity).
+    // Single-word docs have NO 2-grams: DuckDB's range(1, 1) is
+    // empty, Spark's sequence(1, 0) is the descending [1, 0] whose
+    // element_at(ws, 0) always throws — so the gram list is gated on
+    // size(ws) >= 2 (same empty-list result as the oracle).
     val grams = base.withColumn("g2",
-      transform(sequence(lit(1), size(col("ws")) - 1),
-        i => concat_ws(" ", element_at(col("ws"), i),
-          element_at(col("ws"), i + 1))))
+      when(size(col("ws")) >= 2,
+        transform(sequence(lit(1), size(col("ws")) - 1),
+          i => concat_ws(" ", element_at(col("ws"), i),
+            element_at(col("ws"), i + 1))))
+        .otherwise(array().cast("array<string>")))
     val lineRuns = withRuns(grams, "lines", "ln")
     val gramRuns = withRuns(lineRuns, "g2", "g")
       .withColumn("g_maxrun", maxRun("g"))
@@ -124,21 +143,29 @@ object QualityFilters {
       aggregate(col("ws"), lit(0L), (a, w) => a + length(w)).as("word_chars"),
       size(col("ws")).cast("long").as("n_words")) ++ ex: _*)
     // Integer `div` (not float `/` + cast) so every milli-fraction is
-    // bit-identical to the oracle's `//`.
+    // bit-identical to the oracle's `//`. nullif'd divisors: DuckDB's
+    // `// 0` is NULL while ANSI Spark throws — a 0-line doc (possible
+    // after upstream line filtering) must degrade to NULL signals on
+    // both engines, not crash one of them.
     val withMilli = scored.select(Seq(
       col("doc_id"), col("n_lines"), col("top2_cnt"), col("top2_gram"),
-      expr("(n_lines - n_distinct_lines) * 1000 div n_lines")
+      expr("(n_lines - n_distinct_lines) * 1000 div nullif(n_lines, 0)")
         .as("dup_line_milli"),
-      expr("dup_line_chars * 1000 div line_chars").as("dup_char_milli"),
-      expr("top2_cnt * length(top2_gram) * 1000 div n_chars")
+      expr("dup_line_chars * 1000 div nullif(line_chars, 0)")
+        .as("dup_char_milli"),
+      expr("top2_cnt * length(top2_gram) * 1000 div nullif(n_chars, 0)")
         .as("top2_char_milli"),
-      expr("word_chars * 1000 div n_words").as("mean_wlen_milli")) ++ ex: _*)
+      expr("word_chars * 1000 div nullif(n_words, 0)")
+        .as("mean_wlen_milli")) ++ ex: _*)
+    // when/otherwise (NOT a bare cast) so a NULL condition — a
+    // single-word doc's NULL top2 signals — lands on 0 exactly like
+    // the oracle's CASE WHEN ... THEN 1 ELSE 0 END.
     withMilli.withColumn("keep_gopher",
-      (col("dup_line_milli") <= MaxDupLineMilli &&
+      when(col("dup_line_milli") <= MaxDupLineMilli &&
         col("dup_char_milli") <= MaxDupCharMilli &&
         col("top2_char_milli") <= MaxTop2CharMilli &&
-        col("mean_wlen_milli").between(MinMeanWordMilli, MaxMeanWordMilli))
-        .cast("int"))
+        col("mean_wlen_milli").between(MinMeanWordMilli, MaxMeanWordMilli),
+        lit(1)).otherwise(lit(0)))
   }
 
   /** C4 line-keep predicate: terminal punctuation, ≥ [[C4MinWords]]

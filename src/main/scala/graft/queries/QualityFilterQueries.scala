@@ -148,12 +148,15 @@ object QualityFilterQueries {
     Q("q186_gopher_quality",
       s"""WITH $lx,
          |lf AS (SELECT doc_id, string_split(t, chr(10)) AS l0 FROM lx),
+         |tw AS (SELECT doc_id, CASE WHEN doc_id % 41 = 0
+         |         THEN string_split(text, ' ')[1] ELSE text END AS text
+         |       FROM documents),
          |base AS (
          |  SELECT lf.doc_id,
          |         CASE WHEN lf.doc_id % 5 = 0 THEN list_append(l0, l0[1])
          |              ELSE l0 END AS lines,
          |         string_split(d.text, ' ') AS ws, length(d.text) AS n_chars
-         |  FROM lf JOIN documents d ON lf.doc_id = d.doc_id),
+         |  FROM lf JOIN tw d ON lf.doc_id = d.doc_id),
          |$gopherChain
          |SELECT doc_id, n_lines, top2_cnt, top2_gram,
          |  (n_lines - n_distinct_lines) * 1000 // n_lines AS dup_line_milli,
@@ -166,9 +169,15 @@ object QualityFilterQueries {
         // Fixture: re-lined corpus, plus a salted WITHIN-doc duplicate
         // (every 5th doc repeats its first line) so the dup-line
         // signal has live coverage — the corpus's cross-doc
-        // boilerplate lines appear once per document.
+        // boilerplate lines appear once per document. Every 41st doc
+        // is truncated to its FIRST WORD so the no-2-grams degenerate
+        // path (NULL top2 signals, keep=0) is oracle-pinned, not just
+        // spec-pinned.
         val lf = Sources.table(s, d, "documents")
-          .select(col("doc_id"), col("text"),
+          .select(col("doc_id"),
+            when(col("doc_id") % 41 === 0,
+              element_at(split(col("text"), " "), 1)).otherwise(col("text"))
+              .as("text"),
             split(LineDedupQueries.linedCol, "\n").as("l0"))
         QualityFilters.gopherSignals(lf.select(col("doc_id"), col("text"),
           when(col("doc_id") % 5 === 0,

@@ -73,6 +73,30 @@ class QualityFiltersSpec extends AnyFunSuite {
     }
   }
 
+  test("single-word doc: no 2-grams, NULL top2 signals, keep_gopher=0") {
+    // sequence(1, size-1) on a 1-word doc is Spark's DESCENDING
+    // [1, 0] whose element_at(ws, 0) throws — the guard must yield
+    // the oracle's empty gram list (DuckDB range(1,1)=[]) instead.
+    val r = gopher(1L, "solo", Seq("solo"))
+    assert(r.isNullAt(r.fieldIndex("top2_cnt")))
+    assert(r.isNullAt(r.fieldIndex("top2_gram")))
+    assert(r.isNullAt(r.fieldIndex("top2_char_milli")))
+    // NULL gate condition lands on 0 like the oracle's CASE ELSE 0,
+    // never a NULL keep flag.
+    assert(r.getAs[Int]("keep_gopher") === 0)
+    assert(r.getAs[Long]("mean_wlen_milli") === 4000L) // 4 chars / 1 word
+  }
+
+  test("empty line array: empty runs, zero dup signals, no crash") {
+    val df = Seq((1L, "a b", Seq.empty[String])).toDF("doc_id", "text", "lines")
+    val r = QualityFilters.gopherSignals(df).head()
+    assert(r.getAs[Long]("n_lines") === 0L)
+    // 0-line docs divide by n_lines=0: integer `div` yields NULL on
+    // both engines (not a crash), and the keep flag stays 0.
+    assert(r.isNullAt(r.fieldIndex("dup_line_milli")))
+    assert(r.getAs[Int]("keep_gopher") === 0)
+  }
+
   private def c4(lines: Seq[String]) = {
     val df = Seq((1L, lines)).toDF("doc_id", "lines")
     QualityFilters.c4Clean(df).head()

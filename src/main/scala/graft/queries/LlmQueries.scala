@@ -629,10 +629,24 @@ object LlmQueries {
           .repartition(nPart)
           .join(docs.select(col("doc_id").as("d1"), col("text").as("t1")), "d1")
           .join(docs.select(col("doc_id").as("d2"), col("text").as("t2")), "d2")
-          .withColumn("lev", levenshtein(col("t1"), col("t2")).cast("bigint"))
           .withColumn("max_len",
             greatest(length(col("t1")), length(col("t2"))).cast("bigint"))
-          .filter(col("lev") * 5 <= col("max_len"))
+          // LOSSLESS length prefilter: lev >= |len(t1) - len(t2)|, so a
+          // pair whose length gap alone exceeds max_len/5 can never
+          // pass the 5·lev <= max_len policy — skip its DP entirely.
+          .filter(abs(length(col("t1")) - length(col("t2")))
+            .cast("bigint") * 5 <= col("max_len"))
+          // THRESHOLDED DP: Spark 4.1's 3-arg levenshtein early-abandons
+          // once the running distance exceeds the bound (O(n·k) band
+          // instead of the full O(n·m) table) and returns -1 past it.
+          // Surviving rows' values are the exact distance, so the
+          // DuckDB oracle (full levenshtein + the same 5·lev <= max_len
+          // filter) is unchanged. lev >= 0 IS the policy filter here:
+          // integer lev <= floor(max_len/5) ⟺ 5·lev <= max_len.
+          .withColumn("lev",
+            call_function("levenshtein", col("t1"), col("t2"),
+              expr("cast(max_len div 5 as int)")).cast("bigint"))
+          .filter(col("lev") >= 0)
           .select("d1", "d2", "lev", "max_len")
     },
 

@@ -66,6 +66,36 @@ object Bench {
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
 
+    // HOST-CALIBRATION KERNEL: a fixed-size, fixed-seed, CPU-bound
+    // float dot-product pass (the q40 brute-force shape over a
+    // synthetic hash-derived frame — no I/O, no shuffle) timed at the
+    // start of every bench run and reported as `calib_sec`. Purpose:
+    // cross-round absolute times are host-confounded (r13 measured the
+    // UNTOUCHED q40 kernel at 1.5-2x r12's time purely from box
+    // speed); dividing a run's totals by its calibration scalar turns
+    // that narrative into arithmetic. Three passes, min reported (the
+    // first pass absorbs codegen/JIT).
+    def calibrationKernel(): Double = {
+      import org.apache.spark.sql.functions._
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        val dim = 64
+        val vec = transform(sequence(lit(0), lit(dim - 1)),
+          j => (pmod(hash(col("id"), j), lit(997)).cast("float") /
+            lit(997.0f)).cast("float"))
+        val vec2 = transform(sequence(lit(0), lit(dim - 1)),
+          j => (pmod(hash(col("id") + 1, j), lit(997)).cast("float") /
+            lit(997.0f)).cast("float"))
+        spark.range(0, 1L << 21, 1, cpus.toInt)
+          .select(aggregate(zip_with(vec, vec2, (a, b) => a * b),
+            lit(0.0f), (acc, x) => acc + x).as("d"))
+          .agg(sum(col("d"))).queryExecution.toRdd.count(): Unit
+        (System.nanoTime() - t0) / 1e9
+      }
+      Seq(once(), once(), once()).min
+    }
+    val calibSec = calibrationKernel()
+
     // PER-QUERY WATCHDOG: one pathological query must never convert
     // the whole bench into an empty timed-out artifact (r10: a single
     // unmeasured query hit the driver's 1-hour budget → rc=124 with
@@ -81,6 +111,7 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "120").toLong
     val watchdog = java.util.concurrent.Executors.newCachedThreadPool(
       (r: Runnable) => { val t = new Thread(r, "bench-watchdog"); t.setDaemon(true); t })
+    val clearCacheNanos = new java.util.concurrent.atomic.AtomicLong(0L)
 
     def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
             timeoutSec: Long = queryTimeoutSec): Unit = {
@@ -103,11 +134,17 @@ object Bench {
             s"timeout: exceeded ${timeoutSec}s; job group cancelled")
         case e: java.util.concurrent.ExecutionException =>
           throw Option(e.getCause).getOrElse(e)
-      } finally
+      } finally {
         // Queries may cache intermediate frames (LSH signatures); drop
         // them so later queries aren't measured under another query's
-        // memory pressure.
+        // memory pressure. Timed: at sf10 the inter-query gap (this
+        // plus job teardown/GC) is roughly HALF the matrix wall-clock
+        // — `clearcache_sec` makes its clearCache share measured, not
+        // inferred (the run_quality saturation analysis).
+        val c0 = System.nanoTime()
         spark.catalog.clearCache()
+        clearCacheNanos.addAndGet(System.nanoTime() - c0): Unit
+      }
     }
 
     // Warmup pass: every query once, failures tolerated (the timed pass
@@ -144,6 +181,9 @@ object Bench {
       }
     }
     val wallT0 = System.nanoTime()
+    // Timed-section teardown ledger starts here (warmup's clearCache
+    // time is not part of the wall/total decomposition).
+    clearCacheNanos.set(0L)
     val passes: Seq[Map[String, Option[Double]]] = (1 to 2).map { _ =>
       queries.map { case (name, fn) =>
         name -> timeQuery(name, fn, recordError = true) }.toMap
@@ -193,7 +233,8 @@ object Bench {
     // sbt wall with untouched queries swinging 4-7×).
     val wallSec = (System.nanoTime() - wallT0) / 1e9
     val quality = if (total > 0) wallSec / (2 * total) else 0.0
-    println(f"""{"metric":"total","value":$total,"unit":"sec","wall_sec":$wallSec%.3f,"run_quality":$quality%.3f,"queries":$qs,"errors":$errJson,"sf":${jstr(sfDir)}}""")
+    val ccSec = clearCacheNanos.get() / 1e9
+    println(f"""{"metric":"total","value":$total,"unit":"sec","wall_sec":$wallSec%.3f,"run_quality":$quality%.3f,"calib_sec":$calibSec%.3f,"clearcache_sec":$ccSec%.3f,"queries":$qs,"errors":$errJson,"sf":${jstr(sfDir)}}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

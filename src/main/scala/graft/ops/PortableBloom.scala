@@ -67,7 +67,17 @@ object PortableBloom {
 
   /** Membership probe: appends `bloom_maybe` (int 0/1) to `batch`.
     * The word table joins by widx — bounded by m/32 rows, so AQE
-    * broadcasts it; a missing word row means no bits set there. */
+    * broadcasts it; a missing word row means no bits set there.
+    *
+    * CONTRACT: `batch`'s columns must form a unique key (one row per
+    * value combination). The probe explodes k positions per row and
+    * re-aggregates by ALL of batch's columns, so duplicate input rows
+    * collapse to ONE output row — callers that need duplicate
+    * preservation must thread a distinct id column through (every
+    * current caller keys by doc_id). An internally-generated row id
+    * (monotonically_increasing_id) was considered and rejected: its
+    * values depend on partition layout, so a stage retry after an
+    * upstream shuffle could regroup rows differently mid-query. */
   def withMaybe(batch: DataFrame, fpCol: String, k: Int, m: Long,
                 words: DataFrame): DataFrame = {
     val probe = batch.select(col("*"),

@@ -50,10 +50,15 @@ object TextHygiene {
 
   /** Occurrences of `pat` in `c` (length delta / pattern length —
     * counts non-overlapping occurrences exactly like the replace that
-    * follows removes them). */
+    * follows removes them). Integral `div`, not float `/`: the delta
+    * is an exact multiple of the pattern length, and an integer-typed
+    * chain keeps the count exact at any magnitude (a DoubleType count
+    * is only exact below 2^53 and leaks a double into callers). */
   def countOccurrences(c: Column, pat: String): Column =
-    (length(c) - length(call_function("replace", c, lit(pat), lit("")))) /
-      pat.length
+    call_function("div",
+      (length(c) - length(call_function("replace", c, lit(pat), lit(""))))
+        .cast("long"),
+      lit(pat.length.toLong))
 
   /** Repaired text. */
   def fixMojibake(c: Column): Column = replaceChain(c, MojibakeMap)

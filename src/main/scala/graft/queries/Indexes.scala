@@ -140,7 +140,14 @@ object Indexes {
     if (!complete) {
       val scratchRoot = st.path(s".build_${java.util.UUID.randomUUID}")
       try {
+        // Build-cost ledger: every cold build logs its wall time to
+        // stderr, so a cold-registry bench's log IS the per-index
+        // ledger (which builds dominate registry warm-up, and whether
+        // growth round-over-round is new coverage or a regression).
+        val b0 = System.nanoTime()
         build(new TableStore(spark, scratchRoot))
+        System.err.println(
+          f"[index-build] $name ${(System.nanoTime() - b0) / 1e9}%.2fs")
         fs.mkdirs(dst.getParent): Unit
         // Renaming onto an EXISTING directory is never the publish:
         // both the HDFS contract and the local-FS fallback move the

@@ -413,6 +413,75 @@ object SimilarityQueries {
           .select(col("vec_id"), col("cid"))
     },
 
+    // INCREMENTAL semantic dedup — the production ingest path for the
+    // embedding family (the q43/q108/q113/q182 batch×corpus discipline
+    // applied to SemDeDup, closing the one near-dup family that had
+    // only from-scratch). A new batch (modeled as the top-10% vec_ids
+    // — crawl-order ingest, so batch ids exceed every corpus id)
+    // probes the PERSISTED kmeans_cells_auto index: batch vectors
+    // carry their cell assignments (what the residual-codebook fold
+    // computes at index-append time), and comparison happens only
+    // within matched cells. The greedy policy drops v iff ANY
+    // lower-id same-cell vector sits within the threshold — so with
+    // batch ids above corpus ids, from-scratch(corpus ∪ batch) ≡
+    // survivors(corpus) ∪ [batch minus (batch×corpus hits ∪
+    // batch×lower-id-batch hits)], and this row's output hash-matches
+    // q69's from-scratch oracle VERBATIM. Work bound: |batch| ×
+    // cell occupancy — and auto-k pins occupancy at ~64 regardless of
+    // corpus size, so the probe is linear in the batch with a
+    // CONSTANT factor (never corpus²); the within-batch half rides
+    // the same skew-capped self join as q69.
+    Q("q205_semantic_dedup_incremental",
+      s"""WITH $autoCellsCtesSql,
+         |emb AS (
+         |  SELECT e.vec_id, e.embedding, cells.cid
+         |  FROM embeddings e JOIN cells USING (vec_id))
+         |SELECT vec_id, cid FROM emb v
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM emb u
+         |  WHERE u.cid = v.cid AND u.vec_id < v.vec_id
+         |    AND ${cosSql("u.embedding", "v.embedding")} >= 0.35)""".stripMargin) {
+      (s, d) =>
+        import graft.functions.VectorExpressions.normF
+        val e = table(s, d, "embeddings")
+        val cells = graft.queries.Indexes.kmeansCellsAuto(s, d)
+          .select(col("vec_id"), col("cid"))
+        val withVec = e.select(col("vec_id"), col("embedding"),
+          normF(col("embedding")).as("nrm"))
+          .join(cells, "vec_id")
+        val mx = withVec.agg(max(col("vec_id"))).collect()(0).getLong(0)
+        val cut = mx * 9L / 10L
+        val corpus = withVec.filter(col("vec_id") < cut)
+        val batch = withVec.filter(col("vec_id") >= cut)
+        def droppedWithin(side: org.apache.spark.sql.DataFrame) =
+          graft.ops.Skew
+            .boundedBucketSelfJoin(side, "cid", "vec_id", cap = 256)
+            .withColumn("cos_r", Similarity.cosRoundedPre(
+              col("embedding"), col("embedding_2"), col("nrm"), col("nrm_2")))
+            .filter(col("cos_r") >= 0.35)
+            .select(col("vec_id_2").as("vec_id")).distinct()
+        // Existing survivors — the persisted survivor table in
+        // production, recomputed here from the same index so the row
+        // is self-contained.
+        val corpusSurvivors = corpus
+          .join(droppedWithin(corpus), Seq("vec_id"), "left_anti")
+        // Batch probe vs the WHOLE same-cell corpus slice (the policy
+        // tests against any lower-id vector, survivor or not — and
+        // every corpus id is below every batch id by construction).
+        val vsCorpus = batch
+          .join(corpus.select(col("cid"), col("embedding").as("embedding_c"),
+            col("nrm").as("nrm_c")), Seq("cid"))
+          .withColumn("cos_r", Similarity.cosRoundedPre(
+            col("embedding"), col("embedding_c"), col("nrm"), col("nrm_c")))
+          .filter(col("cos_r") >= 0.35)
+          .select(col("vec_id")).distinct()
+        val batchSurvivors = batch
+          .join(vsCorpus.union(droppedWithin(batch)).distinct(),
+            Seq("vec_id"), "left_anti")
+        corpusSurvivors.select(col("vec_id"), col("cid"))
+          .union(batchSurvivors.select(col("vec_id"), col("cid")))
+    },
+
     // Product quantization ANN (Jégou et al.): the 64-dim vector
     // splits into 4 subspaces of 16 dims, each trained to its own
     // 4-entry scaled-integer k-means codebook (the q68 recipe, once

@@ -154,6 +154,80 @@ object UrlQueries {
         coalesce(col("rule_len"), lit(0L)).as("rule_len"))
   }
 
+  /** Anchor-tag regex shared by the link-graph rows (group 1 = href,
+    * group 2 = anchor text). */
+  private val AnchorRe = "<a href=\"([^\"]*)\"[^>]*>(.*?)</a>"
+
+  /** Link-graph fixture + extraction CTEs ending in
+    * `cc(doc_id, txt, canon)`; references `hx` (HTML skeleton) and
+    * the [[urlCtes]] names `cx`/`c` (per-doc scheme/host), so callers
+    * put both first in the WITH list. The chain: two doc-varying
+    * messy absolute outlinks appended to every page (ks/pg), two-group
+    * anchor extraction zipped by position (ax/e), relative hrefs
+    * resolved against the page's own scheme+host (r), and targets
+    * canonicalized by the SAME parameterized chain the frontier gates
+    * ([[canonOver]]). One fixture shared by q201 (from-scratch stats)
+    * and q202 (incremental merge) — two aggregation policies, zero
+    * copies to keep in sync. */
+  private val linkEdgeCtes: String =
+    s"""ks AS (SELECT doc_id, (doc_id * 7 + 3) % 250 AS k1,
+       |               (doc_id * 11 + 5) % 250 AS k2 FROM documents),
+       |pg AS (SELECT hx.doc_id, hx.html ||
+       |    '<div class="out"><a href="HTTP://Site-' || CAST(k1 % 20 AS VARCHAR) ||
+       |    '.Example.COM/docs/page/' || CAST(k1 AS VARCHAR) ||
+       |    '?utm_source=x&id=' || CAST(k1 AS VARCHAR) ||
+       |    '">see doc ' || CAST(k1 AS VARCHAR) ||
+       |    '</a> <a href="https://WWW.site-' || CAST(k2 % 20 AS VARCHAR) ||
+       |    '.example.com:443/docs/page/' || CAST(k2 AS VARCHAR) ||
+       |    '?id=' || CAST(k2 AS VARCHAR) ||
+       |    '">ref ' || CAST(k2 AS VARCHAR) || '</a></div>' AS h
+       |  FROM hx JOIN ks ON hx.doc_id = ks.doc_id),
+       |ax AS (SELECT doc_id,
+       |    regexp_extract_all(h, '$AnchorRe', 1) AS hrefs,
+       |    regexp_extract_all(h, '$AnchorRe', 2) AS txts FROM pg),
+       |e AS (SELECT ax.doc_id, hrefs[CAST(i AS INT)] AS href,
+       |             txts[CAST(i AS INT)] AS txt
+       |      FROM ax, unnest(generate_series(1, len(hrefs))) g(i)),
+       |r AS (SELECT e.doc_id, e.txt,
+       |      CASE WHEN contains(e.href, '://') THEN e.href
+       |           ELSE cx.scheme || '://' || c.host || e.href END AS absu
+       |      FROM e JOIN cx ON e.doc_id = cx.doc_id
+       |             JOIN c ON e.doc_id = c.doc_id),
+       |${canonOver("r", Seq("doc_id", "txt"), "absu", "cc")}""".stripMargin
+
+  /** Spark side of [[linkEdgeCtes]]: the canonicalized edge list
+    * (doc_id, txt, target) both link-graph rows aggregate — one map
+    * pass + one explode, no shuffle before the caller's aggregate. */
+  private def linkEdges(s: org.apache.spark.sql.SparkSession,
+                        d: String): org.apache.spark.sql.DataFrame = {
+    val k1 = (col("doc_id") * 7 + 3) % 250
+    val k2 = (col("doc_id") * 11 + 5) % 250
+    val out = concat(
+      lit("<div class=\"out\"><a href=\"HTTP://Site-"),
+      (k1 % 20).cast("string"), lit(".Example.COM/docs/page/"),
+      k1.cast("string"), lit("?utm_source=x&id="), k1.cast("string"),
+      lit("\">see doc "), k1.cast("string"),
+      lit("</a> <a href=\"https://WWW.site-"),
+      (k2 % 20).cast("string"), lit(".example.com:443/docs/page/"),
+      k2.cast("string"), lit("?id="), k2.cast("string"),
+      lit("\">ref "), k2.cast("string"), lit("</a></div>"))
+    table(s, d, "documents")
+      .select(col("doc_id"), urlCol.as("url"),
+        concat(HtmlQueries.htmlCol, out).as("h"))
+      .select(col("doc_id"), col("url"),
+        regexp_extract_all(col("h"), lit(AnchorRe), lit(1)).as("hrefs"),
+        regexp_extract_all(col("h"), lit(AnchorRe), lit(2)).as("txts"))
+      .select(col("doc_id"), col("url"),
+        explode(zip_with(col("hrefs"), col("txts"),
+          (h, t) => struct(h.as("href"), t.as("txt")))).as("a"))
+      .select(col("doc_id"),
+        col("a.txt").as("txt"),
+        Url.canonicalizeUrl(
+          when(col("a.href").contains("://"), col("a.href"))
+            .otherwise(concat(Url.urlScheme(col("url")), lit("://"),
+              Url.urlHost(col("url")), col("a.href")))).as("target"))
+  }
+
   val all: Seq[Q] = Seq(
 
     // Per-URL canonicalization: every RFC 3986 §6 rule plus the two
@@ -328,71 +402,17 @@ object UrlQueries {
     // page skeleton's constant nav/footer links exercise relative
     // resolution; two doc-varying messy absolute outlinks (built from
     // doc_id arithmetic in both engines) exercise canonicalization.
-    Q("q201_link_graph", {
-      val anchorRe = "<a href=\"([^\"]*)\"[^>]*>(.*?)</a>"
+    Q("q201_link_graph",
       s"""WITH $urlCtes,
          |${HtmlQueries.hxCteOver("documents")},
-         |ks AS (SELECT doc_id, (doc_id * 7 + 3) % 250 AS k1,
-         |               (doc_id * 11 + 5) % 250 AS k2 FROM documents),
-         |pg AS (SELECT hx.doc_id, hx.html ||
-         |    '<div class="out"><a href="HTTP://Site-' || CAST(k1 % 20 AS VARCHAR) ||
-         |    '.Example.COM/docs/page/' || CAST(k1 AS VARCHAR) ||
-         |    '?utm_source=x&id=' || CAST(k1 AS VARCHAR) ||
-         |    '">see doc ' || CAST(k1 AS VARCHAR) ||
-         |    '</a> <a href="https://WWW.site-' || CAST(k2 % 20 AS VARCHAR) ||
-         |    '.example.com:443/docs/page/' || CAST(k2 AS VARCHAR) ||
-         |    '?id=' || CAST(k2 AS VARCHAR) ||
-         |    '">ref ' || CAST(k2 AS VARCHAR) || '</a></div>' AS h
-         |  FROM hx JOIN ks ON hx.doc_id = ks.doc_id),
-         |ax AS (SELECT doc_id,
-         |    regexp_extract_all(h, '$anchorRe', 1) AS hrefs,
-         |    regexp_extract_all(h, '$anchorRe', 2) AS txts FROM pg),
-         |e AS (SELECT ax.doc_id, hrefs[CAST(i AS INT)] AS href,
-         |             txts[CAST(i AS INT)] AS txt
-         |      FROM ax, unnest(generate_series(1, len(hrefs))) g(i)),
-         |r AS (SELECT e.doc_id, e.txt,
-         |      CASE WHEN contains(e.href, '://') THEN e.href
-         |           ELSE cx.scheme || '://' || c.host || e.href END AS absu
-         |      FROM e JOIN cx ON e.doc_id = cx.doc_id
-         |             JOIN c ON e.doc_id = c.doc_id),
-         |${canonOver("r", Seq("doc_id", "txt"), "absu", "cc")}
+         |$linkEdgeCtes
          |SELECT canon AS target, CAST(count(*) AS BIGINT) AS n_links,
          |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
          |  CAST(count(DISTINCT txt) AS BIGINT) AS n_anchors,
          |  min(txt) AS top_anchor
-         |FROM cc GROUP BY canon""".stripMargin
-    }) {
+         |FROM cc GROUP BY canon""".stripMargin) {
       (s, d) =>
-        val anchorRe = "<a href=\"([^\"]*)\"[^>]*>(.*?)</a>"
-        val k1 = (col("doc_id") * 7 + 3) % 250
-        val k2 = (col("doc_id") * 11 + 5) % 250
-        val out = concat(
-          lit("<div class=\"out\"><a href=\"HTTP://Site-"),
-          (k1 % 20).cast("string"), lit(".Example.COM/docs/page/"),
-          k1.cast("string"), lit("?utm_source=x&id="), k1.cast("string"),
-          lit("\">see doc "), k1.cast("string"),
-          lit("</a> <a href=\"https://WWW.site-"),
-          (k2 % 20).cast("string"), lit(".example.com:443/docs/page/"),
-          k2.cast("string"), lit("?id="), k2.cast("string"),
-          lit("\">ref "), k2.cast("string"), lit("</a></div>"))
-        val pg = table(s, d, "documents")
-          .select(col("doc_id"), urlCol.as("url"),
-            concat(HtmlQueries.htmlCol, out).as("h"))
-        val ax = pg.select(col("doc_id"), col("url"),
-          regexp_extract_all(col("h"), lit(anchorRe), lit(1)).as("hrefs"),
-          regexp_extract_all(col("h"), lit(anchorRe), lit(2)).as("txts"))
-        val e = ax.select(col("doc_id"), col("url"),
-            explode(zip_with(col("hrefs"), col("txts"),
-              (h, t) => struct(h.as("href"), t.as("txt")))).as("a"))
-          .select(col("doc_id"), col("url"),
-            col("a.href").as("href"), col("a.txt").as("txt"))
-        val resolved = e.select(col("doc_id"), col("txt"),
-          when(col("href").contains("://"), col("href"))
-            .otherwise(concat(Url.urlScheme(col("url")), lit("://"),
-              Url.urlHost(col("url")), col("href"))).as("absu"))
-        resolved
-          .select(col("doc_id"), col("txt"),
-            Url.canonicalizeUrl(col("absu")).as("target"))
+        linkEdges(s, d)
           .groupBy("target")
           .agg(count(lit(1)).as("n_links"),
             countDistinct(col("doc_id")).as("n_docs"),
@@ -410,68 +430,16 @@ object UrlQueries {
     // are not additive across batches — the from-scratch q201 carries
     // them.) Steady-state cost ∝ batch; the only corpus-sized
     // artifact touched is the stats table's own key merge.
-    Q("q202_link_graph_incremental", {
-      val anchorRe = "<a href=\"([^\"]*)\"[^>]*>(.*?)</a>"
+    Q("q202_link_graph_incremental",
       s"""WITH $urlCtes,
          |${HtmlQueries.hxCteOver("documents")},
-         |ks AS (SELECT doc_id, (doc_id * 7 + 3) % 250 AS k1,
-         |               (doc_id * 11 + 5) % 250 AS k2 FROM documents),
-         |pg AS (SELECT hx.doc_id, hx.html ||
-         |    '<div class="out"><a href="HTTP://Site-' || CAST(k1 % 20 AS VARCHAR) ||
-         |    '.Example.COM/docs/page/' || CAST(k1 AS VARCHAR) ||
-         |    '?utm_source=x&id=' || CAST(k1 AS VARCHAR) ||
-         |    '">see doc ' || CAST(k1 AS VARCHAR) ||
-         |    '</a> <a href="https://WWW.site-' || CAST(k2 % 20 AS VARCHAR) ||
-         |    '.example.com:443/docs/page/' || CAST(k2 AS VARCHAR) ||
-         |    '?id=' || CAST(k2 AS VARCHAR) ||
-         |    '">ref ' || CAST(k2 AS VARCHAR) || '</a></div>' AS h
-         |  FROM hx JOIN ks ON hx.doc_id = ks.doc_id),
-         |ax AS (SELECT doc_id,
-         |    regexp_extract_all(h, '$anchorRe', 1) AS hrefs,
-         |    regexp_extract_all(h, '$anchorRe', 2) AS txts FROM pg),
-         |e AS (SELECT ax.doc_id, hrefs[CAST(i AS INT)] AS href,
-         |             txts[CAST(i AS INT)] AS txt
-         |      FROM ax, unnest(generate_series(1, len(hrefs))) g(i)),
-         |r AS (SELECT e.doc_id, e.txt,
-         |      CASE WHEN contains(e.href, '://') THEN e.href
-         |           ELSE cx.scheme || '://' || c.host || e.href END AS absu
-         |      FROM e JOIN cx ON e.doc_id = cx.doc_id
-         |             JOIN c ON e.doc_id = c.doc_id),
-         |${canonOver("r", Seq("doc_id", "txt"), "absu", "cc")}
+         |$linkEdgeCtes
          |SELECT canon AS target, CAST(count(*) AS BIGINT) AS n_links,
          |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
          |  min(txt) AS top_anchor
-         |FROM cc GROUP BY canon""".stripMargin
-    }) {
+         |FROM cc GROUP BY canon""".stripMargin) {
       (s, d) =>
-        val anchorRe = "<a href=\"([^\"]*)\"[^>]*>(.*?)</a>"
-        val k1 = (col("doc_id") * 7 + 3) % 250
-        val k2 = (col("doc_id") * 11 + 5) % 250
-        val out = concat(
-          lit("<div class=\"out\"><a href=\"HTTP://Site-"),
-          (k1 % 20).cast("string"), lit(".Example.COM/docs/page/"),
-          k1.cast("string"), lit("?utm_source=x&id="), k1.cast("string"),
-          lit("\">see doc "), k1.cast("string"),
-          lit("</a> <a href=\"https://WWW.site-"),
-          (k2 % 20).cast("string"), lit(".example.com:443/docs/page/"),
-          k2.cast("string"), lit("?id="), k2.cast("string"),
-          lit("\">ref "), k2.cast("string"), lit("</a></div>"))
-        val pg = table(s, d, "documents")
-          .select(col("doc_id"), urlCol.as("url"),
-            concat(HtmlQueries.htmlCol, out).as("h"))
-        val edges = pg
-          .select(col("doc_id"), col("url"),
-            regexp_extract_all(col("h"), lit(anchorRe), lit(1)).as("hrefs"),
-            regexp_extract_all(col("h"), lit(anchorRe), lit(2)).as("txts"))
-          .select(col("doc_id"), col("url"),
-            explode(zip_with(col("hrefs"), col("txts"),
-              (h, t) => struct(h.as("href"), t.as("txt")))).as("a"))
-          .select(col("doc_id"),
-            col("a.txt").as("txt"),
-            Url.canonicalizeUrl(
-              when(col("a.href").contains("://"), col("a.href"))
-                .otherwise(concat(Url.urlScheme(col("url")), lit("://"),
-                  Url.urlHost(col("url")), col("a.href")))).as("target"))
+        val edges = linkEdges(s, d)
         val mx = edges.agg(max(col("doc_id"))).collect()(0).getLong(0)
         val cut = mx * 9L / 10L
         def stats(df: org.apache.spark.sql.DataFrame, sfx: String) =

@@ -189,6 +189,16 @@ class PlanSpec extends AnyFunSuite {
       s"q111 count join lost its salt:\n${plan.take(1500)}")
   }
 
+  test("q205: incremental semantic probe is cell-keyed — no unkeyed join") {
+    // The batch×corpus probe must join on cid (work = |batch| × cell
+    // occupancy, constant under auto-k) — an unkeyed spelling would
+    // plan batch × corpus and be quadratic at ingest scale.
+    val plan = planOf("q205_semantic_dedup_incremental")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"q205 plans an unkeyed join:\n${plan.take(1500)}")
+  }
+
   test("no declared query plans a cartesian product") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
       planOf(name).contains("CartesianProduct")

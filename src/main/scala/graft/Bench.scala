@@ -73,8 +73,11 @@ object Bench {
     // cross-round absolute times are host-confounded (r13 measured the
     // UNTOUCHED q40 kernel at 1.5-2x r12's time purely from box
     // speed); dividing a run's totals by its calibration scalar turns
-    // that narrative into arithmetic. Three passes, min reported (the
-    // first pass absorbs codegen/JIT).
+    // that narrative into arithmetic. Seven passes, min reported:
+    // contention noise is ONE-SIDED (it only ever adds time), so the
+    // min over several small passes converges on the box's true speed
+    // where a single large pass would bake a burst in (observed: a
+    // 3-pass variant read 1.9-5.8 s across same-box sessions).
     def calibrationKernel(): Double = {
       import org.apache.spark.sql.functions._
       def once(): Double = {
@@ -86,13 +89,13 @@ object Bench {
         val vec2 = transform(sequence(lit(0), lit(dim - 1)),
           j => (pmod(hash(col("id") + 1, j), lit(997)).cast("float") /
             lit(997.0f)).cast("float"))
-        spark.range(0, 1L << 21, 1, cpus.toInt)
+        spark.range(0, 1L << 20, 1, cpus.toInt)
           .select(aggregate(zip_with(vec, vec2, (a, b) => a * b),
             lit(0.0f), (acc, x) => acc + x).as("d"))
           .agg(sum(col("d"))).queryExecution.toRdd.count(): Unit
         (System.nanoTime() - t0) / 1e9
       }
-      Seq(once(), once(), once()).min
+      (1 to 7).map(_ => once()).min
     }
     val calibSec = calibrationKernel()
 

@@ -57,7 +57,7 @@ object BpeQueries {
     * canonicalization included (identity on this ASCII corpus; load-
     * bearing the moment a non-ASCII document arrives — see
     * [[graft.ops.TextAnalysis.normalizeNfc]]). */
-  private val NormSql =
+  private[queries] val NormSql =
     "trim(regexp_replace(regexp_replace(lower(nfc_normalize(text)), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
 
   /** The unrolled training CTE chain, ending in `w$n` (doc_id, j,

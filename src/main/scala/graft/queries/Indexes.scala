@@ -574,6 +574,25 @@ object Indexes {
     }
   }
 
+  /** The trained unigram-LM vocabulary (p, c): [[graft.ops.Unigram]]'s
+    * EM-pruned piece table with its final exact integer counts —
+    * bounded metadata (≤ [[graft.ops.Unigram.FinalMulti]] + alphabet
+    * rows), trained once per corpus generation. Derives its word-TYPE
+    * table FROM [[bpeWords]] (no second corpus normalization pass —
+    * the shared-scan discipline). */
+  def unigramVocab(spark: SparkSession, sfDir: String): DataFrame =
+    lock.synchronized {
+      cached(spark, store(spark, sfDir), "unigram_vocab") { bst =>
+        import org.apache.spark.sql.functions.{col, count, explode, lit}
+        val types = bpeWords(spark, sfDir)
+          .select(explode(col("__ws")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("n"))
+        val vocab = graft.ops.Unigram.trainVocab(types)
+        import spark.implicits._
+        bst.overwrite("unigram_vocab", vocab.toDF("p", "c"))
+      }
+    }
+
   /** Per-doc span occurrences (doc_id, span, occ) — every 8-token
     * sliding span of the NORMALIZED token stream, pre-collapsed to
     * one row per (doc, span). ONE normalize+explode pass over the

@@ -84,9 +84,17 @@ shared = sorted(set(base) & set(queries))
 new = sorted(set(queries) - set(base))
 gone = sorted(set(base) - set(queries))
 # A subset run (SPARK_GRAFT_ONLY) can't witness coverage: most baseline
-# keys read as `gone`. Detect it structurally — far fewer run queries
-# than baseline keys — rather than trusting a flag.
-subset_run = len(queries) < len(base) * 0.9
+# keys read as `gone`. Bench emits an explicit "subset" marker (and
+# "n_errors"); key the exemption on it. The structural fallback (far
+# fewer run queries than baseline keys) only applies to pre-marker
+# JSONs, and never to a run whose queries were nulled by errors or
+# timeouts — a watchdog-gutted FULL run must not silently slip the
+# coverage gate.
+if "subset" in bench:
+    subset_run = bool(bench["subset"])
+else:
+    nulled = sum(1 for v in bench["queries"].values() if v is None)
+    subset_run = nulled == 0 and len(queries) < len(base) * 0.9
 
 slow = []
 for q in shared:

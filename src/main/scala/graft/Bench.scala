@@ -172,15 +172,35 @@ object Bench {
     // samples still disagree by >1.5× the query gets up to two extra
     // passes. A failed query reports time=null and contributes nothing
     // to the total.
+    // PER-QUERY MEMORY LEDGER: the sf10 suite's footprint jumped from
+    // 8g to 32g across r13→r14 and the jump was only discovered as an
+    // OOM pair — the calib_sec discipline applied to memory. Around
+    // every timed pass, heap-pool peak counters are reset then read
+    // (JMX MemoryPoolMXBean — peak tracking is maintained by the JVM,
+    // ~free), and the max across a query's passes lands in the JSON as
+    // `peak_heap_bytes`. A peak INCLUDES uncollected garbage, so it is
+    // an upper bound on live footprint — the right shape for "which
+    // query drives the -Xmx requirement" attribution, not a leak
+    // detector.
+    val heapPools = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(p => p.getType == java.lang.management.MemoryType.HEAP)
+    }
+    val peakHeap = scala.collection.mutable.LinkedHashMap[String, Long]()
     def timeQuery(name: String,
                   fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
                   recordError: Boolean): Option[Double] = {
+      heapPools.foreach(_.resetPeakUsage())
       val t0 = System.nanoTime()
       try { run(name, fn); Some((System.nanoTime() - t0) / 1e9) }
       catch { case e: Throwable =>
         if (recordError)
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
         None
+      } finally {
+        val peak = heapPools.map(p => Option(p.getPeakUsage).fold(0L)(_.getUsed)).sum
+        peakHeap.update(name, math.max(peakHeap.getOrElse(name, 0L), peak))
       }
     }
     val wallT0 = System.nanoTime()
@@ -199,8 +219,15 @@ object Bench {
     val results: Seq[(String, Option[Double])] = queries.map { case (name, fn) =>
       def timeOnce(recordError: Boolean): Option[Double] = {
         val e0 = System.nanoTime()
+        val cc0 = clearCacheNanos.get()
         val r = timeQuery(name, fn, recordError)
-        extraPassNanos.addAndGet(System.nanoTime() - e0): Unit
+        // Subtract this pass's clearCache share: run()'s finally adds
+        // it to clearCacheNanos, so counting the full elapsed window
+        // here would put the same nanos in BOTH clearcache_sec and
+        // extra_pass_sec and the wall − 2·Σt decomposition would
+        // double-count the overlap.
+        extraPassNanos.addAndGet(
+          System.nanoTime() - e0 - (clearCacheNanos.get() - cc0)): Unit
         extraPassCount.incrementAndGet(): Unit
         r
       }
@@ -213,13 +240,20 @@ object Bench {
         // leaves the list, so a max/min test would retry forever).
         var samples = first.toList
         var extras = 0
-        // Absolute-difference gate too: for sub-50ms queries ordinary
+        // Absolute-difference gate too: for sub-100ms queries ordinary
         // scheduler/GC jitter routinely exceeds 1.5× as a pure ratio
         // (and a zero sample would divide by zero), so noise on
-        // near-zero timings must not burn the extra passes.
+        // near-zero timings must not burn the extra passes. The slack
+        // DEFAULTS TO THE PERF GATE'S OWN ABS (check_bench.py: 0.15 s
+        // at sf0.1) — a disagreement the gate itself would shrug at
+        // cannot flip a verdict, so resolving it is pure wall time
+        // (r14's sf10 ledger: 28 hidden re-passes = 213 s). sf10 runs
+        // export SPARK_GRAFT_REPASS_ABS=5.0 to match that gate's ABS.
+        val repassAbs =
+          sys.env.getOrElse("SPARK_GRAFT_REPASS_ABS", "0.15").toDouble
         def unstable = {
           val s = samples.sorted.take(2)
-          s(1) - s(0) > 0.05 && s(1) > s(0) * 1.5
+          s(1) - s(0) > repassAbs && s(1) > s(0) * 1.5
         }
         while (unstable && extras < 2) {
           timeOnce(recordError = false).foreach(t => samples = t :: samples)
@@ -248,7 +282,16 @@ object Bench {
     val quality = if (total > 0) wallSec / (2 * total) else 0.0
     val ccSec = clearCacheNanos.get() / 1e9
     val exSec = extraPassNanos.get() / 1e9
-    println(f"""{"metric":"total","value":$total,"unit":"sec","wall_sec":$wallSec%.3f,"run_quality":$quality%.3f,"calib_sec":$calibSec%.3f,"clearcache_sec":$ccSec%.3f,"extra_passes":${extraPassCount.get()},"extra_pass_sec":$exSec%.3f,"queries":$qs,"errors":$errJson,"sf":${jstr(sfDir)}}""")
+    // Explicit subset marker: check_bench.py exempts SPARK_GRAFT_ONLY
+    // runs from the baseline-coverage gate. Keying that exemption on a
+    // structural row-count heuristic misfires both ways (a full run
+    // heavily nulled by timeouts silently slips the gate; a wide ONLY
+    // subset fails on legitimately-new keys) — so the run SAYS whether
+    // it was a subset, and reports its error count for the
+    // nulled-full-run case.
+    val mem = peakHeap.map { case (k, v) => jstr(k) + ":" + v }
+      .mkString("{", ",", "}")
+    println(f"""{"metric":"total","value":$total,"unit":"sec","wall_sec":$wallSec%.3f,"run_quality":$quality%.3f,"calib_sec":$calibSec%.3f,"clearcache_sec":$ccSec%.3f,"extra_passes":${extraPassCount.get()},"extra_pass_sec":$exSec%.3f,"subset":${only.isDefined},"n_errors":${errors.size},"heap_max_bytes":${Runtime.getRuntime.maxMemory},"peak_heap_bytes":$mem,"queries":$qs,"errors":$errJson,"sf":${jstr(sfDir)}}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

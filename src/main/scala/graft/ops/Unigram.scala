@@ -162,6 +162,16 @@ object Unigram {
           }
           l += 1
         }
+        // Coverage fail-fast: training guarantees every alphabet
+        // character is a vocab piece, so bl == 0 means this vocab
+        // does not cover this word (stale persisted index after a
+        // corpus regeneration, or an external caller's vocab). The
+        // backtrack below would otherwise loop on bp=0 and die as an
+        // ArrayIndexOutOfBoundsException — or, worse, an uncovered
+        // PREFIX would silently propagate a negative score into a
+        // garbage segmentation. Surface it as a named contract error.
+        if (bl == 0) throw new IllegalStateException(
+          s"unigram vocab lacks alphabet coverage for '$w' at position $j")
         score(j) = best
         bp(j) = bl
         j += 1

@@ -79,6 +79,18 @@ class UnigramSpec extends AnyFunSuite {
     assert(!pieces.contains("ba") && !pieces.contains("bab"))
   }
 
+  test("segmentFn fails fast on an uncovered character, not an index crash") {
+    val fn = Unigram.segmentFn(vocab) // alphabet {a,b,c,d}
+    // 'z' has no vocab piece: the DP cell at that position resolves
+    // no candidate (bl = 0) — must surface as the named contract
+    // error, never an ArrayIndexOutOfBoundsException from the
+    // backtrack or a silent garbage segmentation.
+    val e = intercept[IllegalStateException](fn("abz"))
+    assert(e.getMessage.contains("coverage") && e.getMessage.contains("abz"))
+    // Uncovered PREFIX too (the silent-negative-score path).
+    intercept[IllegalStateException](fn("zab")): Unit
+  }
+
   test("withSegmentedWords: per-doc counts and text, word-free doc = 0/''") {
     val df = Seq(
       (1L, Seq("ab", "abc")),

@@ -168,10 +168,19 @@ object SimilarityQueries {
 
   val all: Seq[Q] = Seq(
 
-    // Brute-force exact cosine top-5 for a bounded query batch
-    // (every 50th vector). Baseline for the IVF variant below.
+    // Brute-force exact cosine top-5 for a BOUNDED query batch: the
+    // first 100 of the %50 sample points. Baseline for the IVF
+    // variant below. Scale shape: a brute-force BASELINE has the same
+    // contract as a recall audit (q154) — its cost must not grow with
+    // the corpus. The old corpus-proportional batch (every 50th
+    // vector, unbounded) made this row O(n²/50) by construction and
+    // the r14 sf10 matrix measured it at 383× for 100× data (171.7 s,
+    // 13% of the whole suite); bounding the batch to a constant
+    // sample makes the declared work n·|batch| — linear, exactly
+    // q154's proven discipline.
     Q("q40_cosine_knn",
-      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id % 50 = 0),
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+         |           WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 100),
          |scored AS (
          |  SELECT q.qid, e.vec_id, ${cosSql("q.qvec", "e.embedding")} AS cos_r
          |  FROM embeddings e JOIN q ON e.vec_id <> q.qid),
@@ -181,7 +190,9 @@ object SimilarityQueries {
          |SELECT qid, vec_id, CAST(rnk AS BIGINT) AS rnk, cos_r FROM ranked WHERE rnk <= 5""".stripMargin) {
       (s, d) =>
         val e = table(s, d, "embeddings")
-        Similarity.bruteForceKnn(e, e.filter(col("vec_id") % 50 === 0), k = 5)
+        val queries = e.filter(col("vec_id") % 50 === 0)
+          .orderBy("vec_id").limit(100)
+        Similarity.bruteForceKnn(e, queries, k = 5)
           .withColumn("rnk", col("rnk").cast("bigint"))
     },
 
@@ -546,14 +557,20 @@ object SimilarityQueries {
     },
 
     // IVF-PQ — the production ANN composition, and the capstone of
-    // the similarity family: q68's trained cells prune candidates to
-    // the query's own cell, q82's codes+codebooks score the survivors
-    // by asymmetric distance. Per query: |cell| × m integer lookups,
-    // never |corpus| × dim float ops. Both corpus artifacts come from
-    // the index registry (built once per process); the oracle
-    // recomposes the ENTIRE chain from scratch — full-vector k-means
-    // cells, four subspace trainings, encode, in-cell ADC — and must
-    // hash-match bit-for-bit.
+    // the similarity family: the AUTO-K residual cells (q69/q205's
+    // blocking index) prune candidates to the query's own cell,
+    // q82's codes+codebooks score the survivors by asymmetric
+    // distance. Per query: |cell| × m integer lookups, never
+    // |corpus| × dim float ops — and because auto-k pins cell
+    // occupancy at ~64 regardless of corpus size
+    // (Similarity.autoCodebookK), the per-query probe is CONSTANT,
+    // not ∝ n. The previous fixed-k=8 index made occupancy ∝ n and
+    // the row quadratic (r14 sf10: 86× at 100× data, 68.1 s); this is
+    // the same swap q205 made when it reused q69's cells. Both corpus
+    // artifacts come from the index registry (built once per
+    // process); the oracle recomposes the ENTIRE chain from scratch —
+    // two-level residual k-means cells, four subspace trainings,
+    // encode, in-cell ADC — and must hash-match bit-for-bit.
     Q("q90_ivf_pq", {
       val subs = 0 until 4
       val chains = subs.map(j =>
@@ -567,17 +584,17 @@ object SimilarityQueries {
       val distTerms = subs.map(j =>
         s"list_sum(list_transform(range(1,17), i -> (q.qs[${j * 16} + i] - k$j.s[i]) * (q.qs[${j * 16} + i] - k$j.s[i])))")
         .mkString("\n         + ")
-      s"""WITH $kmeansCtesSql,
+      s"""WITH $autoCellsCtesSql,
          |$chains,
          |q AS (
-         |  SELECT sv.vec_id AS qid, a2.cid AS qcid, sv.s AS qs
-         |  FROM sv JOIN a2 USING (vec_id) WHERE sv.vec_id % 50 = 0),
+         |  SELECT sv.vec_id AS qid, cells.cid AS qcid, sv.s AS qs
+         |  FROM sv JOIN cells USING (vec_id) WHERE sv.vec_id % 50 = 0),
          |codes AS (
          |  SELECT v0.vec_id, $codeCols $codeJoins),
          |adc AS (
          |  SELECT q.qid, codes.vec_id,
          |         $distTerms AS adist
-         |  FROM q JOIN a2 cell ON cell.cid = q.qcid AND cell.vec_id <> q.qid
+         |  FROM q JOIN cells cell ON cell.cid = q.qcid AND cell.vec_id <> q.qid
          |  JOIN codes ON codes.vec_id = cell.vec_id $cbJoins),
          |ranked AS (
          |  SELECT qid, vec_id, adist,
@@ -587,7 +604,7 @@ object SimilarityQueries {
          |FROM ranked WHERE rnk <= 5""".stripMargin
     }) {
       (s, d) =>
-        val cells = graft.queries.Indexes.kmeansCells(s, d)
+        val cells = graft.queries.Indexes.kmeansCellsAuto(s, d)
         Similarity.ivfPqTopK(cells,
             graft.queries.Indexes.pqCodes(s, d),
             graft.queries.Indexes.pqCodebooks(s, d),

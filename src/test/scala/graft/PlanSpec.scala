@@ -199,6 +199,17 @@ class PlanSpec extends AnyFunSuite {
       s"q205 plans an unkeyed join:\n${plan.take(1500)}")
   }
 
+  test("q90: the IVF-PQ probe is cell-keyed — no unkeyed join") {
+    // q90's scale claim after the auto-k swap: ADC candidates come
+    // from a cid-keyed join of queries against the auto-k cell index
+    // (per-query work = cell occupancy, ~constant), never a
+    // corpus-wide pairing.
+    val plan = planOf("q90_ivf_pq")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"q90 plans an unkeyed join:\n${plan.take(1500)}")
+  }
+
   test("no declared query plans a cartesian product") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
       planOf(name).contains("CartesianProduct")

@@ -53,6 +53,38 @@ object LlmQueries {
 
   private val rawCorpus = "corpus AS (SELECT doc_id, text FROM documents)"
 
+  /** Shared q208/q209 oracle CTEs: normalized token arrays (`norm`:
+    * doc_id, t) and the POSITIONAL 8-token span stream (`spans`:
+    * doc_id, pos, span; pos 1-based) — the same normalization and
+    * span rule as q79/[[Indexes.spanOccurrences]], with positions
+    * kept (the persisted index collapses them away). */
+  private val spanPosCtes: String =
+    """norm AS (
+      |  SELECT doc_id,
+      |         string_split(trim(regexp_replace(regexp_replace(lower(text),
+      |           '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS t
+      |  FROM documents),
+      |spans AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+      |         array_to_string(t[CAST(i AS INT):CAST(i AS INT)+7], ' ') AS span
+      |  FROM norm, unnest(generate_series(1, CAST(len(t)-7 AS BIGINT))) AS g(i))""".stripMargin
+
+  /** Spark mirror of [[spanPosCtes]]: (norm = (doc_id, t),
+    * spans = (doc_id, pos, span)). One normalize pass; the span
+    * stream is a posexplode of the same
+    * [[graft.ops.TextAnalysis.spanGrams]] arrays the span index
+    * explodes, so the two derivations cannot drift. */
+  private def spanPosStream(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val toks = split(TextAnalysis.normalize(col("text")), " ")
+    val norm = docsHeavy(s, d).select(col("doc_id"), toks.as("t"))
+    val spans = norm.select(col("doc_id"),
+        posexplode(TextAnalysis.spanGrams(col("t"), 8)).as(Seq("__p", "span")))
+      .select(col("doc_id"), (col("__p") + 1).cast("long").as("pos"),
+        col("span"))
+    (norm, spans)
+  }
+
   /** MinHash signature columns, oracle side. */
   private val mhColsSql: String = ab.zipWithIndex.map { case ((a, b), i) =>
     s"list_min(list_transform(hs, h -> ($a*(h % $P) + $b) % $P)) AS mh$i"
@@ -1562,6 +1594,131 @@ object LlmQueries {
                   x => x.getField("tile")),
                 " "),
               lit("")).as("cleaned_text"))
+    },
+
+    // MAXIMAL-SPAN substring dedup (Lee et al. 2022, "Deduplicating
+    // Training Data Makes Language Models Better" — the suffix-array
+    // method, re-expressed Spark-shaped): q79 flags FIXED 8-token
+    // spans; this reports every maximal duplicated token RUN of
+    // arbitrary length ≥ 8. Equivalence: a duplicated region of
+    // length L ≥ 8 makes all L−7 of its stride-1 8-token spans
+    // duplicated, so maximal runs of consecutive duplicated positions
+    // recover exactly the suffix-array result (minimum match length
+    // 8) — with the one composition the papers also make: a position
+    // whose left half duplicates one doc and right half another still
+    // chains, because every token of the run sits in SOME ≥8-token
+    // duplicate. Shape: positional span stream (one normalize+explode
+    // pass) → duplicated-span set from the PERSISTED span index
+    // (sum of per-doc occurrence counts — no second corpus agg) →
+    // salted semi join marks duplicated positions (a boilerplate span
+    // in 10^6 docs is a hot key BY CONSTRUCTION — the q111/q91
+    // discipline) → per-doc gaps-and-islands window (partition = one
+    // doc's duplicated positions, bounded by doc length) → min/max
+    // per run + one doc-keyed join back for the span text. Every
+    // stage is linear in corpus tokens at 100 TB.
+    Q("q208_maxspan_dedup",
+      s"""WITH $spanPosCtes,
+         |dup AS (SELECT span FROM spans GROUP BY span HAVING count(*) >= 2),
+         |hits AS (SELECT s.doc_id, s.pos FROM spans s JOIN dup USING (span)),
+         |runs AS (
+         |  SELECT doc_id, pos,
+         |         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rid
+         |  FROM hits),
+         |agg AS (
+         |  SELECT doc_id, min(pos) AS sp, max(pos) - min(pos) + 8 AS sl
+         |  FROM runs GROUP BY doc_id, rid)
+         |SELECT a.doc_id, CAST(a.sp AS BIGINT) AS start_pos,
+         |       CAST(a.sl AS BIGINT) AS span_len,
+         |       array_to_string(n.t[CAST(a.sp AS INT):CAST(a.sp + a.sl - 1 AS INT)], ' ') AS span_text
+         |FROM agg a JOIN norm n USING (doc_id)""".stripMargin) {
+      (s, d) =>
+        import org.apache.spark.sql.expressions.Window
+        val (norm, spans) = spanPosStream(s, d)
+        val dup = Indexes.spanOccurrences(s, d)
+          .groupBy("span").agg(sum(col("occ")).as("__n"))
+          .filter(col("__n") >= 2).select("span")
+        val hits = graft.ops.Skew.saltedJoin(spans, dup, "span",
+          saltBy = col("doc_id"), salts = 16, joinType = "left_semi")
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+        val agg = hits
+          .withColumn("__rid", col("pos") - row_number().over(w))
+          .groupBy("doc_id", "__rid")
+          .agg(min(col("pos")).as("start_pos"),
+            (max(col("pos")) - min(col("pos")) + 8).as("span_len"))
+        agg.join(norm, "doc_id")
+          .select(col("doc_id"), col("start_pos"), col("span_len"),
+            array_join(slice(col("t"), col("start_pos").cast("int"),
+              col("span_len").cast("int")), " ").as("span_text"))
+    },
+
+    // Maximal-span dedup WITH REWRITE — the q106 reassembly story at
+    // arbitrary span length: every duplicated ≥8-token occurrence
+    // that is NOT the corpus-wide first occurrence of its span
+    // (first = smallest (doc_id, pos), the q106 min-struct survivor
+    // rule) has its 8 token positions removed; each document is
+    // rewritten as its surviving tokens in order. First occurrences
+    // survive everywhere, so shared boilerplate keeps exactly one
+    // copy corpus-wide — Lee et al.'s actual removal policy, where
+    // q106 approximated it on fixed tile boundaries. Shape: ONE
+    // aggregate over the positional span stream yields both the
+    // occurrence count and the min-struct first occurrence (map-side
+    // combine bounds hot spans); a salted join marks non-first
+    // duplicated occurrences; covered positions explode 8× and
+    // distinct; tokens explode once, anti-join their covered
+    // positions, and reassemble per doc (the q106 sorted-collect).
+    // All shuffles are token- or doc-keyed — linear at 100 TB.
+    Q("q209_maxspan_dedup_rewrite",
+      s"""WITH $spanPosCtes,
+         |occ AS (
+         |  SELECT doc_id, pos, span,
+         |         row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn,
+         |         count(*) OVER (PARTITION BY span) AS cnt
+         |  FROM spans),
+         |cov AS (
+         |  SELECT DISTINCT doc_id, pos + d AS j
+         |  FROM occ, unnest(generate_series(0, 7)) AS g(d)
+         |  WHERE cnt >= 2 AND rn > 1),
+         |tok AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS j, t[CAST(i AS INT)] AS w
+         |  FROM norm, unnest(generate_series(1, CAST(len(t) AS BIGINT))) AS g(i)),
+         |kept AS (
+         |  SELECT tok.doc_id, tok.j, tok.w
+         |  FROM tok LEFT JOIN cov ON cov.doc_id = tok.doc_id AND cov.j = tok.j
+         |  WHERE cov.j IS NULL)
+         |SELECT n.doc_id, CAST(len(n.t) AS BIGINT) AS n_tokens,
+         |       CAST(len(n.t) - count(k.j) AS BIGINT) AS n_removed,
+         |       coalesce(string_agg(k.w, ' ' ORDER BY k.j), '') AS cleaned_text
+         |FROM norm n LEFT JOIN kept k USING (doc_id)
+         |GROUP BY n.doc_id, len(n.t)""".stripMargin) {
+      (s, d) =>
+        val (norm, spans) = spanPosStream(s, d)
+        val firsts = spans.groupBy("span")
+          .agg(count(lit(1)).as("__n"),
+            min(struct(col("doc_id"), col("pos"))).as("__f"))
+          .filter(col("__n") >= 2)
+          .select(col("span"), col("__f.doc_id").as("__fdoc"),
+            col("__f.pos").as("__fpos"))
+        val cov = graft.ops.Skew.saltedJoin(spans, firsts, "span",
+            saltBy = col("doc_id"), salts = 16)
+          .filter(!(col("doc_id") === col("__fdoc") &&
+            col("pos") === col("__fpos")))
+          .select(col("doc_id"),
+            explode(sequence(col("pos"), col("pos") + 7)).as("j"))
+          .distinct()
+        val tok = norm
+          .select(col("doc_id"), posexplode(col("t")).as(Seq("__i", "w")))
+          .select(col("doc_id"), (col("__i") + 1).cast("long").as("j"), col("w"))
+        val kept = tok.join(cov, Seq("doc_id", "j"), "left_anti")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("__nk"),
+            array_join(
+              transform(array_sort(collect_list(struct(col("j"), col("w")))),
+                x => x.getField("w")), " ").as("cleaned_text"))
+        norm.select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"))
+          .join(kept, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"),
+            (col("n_tokens") - coalesce(col("__nk"), lit(0L))).as("n_removed"),
+            coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
     },
 
     // Training-example ASSEMBLY: the event log becomes one ordered

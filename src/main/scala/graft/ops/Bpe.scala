@@ -350,14 +350,27 @@ object Bpe {
     * an ordered-heap upgrade path if a profile ever demands it). */
   def trainMergesInMemory(docs: DataFrame, textCol: String,
                           nMerges: Int,
-                          maxTypes: Int = InMemoryTypeCap): Seq[(String, String)] = {
-    require(nMerges >= 0, s"trainMergesInMemory: nMerges=$nMerges")
-    val typeRows = docs
-      .select(explode(wordArray(col(textCol))).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+                          maxTypes: Int = InMemoryTypeCap): Seq[(String, String)] =
+    trainMergesFromTypes(
+      docs.select(explode(wordArray(col(textCol))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("n")),
+      nMerges, maxTypes)
+
+  /** [[trainMergesInMemory]] from an ALREADY-BUILT word-TYPE table
+    * `(w, n)` — the vocabulary-MAINTENANCE entry point (q210): word-
+    * type counts are additive, so a persisted type table folds a new
+    * batch in with one counts-sum and retrains here without ever
+    * re-scanning the old corpus text. Same greedy loop, same
+    * (count DESC, a ASC, b ASC) argmax — identical merge table to the
+    * from-corpus trainers whenever the type table is equal. */
+  def trainMergesFromTypes(types: DataFrame, nMerges: Int,
+                           maxTypes: Int = InMemoryTypeCap): Seq[(String, String)] = {
+    require(nMerges >= 0, s"trainMergesFromTypes: nMerges=$nMerges")
+    val typeRows = types
+      .select(col("w"), col("n").cast("long").as("n"))
       .limit(maxTypes + 1).collect()
     require(typeRows.length <= maxTypes,
-      s"trainMergesInMemory: word-type table exceeds $maxTypes rows — " +
+      s"trainMergesFromTypes: word-type table exceeds $maxTypes rows — " +
         "use trainMergesBatched (distributed) for this corpus")
     val words: Array[Array[String]] =
       typeRows.map(r => r.getString(0).map(_.toString).toArray)

@@ -395,6 +395,52 @@ object BpeQueries {
             expr("(n_symbols * 1000) div n_words").as("spw_milli"),
             (expr("(((n_symbols * 1000) div n_words) * 1000000) div spw0")
               - 1000000L).as("drift_ppm"))
+    },
+
+    // INCREMENTAL tokenizer-vocabulary maintenance — the last
+    // non-incremental family's incremental leg (q43/q108/q205's
+    // batch×corpus discipline applied to training): word-type counts
+    // are ADDITIVE, so when a batch arrives (last 20 % of the id
+    // space, the q155 watermark convention) the persisted type table
+    // folds the batch's counts in with one counts-sum — the old
+    // corpus text is NEVER re-scanned — and the greedy trainer reruns
+    // over the folded table ([[graft.ops.Bpe.trainMergesFromTypes]]).
+    // The output merge table must be INDISTINGUISHABLE from training
+    // on the whole corpus from scratch (the q205 "recomputing the
+    // world" discipline): the oracle replays the full-corpus unrolled
+    // training chain and the rule list must match rule-for-rule.
+    // BpeSpec pins the fold itself (fold ≡ rebuild of the type
+    // table). Operationally the retrain is gated on q155: fold every
+    // batch (cheap — one batch tokenize + a counts-sum), retrain only
+    // when |drift_ppm| crosses the deployment's threshold; the
+    // retrain leg is what this row gates. Scale bill: one batch-sized
+    // tokenize pass + a vocabulary-sized sum + the in-memory greedy
+    // loop over bounded type metadata.
+    Q("q210_bpe_vocab_incremental", {
+      val n = MonitorMerges
+      s"""WITH ${trainingCtes(n)}
+         |${(0 until n).map(k =>
+        s"SELECT CAST($k AS BIGINT) AS rule_idx, a, b FROM m$k")
+        .mkString("\nUNION ALL\n")}""".stripMargin
+    }) {
+      (s, d) =>
+        val words = Indexes.bpeWords(s, d).select(col("doc_id"), col("__ws"))
+        val mx = words.agg(max(col("doc_id"))).head().getLong(0)
+        val cut = mx * 4 / 5
+        def typesOf(df: org.apache.spark.sql.DataFrame) =
+          df.select(explode(col("__ws")).as("w"))
+            .groupBy("w").agg(count(lit(1)).as("n"))
+        // The persisted corpus type table (recomputed from the same
+        // word index here so the row is self-contained — the q205
+        // convention) + the incoming batch's counts, folded.
+        val folded = typesOf(words.filter(col("doc_id") < cut))
+          .unionByName(typesOf(words.filter(col("doc_id") >= cut)))
+          .groupBy("w").agg(sum(col("n")).as("n"))
+        val rules = Bpe.trainMergesFromTypes(folded, MonitorMerges)
+        import s.implicits._
+        rules.zipWithIndex
+          .map { case ((a, b), i) => (i.toLong, a, b) }
+          .toDF("rule_idx", "a", "b")
     }
   )
 }

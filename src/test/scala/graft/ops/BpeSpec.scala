@@ -193,6 +193,33 @@ class BpeSpec extends AnyFunSuite {
     assert(Bpe.trainMergesInMemory(docs, "text", 512) === seqM)
   }
 
+  test("incremental vocab maintenance: fold == rebuild of the type table," +
+      " and training from the fold == training from scratch (q210)") {
+    val rnd = new scala.util.Random(23)
+    val docs = (1 to 80).map(i =>
+      (i.toLong, Seq.fill(3 + rnd.nextInt(8))(
+        Seq.fill(1 + rnd.nextInt(8))("abcde" (rnd.nextInt(5))).mkString)
+        .mkString(" "))).toDF("doc_id", "text")
+    def typesOf(df: org.apache.spark.sql.DataFrame) =
+      df.select(explode(Bpe.wordArray(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("n"))
+    val cut = 64L
+    // Fold = persisted corpus types + batch types, counts summed.
+    val folded = typesOf(docs.filter(col("doc_id") < cut))
+      .unionByName(typesOf(docs.filter(col("doc_id") >= cut)))
+      .groupBy("w").agg(sum(col("n")).as("n"))
+    // Fold ≡ rebuild: identical (w, n) multiset to a from-scratch
+    // type table over the whole corpus.
+    val rebuilt = typesOf(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(folded.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      === rebuilt)
+    // And the from-types trainer over the fold is the from-scratch
+    // trainer, rule for rule.
+    assert(Bpe.trainMergesFromTypes(folded, 48) ===
+      Bpe.trainMerges(docs, "text", 48))
+  }
+
   test("the real-BPE counter plugs into the budget operator unchanged") {
     // tokenBudget/packSequences are parameterized by a token-count
     // COLUMN: swapping the whitespace counter for the trained-BPE

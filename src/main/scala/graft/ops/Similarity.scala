@@ -516,6 +516,25 @@ object Similarity {
     math.max(8, k)
   }
 
+  /** √n-SCALED sampled-centroid modulus for the literal-sampling IVF
+    * family (q41/q55/q154): the smallest 37·i (i ≥ 1 integer) with
+    * (37·i)² ≥ n. The historical fixed `% 37` sampling made the
+    * centroid count ∝ n/37, so the flat assignment fold cost
+    * n·(n/37) — quadratic (measured 27×/39× at 100× data on
+    * q41/q55). Scaling the modulus with √n sets BOTH the centroid
+    * count and the cell occupancy to ~√n: assignment n·√n, per-query
+    * probe √n — the flat-IVF optimum. Integer-exact by the same
+    * bounded-range-scan discipline as [[sqrtCeil]] (the oracle
+    * evaluates the identical `1369·i·i ≥ n` predicate — no float
+    * sqrt at perfect squares). At the harness's ≤ 1369-vector oracle
+    * scales this is exactly the historical 37, so small-SF results
+    * are unchanged by construction. */
+  def sampledCentroidModulus(n: Long): Long = {
+    require(n >= 0 && n <= 1369L * 999 * 999,
+      s"sampledCentroidModulus: corpus of $n rows exceeds the scan bound")
+    37L * (1 to 999).find(i => 1369L * i * i >= n).get
+  }
+
   /** Smallest integer whose square is ≥ k — the per-level size of the
     * two-level residual codebook (integer-exact; both engines scan the
     * same bounded range instead of trusting a float `sqrt` at perfect

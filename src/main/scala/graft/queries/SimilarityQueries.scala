@@ -156,6 +156,30 @@ object SimilarityQueries {
        |  FROM embeddings, params)""".stripMargin
   }
 
+  /** Shared q41/q55/q154 sampled-centroid CTEs: `c(cid, cvec)` =
+    * every m-th vector (offset 1) under the √n-SCALED modulus
+    * m = [[graft.ops.Similarity.sampledCentroidModulus]] — the same
+    * bounded-range integer scan, evaluated in SQL, so ONE oracle text
+    * serves every corpus cardinality (the rpSigCtes discipline). At
+    * the harness's oracle scales (n ≤ 1369) m = 37, the historical
+    * config — results there are unchanged by construction. */
+  private val ivfCentroidCtes: String =
+    """cparams AS (
+      |  SELECT CAST(37 * min(i) AS BIGINT) AS m
+      |  FROM range(1, 1000) t(i), (SELECT count(*) AS n FROM embeddings)
+      |  WHERE 1369 * i * i >= n),
+      |c AS (SELECT vec_id AS cid, embedding AS cvec
+      |      FROM embeddings, cparams WHERE vec_id % m = 1)""".stripMargin
+
+  /** Spark mirror of [[ivfCentroidCtes]]: the corpus's sampled
+    * centroid frame under the √n-scaled modulus. One count job
+    * (parquet-statistics cheap) derives m. */
+  private def sampledCentroids(e: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val m = Similarity.sampledCentroidModulus(e.count())
+    e.filter(col("vec_id") % m === 1)
+  }
+
   /** Banded candidate CTE over `sig`: pairs agreeing on at least one
     * of the two band signatures, as distinct (v1 < v2). */
   private val rpCandSql: String =
@@ -196,12 +220,18 @@ object SimilarityQueries {
           .withColumn("rnk", col("rnk").cast("bigint"))
     },
 
-    // IVF-bucketed ANN: vectors assigned to the nearest of ~k fixed
-    // centroids (every 37th vector offset 1), queries probe only
-    // their own cell. The oracle reproduces assignment + in-cell
-    // ranking exactly.
+    // IVF-bucketed ANN: vectors assigned to the nearest sampled
+    // centroid (every m-th vector, m √n-scaled —
+    // Similarity.sampledCentroidModulus), queries probe only their
+    // own cell. The oracle reproduces assignment + in-cell ranking
+    // exactly. Scale shape: the old fixed %37 made centroid count
+    // ∝ n and the flat assignment fold n²/37 (27× at 100× data);
+    // √n-scaling sets centroids AND occupancy to ~√n — assignment
+    // n·√n, probe √n per query, the flat-IVF optimum (the TRAINED
+    // auto-k index family, q69/q90/q205, remains the constant-
+    // occupancy production path).
     Q("q41_ann_ivf",
-      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id % 37 = 1),
+      s"""WITH $ivfCentroidCtes,
          |assigned AS (
          |  SELECT vec_id, embedding, cid, row_number() OVER (
          |    PARTITION BY vec_id ORDER BY ${cosSql("embedding", "cvec")} DESC, cid) AS crnk
@@ -219,7 +249,7 @@ object SimilarityQueries {
         val e = table(s, d, "embeddings")
         Similarity.ivfKnn(
           corpus = e,
-          centroids = e.filter(col("vec_id") % 37 === 1),
+          centroids = sampledCentroids(e),
           queries = e.filter(col("vec_id") % 50 === 0),
           k = 3)
           .withColumn("rnk", col("rnk").cast("bigint"))
@@ -241,7 +271,7 @@ object SimilarityQueries {
     // IVF side is a cell-local probe; the compare is a (qid, vec_id)
     // left join of two 3-row-per-query frames.
     Q("q154_ann_recall",
-      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id % 37 = 1),
+      s"""WITH $ivfCentroidCtes,
          |assigned AS (
          |  SELECT vec_id, embedding, cid, row_number() OVER (
          |    PARTITION BY vec_id ORDER BY ${cosSql("embedding", "cvec")} DESC, cid) AS crnk
@@ -275,7 +305,7 @@ object SimilarityQueries {
           .select(col("qid"), col("vec_id"))
         val ivf = Similarity.ivfKnn(
             corpus = e,
-            centroids = e.filter(col("vec_id") % 37 === 1),
+            centroids = sampledCentroids(e),
             queries = queries, k = 3)
           .select(col("qid").as("iqid"), col("vec_id").as("ivid"))
         exact.join(ivf,
@@ -619,7 +649,7 @@ object SimilarityQueries {
     // boundary. The oracle reproduces probe selection (same rounded
     // cosine, same cid tie-break) and in-cell ranking exactly.
     Q("q55_ann_ivf_nprobe",
-      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id % 37 = 1),
+      s"""WITH $ivfCentroidCtes,
          |assigned AS (
          |  SELECT vec_id, embedding, cid, row_number() OVER (
          |    PARTITION BY vec_id ORDER BY ${cosSql("embedding", "cvec")} DESC, cid) AS crnk
@@ -642,7 +672,7 @@ object SimilarityQueries {
         val e = table(s, d, "embeddings")
         Similarity.ivfKnn(
           corpus = e,
-          centroids = e.filter(col("vec_id") % 37 === 1),
+          centroids = sampledCentroids(e),
           queries = e.filter(col("vec_id") % 50 === 0),
           k = 3, nProbe = 2)
           .withColumn("rnk", col("rnk").cast("bigint"))

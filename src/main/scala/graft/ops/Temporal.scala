@@ -28,17 +28,24 @@ object Temporal {
     * ([[graft.io.TableStore.columnStats]]), never a data scan.
     *
     * Why this width bounds replication: an interval of span `s`
-    * explodes into at most `s/width + 2` bucket rows, so AVERAGE
-    * replication ≤ Σspan/(width·n) + 2 = Σspan/extent + 2 — the
+    * explodes into at most `s/width + 2` bucket rows, so the AVERAGE
+    * replication over the n_v VALID (non-inverted) intervals is
+    * ≤ Σspan/(width·n_v) + 2 ≤ (Σspan/extent)·(n/n_v) + 2 — the
     * interval set's OVERLAP FACTOR (how many times it covers its own
-    * domain) plus a constant. For validity windows / sessions /
-    * campaign schedules the overlap factor is a small constant, so
-    * replication is too, at any scale (RangeJoinPropertySpec pins the
-    * bound; correctness needs no tuning at all — ANY width produces
-    * the identical pair set, also property-pinned). A width far above
-    * a typical span costs residual comparisons instead of replication;
-    * the stats-derived choice keeps expected buckets ≈ rows, the
-    * balanced middle. */
+    * domain) scaled by the invalid-row dilution (footer stats count
+    * every row, so inverted/empty intervals enlarge the width but
+    * never explode; n = n_v in any sane table) plus a constant. The
+    * width uses CEILING division — a floored width < extent/n would
+    * leak past the bound (found by RangeJoinPropertySpec's shrinker:
+    * a 12-row set with 5 inverted intervals and extent 80 floored to
+    * width 6 and averaged 3.29 > the documented 3.11). For validity
+    * windows / sessions / campaign schedules the overlap factor is a
+    * small constant, so replication is too, at any scale
+    * (RangeJoinPropertySpec pins the bound; correctness needs no
+    * tuning at all — ANY width produces the identical pair set, also
+    * property-pinned). A width far above a typical span costs
+    * residual comparisons instead of replication; the stats-derived
+    * choice keeps expected buckets ≈ rows, the balanced middle. */
   def autoBucketWidth(store: graft.io.TableStore, name: String,
                       startCol: String, endCol: String): Long = {
     import org.apache.spark.sql.functions.{max => fmax, min => fmin, sum => fsum}
@@ -53,7 +60,9 @@ object Temporal {
       s"autoBucketWidth: '$startCol'/'$endCol' of '$name' are all-null")
     val extent = e.getLong(0) - s.getLong(0)
     val n = math.max(s.getLong(1), 1L)
-    math.max(1L, extent / n)
+    // Ceiling division: width ≥ extent/n is what the replication
+    // bound's algebra needs (see above); flooring undercuts it.
+    math.max(1L, (extent + n - 1) / n)
   }
 
   /** Pure range (point-in-interval) join with NO equi key — the shape

@@ -68,15 +68,18 @@ class RangeJoinPropertySpec extends AnyFunSuite {
         if p >= s && p < e
       } yield (pid, iid)
       // Replication bound: the valid intervals explode into
-      // Σ(buckets covered) rows; the stats-derived width must keep
-      // the average within overlap-factor + 2 (the documented bound).
+      // Σ(buckets covered) rows; the stats-derived (ceiling) width
+      // must keep the average within overlap·(n/n_valid) + 2 — the
+      // documented bound. The n/n_valid factor is the invalid-row
+      // dilution: footer stats count every row (inverted intervals
+      // included), so they widen the bucket but never explode.
       val valid = ivs.filter { case (_, s, e) => e > s }
       val replOk = valid.isEmpty || {
         val exploded = valid.map { case (_, s, e) =>
           Math.floorDiv(e - 1, w) - Math.floorDiv(s, w) + 1 }.sum.toDouble
         val extent = (ivs.map(_._3).max - ivs.map(_._2).min).toDouble
         val overlap = valid.map { case (_, s, e) => e - s }.sum / math.max(extent, 1.0)
-        exploded / valid.size <= overlap + 2.0
+        exploded / valid.size <= overlap * ivs.size / valid.size + 2.0
       }
       (Prop(got.sorted == want.sorted) :| s"autoWidth=$w pair-set mismatch") &&
         (Prop(replOk) :| s"autoWidth=$w replication above the documented bound")

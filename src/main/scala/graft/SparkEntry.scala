@@ -21,7 +21,8 @@ object SparkEntry {
       graft.queries.UrlQueries.all ++ graft.queries.CorpusReportQueries.all ++
       graft.queries.QualityFilterQueries.all ++
       graft.queries.BloomDedupQueries.all ++ graft.queries.ChatQueries.all ++
-      graft.queries.HygieneQueries.all ++ graft.queries.UnigramQueries.all
+      graft.queries.HygieneQueries.all ++ graft.queries.UnigramQueries.all ++
+      graft.queries.SketchQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

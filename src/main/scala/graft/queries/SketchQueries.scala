@@ -1,0 +1,252 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.io.Sources.table
+import graft.ops.{Dedup, Sketches}
+
+/** Oracle-pinned frequency-sketch queries ([[graft.ops.Sketches]]):
+  * the AMS second-moment and portable-HLL distinct estimators, each
+  * emitted NEXT TO its exact counterpart so the result row carries
+  * the estimate, the truth, and the signed per-mille error — and the
+  * whole triple is hash-compared against DuckDB recomputing the
+  * identical integer arithmetic. Complements q22 (engine-native
+  * sketches, bounded-flag verification) and q123 (count-min point
+  * estimates): these two rows pin the ESTIMATORS themselves across
+  * engines.
+  *
+  * Key universes are chosen where each estimator is in its published
+  * operating range at every declared scale: AMS runs over the corpus
+  * BIGRAM counts (the persisted [[Indexes.bigramFrequencies]] index —
+  * a zipf-ish ~10³-type distribution whose collision mass is a real
+  * planning input), HLL over the corpus 3-token SHINGLE universe
+  * (~10⁴ distinct and corpus-scaled — the raw Flajolet estimator
+  * needs E > 2.5m, and the 31-word harness vocabulary sits far below
+  * it, so word types would pin arithmetic while demonstrating the
+  * estimator only in its bias zone).
+  */
+object SketchQueries {
+
+  import Sketches.{AmsEstimators, HllMaxRank, HllNum, HllShift, KmvK, KmvNum}
+
+  /** Per-source distinct 3-shingle stream + its KMV sketch — shared by
+    * q214/q215: `ssh` is the distinct (source, shingle) frame (the
+    * exact side's input and the truth), `sk` the per-source k-minima
+    * over the 52-bit hash ([[graft.ops.Sketches.kmvHash52]]). */
+  private val kmvCtes =
+    s"""ssh AS MATERIALIZED (
+       |  SELECT DISTINCT source AS g,
+       |    words[CAST(i AS INT)] || ' ' || words[CAST(i AS INT)+1] || ' ' ||
+       |    words[CAST(i AS INT)+2] AS w
+       |  FROM (SELECT source, string_split(text, ' ') AS words FROM documents),
+       |       unnest(generate_series(1, len(words)-2)) AS t(i)),
+       |hs AS (SELECT DISTINCT g, ('0x' || substr(md5(w), 1, 13))::BIGINT AS h
+       |       FROM ssh),
+       |rk AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS r
+       |       FROM hs),
+       |sk AS MATERIALIZED (SELECT g, h FROM rk WHERE r <= $KmvK)""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    // AMS F2: Σn² of the corpus bigram counts (the distribution's
+    // self-join size / collision mass — what a join planner wants to
+    // know about a key column without shuffling the join) estimated
+    // by the median-of-means of 9×28 ±1-signed sketch sums (the
+    // paper's construction — a plain median of squares converges to
+    // 0.455·F2, see [[graft.ops.Sketches.AmsGroups]]), alongside the
+    // exact moment and the signed per-mille error. Every value is
+    // exact BIGINT arithmetic over the portable hash, so the oracle
+    // pins the estimator bit-for-bit — a wrong sign, a wrong group
+    // boundary, or a drifting hash all hash-mismatch the row. Sketch
+    // state is 252 longs, mergeable by addition: at 1000 executors
+    // the pass is map-side partials shipping kilobytes.
+    Q("q212_ams_f2_moment",
+      s"""WITH bgr AS (
+         |  SELECT words[CAST(i AS INT)] || ' ' || words[CAST(i AS INT)+1] AS w
+         |  FROM (SELECT string_split(text, ' ') AS words FROM documents),
+         |       unnest(generate_series(1, len(words)-1)) AS t(i)),
+         |ty AS MATERIALIZED (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS n FROM bgr GROUP BY w),
+         |sk AS (
+         |  SELECT i, CAST(sum(n * (1 - 2 *
+         |      (${LlmQueries.h64("'ams' || CAST(i AS VARCHAR) || '|' || w")} % 2)))
+         |    AS BIGINT) AS z
+         |  FROM ty, (SELECT unnest(range(0, $AmsEstimators)) AS i)
+         |  GROUP BY i),
+         |ex AS (SELECT CAST(sum(n * n) AS BIGINT) AS f2_exact FROM ty),
+         |gm AS (SELECT i // ${Sketches.AmsGroupSize} AS g,
+         |         CAST(sum(z * z) AS BIGINT) // ${Sketches.AmsGroupSize} AS m
+         |       FROM sk GROUP BY 1),
+         |md AS (SELECT list(m ORDER BY m)[${(Sketches.AmsGroups + 1) / 2}]
+         |         AS f2_est FROM gm)
+         |SELECT ex.f2_exact, CAST(md.f2_est AS BIGINT) AS f2_est,
+         |       ((md.f2_est - ex.f2_exact) * 1000) // ex.f2_exact AS err_pm
+         |FROM ex, md""".stripMargin) {
+      (s, d) =>
+        val ty = Indexes.bigramFrequencies(s, d)
+          .groupBy("bg").agg(sum(col("tf")).cast("bigint").as("n"))
+          .withColumnRenamed("bg", "w")
+        val est = Sketches.amsF2Estimate(Sketches.amsSketch(ty))
+        val ex = ty.agg(sum(col("n") * col("n")).cast("bigint").as("f2_exact"))
+        ex.crossJoin(est).select(col("f2_exact"), col("f2_est"),
+          expr("((f2_est - f2_exact) * 1000) div f2_exact").as("err_pm"))
+    },
+
+    // Portable HLL distinct count of the corpus 3-shingle universe:
+    // 256 max-rank registers over the md5 bucket/value split, integer
+    // harmonic sum S = Σ 2^(17 − M_j), estimate = α·m²·2^17·10⁶ div S
+    // div 10⁶ — the raw Flajolet estimator re-expressed as two trunc
+    // divisions so DuckDB reproduces the ESTIMATE itself (q22's HLL++
+    // could only be flag-bounded; this row is hash-pinned). The
+    // estimate side is ONE map pass ending in 256 bytes of max-merged
+    // register state — distinct-shingle cardinality without the
+    // corpus-wide distinct shuffle the exact side (emitted for the
+    // error column, and itself the oracle's truth) has to pay.
+    Q("q213_hll_distinct_portable",
+      s"""WITH gsh AS MATERIALIZED (
+         |  SELECT DISTINCT words[CAST(i AS INT)] || ' ' ||
+         |    words[CAST(i AS INT)+1] || ' ' || words[CAST(i AS INT)+2] AS w
+         |  FROM (SELECT string_split(text, ' ') AS words FROM documents),
+         |       unnest(generate_series(1, len(words)-2)) AS t(i)),
+         |rg AS (SELECT ('0x' || substr(md5(w), 1, 2))::BIGINT AS b,
+         |              ('0x' || substr(md5(w), 3, 14))::BIGINT AS x FROM gsh),
+         |rk AS (SELECT b, max(CASE WHEN x = 0 THEN $HllMaxRank
+         |                     ELSE $HllMaxRank - length(bin(x)) END) AS mj
+         |       FROM rg GROUP BY b),
+         |regs AS (SELECT coalesce(rk.mj, 0) AS mj
+         |         FROM range(0, ${Sketches.HllBuckets}) t(b)
+         |         LEFT JOIN rk ON t.b = rk.b),
+         |ss AS (SELECT CAST(sum(CASE WHEN mj <= $HllShift
+         |           THEN 1::BIGINT << CAST($HllShift - mj AS INT)
+         |           ELSE 0 END) AS BIGINT) AS s FROM regs),
+         |es AS (SELECT $HllNum // s // 1000000 AS n_est FROM ss),
+         |ex AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM gsh)
+         |SELECT ex.n_exact, es.n_est,
+         |       ((es.n_est - ex.n_exact) * 1000) // ex.n_exact AS err_pm
+         |FROM ex, es""".stripMargin) {
+      (s, d) =>
+        // Registers are multiplicity-insensitive (max-merge), so the
+        // estimate path feeds the raw exploded shingle stream — no
+        // distinct, no shuffle before the 256-bucket aggregate. Only
+        // the exact column pays countDistinct.
+        val sh = table(s, d, "documents")
+          .select(explode(Dedup.shingles(Dedup.tokens(col("text")))).as("w"))
+        val est = Sketches.hllEstimate(s, Sketches.hllRegisters(sh))
+        val ex = sh.agg(countDistinct(col("w")).as("n_exact"))
+        ex.crossJoin(est).select(col("n_exact"), col("n_est"),
+          expr("((n_est - n_exact) * 1000) div n_exact").as("err_pm"))
+    },
+
+    // KMV distinct-by-source: per source, the k = 512 smallest
+    // distinct 52-bit shingle hashes estimate the source's distinct
+    // 3-shingle count as (k−1)·2^52 div h_k (exact when the sketch
+    // isn't full — at sf0.01 every source holds ~1.1-1.5k distinct
+    // shingles, so the estimator leg is genuinely exercised), next to
+    // the exact count and the signed per-mille error. Integer
+    // arithmetic end to end — the ESTIMATOR is hash-pinned, the HLL
+    // row's discipline extended to the sketch family that can also do
+    // set algebra (q215). Sketch state: k longs per source, mergeable
+    // (SketchSpec pins the min-k merge law); the rank's sort input is
+    // the per-source hash type table, and any h < T prefilter above
+    // the true h_k is invisible — the documented 100-TB pushdown.
+    Q("q214_kmv_distinct_by_source",
+      s"""WITH $kmvCtes,
+         |es AS (SELECT g, count(*) AS cnt, max(h) AS hk FROM sk GROUP BY g),
+         |ex AS (SELECT g, CAST(count(*) AS BIGINT) AS n_exact
+         |       FROM ssh GROUP BY g),
+         |j AS (SELECT ex.g, ex.n_exact,
+         |        CAST(CASE WHEN es.cnt < $KmvK THEN es.cnt
+         |             ELSE $KmvNum // es.hk END AS BIGINT) AS d_est
+         |      FROM ex JOIN es ON ex.g = es.g)
+         |SELECT g AS source, n_exact, d_est,
+         |       ((d_est - n_exact) * 1000) // n_exact AS err_pm
+         |FROM j""".stripMargin) {
+      (s, d) =>
+        val keyed = table(s, d, "documents")
+          .select(col("source").as("g"),
+            explode(Dedup.shingles(Dedup.tokens(col("text")))).as("w"))
+          .distinct()
+        val est = Sketches.kmvEstimate(Sketches.kmvSketch(keyed))
+        val ex = keyed.groupBy("g").agg(count(lit(1)).as("n_exact"))
+        ex.join(est, "g")
+          .select(col("g").as("source"), col("n_exact"), col("d_est"),
+            expr("((d_est - n_exact) * 1000) div n_exact").as("err_pm"))
+    },
+
+    // KMV set algebra — the capability registers don't have: for every
+    // source pair, the UNION distinct estimate (KMV over the merged
+    // sketches' k minima) and the theta-style INTERSECTION estimate
+    // (n_ab·union_est div k over the minima common to both sides),
+    // each next to its exact count. The exact columns are the truth
+    // AND the cost story: exact overlap needs the corpus-wide
+    // distinct self-join on the shingle key; the estimate needs 190
+    // pairs × 512 longs of sketch state, corpus-size-independent.
+    // Intersection error is NULL-guarded (a disjoint pair has no
+    // per-mille denominator). All-integer → both estimators
+    // hash-pinned against DuckDB replaying the identical arithmetic.
+    Q("q215_kmv_set_overlap",
+      s"""WITH $kmvCtes,
+         |pr AS (SELECT a.g AS s1, b.g AS s2
+         |       FROM (SELECT DISTINCT g FROM sk) a,
+         |            (SELECT DISTINCT g FROM sk) b WHERE a.g < b.g),
+         |um AS (SELECT s1, s2, h, count(*) AS ng FROM (
+         |         SELECT pr.s1, pr.s2, sk.h FROM pr JOIN sk ON sk.g = pr.s1
+         |         UNION ALL
+         |         SELECT pr.s1, pr.s2, sk.h FROM pr JOIN sk ON sk.g = pr.s2)
+         |       GROUP BY s1, s2, h),
+         |rk2 AS (SELECT s1, s2, h, ng,
+         |          row_number() OVER (PARTITION BY s1, s2 ORDER BY h) AS r
+         |        FROM um),
+         |ag AS (SELECT s1, s2, count(*) AS cu, max(h) AS hku,
+         |         CAST(sum(CASE WHEN ng = 2 THEN 1 ELSE 0 END) AS BIGINT) AS nab
+         |       FROM rk2 WHERE r <= $KmvK GROUP BY s1, s2),
+         |exd AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM ssh GROUP BY g),
+         |exi AS (SELECT a.g AS s1, b.g AS s2, CAST(count(*) AS BIGINT) AS n_inter
+         |        FROM ssh a JOIN ssh b ON a.w = b.w AND a.g < b.g
+         |        GROUP BY 1, 2),
+         |base AS (
+         |  SELECT ag.s1, ag.s2,
+         |    ea.n + eb.n - coalesce(exi.n_inter, 0) AS n_union,
+         |    CAST(CASE WHEN ag.cu < $KmvK THEN ag.cu
+         |         ELSE $KmvNum // ag.hku END AS BIGINT) AS union_est,
+         |    coalesce(exi.n_inter, 0) AS n_inter,
+         |    CAST(CASE WHEN ag.cu < $KmvK THEN ag.nab
+         |         ELSE (ag.nab * ($KmvNum // ag.hku)) // $KmvK
+         |         END AS BIGINT) AS inter_est
+         |  FROM ag JOIN exd ea ON ea.g = ag.s1
+         |          JOIN exd eb ON eb.g = ag.s2
+         |          LEFT JOIN exi ON exi.s1 = ag.s1 AND exi.s2 = ag.s2)
+         |SELECT s1, s2, n_union, union_est,
+         |       ((union_est - n_union) * 1000) // n_union AS uerr_pm,
+         |       n_inter, inter_est,
+         |       CASE WHEN n_inter = 0 THEN NULL
+         |            ELSE ((inter_est - n_inter) * 1000) // n_inter
+         |       END AS ierr_pm
+         |FROM base""".stripMargin) {
+      (s, d) =>
+        val keyed = table(s, d, "documents")
+          .select(col("source").as("g"),
+            explode(Dedup.shingles(Dedup.tokens(col("text")))).as("w"))
+          .distinct()
+        val pe = Sketches.kmvPairEstimates(Sketches.kmvSketch(keyed))
+        val exd = keyed.groupBy("g").agg(count(lit(1)).as("n"))
+        val exi = keyed.as("a")
+          .join(keyed.as("b"),
+            col("a.w") === col("b.w") && col("a.g") < col("b.g"))
+          .groupBy(col("a.g").as("s1"), col("b.g").as("s2"))
+          .agg(count(lit(1)).as("n_inter"))
+        pe.join(exd.select(col("g").as("s1"), col("n").as("__na")), "s1")
+          .join(exd.select(col("g").as("s2"), col("n").as("__nb")), "s2")
+          .join(exi, Seq("s1", "s2"), "left")
+          .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+          .withColumn("n_union",
+            col("__na") + col("__nb") - col("n_inter"))
+          .withColumn("uerr_pm",
+            expr("((union_est - n_union) * 1000) div n_union"))
+          .withColumn("ierr_pm",
+            when(col("n_inter") === 0, lit(null).cast("long"))
+              .otherwise(expr("((inter_est - n_inter) * 1000) div n_inter")))
+          .select("s1", "s2", "n_union", "union_est", "uerr_pm",
+            "n_inter", "inter_est", "ierr_pm")
+    }
+  )
+}

@@ -201,6 +201,44 @@ object UnigramQueries {
           "source", "doc_id", col("uni_tokens"),
           budgets = Budgets, defaultBudget = DefaultBudget)
           .select("doc_id", "source", "n_tok", "cum_tok")
+    },
+
+    // INCREMENTAL unigram-vocabulary maintenance — q210's discipline
+    // applied to the OTHER tokenizer family, closing the last
+    // non-incremental leg: word-type counts are ADDITIVE, so when a
+    // batch arrives (last 20 % of the id space, the q155/q210
+    // watermark convention) the persisted type table folds the
+    // batch's counts with one counts-sum — the old corpus text is
+    // NEVER re-scanned — and [[graft.ops.Unigram.trainVocab]] (which
+    // consumes a type table by construction) reruns the seed → EM →
+    // prune chain over the folded table. The trained (piece, count)
+    // vocabulary must be INDISTINGUISHABLE from training on the whole
+    // corpus from scratch (the q205/q210 "recomputing the world"
+    // discipline): the oracle replays the full-corpus unrolled EM
+    // chain and the final vocabulary must match piece-for-piece,
+    // count-for-count. UnigramSpec pins fold-trained ≡ from-scratch
+    // on a seeded corpus; operationally the retrain is gated on the
+    // q155 drift monitor exactly as q210 documents. Scale bill: one
+    // batch-sized tokenize pass + a type-table sum + EmRounds
+    // vocabulary-sized aggregates — nothing corpus-proportional.
+    Q("q211_unigram_vocab_incremental",
+      s"""WITH $trainingCtes
+         |SELECT p, CAST(c AS BIGINT) AS c FROM vf""".stripMargin) {
+      (s, d) =>
+        val words = Indexes.bpeWords(s, d).select(col("doc_id"), col("__ws"))
+        val mx = words.agg(max(col("doc_id"))).head().getLong(0)
+        val cut = mx * 4 / 5
+        def typesOf(df: org.apache.spark.sql.DataFrame) =
+          df.select(explode(col("__ws")).as("w"))
+            .groupBy("w").agg(count(lit(1)).as("n"))
+        // Persisted corpus type table (recomputed from the same word
+        // index here so the row is self-contained — the q205/q210
+        // convention) + the incoming batch's counts, folded.
+        val folded = typesOf(words.filter(col("doc_id") < cut))
+          .unionByName(typesOf(words.filter(col("doc_id") >= cut)))
+          .groupBy("w").agg(sum(col("n")).as("n"))
+        import s.implicits._
+        Unigram.trainVocab(folded).toDF("p", "c")
     }
   )
 }

@@ -100,4 +100,26 @@ class UnigramSpec extends AnyFunSuite {
     assert(out(1L) === ((2L, "ab abc")))
     assert(out(2L) === ((0L, "")))
   }
+
+  test("incremental vocab maintenance: training from the fold ==" +
+      " training from scratch (q211)") {
+    // Word-type counts are additive, so the persisted type table plus
+    // a batch's counts folds with one sum; trainVocab consumes a type
+    // table by construction, so fold-trained must equal from-scratch
+    // piece-for-piece, count-for-count (the q210 discipline on the
+    // unigram family).
+    val rnd = new scala.util.Random(29)
+    val docs = (1 to 80).map(i =>
+      (i.toLong, Seq.fill(3 + rnd.nextInt(8))(
+        Seq.fill(1 + rnd.nextInt(8))("abcde" (rnd.nextInt(5))).mkString)
+        .mkString(" "))).toDF("doc_id", "text")
+    def typesOf(df: org.apache.spark.sql.DataFrame) =
+      df.select(explode(Bpe.wordArray(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("n"))
+    val cut = 64L
+    val folded = typesOf(docs.filter(col("doc_id") < cut))
+      .unionByName(typesOf(docs.filter(col("doc_id") >= cut)))
+      .groupBy("w").agg(sum(col("n")).as("n"))
+    assert(Unigram.trainVocab(folded) === Unigram.trainVocab(typesOf(docs)))
+  }
 }

@@ -234,4 +234,28 @@ object Sketches {
           .otherwise(expr(s"(nab * ($KmvNum div hku)) div $KmvK"))
           .as("inter_est"))
   }
+
+  // ------------------------------------------- log2 quantile histogram
+
+  /** Log2 (HDR-style) histogram over a non-negative value frame `(v)`:
+    * bucket j = bit-length of v (floor(log2 v) + 1; j = 0 for v = 0),
+    * per-bucket counts `(j, n)`. State is ≤ 64 longs regardless of
+    * corpus size, counts are additive (mergeable), and any quantile
+    * estimate from it carries at most a 2× relative value error — the
+    * telemetry trade. Oracle: `length(bin(v))` is the identical
+    * bit-length on DuckDB. */
+  def log2Histogram(vals: DataFrame): DataFrame =
+    vals.select(when(col("v") <= 0, lit(0))
+        .otherwise(length(bin(col("v")))).as("j"))
+      .groupBy("j").agg(count(lit(1)).as("n"))
+
+  /** Midpoint of log2 bucket j — the bucket's quantile estimate:
+    * (2^(j−1) + 2^j − 1) div 2, closed-form as 3·2^(j−2) − 1 for
+    * j ≥ 2 (exact integer arithmetic — no double division), 1 for
+    * j = 1, 0 for the zero bucket. */
+  def log2Midpoint(j: Column): Column =
+    when(j <= 0, lit(0L)).when(j === 1, lit(1L))
+      .otherwise(lit(3L) *
+        call_function("shiftleft", lit(1L), (j - 2).cast("int")) - 1L)
+      .cast("long")
 }

@@ -198,6 +198,29 @@ object Indexes {
     }
   }
 
+  /** The per-SOURCE shingle TYPE table: distinct (g = source, w =
+    * 3-token shingle STRING) pairs — the key universe of the KMV
+    * set-algebra family (q214/q215). Persisted because its consumers
+    * reference it from several plan branches (sketch build, exact
+    * distinct counts, BOTH sides of the exact-overlap self join) and
+    * Spark does not common-subexpression identical subtrees: inline,
+    * each branch would re-run the corpus explode + distinct shuffle
+    * — measured as q215's sf0.1 watchdog timeout; from the registry
+    * each branch is a parquet column scan. Distinct from [[shingles]]
+    * (per-DOC hash arrays): this is string-keyed and source-keyed,
+    * what cross-engine 52-bit re-hashing and exact truth both need. */
+  def sourceShingles(spark: SparkSession, sfDir: String): DataFrame =
+    lock.synchronized {
+      cached(spark, store(spark, sfDir), "source_shingles") { bst =>
+        import org.apache.spark.sql.functions.{col, explode}
+        bst.overwrite("source_shingles",
+          graft.io.Sources.table(spark, sfDir, "documents")
+            .select(col("source").as("g"),
+              explode(Dedup.shingles(Dedup.tokens(col("text")))).as("w"))
+            .distinct())
+      }
+    }
+
   /** The df-ordered containment-prefix index at threshold `t`%: one
     * (doc_id, `__h`) row per PREFIX shingle per document — each doc's
     * n − ⌈t·n/100⌉ + 1 globally-rarest shingles, the exact candidate

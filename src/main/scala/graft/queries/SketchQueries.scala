@@ -4,8 +4,10 @@ import org.apache.spark.sql.functions._
 import graft.io.Sources.table
 import graft.ops.{Dedup, Sketches}
 
-/** Oracle-pinned frequency-sketch queries ([[graft.ops.Sketches]]):
-  * the AMS second-moment and portable-HLL distinct estimators, each
+/** Oracle-pinned sketch-and-estimator queries ([[graft.ops.Sketches]]):
+  * the AMS second-moment, portable-HLL and KMV distinct/set-algebra
+  * estimators, the log2-histogram quantile sketch, and the
+  * hash-priority weighted sampler. The frequency rows are each
   * emitted NEXT TO its exact counterpart so the result row carries
   * the estimate, the truth, and the signed per-mille error — and the
   * whole triple is hash-compared against DuckDB recomputing the
@@ -161,10 +163,9 @@ object SketchQueries {
          |       ((d_est - n_exact) * 1000) // n_exact AS err_pm
          |FROM j""".stripMargin) {
       (s, d) =>
-        val keyed = table(s, d, "documents")
-          .select(col("source").as("g"),
-            explode(Dedup.shingles(Dedup.tokens(col("text")))).as("w"))
-          .distinct()
+        // The persisted per-source shingle type table — both plan
+        // branches (sketch + exact) scan parquet, not the corpus.
+        val keyed = Indexes.sourceShingles(s, d)
         val est = Sketches.kmvEstimate(Sketches.kmvSketch(keyed))
         val ex = keyed.groupBy("g").agg(count(lit(1)).as("n_exact"))
         ex.join(est, "g")
@@ -223,10 +224,12 @@ object SketchQueries {
          |       END AS ierr_pm
          |FROM base""".stripMargin) {
       (s, d) =>
-        val keyed = table(s, d, "documents")
-          .select(col("source").as("g"),
-            explode(Dedup.shingles(Dedup.tokens(col("text")))).as("w"))
-          .distinct()
+        // Four plan branches reference the type table (sketch, exact
+        // per-source counts, both self-join sides) — inline each
+        // would re-run the corpus explode + distinct (Spark has no
+        // subtree CSE; measured as this row's sf0.1 watchdog
+        // timeout); from the registry each is a parquet scan.
+        val keyed = Indexes.sourceShingles(s, d)
         val pe = Sketches.kmvPairEstimates(Sketches.kmvSketch(keyed))
         val exd = keyed.groupBy("g").agg(count(lit(1)).as("n"))
         val exi = keyed.as("a")
@@ -247,6 +250,108 @@ object SketchQueries {
               .otherwise(expr("((inter_est - n_inter) * 1000) div n_inter")))
           .select("s1", "s2", "n_union", "union_est", "uerr_pm",
             "n_inter", "inter_est", "ierr_pm")
+    },
+
+    // Log2-histogram (HDR-style) quantile sketch over the per-doc
+    // token-count distribution: ≤ 64 additive bucket counts are the
+    // ENTIRE state — mergeable across executors/batches, constant
+    // size at any corpus scale — and p50/p90/p99 fall out of a
+    // cumulative walk with at most 2× value error (bucket midpoint).
+    // Emitted next to the EXACT discrete quantile (min v whose
+    // cumulative count reaches rank r = ceil(p·N/1000), computed from
+    // the bounded value histogram — no global data sort on either
+    // engine) and the signed per-mille error. Both cumulative walks
+    // are triangular joins over BOUNDED frames (≤ 64 log buckets;
+    // ≤ max-doc-length distinct counts), never over rows. Integer
+    // arithmetic end to end — the sketch's estimate is hash-pinned.
+    Q("q216_log2_quantile_sketch",
+      """WITH nt AS (SELECT len(string_split(text, ' ')) AS v FROM documents),
+        |hist AS (SELECT CASE WHEN v <= 0 THEN 0 ELSE length(bin(v)) END AS j,
+        |                count(*) AS n
+        |         FROM nt GROUP BY 1),
+        |vh AS (SELECT v, count(*) AS n FROM nt GROUP BY v),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS ntot FROM hist),
+        |ps AS (SELECT p, (p * ntot + 999) // 1000 AS r
+        |       FROM tot, (SELECT unnest([500, 900, 990]) AS p)),
+        |cumj AS (SELECT h1.j, sum(h2.n) AS c
+        |         FROM hist h1 JOIN hist h2 ON h2.j <= h1.j GROUP BY h1.j),
+        |est AS (SELECT p, min(j) AS j FROM ps JOIN cumj ON c >= r GROUP BY p),
+        |cumv AS (SELECT v1.v, sum(v2.n) AS c
+        |         FROM vh v1 JOIN vh v2 ON v2.v <= v1.v GROUP BY v1.v),
+        |exv AS (SELECT p, min(v) AS exact_v FROM ps JOIN cumv ON c >= r GROUP BY p),
+        |f AS (SELECT CAST(e.p AS BIGINT) AS p,
+        |        CAST(x.exact_v AS BIGINT) AS exact_v,
+        |        CAST(CASE WHEN e.j <= 0 THEN 0 WHEN e.j = 1 THEN 1
+        |             ELSE 3 * (1::BIGINT << (e.j - 2)) - 1 END AS BIGINT) AS est_v
+        |      FROM est e JOIN exv x USING (p))
+        |SELECT p, exact_v, est_v,
+        |       ((est_v - exact_v) * 1000) // exact_v AS err_pm
+        |FROM f""".stripMargin) {
+      (s, d) =>
+        val nt = table(s, d, "documents")
+          .select(size(Dedup.tokens(col("text"))).cast("long").as("v"))
+        val hist = Sketches.log2Histogram(nt)
+        val vh = nt.groupBy("v").agg(count(lit(1)).as("n"))
+        val ps = hist.agg(sum(col("n")).as("ntot"))
+          .select(explode(array(lit(500L), lit(900L), lit(990L))).as("p"),
+            col("ntot"))
+          .withColumn("r", expr("(p * ntot + 999) div 1000"))
+          .select("p", "r")
+        val cumj = hist.as("h1")
+          .join(hist.as("h2"), col("h2.j") <= col("h1.j"))
+          .groupBy(col("h1.j").as("j")).agg(sum(col("h2.n")).as("c"))
+        val est = broadcast(ps).join(cumj, col("c") >= col("r"))
+          .groupBy("p").agg(min(col("j")).as("j"))
+          .select(col("p"), Sketches.log2Midpoint(col("j")).as("est_v"))
+        val cumv = vh.as("v1")
+          .join(vh.as("v2"), col("v2.v") <= col("v1.v"))
+          .groupBy(col("v1.v").as("v")).agg(sum(col("v2.n")).as("c"))
+        val exact = broadcast(ps).join(cumv, col("c") >= col("r"))
+          .groupBy("p").agg(min(col("v")).as("exact_v"))
+        est.join(exact, "p")
+          .select(col("p"), col("exact_v"), col("est_v"),
+            expr("((est_v - exact_v) * 1000) div exact_v").as("err_pm"))
+    },
+
+    // Sequential-Poisson (order/priority) weighted sample — Ohlsson
+    // 1998: priority = hash div weight, keep the k = 200 smallest, so
+    // a document's inclusion probability is asymptotically ∝ its
+    // token count — a without-replacement sample that is UNIFORM OVER
+    // TOKENS, the budget-true way to eyeball or eval-sample a corpus
+    // (uniform-over-docs under-represents the long documents that
+    // dominate the token bill; q53/q59's stratified/resample rows are
+    // uniform within strata). Deterministic: the 52-bit md5 hash
+    // replaces rand(), so the sample reproduces under retry, replay,
+    // and across engines — the oracle replays it row-for-row, rank
+    // included. Scale shape: the k-smallest selection is a
+    // distributed TakeOrdered (map-side partial top-k, never a global
+    // sort), and the final rank runs over the bounded 200-row slice
+    // via the q58 sorted-array spelling — no WindowExec at all.
+    Q("q217_weighted_priority_sample",
+      """WITH base AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT AS h
+        |  FROM documents),
+        |pri AS (SELECT doc_id, n_tok, h // n_tok AS pr FROM base),
+        |r AS (SELECT doc_id, n_tok, pr,
+        |        row_number() OVER (ORDER BY pr, doc_id) AS rnk
+        |      FROM pri)
+        |SELECT doc_id, n_tok, CAST(pr AS BIGINT) AS pr,
+        |       CAST(rnk AS BIGINT) AS rnk
+        |FROM r WHERE rnk <= 200""".stripMargin) {
+      (s, d) =>
+        val top = table(s, d, "documents")
+          .select(col("doc_id"),
+            size(Dedup.tokens(col("text"))).cast("long").as("n_tok"),
+            Sketches.kmvHash52(col("doc_id").cast("string")).as("__h"))
+          .withColumn("pr", expr("__h div n_tok"))
+          .orderBy(col("pr"), col("doc_id"))
+          .limit(200)
+        top.agg(sort_array(collect_list(
+            struct(col("pr"), col("doc_id"), col("n_tok")))).as("arr"))
+          .select(posexplode(col("arr")).as(Seq("pos", "s")))
+          .select(col("s.doc_id").as("doc_id"), col("s.n_tok").as("n_tok"),
+            col("s.pr").as("pr"), (col("pos") + 1).cast("bigint").as("rnk"))
     }
   )
 }

@@ -182,4 +182,35 @@ class SketchSpec extends AnyFunSuite {
     val (_, interAB) = got(("ga", "gb"))
     assert(interAB > 40 && interAB < 360, s"inter est $interAB vs ~120")
   }
+
+  // -------------------------------------------------- log2 histogram
+
+  test("log2Histogram ≡ bit-length mirror; midpoint matches the" +
+      " (2^(j−1)+2^j−1) div 2 definition") {
+    val vals: Seq[Long] = Seq(0L, 1L, 2L, 3L, 4L, 7L, 8L, 1023L, 1024L) ++
+      (0 until 200).map(_ => math.abs(rnd.nextLong()) % 100000L)
+    val got = Sketches.log2Histogram(vals.toDF("v")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val want = vals.map(v =>
+      if (v <= 0L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(v))
+      .groupBy(identity).map { case (j, vs) => j -> vs.size.toLong }
+    assert(got === want)
+    // Midpoint: the closed form 3·2^(j−2)−1 must equal the
+    // definitional (2^(j−1) + 2^j − 1) div 2 on every bucket, and
+    // every bucket member must sit within 2× of its midpoint (the
+    // sketch's documented error bound).
+    val mids = (0 to 40).map(j => j.toLong).toDF("j")
+      .select(col("j"), Sketches.log2Midpoint(col("j")).as("m")).collect()
+      .map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    (0 to 40).foreach { j =>
+      val want = if (j == 0) 0L else ((1L << (j - 1)) + (1L << j) - 1) / 2
+      assert(mids(j) === want, s"bucket $j")
+      if (j >= 1) {
+        val lo = 1L << (j - 1)
+        val hi = (1L << j) - 1
+        assert(mids(j) >= lo && mids(j) <= hi)
+        assert(hi <= 2 * math.max(mids(j), 1L) + 1)
+      }
+    }
+  }
 }

@@ -126,12 +126,16 @@ object SketchQueries {
          |       ((es.n_est - ex.n_exact) * 1000) // ex.n_exact AS err_pm
          |FROM ex, es""".stripMargin) {
       (s, d) =>
-        // Registers are multiplicity-insensitive (max-merge), so the
-        // estimate path feeds the raw exploded shingle stream — no
-        // distinct, no shuffle before the 256-bucket aggregate. Only
-        // the exact column pays countDistinct.
-        val sh = table(s, d, "documents")
-          .select(explode(Dedup.shingles(Dedup.tokens(col("text")))).as("w"))
+        // Registers are multiplicity-insensitive (max-merge), so any
+        // frame whose distinct support is the corpus shingle universe
+        // feeds them — here the persisted per-source type table
+        // (union over sources of distinct = the universe), making
+        // both plan branches parquet scans instead of two corpus
+        // explodes (measured 6.3 → ~1 s at sf0.1). On a raw stream
+        // the registers aggregate directly with no distinct shuffle —
+        // that property is what lets the index build itself stay one
+        // pass.
+        val sh = Indexes.sourceShingles(s, d).select("w")
         val est = Sketches.hllEstimate(s, Sketches.hllRegisters(sh))
         val ex = sh.agg(countDistinct(col("w")).as("n_exact"))
         ex.crossJoin(est).select(col("n_exact"), col("n_est"),

@@ -512,4 +512,32 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("Join"),
       plan.take(1500))
   }
+
+  test("q217: weighted-sample selection is TakeOrdered, never a global sort") {
+    // The k-smallest-priority selection must plan as a distributed
+    // partial top-k (map-side TakeOrdered), not a rangepartitioned
+    // corpus sort — at 100 TB the difference is k rows per task vs a
+    // full shuffle; the bounded 200-row rank rides the q58 array
+    // spelling, so no WindowExec either.
+    val plan = planOf("q217_weighted_priority_sample")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    assert(!plan.toLowerCase.contains("rangepartitioning"), plan.take(2000))
+    assert(!plan.contains("WindowExec"), plan.take(2000))
+  }
+
+  test("q214/q215: the KMV family scans the persisted type table, not the corpus") {
+    // Spark has no subtree CSE: inline, every plan branch (sketch,
+    // exact counts, both exact-overlap self-join sides) re-ran the
+    // corpus explode + distinct — measured as q215's sf0.1 watchdog
+    // timeout. The fix is structural, so pin it: every branch must
+    // read the source_shingles registry table, and the corpus file
+    // must appear in NO scan.
+    Seq("q214_kmv_distinct_by_source", "q215_kmv_set_overlap").foreach { q =>
+      val plan = planOf(q)
+      assert(plan.contains("source_shingles"),
+        s"$q does not scan the persisted index:\n${plan.take(1500)}")
+      assert(!plan.contains("documents.parquet"),
+        s"$q re-scans the corpus:\n${plan.take(1500)}")
+    }
+  }
 }

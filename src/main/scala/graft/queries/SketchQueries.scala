@@ -47,6 +47,29 @@ object SketchQueries {
        |       FROM hs),
        |sk AS MATERIALIZED (SELECT g, h FROM rk WHERE r <= $KmvK)""".stripMargin
 
+  /** The portable-HLL register + estimate chain over the corpus
+    * 3-shingle universe — shared by q213 (batch, with the exact truth
+    * alongside) and q218 (streaming maintenance of the same
+    * registers; stream ≡ batch because registers max-merge). */
+  private val hllCtes =
+    s"""gsh AS MATERIALIZED (
+       |  SELECT DISTINCT words[CAST(i AS INT)] || ' ' ||
+       |    words[CAST(i AS INT)+1] || ' ' || words[CAST(i AS INT)+2] AS w
+       |  FROM (SELECT string_split(text, ' ') AS words FROM documents),
+       |       unnest(generate_series(1, len(words)-2)) AS t(i)),
+       |rg AS (SELECT ('0x' || substr(md5(w), 1, 2))::BIGINT AS b,
+       |              ('0x' || substr(md5(w), 3, 14))::BIGINT AS x FROM gsh),
+       |rk AS (SELECT b, max(CASE WHEN x = 0 THEN $HllMaxRank
+       |                     ELSE $HllMaxRank - length(bin(x)) END) AS mj
+       |       FROM rg GROUP BY b),
+       |regs AS (SELECT coalesce(rk.mj, 0) AS mj
+       |         FROM range(0, ${Sketches.HllBuckets}) t(b)
+       |         LEFT JOIN rk ON t.b = rk.b),
+       |ss AS (SELECT CAST(sum(CASE WHEN mj <= $HllShift
+       |           THEN 1::BIGINT << CAST($HllShift - mj AS INT)
+       |           ELSE 0 END) AS BIGINT) AS s FROM regs),
+       |es AS (SELECT $HllNum // s // 1000000 AS n_est FROM ss)""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // AMS F2: Σn² of the corpus bigram counts (the distribution's
@@ -104,23 +127,7 @@ object SketchQueries {
     // corpus-wide distinct shuffle the exact side (emitted for the
     // error column, and itself the oracle's truth) has to pay.
     Q("q213_hll_distinct_portable",
-      s"""WITH gsh AS MATERIALIZED (
-         |  SELECT DISTINCT words[CAST(i AS INT)] || ' ' ||
-         |    words[CAST(i AS INT)+1] || ' ' || words[CAST(i AS INT)+2] AS w
-         |  FROM (SELECT string_split(text, ' ') AS words FROM documents),
-         |       unnest(generate_series(1, len(words)-2)) AS t(i)),
-         |rg AS (SELECT ('0x' || substr(md5(w), 1, 2))::BIGINT AS b,
-         |              ('0x' || substr(md5(w), 3, 14))::BIGINT AS x FROM gsh),
-         |rk AS (SELECT b, max(CASE WHEN x = 0 THEN $HllMaxRank
-         |                     ELSE $HllMaxRank - length(bin(x)) END) AS mj
-         |       FROM rg GROUP BY b),
-         |regs AS (SELECT coalesce(rk.mj, 0) AS mj
-         |         FROM range(0, ${Sketches.HllBuckets}) t(b)
-         |         LEFT JOIN rk ON t.b = rk.b),
-         |ss AS (SELECT CAST(sum(CASE WHEN mj <= $HllShift
-         |           THEN 1::BIGINT << CAST($HllShift - mj AS INT)
-         |           ELSE 0 END) AS BIGINT) AS s FROM regs),
-         |es AS (SELECT $HllNum // s // 1000000 AS n_est FROM ss),
+      s"""WITH $hllCtes,
          |ex AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM gsh)
          |SELECT ex.n_exact, es.n_est,
          |       ((es.n_est - ex.n_exact) * 1000) // ex.n_exact AS err_pm
@@ -356,6 +363,52 @@ object SketchQueries {
           .select(posexplode(col("arr")).as(Seq("pos", "s")))
           .select(col("s.doc_id").as("doc_id"), col("s.n_tok").as("n_tok"),
             col("s.pr").as("pr"), (col("pos") + 1).cast("bigint").as("rnk"))
+    },
+
+    // STREAMING maintenance of the HLL registers — the sketch family's
+    // stream==batch leg (the q200/q180 discipline): the shingle TYPE
+    // table's append stream (what index maintenance sees at ingest —
+    // the q205/q210 convention that increments ride the persisted
+    // index, not a raw re-scan) arrives over multiple triggers and
+    // ONE streaming max-aggregate keeps the 256 registers warm. The
+    // streaming state is the SKETCH ITSELF — 256 rows, bounded for
+    // the stream's lifetime at any corpus scale, which is exactly why
+    // sketches are what production pipelines stream: max-merge makes
+    // the final state independent of trigger pacing, arrival order,
+    // restarts, AND multiplicity (the same shingle arriving again —
+    // per-source rows here, raw occurrences in general — cannot move
+    // a register; SketchSpec pins registers(multiset) ≡
+    // registers(distinct)), so the drained registers are
+    // INDISTINGUISHABLE from q213's batch registers and the oracle is
+    // the identical batch estimate (n_reg = occupied registers, then
+    // the estimate chain). No distinct is ever taken on the stream.
+    Q("q218_stream_hll_maintenance",
+      s"""WITH $hllCtes,
+         |nr AS (SELECT CAST(count(*) AS BIGINT) AS n_reg FROM rk)
+         |SELECT nr.n_reg, es.n_est FROM nr, es""".stripMargin) {
+      (s, d) =>
+        val feed = Indexes.sourceShingles(s, d).select(col("w"))
+        val scratch = java.nio.file.Files.createTempDirectory("graft_q218")
+        val staging = s"$scratch/types"
+        try {
+          feed.repartitionByRange(4, col("w")).write.parquet(staging)
+          val stream = s.readStream.schema(feed.schema)
+            .option("maxFilesPerTrigger", 2).parquet(staging)
+          val regs = Sketches.hllRegisters(stream)
+          val sinkName = "q218_stream_hll_sink"
+          s.catalog.dropTempView(sinkName)
+          val q = regs.writeStream.format("memory").queryName(sinkName)
+            .outputMode("complete")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          try require(q.awaitTermination(300000),
+            "q218: stream did not drain within 300s — partial registers")
+          finally q.stop()
+          val drained = s.table(sinkName)
+          drained.agg(count(lit(1)).as("n_reg"))
+            .crossJoin(Sketches.hllEstimate(s, drained))
+        } finally
+          org.apache.commons.io.FileUtils.deleteDirectory(scratch.toFile)
     }
   )
 }

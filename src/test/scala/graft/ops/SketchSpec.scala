@@ -90,6 +90,18 @@ class SketchSpec extends AnyFunSuite {
     assert(got === merged)
   }
 
+  test("hllRegisters are multiplicity-insensitive: multiset ≡ distinct") {
+    // The property q218's streaming maintenance rests on: a repeated
+    // arrival (re-ingested shingle, per-source duplicate) cannot move
+    // a max register, so feeding any multiset with the same distinct
+    // support yields identical registers — no distinct on the stream.
+    val keys = types.map(_._1)
+    val dup = keys ++ keys.take(150) ++ keys.take(40)
+    val got = Sketches.hllRegisters(dup.toDF("w")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === mirrorRegisters(keys.distinct))
+  }
+
   test("hllEstimate = HllNum div S div 1e6 over the densified mirror") {
     val keys = types.map(_._1).distinct
     val regs = mirrorRegisters(keys)

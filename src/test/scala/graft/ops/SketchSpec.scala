@@ -43,6 +43,15 @@ class SketchSpec extends AnyFunSuite {
     assert(want === want.keys.map(i => i -> (zA(i) + zB(i))).toMap)
   }
 
+  test("amsSketch partial-aggregates map-side (252 longs cross the wire)") {
+    // The 100-TB claim: sketch sums combine BEFORE the exchange, so
+    // each task ships AmsEstimators partial sums, never the exploded
+    // (row × estimator) stream.
+    val plan = Sketches.amsSketch(types.toDF("w", "n"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_sum"), plan.take(2000))
+  }
+
   test("amsF2Estimate is the median of the group means of z²") {
     val df = types.toDF("w", "n")
     val zs = Sketches.amsSketch(df).collect()

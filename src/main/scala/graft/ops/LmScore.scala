@@ -57,6 +57,12 @@ object LmScore {
     val pfx = cnt
       .groupBy(split(col(bgCol), " ").getItem(0).as("__w1"))
       .agg(sum(col("__c")).as("__cp"))
+    // Blanket salt, MEASURED against the hot-key variant (r15 sf10
+    // same-box A/B): saltedJoinHot's sampled detection pass costs
+    // more than the 16× bigram-dim replication saves at bench scale
+    // (q159 11.4 → 13.1 s WORSE with detection), because the bigram
+    // TYPE table is still far smaller than the doc-grain fact side.
+    // Revisit only if the type/fact ratio approaches 1.
     val withC = Skew.saltedJoin(bf, cnt, bgCol,
       saltBy = col(docCol), salts = 16)
     val withCp = Skew.saltedJoinHot(

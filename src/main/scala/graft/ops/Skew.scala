@@ -86,6 +86,34 @@ object Skew {
       .agg((count(lit(1)) * detectOneIn).as("__kn"))
       .filter(col("__kn") > hotCap)
       .select(col(key), lit(true).as("__hot"))
+    saltedJoinGivenHot(fact, dim, key, saltBy, salts, hot, joinType)
+  }
+
+  /** [[saltedJoinHot]] with the hot-key set SUPPLIED by the caller —
+    * for call sites that already aggregate per-key counts for another
+    * reason (q208/q209 derive their duplicated-span set from a
+    * `sum(occ)` over the persisted span index; the hot set is the
+    * same aggregate with a higher threshold), so the sampled
+    * detection pass — which would replay the FACT side's lineage,
+    * a corpus-wide explode for a span stream — never runs. `hotKeys`
+    * must have a column named `key` (extra columns are dropped) and
+    * must be bounded (it broadcasts — the saltedJoinHot boundedness
+    * argument). Hotness is a pure routing policy: any hot set yields
+    * the same join result, so callers may threshold however their
+    * existing aggregate makes cheap. */
+  def saltedJoinGivenHot(fact: DataFrame, dim: DataFrame, key: String,
+                         saltBy: Column, salts: Int, hotKeys: DataFrame,
+                         joinType: String = "inner"): DataFrame = {
+    requireSaltableJoinType("saltedJoinGivenHot", joinType)
+    require(salts > 1, s"saltedJoinGivenHot: salts must be > 1, got $salts")
+    saltedJoinGivenHotImpl(fact, dim, key, saltBy, salts,
+      hotKeys.select(col(key), lit(true).as("__hot")), joinType)
+  }
+
+  private def saltedJoinGivenHotImpl(
+      fact: DataFrame, dim: DataFrame, key: String,
+      saltBy: Column, salts: Int, hot: DataFrame,
+      joinType: String): DataFrame = {
     val saltedFact = fact.join(broadcast(hot), Seq(key), "left")
       .withColumn("__salt",
         when(col("__hot"), pmod(xxhash64(saltBy), lit(salts)))

@@ -114,6 +114,9 @@ object CurationQueries {
                            d: String): org.apache.spark.sql.DataFrame = {
     val bf = Indexes.bigramFrequencies(s, d)
     val cnt = bf.groupBy("bg").agg(sum(col("tf")).as("c"))
+    // Blanket salt kept deliberately: the hot-key variant's detection
+    // pass measured SLOWER here (r15 sf10 A/B: q133 10.7 → 13.6 s,
+    // q145 15.6 → 18.0 s) — see LmScore.bigramNll's note.
     val lm = Skew.saltedJoin(bf, cnt, "bg",
         saltBy = col("doc_id"), salts = 16)
       .groupBy("doc_id")

@@ -1432,6 +1432,8 @@ object LlmQueries {
       (s, d) =>
         val tf = Indexes.termFrequencies(s, d)
         val dfreq = tf.groupBy("w").agg(count(lit(1)).as("dfreq"))
+        // Blanket salt (hot-key variant measured slower — the
+        // LmScore.bigramNll note: r15 sf10 A/B 2.54 → 3.85 s).
         graft.ops.Skew.saltedJoin(tf, dfreq, "w", saltBy = col("doc_id"), salts = 16)
           .groupBy("doc_id")
           .agg(sum(col("tf")).as("n_tokens"),
@@ -1610,9 +1612,10 @@ object LlmQueries {
     // duplicate. Shape: positional span stream (one normalize+explode
     // pass) → duplicated-span set from the PERSISTED span index
     // (sum of per-doc occurrence counts — no second corpus agg) →
-    // salted semi join marks duplicated positions (a boilerplate span
-    // in 10^6 docs is a hot key BY CONSTRUCTION — the q111/q91
-    // discipline) → per-doc gaps-and-islands window (partition = one
+    // hot-salted semi join marks duplicated positions (a boilerplate
+    // span in 10^6 docs is a hot key BY CONSTRUCTION; the hot set is
+    // the same index aggregate at a higher threshold, so detection is
+    // free) → per-doc gaps-and-islands window (partition = one
     // doc's duplicated positions, bounded by doc length) → min/max
     // per run + one doc-keyed join back for the span text. Every
     // stage is linear in corpus tokens at 100 TB.
@@ -1634,11 +1637,20 @@ object LlmQueries {
       (s, d) =>
         import org.apache.spark.sql.expressions.Window
         val (norm, spans) = spanPosStream(s, d)
-        val dup = Indexes.spanOccurrences(s, d)
+        val spanCounts = Indexes.spanOccurrences(s, d)
           .groupBy("span").agg(sum(col("occ")).as("__n"))
-          .filter(col("__n") >= 2).select("span")
-        val hits = graft.ops.Skew.saltedJoin(spans, dup, "span",
-          saltBy = col("doc_id"), salts = 16, joinType = "left_semi")
+          .filter(col("__n") >= 2)
+        val dup = spanCounts.select("span")
+        // Hot set = the SAME index aggregate at a higher threshold —
+        // blanket salting replicated the whole duplicated-span dim
+        // 16× (dim ∝ corpus boilerplate, so the replication rivals
+        // the fact shuffle); only genuinely hot spans need salt.
+        val hot = spanCounts
+          .filter(col("__n") > graft.ops.Dedup.DefaultHotShingleCap)
+          .select("span")
+        val hits = graft.ops.Skew.saltedJoinGivenHot(spans, dup, "span",
+          saltBy = col("doc_id"), salts = 16, hotKeys = hot,
+          joinType = "left_semi")
         val w = Window.partitionBy("doc_id").orderBy("pos")
         val agg = hits
           .withColumn("__rid", col("pos") - row_number().over(w))
@@ -1663,15 +1675,24 @@ object LlmQueries {
     // positional span pass, REDUCED IMMEDIATELY to the duplicated
     // subset: the duplicated-span set comes from the persisted span
     // index (sum of per-doc occurrence counts — no positional agg
-    // over the full stream), a salted semi join keeps only duplicated
-    // occurrences, and that small frame PERSISTS for its two
-    // consumers (the min-struct first-occurrence aggregate and the
-    // non-first cover join) — without the persist, Spark would replay
-    // the corpus-wide explode once per consumer (measured sf10:
-    // 147.8 → 93.6 s for this rewrite). Covered positions explode 8×
-    // and distinct; tokens explode once, anti-join their covered
-    // positions, and reassemble per doc (the q106 sorted-collect).
-    // All shuffles are token- or doc-keyed — linear at 100 TB.
+    // over the full stream), a hot-salted semi join keeps only
+    // duplicated occurrences, and that small frame PERSISTS for its
+    // two consumers (the min-struct first-occurrence aggregate and
+    // the non-first cover join) — without the persist, Spark would
+    // replay the corpus-wide explode once per consumer (measured
+    // sf10: 147.8 → 93.6 s for this rewrite). Covered positions
+    // aggregate straight into ONE per-doc int array (collect_set —
+    // bounded by doc length), and the rewrite itself is a pure map
+    // expression: array_except(sequence(1, n), covered) keeps
+    // surviving positions in order and transform indexes the token
+    // array — no token-grain rows ever shuffle. (The first cut
+    // exploded every corpus token and anti-joined covered positions
+    // at (doc_id, pos) grain — two corpus-sized token-row shuffles
+    // plus a per-doc sorted-collect; the array expressions measured
+    // sf10 146.1 → 66.0 s same-box, sf0.1 2.67 → 2.27 s; swapping
+    // both span joins to the given-hot salt took the row to 51.0 s.)
+    // Remaining shuffles are span- or doc-keyed and carry duplicated
+    // spans or compact arrays — linear at 100 TB.
     Q("q209_maxspan_dedup_rewrite",
       s"""WITH $spanPosCtes,
          |occ AS (
@@ -1697,39 +1718,47 @@ object LlmQueries {
          |GROUP BY n.doc_id, len(n.t)""".stripMargin) {
       (s, d) =>
         val (norm, spans) = spanPosStream(s, d)
-        val dup = Indexes.spanOccurrences(s, d)
+        val spanCounts = Indexes.spanOccurrences(s, d)
           .groupBy("span").agg(sum(col("occ")).as("__n"))
-          .filter(col("__n") >= 2).select("span")
+          .filter(col("__n") >= 2)
+        val dup = spanCounts.select("span")
+        // Hot set from the same aggregate (see q208) — shared by both
+        // span-keyed joins below.
+        val hot = spanCounts
+          .filter(col("__n") > graft.ops.Dedup.DefaultHotShingleCap)
+          .select("span")
         // Duplicated occurrences only, persisted: two consumers below
         // (the session's per-query clearCache releases it).
-        val dupSpans = graft.ops.Skew.saltedJoin(spans, dup, "span",
-            saltBy = col("doc_id"), salts = 16, joinType = "left_semi")
+        val dupSpans = graft.ops.Skew.saltedJoinGivenHot(spans, dup, "span",
+            saltBy = col("doc_id"), salts = 16, hotKeys = hot,
+            joinType = "left_semi")
           .persist()
         val firsts = dupSpans.groupBy("span")
           .agg(min(struct(col("doc_id"), col("pos"))).as("__f"))
           .select(col("span"), col("__f.doc_id").as("__fdoc"),
             col("__f.pos").as("__fpos"))
-        val cov = graft.ops.Skew.saltedJoin(dupSpans, firsts, "span",
-            saltBy = col("doc_id"), salts = 16)
+        val cov = graft.ops.Skew.saltedJoinGivenHot(dupSpans, firsts, "span",
+            saltBy = col("doc_id"), salts = 16, hotKeys = hot)
           .filter(!(col("doc_id") === col("__fdoc") &&
             col("pos") === col("__fpos")))
           .select(col("doc_id"),
             explode(sequence(col("pos"), col("pos") + 7)).as("j"))
-          .distinct()
-        val tok = norm
-          .select(col("doc_id"), posexplode(col("t")).as(Seq("__i", "w")))
-          .select(col("doc_id"), (col("__i") + 1).cast("long").as("j"), col("w"))
-        val kept = tok.join(cov, Seq("doc_id", "j"), "left_anti")
           .groupBy("doc_id")
-          .agg(count(lit(1)).as("__nk"),
+          // collect_set dedups overlapping covers; its order is
+          // irrelevant — array_except preserves the LEFT (position)
+          // order, so the reassembly below is deterministic.
+          .agg(collect_set(col("j")).as("__cov"))
+        norm.join(cov, Seq("doc_id"), "left")
+          .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"),
+            coalesce(size(col("__cov")).cast("long"), lit(0L)).as("n_removed"),
             array_join(
-              transform(array_sort(collect_list(struct(col("j"), col("w")))),
-                x => x.getField("w")), " ").as("cleaned_text"))
-        norm.select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"))
-          .join(kept, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("n_tokens"),
-            (col("n_tokens") - coalesce(col("__nk"), lit(0L))).as("n_removed"),
-            coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+              transform(
+                array_except(
+                  sequence(lit(1L), size(col("t")).cast("long")),
+                  coalesce(col("__cov"),
+                    array().cast("array<bigint>"))),
+                j => element_at(col("t"), j.cast("int"))),
+              " ").as("cleaned_text"))
     },
 
     // Training-example ASSEMBLY: the event log becomes one ordered
@@ -1808,6 +1837,10 @@ object LlmQueries {
       (s, d) =>
         val tf = Indexes.termFrequencies(s, d)
         val dfreq = tf.groupBy("w").agg(count(lit(1)).as("dfreq"))
+        // Blanket salt for the vocab-dim join (hot-key detection
+        // measured slower on this dim class — LmScore.bigramNll note);
+        // the SPAN join below is the corpus-scale dim and uses the
+        // free given-hot form.
         val tstats = graft.ops.Skew
           .saltedJoin(tf, dfreq, "w", saltBy = col("doc_id"), salts = 16)
           .groupBy("doc_id")
@@ -1824,11 +1857,22 @@ object LlmQueries {
         // process; both derivations below are parquet reads, so the
         // normalize+explode scan never runs twice inside this query.
         val occ = Indexes.spanOccurrences(s, d)
-        val multi = occ.groupBy("span")
+        val spanDocCounts = occ.groupBy("span")
           .agg(count(lit(1)).as("nd"))
-          .filter(col("nd") >= 2).select("span")
+          .filter(col("nd") >= 2)
+        val multi = spanDocCounts.select("span")
+        // Hot set = the same aggregate at a higher threshold (the
+        // q208/q209 discipline) — the duplicated-span dim is
+        // corpus-scale, so blanket 16× replication rivals the fact
+        // shuffle, and the given-hot form costs no detection pass
+        // (measured r15 sf10 same-box: q91 39.7 → 23.3 s, peak heap
+        // 53 → 26 GB).
+        val hotSpans = spanDocCounts
+          .filter(col("nd") > graft.ops.Dedup.DefaultHotShingleCap)
+          .select("span")
         val nDup = graft.ops.Skew
-          .saltedJoin(occ, multi, "span", saltBy = col("doc_id"), salts = 16)
+          .saltedJoinGivenHot(occ, multi, "span", saltBy = col("doc_id"),
+            salts = 16, hotKeys = hotSpans)
           .groupBy("doc_id").agg(sum(col("occ")).as("n_dup"))
         tstats.join(nsp, "doc_id")
           .join(nDup, Seq("doc_id"), "left")
@@ -1881,7 +1925,10 @@ object LlmQueries {
         // spreads each term across 16 deterministic sub-keys (df side
         // replicated 16×, a rounding error next to the tf shuffle) and
         // is provably row-identical to the plain join (q19's oracle),
-        // so the uncapped SQL oracle stays exact.
+        // so the uncapped SQL oracle stays exact. (Hot-key variant
+        // measured slower: r15 sf10 A/B 3.42 → 5.11 s — the detection
+        // pass beats the vocab-dim replication only when the dim is
+        // corpus-scale, see the q208/q209 span joins.)
         graft.ops.Skew.saltedJoin(tf, dfreq, "w", saltBy = col("doc_id"), salts = 16)
           // `div`, not `/`: Spark's slash is double division — the
           // oracle's `//` is exact integral division, and at corpus
@@ -2015,6 +2062,8 @@ object LlmQueries {
       (s, d) =>
         val bf = Indexes.bigramFrequencies(s, d)
         val cnt = bf.groupBy("bg").agg(sum(col("tf")).as("c"))
+        // Blanket salt (hot-key variant measured slower — the
+        // LmScore.bigramNll note: r15 sf10 A/B 4.96 → 7.27 s).
         val scored = graft.ops.Skew.saltedJoin(bf, cnt, "bg",
             saltBy = col("doc_id"), salts = 16)
           .groupBy("doc_id")
